@@ -1,0 +1,121 @@
+"""Multimodal column handling: image/audio/video as opaque binary + typed
+metadata.
+
+The container has no image/audio codecs, so the decode/feature steps are
+STUBS behind clearly-marked seams (deterministic fakes or
+NotImplementedError). The Spark-side plumbing — binary columns, metadata
+structs, Arrow-batched mapInPandas signatures, partition sizing — is real
+and tested: swapping a real decoder in changes only the inner function.
+
+Scale design: binary payloads ride in their own column so Parquet stores
+them as byte arrays with metadata columns still prunable; feature extraction
+runs via mapInPandas (Arrow batches) so one Python worker processes
+thousands of payloads per batch, and `spark.sql.files.maxPartitionBytes`
+bounds per-task memory for large blobs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature_dim", LongType()),
+        StructField("feature_sig", StringType()),
+    ]
+)
+
+
+def as_media(df: DataFrame, id_col: str, payload_col: Column, mime: str) -> DataFrame:
+    """Wrap an arbitrary payload column as the engine's canonical media row:
+    (media_id, mime, payload binary, n_bytes, sha256)."""
+    payload = payload_col.cast("binary")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(mime).alias("mime"),
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB: real implementation would be PIL/libvips decode. The container
+    ships no codecs; callers in tests use extract_features' deterministic
+    fake instead."""
+    raise NotImplementedError(
+        "image decode requires an image codec not present in this environment"
+    )
+
+
+def _fake_feature_signature(payload: bytes, dim: int) -> str:
+    """Deterministic stand-in for a decoded-media feature vector: a stable
+    digest of (payload, dim). Replace with a real decode+embed to productionize."""
+    import hashlib
+
+    return hashlib.sha256(payload + f"|dim={dim}".encode()).hexdigest()[:16]
+
+
+def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas.
+
+    The batch shape is the real contract: each pandas DataFrame chunk holds
+    payload bytes + metadata; the inner loop is where a real decoder slots
+    in. Output schema is fixed (FEATURE_SCHEMA) so downstream plans are
+    stable regardless of the decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature_dim": feature_dim,
+                    "feature_sig": [
+                        _fake_feature_signature(bytes(p), feature_dim)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """STUB plumbing for video frame sampling: emits one row per sampled
+    frame index based on metadata only (duration unknown without a decoder,
+    so n_frames is faked as n_bytes // 1024). The explode/partition shape is
+    what matters at scale — one media row fans out to its frames without
+    collecting to the driver."""
+    n_frames = (F.col("n_bytes") / 1024).cast("long")
+    frames = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+    )
+    return media.select(
+        "media_id", "mime", F.explode(frames).alias("frame_index")
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the IVF variant is the scale
+path: partition vectors into coarse cells, search only the probed cells —
+at 100 TB the cell assignment is a hash-shuffle and each query touches
+|cells probed| / |cells| of the data instead of all of it.
+
+Dot products use built-in higher-order functions (zip_with + aggregate) over
+array<double> — JVM-side, deterministic left-to-right summation, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    Broadcast the (small) query set against the (huge) corpus — the corpus
+    never shuffles; each executor scores its partitions and a per-query
+    top-k window reduces to k rows. Ties broken by corpus id for
+    determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("mvec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("qvec"), F.col("mvec")), round_digits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "cosine_sim", "rnk")
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (coarse quantization).
+    Centroids are broadcast; assignment is a map-side argmin — no shuffle
+    of the corpus."""
+    c = centroids.select(
+        F.col("cell_id"), F.col("centroid")
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        cosine(F.col(vec_col), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .drop("rnk", "sim")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score queries only against vectors in the query's cell.
+    The corpus⋈query join becomes an equi-join on cell_id (shuffle on a
+    small key space) instead of a cross product — the 100 TB path."""
+    va = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("mvec"),
+        F.col("cell_id"),
+    )
+    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("cell_id"),
+    )
+    scored = (
+        va.join(F.broadcast(qa), "cell_id")
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            "cell_id",
+            F.round(cosine(F.col("qvec"), F.col("mvec")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "cell_id", "cosine_sim", "rnk")
+    )
+
+
+def label_centroids(vectors: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Deterministic coarse centroids: element-wise mean per label cell
+    (stands in for k-means training, which would be run offline)."""
+    dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1)
+    dim = dim_df.collect()[0]["d"]
+    sums = vectors.groupBy(F.col(label_col).alias("cell_id")).agg(
+        *[
+            F.sum(F.element_at(F.col(vec_col).cast("array<double>"), i + 1)).alias(f"s{i}")
+            for i in range(dim)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sums.select(
+        "cell_id",
+        F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("centroid"),
+    )

@@ -1,0 +1,464 @@
+"""Training-data pipeline queries: text analysis, dedup, similarity search,
+multimodal plumbing — the driver-mandated extensions (SURVEY §2.3).
+
+Every oracle replicates the Spark computation arithmetically (same md5-based
+hashing, same rounding, same tie-breaks) so the value-hash compare is exact.
+The gnarlier oracles (SimHash bit extraction, MinHash banding) are generated
+programmatically to keep the two sides provably in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_consumer_spark.operators import dedup as D
+from kinesis_stream_consumer_spark.operators import multimodal as M
+from kinesis_stream_consumer_spark.operators import similarity as S
+from kinesis_stream_consumer_spark.operators import text as T
+from kinesis_stream_consumer_spark.plans.queries import _t, register
+
+# Shared SQL fragments ------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SHINGLE_ROWS = f"""
+  tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  pos AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, GREATEST(len(toks)-2, 1))) AS i
+          FROM tok),
+  sh  AS (SELECT DISTINCT doc_id,
+                 concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+          FROM pos)
+"""
+_EN_STOP = "('the','and','of','to','in','is','that','for','with','as')"
+
+
+# --- Text analysis ----------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           LENGTH(text)                                            AS n_chars,
+           len({_TOKS})                                            AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]')) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(letters/digits/punct as separate pieces). Pure regexp column "
+    "expressions — codegen'd, scales linearly.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             len({_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(list_filter({_TOKS.replace("text", "lower(text)")},
+                             t -> t IN {_EN_STOP})) AS n_stop
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id, n_chars, n_tokens,
+             FLOOR(((n_chars - (n_tokens - 1)) / n_tokens) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+             FLOOR((n_punct / GREATEST(n_chars, 1)) * 10000.0 + 0.5) / 10000.0        AS punct_ratio,
+             FLOOR((n_stop / GREATEST(n_tokens, 1)) * 10000.0 + 0.5) / 10000.0        AS stopword_ratio
+      FROM feats
+    )
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           FLOOR((0.5 * LEAST(n_tokens / 20.0, 1.0)
+                + 0.5 * LEAST(stopword_ratio * 5.0, 1.0)
+                - 0.25 * LEAST(punct_ratio * 5.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+    FROM ratios
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring from length/punctuation/stopword ratios — the "
+    "cheap-filter stage of a training-data pipeline, all JVM-side.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = T.quality_features(t)
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        T.quality_score(t).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: "len(list_filter({toks}, t -> t IN ({words})))".format(
+            toks=_TOKS.replace("text", "lower(text)"),
+            words=",".join(f"'{w}'" for w in words),
+        )
+        for lang, words in T.LANG_STOPWORDS.items()
+    }
+    best = "GREATEST({})".format(", ".join(f"h_{lang}" for lang in hits))
+    cases = " ".join(
+        f"WHEN h_{lang} > 0 AND h_{lang} = best THEN '{lang}'" for lang in hits
+    )
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+    WITH h AS (SELECT doc_id, lang, {hit_cols} FROM documents),
+    b AS (SELECT *, {best} AS best FROM h)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {cases} ELSE 'und' END AS predicted_lang
+    FROM b ORDER BY doc_id
+    """
+
+
+@register(
+    "text_langid",
+    _langid_oracle(),
+    doc="Language ID via stopword-hit heuristic over fixed per-language word "
+    "sets; deterministic tie-break (en>es>de>fr), 'und' when no hits.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id(F.col("text")).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS i
+      FROM documents
+    )
+    SELECT doc_id, MIN(md5(substr(text, i, 5))) AS fingerprint
+    FROM pos GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: min-of-md5 over character 5-grams "
+    "(winnowing-style). Shift-robust unlike a plain content hash; an O(len) "
+    "expression per document.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_ngram_min_fingerprint(F.col("text"), 5).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+# --- Deduplication ----------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1 ORDER BY digest
+    """,
+    doc="Exact dedup: hash-groupBy on the content digest (reference I1's md5 "
+    "identity extended to content). One shuffle on the digest; no pairwise "
+    "work at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "text", "doc_id").orderBy("digest")
+
+
+def _minhash_cols_sql() -> str:
+    return ",\n             ".join(
+        f"MIN(md5('{salt}|' || shingle)) AS mh{i}"
+        for i, salt in enumerate(D.MINHASH_SALTS)
+    )
+
+
+@register(
+    "dedup_minhash_signature",
+    f"""
+    WITH {_SHINGLE_ROWS}
+    SELECT doc_id,
+             {_minhash_cols_sql()}
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="MinHash signatures: per fixed salt ('permutation'), the minimum md5 "
+    "over the doc's distinct 3-word shingles. Map-side only — signatures "
+    "computed without any shuffle.",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(len(D.MINHASH_SALTS))],
+    ).orderBy("doc_id")
+
+
+def _minhash_lsh_oracle() -> str:
+    bands = " , ".join(
+        f"mh{2*b} || '#' || mh{2*b+1} AS b{b}" for b in range(4)
+    )
+    cond = " OR ".join(f"l.b{b} = r.b{b}" for b in range(4))
+    return f"""
+    WITH {_SHINGLE_ROWS},
+    sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (SELECT doc_id, {bands} FROM sigs),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r ON l.doc_id < r.doc_id AND ({cond})
+    ),
+    shsets AS (SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(sa.shset, sb.shset))
+                 / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1), 4)
+             AS jaccard_sim
+    FROM cand
+    JOIN shsets sa ON sa.doc_id = doc_a
+    JOIN shsets sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_lsh_oracle(),
+    doc="MinHash+LSH near-dup candidate pairs: band the 8-hash signature into "
+    "4 bands of 2; docs sharing any band collide. Spark plan: "
+    "signature (map-side) → explode bands → self-EQUI-join on band key → "
+    "distinct pairs → verify with exact shingle Jaccard. The shuffle is on "
+    "band hashes (uniform), and no O(n²) cross product ever materializes — "
+    "the 100 TB dedup path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidate_pairs(docs, "text", "doc_id", 3, 2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_terms = []
+    for b in range(32):
+        d, shift = b // 4 + 1, b % 4
+        vote = (
+            f"(((strpos('0123456789abcdef', substr(md5(shingle), {d}, 1)) - 1)"
+            f" // {2 ** shift}) % 2) * 2 - 1"
+        )
+        bit_terms.append(
+            f"CASE WHEN SUM({vote}) > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        )
+    fp = " + ".join(bit_terms)
+    return f"""
+    WITH {_SHINGLE_ROWS}
+    SELECT doc_id, {fp} AS simhash
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="32-bit SimHash over 3-word shingles: bit b = sign of the ±1 votes of "
+    "bit b of md5(shingle). Near-dups differ in few bits (Hamming); computed "
+    "arithmetically from md5 hex digits so the identical computation runs in "
+    "the DuckDB oracle.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash32(F.col("text"), 3).alias("simhash")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_ROWS},
+    shsets AS (SELECT doc_id, lang, list(DISTINCT shingle) AS shset
+               FROM sh JOIN documents USING (doc_id) GROUP BY doc_id, lang)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.shset, b.shset))
+                 / GREATEST(len(list_distinct(list_cat(a.shset, b.shset))), 1), 4)
+             AS jaccard_sim
+    FROM shsets a JOIN shsets b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE len(list_intersect(a.shset, b.shset))
+          / GREATEST(len(list_distinct(list_cat(a.shset, b.shset))), 1) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    doc="N-gram Jaccard near-dup pairs with language blocking (only same-lang "
+    "pairs compared) — blocking keys turn the cross product into an "
+    "equi-join; the LSH variant (dedup_minhash_lsh) is the preferred path "
+    "when no natural blocking key exists.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sets_ = docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        T.word_shingles(F.col("text"), 3).alias("shset"),
+    )
+    a, b = sets_.alias("a"), sets_.alias("b")
+    raw_j = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset"))) / F.greatest(
+        F.size(F.array_union(F.col("a.shset"), F.col("b.shset"))), F.lit(1)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .where(raw_j >= 0.2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(raw_j, 4).alias("jaccard_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- Similarity search ------------------------------------------------------
+
+_DIM = 64  # embedding dimensionality of the driver's embeddings table
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+             SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) AS dp
+      FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) dims
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             ROUND(dp / (nq.nrm * nm.nrm), 4) AS cosine_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nm ON nm.vec_id = match_id
+    )
+    SELECT query_id, match_id, cosine_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, match_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="Exact cosine top-k (brute force baseline): broadcast the query set, "
+    "score map-side over the corpus partitions, per-query window top-k. The "
+    "corpus never shuffles; dot products via zip_with/aggregate (JVM, no UDF).",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+@register(
+    "sim_ann_ivf",
+    None,  # iterative centroid assignment — rows-only check; recall vs brute
+    # force is asserted in tests/test_similarity.py
+    doc="IVF approximate NN: coarse cells from per-label centroids "
+    "(deterministic stand-in for offline k-means), queries scored only "
+    "against their own cell — corpus⋈query becomes an equi-join on cell_id. "
+    "The 100 TB scale path for similarity search.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = S.label_centroids(emb)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
+
+
+# --- Multimodal columns -----------------------------------------------------
+
+@register(
+    "multimodal_media_meta",
+    """
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents ORDER BY media_id
+    """,
+    doc="Multimodal canonical media row: payload as opaque binary + typed "
+    "metadata (mime, byte length, content digest). Binary rides in its own "
+    "parquet column so metadata stays prunable; documents' text bytes stand "
+    "in for image/audio payloads (no codecs in this container).",
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
+    return media.select("media_id", "mime", "n_bytes", "sha256").orderBy("media_id")
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           CAST(16 AS BIGINT) AS feature_dim,
+           substr(sha256(text || '|dim=16'), 1, 16) AS feature_sig
+    FROM documents ORDER BY media_id
+    """,
+    doc="Arrow-batched feature extraction over binary payloads via "
+    "mapInPandas — the decode step is a deterministic fake (sha256 of "
+    "payload+dim; a real codec slots into the same batch loop). The batch "
+    "shape, schema and partitioning are the real, tested contract.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
+    return M.extract_features(media, 16).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, 'text/plain' AS mime,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id, mime,
+           unnest(generate_series(0, GREATEST(n_bytes // 1024 - 1, 0), 10)) AS frame_index
+    FROM media ORDER BY media_id, frame_index
+    """,
+    doc="Video frame-sampling plumbing: each media row fans out to its "
+    "sampled frame indices via sequence+explode — distributed fan-out, "
+    "nothing collected to the driver. Frame count faked from byte length "
+    "(no decoder); the explode/partition shape is the scale-relevant part.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
+    return M.frame_sample_plan(media, 10).orderBy("media_id", "frame_index")

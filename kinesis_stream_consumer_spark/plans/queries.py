@@ -1,0 +1,65 @@
+"""Query registry: every operator in SURVEY.md §2 exposed as a named query.
+
+Each entry pairs an idiomatic-PySpark implementation (DataFrame API, built-in
+functions, broadcast hints — no Python row loops) with an ANSI-SQL oracle that
+DuckDB runs on the same parquet tables. Column names/aliases match exactly on
+both sides because the driver's compare hashes values after sorting columns
+by name.
+
+Float discipline: every float aggregate is ROUNDed identically on both sides
+so double-summation order differences between engines can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None => non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as long and convert (truncating) to micros —
+        # the same truncation DuckDB applies when formatting TIMESTAMP_NS.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
+        )
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.2): scans, projection/filter, joins, aggs,
+# windows, sorts/limits, set ops, scalar fns. The reference has none of these
+# (kinesis-consumer.js:32-37 exports only config/extract/identify/discard);
+# per the driver north star they are exposed Spark-first over the data model.
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_consumer_spark.plans import relational  # noqa: E402,F401
+from kinesis_stream_consumer_spark.plans import stream_parity  # noqa: E402,F401
+from kinesis_stream_consumer_spark.plans import llm_pipeline  # noqa: E402,F401

@@ -1,0 +1,447 @@
+"""Relational operator queries (SURVEY §2.2) — Spark-first implementations.
+
+The reference engine has no relational operators (verified: its only exports
+are config/extract/identify/discard — reference kinesis-consumer.js:32-37,
+kinesis-processing.js:54-114). This module exposes the classic categories
+over the driver's star schema, expressed so Catalyst gets full freedom:
+filters before joins (pushdown), explicit ``broadcast()`` for dimension
+tables, aggregate aliases stable for the oracle compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_consumer_spark.plans.queries import _t, register
+
+
+# --- Aggregation: hash agg with partial (map-side) combine -----------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: full-scan groupBy aggregate. "
+    "Map-side partial aggregation + single shuffle on a low-cardinality key.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Multi-way join with broadcast dims ------------------------------------
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5-style 6-way join. region/nation/supplier/customer broadcast; "
+    "the lineitem⋈orders shuffle join is the only large exchange.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu, od, li = (_t(spark, sf_dir, t) for t in ("customer", "orders", "lineitem"))
+    su, na, re = (_t(spark, sf_dir, t) for t in ("supplier", "nation", "region"))
+    return (
+        cu.join(od.where(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")),
+                F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --- Join + group + top-k (sort/limit) -------------------------------------
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style: selective dim filter → join → agg → global top-k. "
+    "TakeOrderedAndProject avoids a full sort.",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(cu)
+        .join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- Distinct aggregates ----------------------------------------------------
+
+@register(
+    "agg_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(*)                    AS n_orders,
+           COUNT(DISTINCT o_custkey)   AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="COUNT(DISTINCT) expansion — Catalyst rewrites to two-phase "
+    "partial/final aggregation (no driver-side distinct).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Grouping sets / rollup -------------------------------------------------
+
+@register(
+    "agg_rollup",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*)                AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region_name, nation_name
+    """,
+    doc="ROLLUP hierarchy totals — Expand + single aggregate, no re-scan per level.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    return (
+        cu.join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_balance",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# --- Window functions -------------------------------------------------------
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_name,
+             ROUND(c_acctbal, 2) AS acctbal,
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) WHERE rnk <= 5
+    ORDER BY c_mktsegment, rnk
+    """,
+    doc="Top-k per group via RANK window — one shuffle on the partition key; "
+    "at scale Spark applies WindowGroupLimit pushdown to keep only k rows per "
+    "partition before the sort.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cu.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 5)
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, order_seq
+    """,
+    doc="Running total + row_number — the same Window machinery the engine's "
+    "sequencer (Q3/Q4) uses for per-key chains.",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+# --- Semi / anti joins ------------------------------------------------------
+
+@register(
+    "join_semi_anti",
+    """
+    WITH buyers AS (
+      SELECT COUNT(*) AS n FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    ), lurkers AS (
+      SELECT COUNT(*) AS n FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    )
+    SELECT buyers.n AS n_with_orders, lurkers.n AS n_without_orders
+    FROM buyers, lurkers
+    """,
+    doc="LEFT SEMI / LEFT ANTI joins — existence checks without row "
+    "duplication; broadcast when the right side is small.",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    ok = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = cu.join(ok, cu.c_custkey == ok.o_custkey, "left_semi").count()
+    anti = cu.join(ok, cu.c_custkey == ok.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "n_with_orders long, n_without_orders long"
+    )
+
+
+# --- Range (non-equi) join --------------------------------------------------
+
+@register(
+    "join_range_shiplag",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_late_lines,
+           ROUND(AVG(CAST(EXTRACT(EPOCH FROM (l_shipdate - o_orderdate)) AS DOUBLE) / 86400.0), 2) AS avg_lag_days
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Equi-join with a range residual (ship-lag > 90 days) — the equi key "
+    "drives the shuffle; the range predicate is a post-join filter, never a "
+    "cartesian product.",
+)
+def join_range_shiplag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lag_days = (
+        F.col("l_shipdate").cast("timestamp").cast("double")
+        - F.col("o_orderdate").cast("timestamp").cast("double")
+    ) / 86400.0
+    return (
+        od.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_lines"),
+            F.round(F.avg(lag_days), 2).alias("avg_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Set operations ---------------------------------------------------------
+
+@register(
+    "setops_part_brands",
+    """
+    WITH big AS (SELECT DISTINCT p_brand FROM part WHERE p_size >= 30),
+         cheap AS (SELECT DISTINCT p_brand FROM part WHERE p_retailprice < 1200)
+    SELECT 'both' AS which, p_brand FROM (SELECT p_brand FROM big INTERSECT SELECT p_brand FROM cheap)
+    UNION ALL
+    SELECT 'big_only' AS which, p_brand FROM (SELECT p_brand FROM big EXCEPT SELECT p_brand FROM cheap)
+    ORDER BY which, p_brand
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL — Catalyst plans set ops as "
+    "semi/anti aggregates.",
+)
+def setops_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = _t(spark, sf_dir, "part")
+    big = pa.where(F.col("p_size") >= 30).select("p_brand").distinct()
+    cheap = pa.where(F.col("p_retailprice") < 1200).select("p_brand").distinct()
+    both = big.intersect(cheap).select(F.lit("both").alias("which"), "p_brand")
+    only = big.exceptAll(cheap).select(F.lit("big_only").alias("which"), "p_brand")
+    return both.unionByName(only).orderBy("which", "p_brand")
+
+
+# --- Scalar function surface ------------------------------------------------
+
+@register(
+    "scalar_functions",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand)                              AS brand_upper,
+           SUBSTR(p_name, 1, 8)                        AS name_prefix,
+           LENGTH(p_name)                              AS name_len,
+           md5(p_name)                                 AS name_md5,
+           ROUND(p_retailprice * 1.1, 2)               AS taxed_price,
+           CAST(FLOOR(p_size / 10) AS INTEGER)         AS size_bucket,
+           CASE WHEN p_size >= 25 THEN 'L' WHEN p_size >= 10 THEN 'M' ELSE 'S' END AS size_class
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+    doc="String/math/hash scalar functions — all JVM-side whole-stage-codegen; "
+    "md5 parity with the reference's identity fingerprints "
+    "(reference kinesis-identify.js:135-137).",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return pa.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed_price"),
+        F.floor(F.col("p_size") / 10).cast("int").alias("size_bucket"),
+        F.when(F.col("p_size") >= 25, "L")
+        .when(F.col("p_size") >= 10, "M")
+        .otherwise("S")
+        .alias("size_class"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_datetime_json",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    WHERE EXTRACT(hour FROM ts) BETWEEN 9 AND 17
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    LIMIT 100
+    """,
+    doc="Datetime extraction + JSON path access over the events stream table — "
+    "get_json_object stays JVM-side (no Python JSON parsing), mirroring the "
+    "reference's schema-on-read messages (kinesis-processing.js:502-517).",
+)
+def scalar_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.hour("ts").between(9, 17))
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+        .orderBy("day", "event_type")
+        .limit(100)
+    )

@@ -1,0 +1,437 @@
+"""Stream-parity queries: the reference's OWN operator semantics (SURVEY §2.1)
+expressed as declarative Spark plans over the ``events`` stream table, each
+with a DuckDB oracle.
+
+The ``events`` table stands in for a decoded Kinesis batch: ``event_id`` ≙
+eventID/sequenceNumber, ``user_id`` ≙ partition key, ``ts``+``event_id`` ≙
+seqNo properties, ``props`` ≙ the JSON message body. Batch/stateful behavior
+(attempt tracking across replays, checkpoint revive) is exercised by the
+pytest suite against the engine modules; these queries pin down the
+per-batch, purely-functional semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_consumer_spark.plans.queries import _t, register
+
+# Canonical timestamp rendering shared by both engines (microsecond precision)
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# --- I1–I3: MD5 fingerprinting + id/key/seqNo resolution --------------------
+
+@register(
+    "identify_ids_keys_seqnos",
+    f"""
+    SELECT event_id,
+           'id1:' || CAST(event_id AS VARCHAR)                            AS id,
+           'k1:'  || CAST(user_id AS VARCHAR) || '|k2:' || event_type     AS key,
+           'n1:'  || strftime(ts, '{_TS_FMT_DUCK}')
+                  || '|n2:' || CAST(event_id AS VARCHAR)                  AS seqNo,
+           md5('id1:' || CAST(event_id AS VARCHAR)
+               || '|k1:' || CAST(user_id AS VARCHAR)
+               || '|v:'  || printf('%.2f', value))                        AS msg_md5,
+           md5(props)                                                     AS data_md5
+    FROM events
+    WHERE event_id < 1000
+    ORDER BY event_id
+    """,
+    doc="Reference I1–I3: ids/keys/seqNos resolved from configured property "
+    "names and serialized to 'name:value|…' canonical strings "
+    "(reference kinesis-identify.js:85-133, serialization "
+    "test/batch-10-state.json:14-16); MD5 digests for identity/dedup "
+    "(kinesis-identify.js:135-137). Pure column expressions — "
+    "whole-stage-codegen, no Python.",
+)
+def identify_ids_keys_seqnos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    eid = F.col("event_id").cast("string")
+    return ev.select(
+        "event_id",
+        F.concat(F.lit("id1:"), eid).alias("id"),
+        F.concat(
+            F.lit("k1:"), F.col("user_id").cast("string"), F.lit("|k2:"), F.col("event_type")
+        ).alias("key"),
+        F.concat(
+            F.lit("n1:"),
+            F.date_format("ts", _TS_FMT_SPARK),
+            F.lit("|n2:"),
+            eid,
+        ).alias("seqNo"),
+        F.md5(
+            F.concat(
+                F.lit("id1:"), eid,
+                F.lit("|k1:"), F.col("user_id").cast("string"),
+                F.lit("|v:"), F.format_string("%.2f", "value"),
+            ).cast("binary")
+        ).alias("msg_md5"),
+        F.md5(F.col("props").cast("binary")).alias("data_md5"),
+    ).orderBy("event_id")
+
+
+# --- Q1: SortType normalization of sequence-number parts --------------------
+
+@register(
+    "sequencing_sorttype",
+    r"""
+    WITH parts AS (
+      SELECT event_id,
+             CASE CAST(event_id % 4 AS INTEGER)
+               WHEN 0 THEN printf('%.2f', value)
+               WHEN 1 THEN '2000000000000000000000' || CAST(event_id AS VARCHAR)
+               WHEN 2 THEN strftime(ts, '%Y-%m-%d')
+               ELSE event_type
+             END AS part
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id, part,
+           CASE
+             WHEN regexp_full_match(part, '\d{4}-\d{2}-\d{2}')                    THEN 'DATE'
+             WHEN regexp_full_match(part, '\d{4}-\d{2}-\d{2}T.*')                 THEN 'DATE_TIME'
+             WHEN regexp_full_match(part, '[+-]?\d{16,}')                         THEN 'INTEGER_LIKE'
+             WHEN regexp_full_match(part, '[+-]?\d+(\.\d+)?([eE][+-]?\d+)?')      THEN 'NUMBER'
+             ELSE 'STRING'
+           END AS sort_type
+    FROM parts
+    ORDER BY event_id
+    """,
+    doc="Reference Q1 sequencing normalization: classify each seqNo part into "
+    "a SortType (NUMBER / INTEGER_LIKE for >15-digit integers kept as exact "
+    "strings / DATE / DATE_TIME / STRING) — reference semantics pinned by "
+    "test/sequencing-per-shard.test.js:114-209. Kinesis 56-digit seqNos "
+    "exceed Decimal(38) so INTEGER_LIKE stays a string compared numerically "
+    "(here: regex-classified declaratively).",
+)
+def sequencing_sorttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    part = (
+        F.when(F.col("event_id") % 4 == 0, F.format_string("%.2f", "value"))
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(F.lit("2000000000000000000000"), F.col("event_id").cast("string")),
+        )
+        .when(F.col("event_id") % 4 == 2, F.date_format("ts", "yyyy-MM-dd"))
+        .otherwise(F.col("event_type"))
+    )
+    df = ev.select("event_id", part.alias("part"))
+    sort_type = (
+        F.when(F.col("part").rlike(r"^\d{4}-\d{2}-\d{2}$"), "DATE")
+        .when(F.col("part").rlike(r"^\d{4}-\d{2}-\d{2}T.*$"), "DATE_TIME")
+        .when(F.col("part").rlike(r"^[+-]?\d{16,}$"), "INTEGER_LIKE")
+        .when(F.col("part").rlike(r"^[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$"), "NUMBER")
+        .otherwise("STRING")
+    )
+    return df.select("event_id", "part", sort_type.alias("sort_type")).orderBy("event_id")
+
+
+# --- Q3/Q4: sequencing chains (per-shard and per-key) -----------------------
+
+@register(
+    "sequencing_chains_per_key",
+    """
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER w AS seq_index,
+           LAG(event_id)  OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           CASE WHEN LAG(event_id) OVER w IS NULL THEN TRUE ELSE FALSE END AS is_first
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, seq_index
+    """,
+    doc="Reference Q4 per-key sequencing: one ordered chain per distinct key; "
+    "prev/next links and exactly one 'first message to process' per chain "
+    "(test/sequencing-per-key.test.js:474-622). lag/lead literally reproduce "
+    "the prevMessage/nextMessage links; chains are Spark partitions so all "
+    "chains run concurrently — the reference's own max-parallelism mode.",
+)
+def sequencing_chains_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq_index"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.lag("event_id").over(w).isNull().alias("is_first"),
+    ).orderBy("user_id", "seq_index")
+
+
+@register(
+    "sequencing_chains_per_shard",
+    """
+    WITH sharded AS (
+      SELECT *, 'shard-' || CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR) AS shard_id
+      FROM events
+    )
+    SELECT shard_id, event_id,
+           ROW_NUMBER() OVER w AS seq_index,
+           LAG(event_id)  OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id
+    FROM sharded
+    WINDOW w AS (PARTITION BY shard_id ORDER BY ts, event_id)
+    ORDER BY shard_id, seq_index
+    """,
+    doc="Reference Q3 per-shard sequencing: ONE total chain per shard/batch "
+    "(test/sequencing-per-shard.test.js:474-550). At 100 TB this mode "
+    "serializes each shard's partition — the engine documents per-key mode "
+    "(sequencing_chains_per_key) as the scale path, exactly as the reference "
+    "recommends for parallelism.",
+)
+def sequencing_chains_per_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "shard_id",
+        F.concat(F.lit("shard-"), (F.col("user_id") % 4).cast("int").cast("string")),
+    )
+    w = Window.partitionBy("shard_id").orderBy("ts", "event_id")
+    return ev.select(
+        "shard_id",
+        "event_id",
+        F.row_number().over(w).alias("seq_index"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("shard_id", "seq_index")
+
+
+# --- I4: batch-key resolution ----------------------------------------------
+
+@register(
+    "batch_key_resolution",
+    """
+    SELECT 'K|TestStream|consumer:dev' AS streamConsumerId,
+           'S|shard-' || CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR) AS shardOrEventID,
+           COUNT(*) AS n_records,
+           MIN(event_id) AS first_event_id
+    FROM events
+    GROUP BY 2
+    ORDER BY shardOrEventID
+    """,
+    doc="Reference I4: batch key '{streamConsumerId: K|<stream>|<consumer:stage>, "
+    "shardOrEventID: S|<shardId>}' (test/batch.test.js:123-152) — the "
+    "grouping key of the engine's state table.",
+)
+def batch_key_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "shardOrEventID",
+            F.concat(F.lit("S|shard-"), (F.col("user_id") % 4).cast("int").cast("string")),
+        )
+        .groupBy("shardOrEventID")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            F.lit("K|TestStream|consumer:dev").alias("streamConsumerId"),
+            "shardOrEventID",
+            "n_records",
+            "first_event_id",
+        )
+        .orderBy("shardOrEventID")
+    )
+
+
+# --- S6 + P1: decode + parse + usable/unusable split ------------------------
+
+@register(
+    "ingest_usable_split",
+    """
+    WITH decoded AS (
+      SELECT event_id,
+             decode(from_base64(base64(CAST(props AS BLOB)))) AS data_str,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT CASE WHEN k IS NULL THEN 'unusable' ELSE 'usable' END AS bucket,
+           COUNT(*) AS n,
+           md5(MIN(data_str)) AS sample_md5
+    FROM decoded
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Reference S6+P1: base64 round-trip of record data, JSON parse, and "
+    "the usable/unusable partition (kinesis-processing.js:477-517: parse "
+    "failure ⇒ addUnusableRecord). Declarative split = filter + anti-filter; "
+    "no exceptions, no row loop.",
+)
+def ingest_usable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    decoded = ev.select(
+        "event_id",
+        F.unbase64(F.base64(F.col("props").cast("binary"))).alias("data_bytes"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        decoded.select(
+            F.when(F.col("k").isNull(), "unusable").otherwise("usable").alias("bucket"),
+            F.col("data_bytes").cast("string").alias("data_str"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.md5(F.min("data_str").cast("binary")).alias("sample_md5"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- D1: dedup of replayed (at-least-once) deliveries -----------------------
+
+@register(
+    "dedup_replayed_batch",
+    """
+    WITH replayed AS (
+      SELECT * FROM events WHERE event_id < 5000
+      UNION ALL
+      SELECT * FROM events WHERE event_id < 2500   -- partial replay of the batch
+    ),
+    identified AS (
+      SELECT *, md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+                    || '|' || props) AS msg_md5
+      FROM replayed
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY msg_md5 ORDER BY event_id) AS rn
+        FROM identified
+      ) WHERE rn = 1
+    )
+    SELECT COUNT(*) AS n_delivered,
+           (SELECT COUNT(*) FROM deduped) AS n_unique,
+           (SELECT COUNT(*) FROM events WHERE event_id < 5000) AS n_expected
+    FROM replayed
+    """,
+    doc="Reference D1: at-least-once delivery + idempotent re-execution — a "
+    "replayed batch must not double-process; identity = md5 over "
+    "ids/data (test/batch.test.js:443-462). Spark: dropDuplicates on the "
+    "identity digest (hash-partition on md5, map-side combine).",
+)
+def dedup_replayed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.where(F.col("event_id") < 5000)
+    replayed = batch.unionByName(ev.where(F.col("event_id") < 2500))
+    identified = replayed.withColumn(
+        "msg_md5",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("props"),
+            ).cast("binary")
+        ),
+    )
+    deduped = identified.dropDuplicates(["msg_md5"])
+    return spark.createDataFrame(
+        [
+            (
+                replayed.count(),
+                deduped.count(),
+                batch.count(),
+            )
+        ],
+        "n_delivered long, n_unique long, n_expected long",
+    )
+
+
+# --- D2/D3: dead-letter envelopes -------------------------------------------
+
+@register(
+    "dmq_envelopes",
+    """
+    SELECT 'DM|K|2.0' AS ver,
+           'K|TestStream|consumer:dev' AS streamConsumerId,
+           'S|shard-' || CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR) AS shardOrEventID,
+           event_id,
+           'id1:' || CAST(event_id AS VARCHAR) AS id,
+           'Task processOne rejected message' AS reasonRejected,
+           SUBSTR(COALESCE(CAST(user_id AS VARCHAR), 'K|TestStream|consumer:dev',
+                           'LAST_RESORT_KEY'), 1, 256) AS partitionKey
+    FROM events
+    WHERE event_type = 'error'
+    ORDER BY event_id
+    """,
+    doc="Reference D3: dead-message envelope {ver:'DM|K|2.0', streamConsumerId, "
+    "shardOrEventID, id, reasonRejected} (kinesis-processing.js:708-724) with "
+    "the partition-key fallback chain record-pk ▷ streamConsumerId ▷ "
+    "'LAST_RESORT_KEY' truncated to Kinesis max key size "
+    "(kinesis-processing.js:743-746,:41). Envelope construction is pure "
+    "projection — the sink append is the only side-effect.",
+)
+def dmq_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    return ev.select(
+        F.lit("DM|K|2.0").alias("ver"),
+        F.lit("K|TestStream|consumer:dev").alias("streamConsumerId"),
+        F.concat(F.lit("S|shard-"), (F.col("user_id") % 4).cast("int").cast("string")).alias(
+            "shardOrEventID"
+        ),
+        "event_id",
+        F.concat(F.lit("id1:"), F.col("event_id").cast("string")).alias("id"),
+        F.lit("Task processOne rejected message").alias("reasonRejected"),
+        F.substring(
+            F.coalesce(
+                F.col("user_id").cast("string"),
+                F.lit("K|TestStream|consumer:dev"),
+                F.lit("LAST_RESORT_KEY"),
+            ),
+            1,
+            256,
+        ).alias("partitionKey"),
+    ).orderBy("event_id")
+
+
+# --- X4/F1: max-attempts discard policy as a declarative rule ---------------
+
+@register(
+    "attempts_discard_policy",
+    """
+    WITH tracked AS (
+      SELECT event_id,
+             CAST(event_id % 12 AS INTEGER) AS attempts
+      FROM events WHERE event_id < 5000
+    )
+    SELECT CASE
+             WHEN attempts >= 10 THEN 'Discarded'
+             WHEN attempts = 0  THEN 'Unstarted'
+             ELSE 'Failed'
+           END AS status,
+           COUNT(*) AS n,
+           MIN(attempts) AS min_attempts,
+           MAX(attempts) AS max_attempts
+    FROM tracked
+    GROUP BY 1
+    ORDER BY status
+    """,
+    doc="Reference X4: per-task attempts accounting with maxNumberOfAttempts "
+    "(default 10) ⇒ Discarded — poison-pill ejection so one bad message "
+    "can't block the shard forever (default-kinesis-options.json:37, "
+    "test/kinesis-consumer.test.js:2530-2759). Expressed as the engine's "
+    "declarative status-transition rule over the state table.",
+)
+def attempts_discard_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+    tracked = ev.select(
+        "event_id", (F.col("event_id") % 12).cast("int").alias("attempts")
+    )
+    status = (
+        F.when(F.col("attempts") >= 10, "Discarded")
+        .when(F.col("attempts") == 0, "Unstarted")
+        .otherwise("Failed")
+    )
+    return (
+        tracked.select(status.alias("status"), "attempts")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("attempts").alias("min_attempts"),
+            F.max("attempts").alias("max_attempts"),
+        )
+        .orderBy("status")
+    )
