@@ -31,39 +31,55 @@ def exact_digest(text: Column) -> Column:
     return F.md5(text.cast("binary"))
 
 
-def minhash_signature(text: Column, k: int = 3) -> Column:
-    """array<string> of len(MINHASH_SALTS): per salt, the min md5 over the
-    doc's k-word shingles."""
-    shingles = word_shingles(text, k)
-    return F.array(
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Explode each doc into its distinct k-word shingles — (doc, shingle)
+    rows. The relational shape matters: per-shingle hashing then becomes one
+    md5 per row (codegen-friendly), instead of a nested-array expression that
+    Catalyst's project-collapse would duplicate per use until codegen falls
+    back to interpreted mode."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(doc, mh0..mh7): per fixed salt, the min md5 over the doc's shingles.
+
+    min() combines map-side, so the shuffle carries only (doc, 8 hashes)
+    regardless of document size — the 100 TB-safe signature plan."""
+    rows = shingle_rows(df, text_col, id_col, k)
+    return rows.groupBy("doc").agg(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(salt + "|"), s).cast("binary")))
-            )
-            for salt in MINHASH_SALTS
+            F.min(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("shingle")).cast("binary"))
+            ).alias(f"mh{i}")
+            for i, salt in enumerate(MINHASH_SALTS)
         ]
     )
 
 
-def minhash_bands(signature: Column, rows_per_band: int = 2) -> Column:
-    """LSH banding: group the signature into bands of `rows_per_band` hashes;
-    docs sharing any band value are candidate pairs. Returns
-    array<struct<band:int, band_key:string>> ready to explode + equi-join."""
+def minhash_band_rows(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding over a signatures DataFrame (doc, mh0..mh7) →
+    (doc, band, band_key) rows; docs sharing any (band, band_key) are
+    candidate pairs."""
     n = len(MINHASH_SALTS)
     assert n % rows_per_band == 0
-    bands = []
-    for b in range(n // rows_per_band):
-        parts = [
-            F.element_at(signature, b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        bands.append(
+    bands = F.array(
+        *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("#", *parts).alias("band_key"),
+                F.concat_ws(
+                    "#",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("band_key"),
             )
-        )
-    return F.array(*bands)
+            for b in range(n // rows_per_band)
+        ]
+    )
+    return signatures.select("doc", F.explode(bands).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -73,30 +89,36 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.round(inter / F.greatest(union, F.lit(1)), 4)
 
 
-def simhash32(text: Column, k: int = 3) -> Column:
-    """32-bit SimHash over k-word shingles.
+def simhash32_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(doc, simhash): 32-bit SimHash over k-word shingles.
 
     Bit b of the fingerprint is the sign of sum over shingles of
-    (bit b of md5(shingle) ? +1 : -1). Bits are extracted from the md5 hex
-    digits arithmetically (strpos/shift) so the identical computation runs
-    in DuckDB — no engine-specific hash.
+    (bit b of md5(shingle) ? +1 : -1). Relational plan: one md5 per shingle
+    row, hex digits → ints via conv(), 32 ±1 vote columns summed with
+    map-side combine — the shuffle carries (doc, 32 longs) only.
     """
-    shingles = word_shingles(text, k)
-    hexdigits = "0123456789abcdef"
-
-    def bit_sum(b: int) -> Column:
-        d, shift = b // 4 + 1, b % 4
-        digit_val = lambda s: (  # noqa: E731
-            F.instr(F.lit(hexdigits), F.substring(F.md5(s.cast("binary")), d, 1)) - 1
-        )
-        bit = lambda s: F.floor(digit_val(s) / (2 ** shift)) % 2  # noqa: E731
-        votes = F.transform(shingles, lambda s: bit(s) * 2 - 1)
-        return F.aggregate(votes, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-    fp = F.lit(0).cast("long")
+    rows = shingle_rows(df, text_col, id_col, k).withColumn(
+        "h", F.md5(F.col("shingle").cast("binary"))
+    )
+    # one digit column per md5 hex position (8 digits = 32 bits)
+    for d in range(8):
+        rows = rows.withColumn(f"d{d}", F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int"))
+    votes = [
+        (
+            F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    summed = rows.select("doc", *votes).groupBy("doc").agg(
+        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(32)]
+    )
+    fp = None
     for b in range(32):
-        fp = fp + F.when(bit_sum(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return fp
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return summed.select("doc", fp.alias("simhash"))
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -123,28 +145,35 @@ def minhash_lsh_candidate_pairs(
     shuffle is uniform even when documents are skewed; the cross product
     only materializes within identical-band buckets.
     """
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
-        minhash_signature(F.col(text_col), k).alias("sig"),
+    # Slim band table: (doc, band, band_key) only — the heavy shingle arrays
+    # must NOT ride through the self-join (they'd be shuffled once per band
+    # and compared once per duplicate candidate).
+    banded = minhash_band_rows(
+        minhash_signatures(df, text_col, id_col, k), rows_per_band
     )
-    banded = sig.select(
-        "doc", "shingles", F.explode(minhash_bands(F.col("sig"), rows_per_band)).alias("b")
-    ).select("doc", "shingles", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Self-equi-join on the band hash → de-duplicated candidate pairs. A pair
+    # colliding in multiple bands appears once thanks to the early distinct.
     pairs = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
-        .select(
-            F.col("l.doc").alias("doc_a"),
-            F.col("r.doc").alias("doc_b"),
-            jaccard(F.col("l.shingles"), F.col("r.shingles")).alias("jaccard_sim"),
-        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    return pairs
+    # Verify each unique pair exactly once with true shingle Jaccard.
+    shsets = df.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), k).alias("shingles")
+    )
+    return (
+        pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias("jaccard_sim"),
+        )
+    )

@@ -204,11 +204,11 @@ def _minhash_cols_sql() -> str:
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sig = D.minhash_signature(F.col("text"), 3)
-    return docs.select(
-        "doc_id",
-        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(len(D.MINHASH_SALTS))],
-    ).orderBy("doc_id")
+    return (
+        D.minhash_signatures(docs, "text", "doc_id", 3)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _minhash_lsh_oracle() -> str:
@@ -285,9 +285,11 @@ def _simhash_oracle() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", D.simhash32(F.col("text"), 3).alias("simhash")
-    ).orderBy("doc_id")
+    return (
+        D.simhash32_df(docs, "text", "doc_id", 3)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(
