@@ -1,0 +1,137 @@
+"""Record sources: the engine's canonical input schemas and readers.
+
+The reference is push-based (one Lambda Kinesis event per batch,
+test/samples.js:195-232). The Spark engine inverts this to pull: a batch
+DataFrame of records, or a Structured Streaming source whose micro-batch
+plays the role of one Lambda event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Kinesis stream-event record (reference test/samples.js:195-213,267-287).
+KINESIS_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("eventID", T.StringType()),
+        T.StructField("eventVersion", T.StringType()),
+        T.StructField("eventName", T.StringType()),
+        T.StructField("eventSource", T.StringType()),
+        T.StructField("eventSourceARN", T.StringType()),
+        T.StructField("awsRegion", T.StringType()),
+        T.StructField("invokeIdentityArn", T.StringType()),
+        T.StructField(
+            "kinesis",
+            T.StructType(
+                [
+                    T.StructField("kinesisSchemaVersion", T.StringType()),
+                    T.StructField("partitionKey", T.StringType()),
+                    T.StructField("explicitHashKey", T.StringType()),
+                    T.StructField("sequenceNumber", T.StringType()),
+                    T.StructField("data", T.StringType()),  # base64
+                ]
+            ),
+        ),
+    ]
+)
+
+# DynamoDB stream-event record (reference test/samples.js:289-353; the
+# second supported streamType, kinesis-processing.js:28). Keys/images kept
+# as JSON strings — attribute-value maps are schema-on-read exactly like
+# message bodies.
+DYNAMODB_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("eventID", T.StringType()),
+        T.StructField("eventVersion", T.StringType()),
+        T.StructField("eventName", T.StringType()),  # INSERT | MODIFY | REMOVE
+        T.StructField("eventSource", T.StringType()),
+        T.StructField("eventSourceARN", T.StringType()),
+        T.StructField("awsRegion", T.StringType()),
+        T.StructField(
+            "dynamodb",
+            T.StructType(
+                [
+                    T.StructField("Keys", T.StringType()),  # JSON
+                    T.StructField("NewImage", T.StringType()),  # JSON
+                    T.StructField("OldImage", T.StringType()),  # JSON
+                    T.StructField("SequenceNumber", T.StringType()),
+                    T.StructField("SizeBytes", T.LongType()),
+                    T.StructField("StreamViewType", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def read_records(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read a directory of record files (json or parquet)."""
+    if path.endswith(".json") or path.endswith("json"):
+        return spark.read.schema(KINESIS_RECORD_SCHEMA).json(path)
+    return spark.read.parquet(path)
+
+
+def stream_records(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Structured Streaming file source over record files: each trigger's
+    micro-batch ≙ one reference "stream event" (S1). In production this is
+    `spark.readStream.format("kinesis")` / Kafka; the engine only sees a
+    records DataFrame either way."""
+    return (
+        spark.readStream.schema(KINESIS_RECORD_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def events_as_kinesis_records(
+    events: DataFrame,
+    stream_name: str = "TestStream",
+    n_shards: int = 4,
+    region: str = "us-west-2",
+) -> DataFrame:
+    """Wrap the TESTDATA ``events`` table rows as Kinesis stream-event
+    records: the message body is a JSON object carrying the event fields,
+    base64-encoded into kinesis.data; partitionKey = user_id; shard =
+    user_id % n_shards; sequenceNumber = zero-padded 56-digit string built
+    from the event_id (Kinesis seqNos are 56-digit integers, SURVEY §1.3).
+
+    Pure column expressions — this builder runs at scale as the parity
+    harness for the ingest path.
+    """
+    shard = F.concat(
+        F.lit("shardId-"), F.lpad((F.col("user_id") % n_shards).cast("string"), 12, "0")
+    )
+    seq_no = F.lpad(F.col("event_id").cast("string"), 56, "0")
+    body = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id1"),
+            F.col("user_id").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("n1"),
+            F.col("event_id").alias("n2"),
+            F.col("value").alias("value"),
+            F.col("props").alias("props"),
+        )
+    )
+    return events.select(
+        F.concat(shard, F.lit(":"), seq_no).alias("eventID"),
+        F.lit("1.0").alias("eventVersion"),
+        F.lit("aws:kinesis:record").alias("eventName"),
+        F.lit("aws:kinesis").alias("eventSource"),
+        F.concat(
+            F.lit(f"arn:aws:kinesis:{region}:111111111111:stream/"), F.lit(stream_name)
+        ).alias("eventSourceARN"),
+        F.lit(region).alias("awsRegion"),
+        F.lit("arn:aws:iam::111111111111:role/consumer").alias("invokeIdentityArn"),
+        F.struct(
+            F.lit("1.0").alias("kinesisSchemaVersion"),
+            F.col("user_id").cast("string").alias("partitionKey"),
+            F.lit(None).cast("string").alias("explicitHashKey"),
+            seq_no.alias("sequenceNumber"),
+            F.base64(body.cast("binary")).alias("data"),
+        ).alias("kinesis"),
+    )

@@ -1,0 +1,76 @@
+"""Dead-letter queues — reference D2 (DRQ) / D3 (DMQ) envelope writers.
+
+Envelope parity (kinesis-processing.js:634-647,708-724): version strings
+'DR|K|2.0' / 'DM|K|2.0', batch key, the offending record/message, its
+tracked state, the reason, and a discard timestamp. Partition-key fallback
+chain: record pk ▷ streamConsumerId ▷ 'LAST_RESORT_KEY', truncated to the
+Kinesis 256-char max (kinesis-processing.js:743-746,:41).
+
+Sink here is an append-only parquet queue directory (swap for
+`kinesis.put_record` in foreachPartition against real AWS). Failure to
+append raises, which fails the batch — exactly the reference's
+fail-if-cannot-discard contract (test/kinesis-consumer.test.js:1160,2060).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_PARTITION_KEY_LEN = 256
+LAST_RESORT_KEY = "LAST_RESORT_KEY"
+
+
+def _partition_key(stream_consumer_id: str):
+    return F.substring(
+        F.coalesce(
+            F.col("partition_key"), F.lit(stream_consumer_id), F.lit(LAST_RESORT_KEY)
+        ),
+        1,
+        MAX_PARTITION_KEY_LEN,
+    )
+
+
+def dead_record_envelopes(
+    unusable: DataFrame, stream_consumer_id: str, stream_type_tag: str = "K"
+) -> DataFrame:
+    """D2: unusable records → 'DR|K|2.0' envelopes."""
+    return unusable.select(
+        F.lit(f"DR|{stream_type_tag}|2.0").alias("ver"),
+        F.lit(stream_consumer_id).alias("streamConsumerId"),
+        F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID"),
+        F.col("event_id").alias("eventID"),
+        F.col("record_json").alias("record"),
+        F.col("data_b64").alias("data"),
+        F.col("reason_unusable").alias("reasonUnusable"),
+        _partition_key(stream_consumer_id).alias("partitionKey"),
+        F.col("explicit_hash_key").alias("explicitHashKey"),
+        F.current_timestamp().alias("discardedAt"),
+    )
+
+
+def dead_message_envelopes(
+    rejected: DataFrame, stream_consumer_id: str, stream_type_tag: str = "K"
+) -> DataFrame:
+    """D3: rejected/discarded/abandoned messages → 'DM|K|2.0' envelopes;
+    reasonRejected ≙ batch.findReasonRejected (kinesis-processing.js:715)."""
+    return rejected.select(
+        F.lit(f"DM|{stream_type_tag}|2.0").alias("ver"),
+        F.lit(stream_consumer_id).alias("streamConsumerId"),
+        F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID"),
+        F.col("event_id").alias("eventID"),
+        F.col("id"),
+        F.col("key"),
+        F.col("seqNo"),
+        F.col("data_str").alias("message"),
+        F.col("record_json").alias("record"),
+        F.col("tasks_json").alias("state"),
+        F.col("reason_rejected").alias("reasonRejected"),
+        _partition_key(stream_consumer_id).alias("partitionKey"),
+        F.col("explicit_hash_key").alias("explicitHashKey"),
+        F.current_timestamp().alias("discardedAt"),
+    )
+
+
+def append_to_queue(envelopes: DataFrame, path: str) -> None:
+    envelopes.write.mode("append").parquet(path)

@@ -1,0 +1,430 @@
+"""The stream-consumer engine — reference §3's 3-phase lifecycle on Spark.
+
+    Phase 1 initiateBatch:  ingest (S3–S7, I1–I3, P1) → sequence (Q1–Q5)
+                            → load state (T1) → revive (T2)
+    Phase 2 processBatch:   processOne per chain via applyInPandas (X1, X3,
+                            D1 idempotent skip) → processAll master/slave
+                            (X2) → finalise-merge pass (X4 max-attempts →
+                            Discarded, T3 Unusable → Abandoned)
+    Phase 3 finaliseBatch:  DRQ (D2) + DMQ (D3) appends → save state (T4)
+                            → commit or raise-for-replay (F1)
+
+Reference trace: kinesis-consumer.js:197-206 → core 3 phases, names
+asserted at test/kinesis-consumer.test.js:369-382.
+
+Scale shape: the only Python in the hot path is (a) the per-chain ordered
+task loop — grouped, Arrow-batched, executor-side, exactly as parallel as
+the number of chains (per-key mode ⇒ thousands of small groups), and
+(b) one mapInPandas finalise-merge pass. Everything else — parse, identify,
+sequence windows, joins, DLQ projection, state upsert — is JVM-side
+codegen. No driver-side per-message loops anywhere.
+
+Replay contract (F1): `process_batch` raising `BatchReplayError` after the
+state save is the Lambda-failure analogue — under `foreachBatch` Spark
+retries the micro-batch, the saved state makes the retry idempotent
+(completed tasks revive as Completed and are skipped, attempts preserved —
+test/kinesis-consumer.test.js:746-845).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_stream_consumer_spark.config import EngineConfig, StreamType
+from kinesis_stream_consumer_spark.streaming import tasks as tk
+from kinesis_stream_consumer_spark.streaming.dlq import (
+    append_to_queue,
+    dead_message_envelopes,
+    dead_record_envelopes,
+)
+from kinesis_stream_consumer_spark.streaming.ingest import ingest
+from kinesis_stream_consumer_spark.streaming.sequencing import sequence_messages
+from kinesis_stream_consumer_spark.streaming.state import STATE_SCHEMA, StateStore
+from kinesis_stream_consumer_spark.streaming.tasks import TaskDef
+
+_PASSTHROUGH = [
+    ("identity", T.StringType()),
+    ("event_id", T.StringType()),
+    ("shard_id", T.StringType()),
+    ("event_seq_no", T.StringType()),
+    ("event_sub_seq_no", T.LongType()),
+    ("partition_key", T.StringType()),
+    ("explicit_hash_key", T.StringType()),
+    ("record_json", T.StringType()),
+    ("data_str", T.StringType()),
+    ("id", T.StringType()),
+    ("key", T.StringType()),
+    ("seqNo", T.StringType()),
+    ("msg_md5", T.StringType()),
+    ("rec_md5", T.StringType()),
+    ("data_md5", T.StringType()),
+    ("chain_key", T.StringType()),
+    ("seq_index", T.IntegerType()),
+]
+
+_EXEC_SCHEMA = T.StructType(
+    [T.StructField(n, t) for n, t in _PASSTHROUGH]
+    + [T.StructField("tasks_json", T.StringType())]
+)
+
+_FINAL_SCHEMA = T.StructType(
+    _EXEC_SCHEMA.fields
+    + [
+        T.StructField("fully_finalised", T.BooleanType()),
+        T.StructField("rejectedish", T.BooleanType()),
+        T.StructField("incomplete", T.BooleanType()),
+        T.StructField("reason_rejected", T.StringType()),
+    ]
+)
+
+_PASS_COLS = [n for n, _ in _PASSTHROUGH]
+
+
+class BatchReplayError(RuntimeError):
+    """F1: incomplete messages remain — fail the batch so the source replays
+    it; state was saved first, so the replay resumes instead of redoing."""
+
+    def __init__(self, result: "BatchResult"):
+        super().__init__(
+            f"batch incomplete: {result.incomplete} of {result.messages} "
+            "messages must be replayed"
+        )
+        self.result = result
+
+
+@dataclass
+class BatchResult:
+    batch_id: int
+    records: int
+    messages: int
+    unusable: int
+    fully_finalised: int
+    rejected_to_dmq: int
+    discarded_to_drq: int
+    incomplete: int
+
+
+class Engine:
+    """Engine(config).attach(stream) — reference C1 handler generation
+    (kinesis-consumer.js:112-178) re-expressed as an engine factory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: EngineConfig,
+        state_path: str,
+        drq_path: str,
+        dmq_path: str,
+        process_one_defs: Sequence[TaskDef] = (),
+        process_all_defs: Sequence[TaskDef] = (),
+    ):
+        self.spark = spark
+        self.config = config
+        self.state = StateStore(spark, state_path)
+        self.drq_path = drq_path
+        self.dmq_path = dmq_path
+        self.one_defs = list(process_one_defs)
+        self.all_defs = list(process_all_defs)
+
+    # --- phase 2a: processOne via per-chain ordered applyInPandas ----------
+
+    def _exec_fn(self) -> Callable[[pd.DataFrame], pd.DataFrame]:
+        one_defs, all_defs = self.one_defs, self.all_defs
+        one_names = [d.name for d in one_defs]
+
+        def run_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("seq_index")
+            out_tasks: List[str] = []
+            blocked = False
+            for _, row in pdf.iterrows():
+                tasks = tk.init_tasks(row["prior_tasks_json"], one_defs, all_defs)
+                if not blocked:
+                    try:
+                        message = json.loads(row["data_str"])
+                    except Exception:
+                        message = {}
+                    for d in one_defs:
+                        tk.execute_one_task(tasks[d.name], d, message)
+                # X1 chain blocking: an incomplete message blocks its chain
+                # successors (implied by Q3/Q4 + firstMessagesToProcess,
+                # test/kinesis-consumer.test.js:505)
+                one_part = {n: tasks[n] for n in one_names if n in tasks}
+                if tk.is_incomplete(one_part):
+                    blocked = True
+                out_tasks.append(tk.dumps(tasks))
+            out = pdf[_PASS_COLS].copy()
+            out["tasks_json"] = out_tasks
+            return out
+
+        return run_chain
+
+    # --- phase 2b/2c: processAll master + finalise-merge -------------------
+
+    def _run_process_all(
+        self, executed: DataFrame, n_incomplete_scope: int
+    ) -> List[Tuple[str, str, Optional[str], Optional[str], Dict[str, Tuple[str, str]]]]:
+        """Execute each processAll master task once over the batch (X2).
+        Returns per def: (name, status, error, reason, per-message overrides).
+        The master fans its state out to per-message slave tasks in the
+        finalise-merge pass (README.md:183-224)."""
+        results = []
+        if n_incomplete_scope == 0:
+            return results
+        scope = executed.where(~F.col("_one_fully_finalised"))
+        for d in self.all_defs:
+            try:
+                overrides = d.execute(scope, self) or {}
+                results.append((d.name, tk.COMPLETED, None, None, dict(overrides)))
+            except tk.TaskRejectedError as e:
+                results.append((d.name, tk.REJECTED, None, e.reason, {}))
+            except Exception as e:  # noqa: BLE001
+                results.append(
+                    (d.name, tk.FAILED, f"{type(e).__name__}: {e}", None, {})
+                )
+        return results
+
+    def _finalise_fn(
+        self,
+        all_results: List[
+            Tuple[str, str, Optional[str], Optional[str], Dict[str, Tuple[str, str]]]
+        ],
+    ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+        max_attempts = self.config.max_number_of_attempts
+
+        def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    tasks = json.loads(row["tasks_json"])
+                    # X2 scope: incompleteMessages = not fully finalised
+                    # before processAll fan-out (replayed fully-done
+                    # messages are skipped — D1)
+                    msg_in_scope = not tk.is_fully_finalised(tasks)
+                    for name, status, error, reason, overrides in all_results:
+                        slave = tasks.get(name)
+                        if slave is None or not msg_in_scope:
+                            continue  # only incompleteMessages are in scope (X2)
+                        statuses = [slave["status"]] + [
+                            s["status"] for s in slave.get("subtasks", {}).values()
+                        ]
+                        if all(s in tk.FINALISED for s in statuses):
+                            continue  # idempotent resume (D1)
+                        slave["attempts"] += 1
+                        ov = overrides.get(row["identity"])
+                        if ov is not None:
+                            slave["status"], slave["reason"] = ov[0], ov[1]
+                        else:
+                            slave["status"] = status
+                            slave["error"] = error
+                            slave["reason"] = reason
+                    tk.apply_finalise_rules(tasks, max_attempts)
+                    reason_rejected = next(
+                        (
+                            node.get("reason")
+                            for st in tasks.values()
+                            for node in [st, *st.get("subtasks", {}).values()]
+                            if node["status"] in tk.FULLY_FINALISED_TERMINAL
+                        ),
+                        None,
+                    )
+                    rows.append(
+                        {
+                            **{c: row[c] for c in _PASS_COLS},
+                            "tasks_json": tk.dumps(tasks),
+                            "fully_finalised": tk.is_fully_finalised(tasks),
+                            "rejectedish": tk.is_rejectedish(tasks),
+                            "incomplete": tk.is_incomplete(tasks),
+                            "reason_rejected": reason_rejected,
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=[f.name for f in _FINAL_SCHEMA.fields])
+
+        return merge
+
+    # --- the 3-phase batch lifecycle ---------------------------------------
+
+    def process_batch(self, records: DataFrame, batch_id: int = 0) -> BatchResult:
+        cfg = self.config
+        n_records = records.count()
+
+        # ---- Phase 1: initiate -------------------------------------------
+        ing = ingest(records, cfg)
+        seqd = sequence_messages(ing.messages, cfg)
+        identity = F.coalesce(
+            F.nullif(F.col("id"), F.lit("")),
+            F.concat_ws(
+                "|",
+                F.col("event_id"),
+                F.col("data_md5"),
+                F.coalesce(F.col("event_sub_seq_no").cast("string"), F.lit("")),
+            ),
+        )
+        seqd = seqd.withColumn("identity", identity)
+
+        shard_or_event = (
+            F.concat(F.lit("E|"), F.col("event_id"))
+            if cfg.batch_keyed_on_event_id
+            else F.concat(F.lit("S|"), F.col("shard_id"))
+        )
+        seqd = seqd.withColumn("shardOrEventID", shard_or_event)
+        shards = [r[0] for r in seqd.select("shardOrEventID").distinct().collect()]
+        u_shards = [
+            r[0]
+            for r in ing.unusable.select(
+                F.concat(F.lit("S|"), F.col("shard_id"))
+            ).distinct().collect()
+        ]
+
+        # T1 load + T2 revive: broadcast the (small) prior-state slice into
+        # the messages — one partition-pruned scan per batch, like the
+        # reference's single DynamoDB get.
+        prior = self.state.load(
+            cfg.stream_consumer_id, set(shards) | set(u_shards) or None
+        ).where(F.col("kind").isin("message", "rejected"))
+        revived = seqd.join(
+            F.broadcast(
+                prior.select(
+                    F.col("identity").alias("_pid"),
+                    F.col("tasks_json").alias("prior_tasks_json"),
+                )
+            ),
+            F.col("identity") == F.col("_pid"),
+            "left",
+        ).drop("_pid")
+
+        # ---- Phase 2: process --------------------------------------------
+        executed = (
+            revived.groupBy("chain_key")
+            .applyInPandas(self._exec_fn(), schema=_EXEC_SCHEMA)
+        )
+
+        # summary flag for processAll scoping (incompleteMessages, X2):
+        # a message is in scope unless its whole task tree is terminal
+
+        @F.udf("boolean")
+        def _one_ff(tj):
+            return tk.is_fully_finalised(json.loads(tj))
+
+        # localCheckpoint severs lineage: the state save below overwrites the
+        # parquet this plan's revive-join reads, so any later recomputation
+        # would replay tasks against their own freshly-saved state (double
+        # attempts). Checkpointing freezes the executed batch first.
+        executed = executed.withColumn(
+            "_one_fully_finalised", _one_ff(F.col("tasks_json"))
+        ).localCheckpoint(eager=True)
+        n_messages = executed.count()
+        n_incomplete_scope = executed.where(~F.col("_one_fully_finalised")).count()
+
+        all_results = self._run_process_all(executed, n_incomplete_scope)
+        finalised = (
+            executed.drop("_one_fully_finalised")
+            .mapInPandas(self._finalise_fn(all_results), schema=_FINAL_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+
+        # ---- Phase 3: finalise -------------------------------------------
+        tag = "K" if cfg.stream_type == StreamType.kinesis else "D"
+        unusable = ing.unusable.localCheckpoint(eager=True)
+        n_unusable = unusable.count()
+        if n_unusable:
+            append_to_queue(
+                dead_record_envelopes(unusable, cfg.stream_consumer_id, tag),
+                self.drq_path,
+            )
+        rejected = finalised.where(F.col("rejectedish"))
+        n_rejected = rejected.count()
+        if n_rejected:
+            append_to_queue(
+                dead_message_envelopes(rejected, cfg.stream_consumer_id, tag),
+                self.dmq_path,
+            )
+
+        # T4 save — message + rejected + unusable states, one parquet upsert
+        msg_states = finalised.select(
+            F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
+            F.concat(
+                F.lit("E|" if cfg.batch_keyed_on_event_id else "S|"),
+                F.col("event_id" if cfg.batch_keyed_on_event_id else "shard_id"),
+            ).alias("shardOrEventID"),
+            F.when(F.col("rejectedish"), "rejected").otherwise("message").alias("kind"),
+            "identity",
+            "id",
+            "key",
+            "seqNo",
+            "event_id",
+            "event_seq_no",
+            "event_sub_seq_no",
+            "msg_md5",
+            "rec_md5",
+            "data_md5",
+            "tasks_json",
+            F.col("reason_rejected").alias("reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        unusable_states = unusable.select(
+            F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
+            F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID"),
+            F.lit("unusable").alias("kind"),
+            F.concat_ws("|", F.col("event_id"), F.col("data_md5")).alias("identity"),
+            "id",
+            "key",
+            "seqNo",
+            "event_id",
+            "event_seq_no",
+            "event_sub_seq_no",
+            "msg_md5",
+            "rec_md5",
+            "data_md5",
+            F.lit(None).cast("string").alias("tasks_json"),
+            F.col("reason_unusable").alias("reason"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        if n_messages or n_unusable:
+            self.state.save(msg_states.unionByName(unusable_states))
+
+        n_incomplete = finalised.where(F.col("incomplete")).count()
+        result = BatchResult(
+            batch_id=batch_id,
+            records=n_records,
+            messages=n_messages,
+            unusable=n_unusable,
+            fully_finalised=finalised.where(F.col("fully_finalised")).count(),
+            rejected_to_dmq=n_rejected,
+            discarded_to_drq=n_unusable,
+            incomplete=n_incomplete,
+        )
+        if n_incomplete:
+            raise BatchReplayError(result)  # F1: fail ⇒ source replays batch
+        return result
+
+    # --- S1: streaming attachment ------------------------------------------
+
+    def attach(
+        self,
+        record_stream: DataFrame,
+        checkpoint_dir: str,
+        swallow_replay_errors: bool = False,
+    ):
+        """writeStream.foreachBatch(process_batch): each micro-batch plays
+        one reference "stream event"; raising inside foreachBatch makes
+        Spark retry the micro-batch = the Kinesis replay contract (F1)."""
+
+        def run(df: DataFrame, bid: int):
+            try:
+                self.process_batch(df, bid)
+            except BatchReplayError:
+                if not swallow_replay_errors:
+                    raise
+
+        return (
+            record_stream.writeStream.foreachBatch(run)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+        )

@@ -1,0 +1,119 @@
+"""Sequencing (reference Q1–Q5): typed sort-key normalization + chains.
+
+The reference classifies each seqNo part into a SortType and compares
+part-by-part with typed comparators (test/sequencing-per-shard.test.js:
+112-468). Spark-first translation: encode every part into ONE
+lexicographically-sortable string (type-tagged canonical encoding), so a
+single `orderBy(sort_key)` — or a per-chain `row_number()` window — gives
+the reference's ordering with zero Python in the hot path.
+
+Canonical encodings (sort correctly as strings):
+- DATE / DATE_TIME → 'T' + ISO-8601 UTC instant (fixed width)
+- INTEGER_LIKE (≥16 digits, exceeds Decimal38 — Kinesis seqNos are 56
+  digits) → 'N' + zero-padded to 64
+- NUMBER → 'N' + offset-shifted fixed-point '%027.6f' (offset 1e12 keeps
+  negatives ordered; documented envelope ±1e12)
+- STRING → 'S' + raw
+
+Chain modes (Q3/Q4/Q5): per-shard = one chain per shard (serial — the
+scale hazard the reference itself documents); per-key = one chain per
+distinct key (max parallelism with ordering); unsequenced = every message
+its own chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_consumer_spark.config import EngineConfig
+
+_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+_DATETIME_RE = r"^\d{4}-\d{2}-\d{2}[T ].*$"
+_INTLIKE_RE = r"^\d{16,}$"
+_NUMBER_RE = r"^[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$"
+
+
+def sort_type(part: Column) -> Column:
+    """Q1 SortType classification (test/sequencing-per-shard.test.js:114-209)."""
+    return (
+        F.when(part.rlike(_DATE_RE), "DATE")
+        .when(part.rlike(_DATETIME_RE), "DATE_TIME")
+        .when(part.rlike(_INTLIKE_RE), "INTEGER_LIKE")
+        .when(part.rlike(_NUMBER_RE), "NUMBER")
+        .otherwise("STRING")
+    )
+
+
+def encode_part(part: Column) -> Column:
+    """Type-tagged, lexicographically-sortable canonical encoding of one
+    seqNo part. All parts at a given position share a SortType when the
+    reference's same-key-set invariant (Q1) holds, so the type tag only
+    guards mixed edge cases."""
+    st = sort_type(part)
+    as_ts = F.date_format(
+        F.to_timestamp(F.when(part.rlike(_DATE_RE), F.concat(part, F.lit("T00:00:00"))).otherwise(part)),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    )
+    return (
+        F.when(st.isin("DATE", "DATE_TIME"), F.concat(F.lit("T"), as_ts))
+        .when(st == "INTEGER_LIKE", F.concat(F.lit("N"), F.lpad(part, 64, "0")))
+        .when(
+            st == "NUMBER",
+            F.concat(
+                F.lit("N"),
+                F.lpad(
+                    F.format_string("%.6f", part.cast("double") + F.lit(1e12)),
+                    64,
+                    "0",
+                ),
+            ),
+        )
+        .otherwise(F.concat(F.lit("S"), part))
+    )
+
+
+def sort_key(parts: Column) -> Column:
+    """array<string> of raw parts → single sortable string (\\x01-joined)."""
+    return F.array_join(F.transform(parts, encode_part), "\x01", "")
+
+
+def sequence_messages(messages: DataFrame, config: EngineConfig) -> DataFrame:
+    """Assign chain_key / seq_index / prev/next links (Q3/Q4/Q5).
+
+    Adds: chain_key, sort_key, seq_index, prev_event_id, next_event_id,
+    is_first. Chains are window partitions → all chains order and link in
+    one shuffle; at scale, per-key mode keeps partitions small (the
+    reference's own recommendation for parallelism).
+    """
+    if not config.sequencing_required:
+        # Q5: every message is a chain of one — all firsts, full parallelism
+        return (
+            messages.withColumn(
+                "chain_key",
+                F.coalesce(F.col("id"), F.col("event_id")),
+            )
+            .withColumn("sort_key", F.lit(""))
+            .withColumn("seq_index", F.lit(1))
+            .withColumn("prev_event_id", F.lit(None).cast("string"))
+            .withColumn("next_event_id", F.lit(None).cast("string"))
+            .withColumn("is_first", F.lit(True))
+        )
+    chain = F.col("key") if config.sequencing_per_key else F.col("shard_id")
+    with_key = messages.withColumn("chain_key", chain).withColumn(
+        "sort_key", sort_key(F.col("seq_no_parts"))
+    )
+    # tie-break on the event seq/sub-seq like the reference comparator's
+    # eventSeqNo fallback (test/sequencing-per-shard.test.js:218-468)
+    w = Window.partitionBy("chain_key").orderBy(
+        "sort_key",
+        F.lpad("event_seq_no", 64, "0"),
+        F.coalesce("event_sub_seq_no", F.lit(-1)),
+    )
+    return (
+        with_key.withColumn("seq_index", F.row_number().over(w))
+        .withColumn("prev_event_id", F.lag("event_id").over(w))
+        .withColumn("next_event_id", F.lead("event_id").over(w))
+        .withColumn("is_first", F.col("prev_event_id").isNull())
+    )

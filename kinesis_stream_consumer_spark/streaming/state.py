@@ -1,0 +1,92 @@
+"""Batch-state checkpoint table — reference T1–T4 as a partitioned parquet
+MERGE.
+
+The reference checkpoints one DynamoDB item per (streamConsumerId,
+shardOrEventID) holding messageStates / rejectedMessageStates /
+unusableRecordStates (test/persisting.test.js:311-330). Spark-first
+translation: a parquet state table partitioned by those same two keys, one
+row per tracked object, upserted with **dynamic partition overwrite** — a
+micro-batch rewrites only the (consumer, shard) partitions it touched,
+which is the scalable MERGE: load (T1) is a partition-pruned scan, save
+(T4) rewrites a few small partitions, never the table.
+
+(Production variant: Delta `MERGE INTO` keyed on the same columns, or
+DynamoDB via foreachPartition — same interface.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("streamConsumerId", T.StringType()),
+        T.StructField("shardOrEventID", T.StringType()),
+        # 'message' | 'rejected' | 'unusable'  (persisting.test.js:311-330)
+        T.StructField("kind", T.StringType()),
+        T.StructField("identity", T.StringType()),  # stable merge key
+        T.StructField("id", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("seqNo", T.StringType()),
+        T.StructField("event_id", T.StringType()),
+        T.StructField("event_seq_no", T.StringType()),
+        T.StructField("event_sub_seq_no", T.LongType()),
+        T.StructField("msg_md5", T.StringType()),
+        T.StructField("rec_md5", T.StringType()),
+        T.StructField("data_md5", T.StringType()),
+        T.StructField("tasks_json", T.StringType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
+
+class StateStore:
+    """T1 load / T4 save over a partitioned parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @property
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not n.startswith(("_", ".")) for n in os.listdir(self.path)
+        )
+
+    def load(self, stream_consumer_id: str, shard_ids=None) -> DataFrame:
+        """T1: prior states for this consumer (+ shards) — a partition-pruned
+        scan, the parquet analogue of the reference's single DynamoDB get
+        (test/persisting.test.js:1144-1151)."""
+        if not self._exists:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        df = self.spark.read.parquet(self.path).where(
+            F.col("streamConsumerId") == stream_consumer_id
+        )
+        if shard_ids is not None:
+            df = df.where(F.col("shardOrEventID").isin(list(shard_ids)))
+        return df.select(*[f.name for f in STATE_SCHEMA.fields])
+
+    def save(self, states: DataFrame) -> None:
+        """T4: upsert via dynamic partition overwrite — only the
+        (streamConsumerId, shardOrEventID) partitions present in `states`
+        are replaced; everything else is untouched."""
+        (
+            states.select(*[f.name for f in STATE_SCHEMA.fields])
+            .repartition("streamConsumerId", "shardOrEventID")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("streamConsumerId", "shardOrEventID")
+            .parquet(self.path)
+        )
+
+    def read_all(self) -> DataFrame:
+        if not self._exists:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        return self.spark.read.parquet(self.path).select(
+            *[f.name for f in STATE_SCHEMA.fields]
+        )

@@ -16,6 +16,11 @@ SF_CORRECT = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Task fns defined in test modules ship to executors via cloudpickle;
+    # workers need the tests dir importable to unpickle them.
+    os.environ["PYTHONPATH"] = ":".join(
+        [str(REPO), str(REPO / "tests"), os.environ.get("PYTHONPATH", "")]
+    )
     from kinesis_stream_consumer_spark.session import get_spark
 
     spark = get_spark("ksc-spark-tests")

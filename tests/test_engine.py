@@ -1,0 +1,358 @@
+"""Engine scenario tests — the reference's scenario matrix re-expressed
+(SURVEY §5: test/kinesis-consumer.test.js:444-3495 driven with generated
+events + mocked AWS ⇒ here: generated record DataFrames + parquet state/DLQ
+dirs).
+
+Covered scenarios → reference test:
+- all-success, per-key + per-shard + unsequenced   (:444-745 × 3 modes)
+- replay with prior state keeps attempts at 1      (:746-845, D1)
+- unusable records → DRQ envelopes                 (:1047-1271, D2)
+- processOne failure ⇒ state saved + BatchReplayError; retry succeeds (:1272-1380, F1)
+- max attempts ⇒ Discarded → DMQ, batch completes  (:1386-1491,2530-2759, X4)
+- task.reject ⇒ Rejected → DMQ                     (:2290-2529, D3)
+- stale task defs revive as Unusable → Abandoned → DMQ (:1955-2289, T2/T3)
+- chain blocking: failure blocks chain successors only (Q3/Q4 + :505)
+- KPL aggregated records de-aggregate with subSequenceNumbers (S3)
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_stream_consumer_spark.config import EngineConfig
+from kinesis_stream_consumer_spark.sources import (
+    events_as_kinesis_records,
+    kpl_aggregate,
+    kpl_deaggregate,
+)
+from kinesis_stream_consumer_spark.streaming import (
+    BatchReplayError,
+    Engine,
+    TaskDef,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+# --- helpers -----------------------------------------------------------------
+
+
+def records_df(spark, n=20, bad=0):
+    """First n events as Kinesis records (+ `bad` garbage-payload records)."""
+    from kinesis_stream_consumer_spark.plans.queries import _t
+
+    ev = _t(spark, SF_SMOKE, "events").where(F.col("event_id") < n)
+    recs = events_as_kinesis_records(ev)
+    if bad:
+        garbage = recs.limit(bad).withColumn(
+            "kinesis",
+            F.col("kinesis").withField(
+                "data", F.base64(F.lit("this is not json").cast("binary"))
+            ),
+        ).withColumn("eventID", F.concat(F.lit("bad:"), F.col("eventID")))
+        recs = recs.unionByName(garbage)
+    return recs
+
+
+def make_engine(spark, tmp_path, one_defs=(), all_defs=(), **cfg_kw):
+    cfg_kw.setdefault("sequencing_per_key", True)
+    cfg_kw.setdefault("key_property_names", ["k1", "k2"])
+    cfg_kw.setdefault("id_property_names", ["id1"])
+    cfg_kw.setdefault("seq_no_property_names", ["n1", "n2"])
+    cfg = EngineConfig(**cfg_kw)
+    return Engine(
+        spark,
+        cfg,
+        state_path=str(tmp_path / "state"),
+        drq_path=str(tmp_path / "drq"),
+        dmq_path=str(tmp_path / "dmq"),
+        process_one_defs=one_defs,
+        process_all_defs=all_defs,
+    )
+
+
+def noop(message, task):
+    return None
+
+
+def tasks_of(engine, identity=None):
+    rows = engine.state.read_all().collect()
+    return {
+        r["identity"]: json.loads(r["tasks_json"]) if r["tasks_json"] else None
+        for r in rows
+    }
+
+
+# --- KPL codec (S3) ----------------------------------------------------------
+
+
+def test_kpl_roundtrip_and_passthrough():
+    urs = [("pk-1", b'{"a":1}'), ("pk-2", b'{"b":2}'), ("pk-1", b'{"c":3}')]
+    blob = kpl_aggregate(urs)
+    out = kpl_deaggregate(blob)
+    assert [u["partitionKey"] for u in out] == ["pk-1", "pk-2", "pk-1"]
+    assert [u["data"] for u in out] == [b'{"a":1}', b'{"b":2}', b'{"c":3}']
+    assert [u["subSequenceNumber"] for u in out] == [0, 1, 2]
+    # non-KPL passthrough (kpl-deagg-async.js:158-185)
+    assert kpl_deaggregate(b'{"plain":"json"}') is None
+    # corrupted checksum
+    with pytest.raises(Exception):
+        kpl_deaggregate(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
+
+
+# --- success scenarios across the three sequencing modes ---------------------
+
+
+@pytest.mark.parametrize(
+    "mode_kw",
+    [
+        {"sequencing_per_key": True, "key_property_names": ["k1", "k2"]},
+        {"sequencing_per_key": False, "key_property_names": []},
+        {
+            "sequencing_required": False,
+            "sequencing_per_key": False,
+            "key_property_names": [],
+            "seq_no_property_names": [],
+        },
+    ],
+    ids=["per-key", "per-shard", "unsequenced"],
+)
+def test_all_success(spark, tmp_path, mode_kw):
+    eng = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("t1", noop)], **mode_kw
+    )
+    res = eng.process_batch(records_df(spark, 20), batch_id=1)
+    assert res.messages == 20
+    assert res.fully_finalised == 20
+    assert res.incomplete == 0 and res.unusable == 0
+    for t in tasks_of(eng).values():
+        assert t["t1"]["status"] == "Completed"
+        assert t["t1"]["attempts"] == 1
+
+
+def test_replay_keeps_attempts_at_one(spark, tmp_path):
+    """D1: replayed batch revives Completed tasks and skips them."""
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", noop)])
+    eng.process_batch(records_df(spark, 10), batch_id=1)
+    eng.process_batch(records_df(spark, 10), batch_id=2)  # full replay
+    for t in tasks_of(eng).values():
+        assert t["t1"]["status"] == "Completed"
+        assert t["t1"]["attempts"] == 1  # not re-executed
+
+
+def test_unusable_records_go_to_drq(spark, tmp_path):
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", noop)])
+    res = eng.process_batch(records_df(spark, 10, bad=2), batch_id=1)
+    assert res.messages == 10 and res.unusable == 2
+    drq = spark.read.parquet(str(tmp_path / "drq"))
+    assert drq.count() == 2
+    row = drq.first()
+    assert row["ver"] == "DR|K|2.0"
+    assert row["reasonUnusable"] == "unparseable record data (S6)"
+    assert row["streamConsumerId"] == "K|TestStream|consumer:dev"
+    # unusable state rows persisted alongside message states (T4)
+    kinds = {r["kind"] for r in eng.state.read_all().collect()}
+    assert kinds == {"message", "unusable"}
+
+
+def test_failure_replay_then_success(spark, tmp_path):
+    """F1: failing task ⇒ BatchReplayError (state saved); flaky task
+    succeeds on the replayed batch, attempts == 2."""
+    def flaky(message, task):
+        if message["id1"] == 3:
+            raise RuntimeError("boom on 3")
+
+    def fixed(message, task):
+        return None
+
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", flaky)])
+    with pytest.raises(BatchReplayError) as ei:
+        eng.process_batch(records_df(spark, 10), batch_id=1)
+    assert ei.value.result.incomplete >= 1
+    states = tasks_of(eng)
+    failed = [t for t in states.values() if t["t1"]["status"] == "Failed"]
+    assert len(failed) == 1 and "boom on 3" in failed[0]["t1"]["error"]
+
+    eng2 = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", fixed)])
+    res = eng2.process_batch(records_df(spark, 10), batch_id=2)
+    assert res.fully_finalised == 10
+    t3 = [t for t in tasks_of(eng2).values() if t["t1"]["attempts"] == 2]
+    assert len(t3) == 1  # only the previously-failed message re-ran
+
+
+def test_chain_blocking_within_key(spark, tmp_path):
+    """X1: a failed message blocks its chain successors; other chains run."""
+    def fail_first(message, task):
+        if message["id1"] == 0:
+            raise RuntimeError("head of chain fails")
+
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", fail_first)])
+    with pytest.raises(BatchReplayError):
+        eng.process_batch(records_df(spark, 12), batch_id=1)
+    states = eng.state.read_all().collect()
+    by_id = {r["identity"]: (r["key"], json.loads(r["tasks_json"])) for r in states}
+    failed_key = by_id["id1:0"][0]
+    for ident, (key, t) in by_id.items():
+        if ident == "id1:0":
+            assert t["t1"]["status"] == "Failed"
+        elif key == failed_key:
+            assert t["t1"]["status"] == "Unstarted"  # blocked, never ran
+        else:
+            assert t["t1"]["status"] == "Completed"  # other chains unaffected
+
+
+def test_max_attempts_discards_to_dmq(spark, tmp_path):
+    """X4: attempts reach maxNumberOfAttempts ⇒ Discarded → DMQ; batch then
+    completes instead of replaying forever (test :1386-1491)."""
+    def always_fails(message, task):
+        if message["id1"] == 5:
+            raise RuntimeError("poison pill")
+
+    defs = [TaskDef("t1", always_fails)]
+    eng = make_engine(spark, tmp_path, one_defs=defs, max_number_of_attempts=3)
+    for attempt in (1, 2):
+        with pytest.raises(BatchReplayError):
+            eng.process_batch(records_df(spark, 10), batch_id=attempt)
+    res = eng.process_batch(records_df(spark, 10), batch_id=3)  # 3rd ⇒ discard
+    assert res.incomplete == 0
+    assert res.rejected_to_dmq == 1
+    dmq = spark.read.parquet(str(tmp_path / "dmq"))
+    row = dmq.first()
+    assert dmq.count() == 1 and row["ver"] == "DM|K|2.0"
+    assert "maxNumberOfAttempts=3" in row["reasonRejected"]
+    t = tasks_of(eng)["id1:5"]
+    assert t["t1"]["status"] == "Discarded" and t["t1"]["attempts"] == 3
+
+
+def test_reject_goes_to_dmq(spark, tmp_path):
+    def rejector(message, task):
+        if message["k2"] == "error":
+            task.reject("error events are rejected")
+
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", rejector)])
+    res = eng.process_batch(records_df(spark, 30), batch_id=1)
+    assert res.incomplete == 0
+    from kinesis_stream_consumer_spark.plans.queries import _t
+
+    n_err = (
+        _t(spark, SF_SMOKE, "events")
+        .where((F.col("event_id") < 30) & (F.col("event_type") == "error"))
+        .count()
+    )
+    assert res.rejected_to_dmq == n_err > 0
+    dmq = spark.read.parquet(str(tmp_path / "dmq"))
+    assert dmq.count() == n_err
+    assert dmq.first()["reasonRejected"] == "error events are rejected"
+
+
+def test_stale_task_defs_abandoned(spark, tmp_path):
+    """T2/T3: prior tasks whose defs no longer exist revive as Unusable and
+    are Abandoned so the batch can finalise (test :1955-2289)."""
+    def failing(message, task):
+        raise RuntimeError("never completes")
+
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("old_task", failing)])
+    with pytest.raises(BatchReplayError):
+        eng.process_batch(records_df(spark, 5), batch_id=1)
+    # redeploy with a different task set
+    eng2 = make_engine(spark, tmp_path, one_defs=[TaskDef("new_task", noop)])
+    res = eng2.process_batch(records_df(spark, 5), batch_id=2)
+    assert res.incomplete == 0
+    for t in tasks_of(eng2).values():
+        assert t["new_task"]["status"] == "Completed"
+        assert t["old_task"]["status"] == "Abandoned"
+    # abandoned ⇒ fully finalised with a terminal status ⇒ DMQ (test :1955)
+    assert res.rejected_to_dmq == 5
+
+
+def test_process_all_master_slave(spark, tmp_path):
+    """X2: processAll master task runs once per batch over incomplete
+    messages; its state fans out to per-message slave tasks."""
+    seen = {}
+
+    def master(batch_df, engine):
+        seen["n"] = batch_df.count()
+        return None
+
+    eng = make_engine(
+        spark,
+        tmp_path,
+        one_defs=[TaskDef("t1", noop)],
+        all_defs=[TaskDef("agg", master)],
+    )
+    res = eng.process_batch(records_df(spark, 15), batch_id=1)
+    assert seen["n"] == 15  # master saw the whole incomplete set once
+    assert res.fully_finalised == 15
+    for t in tasks_of(eng).values():
+        assert t["agg"]["status"] == "Completed" and t["agg"]["attempts"] == 1
+
+
+def test_process_all_per_message_override(spark, tmp_path):
+    """X2 per-message override (README.md:213-218): master can override
+    individual slave states."""
+    def master(batch_df, engine):
+        return {"id1:2": ("Rejected", "singled out by master")}
+
+    eng = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("t1", noop)], all_defs=[TaskDef("agg", master)]
+    )
+    res = eng.process_batch(records_df(spark, 6), batch_id=1)
+    assert res.rejected_to_dmq == 1
+    t = tasks_of(eng)["id1:2"]
+    assert t["agg"]["status"] == "Rejected"
+    assert t["agg"]["reason"] == "singled out by master"
+
+
+def test_kpl_encoded_pipeline(spark, tmp_path):
+    """S3/S5: KPL-aggregated records explode into user records with
+    subSequenceNumbers; all process normally."""
+    msgs = [
+        {"id1": 100 + i, "k1": 1, "k2": "purchase", "n1": f"2024-01-01T00:00:{i:02d}", "n2": 100 + i}
+        for i in range(4)
+    ]
+    blob = kpl_aggregate([("1", json.dumps(m).encode()) for m in msgs])
+    plain = {"id1": 999, "k1": 2, "k2": "signup", "n1": "2024-01-02T00:00:00", "n2": 999}
+    rows = [
+        ("shardId-0:1", base64.b64encode(blob).decode(), "1"),
+        ("shardId-0:2", base64.b64encode(json.dumps(plain).encode()).decode(), "2"),
+    ]
+    recs = spark.createDataFrame(
+        [
+            {
+                "eventID": eid,
+                "eventVersion": "1.0",
+                "eventName": "aws:kinesis:record",
+                "eventSource": "aws:kinesis",
+                "eventSourceARN": "arn:aws:kinesis:us-west-2:1:stream/TestStream",
+                "awsRegion": "us-west-2",
+                "invokeIdentityArn": "arn",
+                "kinesis": {
+                    "kinesisSchemaVersion": "1.0",
+                    "partitionKey": pk,
+                    "explicitHashKey": None,
+                    "sequenceNumber": eid.split(":")[1].rjust(56, "0"),
+                    "data": data,
+                },
+            }
+            for eid, data, pk in rows
+        ],
+        schema="eventID string, eventVersion string, eventName string, eventSource string, "
+        "eventSourceARN string, awsRegion string, invokeIdentityArn string, "
+        "kinesis struct<kinesisSchemaVersion:string, partitionKey:string, "
+        "explicitHashKey:string, sequenceNumber:string, data:string>",
+    )
+    eng = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("t1", noop)], kpl_encoded=True
+    )
+    res = eng.process_batch(recs, batch_id=1)
+    assert res.messages == 5  # 4 deaggregated + 1 passthrough
+    assert res.fully_finalised == 5
+    subseqs = {
+        r["event_sub_seq_no"]
+        for r in eng.state.read_all().select("event_sub_seq_no").collect()
+    }
+    assert subseqs == {0, 1, 2, 3, None}
