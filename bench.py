@@ -29,9 +29,12 @@ HEADLINE = [
     "dedup_replayed_batch",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_quality",
     "sim_topk_bruteforce",
     "scalar_datetime_json",
+    "streaming_tumbling_window",
+    "streaming_session_window",
 ]
 
 

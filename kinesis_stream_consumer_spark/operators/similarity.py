@@ -159,3 +159,58 @@ def label_centroids(vectors: DataFrame, vec_col: str = "embedding",
         "cell_id",
         F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("centroid"),
     )
+
+
+def sign_projection_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id for embedding near-dup detection.
+
+    Bit b = sign of <vec, w_b> with deterministic integer weights
+    w_b[i] = ((i·31 + b·17) mod 7) − 3 — reproducible in any engine (the
+    DuckDB oracle computes the identical buckets), no stored model. Cosine-
+    similar vectors land in the same bucket with high probability, so the
+    near-dup self-join becomes an equi-join on bucket — the 100 TB path:
+    candidate pairs only materialize within buckets (2^n_bits cells), never
+    as a cross product.
+    """
+    dv = _as_double(vec)
+    bucket = F.lit(0)
+    for b in range(n_bits):
+        w = F.array(*[F.lit(((i * 31 + b * 17) % 7) - 3) for i in range(1, dim + 1)])
+        proj = F.aggregate(
+            F.zip_with(dv, w, lambda x, wt: x * wt), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs: bucket by
+    sign-projection LSH, self-equi-join per bucket, verify exact cosine ≥
+    threshold. Approximate by construction (pairs split across all buckets
+    are missed) — the same contract as MinHash-LSH for text."""
+    buck = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_projection_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
+    )
+    a, b = buck.alias("a"), buck.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_id_a"),
+            F.col("b.vid").alias("vec_id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

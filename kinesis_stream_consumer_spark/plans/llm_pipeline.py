@@ -400,6 +400,60 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
 
 
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    bitsrc AS (SELECT unnest(generate_series(0, 7)) AS b),
+    bits AS (
+      SELECT e.vec_id, s.b,
+             CASE WHEN SUM(CAST(e.embedding[d.i] AS DOUBLE)
+                           * (((d.i*31 + s.b*17) % 7) - 3)) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e CROSS JOIN dims d CROSS JOIN bitsrc s
+      GROUP BY e.vec_id, s.b
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(SUM(bit << b) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT p.vec_id_a, p.vec_id_b,
+             SUM(CAST(ea.embedding[d.i] AS DOUBLE) * CAST(eb.embedding[d.i] AS DOUBLE)) AS dp
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.vec_id_a
+      JOIN embeddings eb ON eb.vec_id = p.vec_id_b
+      CROSS JOIN dims d
+      GROUP BY p.vec_id_a, p.vec_id_b
+    )
+    SELECT vec_id_a, vec_id_b,
+           ROUND(dp / (na.nrm * nb.nrm), 4) AS cosine_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_id_a
+    JOIN norms nb ON nb.vec_id = vec_id_b
+    WHERE ROUND(dp / (na.nrm * nb.nrm), 4) >= 0.35
+    ORDER BY vec_id_a, vec_id_b
+    """,
+    doc="Embedding-cosine near-dup: sign-projection LSH buckets (8 "
+    "deterministic hyperplanes) → per-bucket self-equi-join → exact-cosine "
+    "verify. The candidate join is an equi-join on bucket id — uniform "
+    "shuffle, no cross product; zip_with/aggregate dot products stay "
+    "JVM-side. The text-dedup family's contract applied to vectors.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.35, n_bits=8, dim=_DIM).orderBy(
+        "vec_id_a", "vec_id_b"
+    )
+
+
 # --- Multimodal columns -----------------------------------------------------
 
 @register(

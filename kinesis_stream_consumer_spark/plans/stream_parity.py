@@ -387,6 +387,68 @@ def dmq_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# --- Full engine end-to-end (S→I→Q→X→T→D→F) ---------------------------------
+
+@register(
+    "engine_end_to_end",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'Rejected' ELSE 'Completed' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_id < 2000
+    GROUP BY 1
+    ORDER BY status
+    """,
+    doc="The whole consumer lifecycle as one verifiable query: events → "
+    "Kinesis records (base64/JSON envelopes) → ingest → per-key sequencing "
+    "→ processOne task execution (reject on event_type='error') → finalise "
+    "→ state table; the saved task statuses must equal the oracle's "
+    "declarative classification. Exercises S4-S7, I1-I4, Q1/Q4, X1, T4, D3, "
+    "F1 in one pass.",
+)
+def engine_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F2
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+    from kinesis_stream_consumer_spark.streaming.tasks import TaskRejectedError
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    records = events_as_kinesis_records(ev)
+
+    def validate(message, task):
+        if message["k2"] == "error":
+            raise TaskRejectedError("error events rejected")
+
+    tmp = tempfile.mkdtemp(prefix="ksc-e2e-")
+    cfg = EngineConfig(
+        sequencing_per_key=True,
+        key_property_names=["k1", "k2"],
+        id_property_names=["id1"],
+        seq_no_property_names=["n1", "n2"],
+    )
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=f"{tmp}/state",
+        drq_path=f"{tmp}/drq",
+        dmq_path=f"{tmp}/dmq",
+        process_one_defs=[TaskDef("validate", validate)],
+    )
+    eng.process_batch(records, batch_id=1)
+    state = eng.state.read_all()
+    return (
+        state.select(
+            F2.get_json_object("tasks_json", "$.validate.status").alias("status")
+        )
+        .groupBy("status")
+        .agg(F2.count(F2.lit(1)).cast("long").alias("n"))
+        .orderBy("status")
+    )
+
+
 # --- X4/F1: max-attempts discard policy as a declarative rule ---------------
 
 @register(

@@ -31,6 +31,36 @@ def get_spark(app_name: str = "kinesis-stream-consumer-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+_SHIPPED: set = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Engine task fns and the executor-side task helpers are cloudpickled by
+    reference to this package, so workers must be able to import it — true
+    on a real cluster via --py-files, but not guaranteed for a local driver
+    that only put the repo on its own sys.path. Idempotent per context.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(
+        tempfile.mkdtemp(prefix="ksc-pyfiles-"), "ksc_spark_pkg"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=root, base_dir="kinesis_stream_consumer_spark"
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 TABLES = (
     "region",
     "nation",

@@ -125,6 +125,9 @@ class Engine:
         process_one_defs: Sequence[TaskDef] = (),
         process_all_defs: Sequence[TaskDef] = (),
     ):
+        from kinesis_stream_consumer_spark.session import ensure_package_on_workers
+
+        ensure_package_on_workers(spark)
         self.spark = spark
         self.config = config
         self.state = StateStore(spark, state_path)
