@@ -20,10 +20,19 @@ from pyspark.sql import functions as F
 
 from kinesis_stream_consumer_spark.operators.text import word_shingles
 
-# Fixed salts = the "permutations" of the MinHash signature. Lexicographic
-# min over salted md5 hex strings is a valid min-hash family and is exactly
-# reproducible in any engine with md5.
-MINHASH_SALTS = tuple(f"mh{i:02d}" for i in range(8))
+# MinHash "permutations": universal-hash mixes h_i(x) = (a_i·x + b_i) mod P
+# over ONE md5-derived uint64 base per shingle. One md5 per shingle row
+# (instead of one per permutation) is the dominant cost saving — the mixes
+# are integer ops. P = 2^61 − 1 (Mersenne prime); exactly reproducible in
+# DuckDB via (md5_number_upper(s)::HUGEINT · a + b) % P.
+MINHASH_P = (1 << 61) - 1
+MINHASH_PERMS = tuple(
+    (a, b)
+    for a, b in zip(
+        (3, 5, 7, 11, 13, 17, 19, 23),
+        (1, 7919, 104729, 1299709, 15485863, 179424673, 2038074743, 32452843),
+    )
+)
 
 
 def exact_digest(text: Column) -> Column:
@@ -31,15 +40,55 @@ def exact_digest(text: Column) -> Column:
     return F.md5(text.cast("binary"))
 
 
+def md5_u64_le(col: Column) -> Column:
+    """Little-endian uint64 of the first 8 md5 bytes, as decimal(20,0).
+
+    Numerically identical to DuckDB's ``md5_number_upper`` so oracles
+    reproduce the values exactly. The point of numeric (vs hex-string)
+    minhash values: min(decimal) keeps the signature aggregation in
+    HashAggregate (mutable fixed-width buffer); min(string) forces
+    SortAggregate with a per-partition sort of every shingle row.
+    """
+    h = F.md5(col.cast("binary"))
+    le_hex = F.concat(*[F.substring(h, p, 2) for p in (15, 13, 11, 9, 7, 5, 3, 1)])
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def _shingles_from_toks(k: int):
+    """Shingle array over a MATERIALIZED token-array column. The two-step
+    projection is load-bearing: with tokens as a column reference,
+    element_at is O(1) per access; inlining tokens() into the lambda makes
+    Catalyst re-evaluate the regex split per element_at — 3 full splits per
+    shingle position, O(k·n²) per document."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(doc, shingles array<string>) with linear-time shingle construction."""
+    from kinesis_stream_consumer_spark.operators.text import tokens
+
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    )
+    return toked.select("doc", _shingles_from_toks(k).alias("shingles"))
+
+
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Explode each doc into its distinct k-word shingles — (doc, shingle)
     rows. The relational shape matters: per-shingle hashing then becomes one
-    md5 per row (codegen-friendly), instead of a nested-array expression that
-    Catalyst's project-collapse would duplicate per use until codegen falls
-    back to interpreted mode."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    md5 per row (codegen-friendly), and the tokenize→shingle two-step keeps
+    shingle construction linear (see _shingles_from_toks)."""
+    return shingle_sets(df, text_col, id_col, k).select(
+        "doc", F.explode("shingles").alias("shingle")
     )
 
 
@@ -48,13 +97,15 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
 
     min() combines map-side, so the shuffle carries only (doc, 8 hashes)
     regardless of document size — the 100 TB-safe signature plan."""
-    rows = shingle_rows(df, text_col, id_col, k)
+    rows = shingle_rows(df, text_col, id_col, k).withColumn(
+        "h", md5_u64_le(F.col("shingle"))
+    )
     return rows.groupBy("doc").agg(
         *[
             F.min(
-                F.md5(F.concat(F.lit(salt + "|"), F.col("shingle")).cast("binary"))
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P)).cast("long")
             ).alias(f"mh{i}")
-            for i, salt in enumerate(MINHASH_SALTS)
+            for i, (a, b) in enumerate(MINHASH_PERMS)
         ]
     )
 
@@ -63,7 +114,7 @@ def minhash_band_rows(signatures: DataFrame, rows_per_band: int = 2) -> DataFram
     """LSH banding over a signatures DataFrame (doc, mh0..mh7) →
     (doc, band, band_key) rows; docs sharing any (band, band_key) are
     candidate pairs."""
-    n = len(MINHASH_SALTS)
+    n = len(MINHASH_PERMS)
     assert n % rows_per_band == 0
     bands = F.array(
         *[
@@ -147,10 +198,12 @@ def minhash_lsh_candidate_pairs(
     """
     # Slim band table: (doc, band, band_key) only — the heavy shingle arrays
     # must NOT ride through the self-join (they'd be shuffled once per band
-    # and compared once per duplicate candidate).
+    # and compared once per duplicate candidate). localCheckpoint
+    # materializes the signatures ONCE; without it the self-join recomputes
+    # the whole shingle→hash→min pipeline for each side.
     banded = minhash_band_rows(
         minhash_signatures(df, text_col, id_col, k), rows_per_band
-    )
+    ).localCheckpoint(eager=True)
     # Self-equi-join on the band hash → de-duplicated candidate pairs. A pair
     # colliding in multiple bands appears once thanks to the early distinct.
     pairs = (
@@ -165,9 +218,7 @@ def minhash_lsh_candidate_pairs(
         .distinct()
     )
     # Verify each unique pair exactly once with true shingle Jaccard.
-    shsets = df.select(
-        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), k).alias("shingles")
-    )
+    shsets = shingle_sets(df, text_col, id_col, k)
     return (
         pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
         .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))

@@ -185,8 +185,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_cols_sql() -> str:
     return ",\n             ".join(
-        f"MIN(md5('{salt}|' || shingle)) AS mh{i}"
-        for i, salt in enumerate(D.MINHASH_SALTS)
+        f"MIN(CAST((md5_number_upper(shingle)::HUGEINT * {a} + {b}) "
+        f"% {D.MINHASH_P} AS BIGINT)) AS mh{i}"
+        for i, (a, b) in enumerate(D.MINHASH_PERMS)
     )
 
 
@@ -213,7 +214,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_oracle() -> str:
     bands = " , ".join(
-        f"mh{2*b} || '#' || mh{2*b+1} AS b{b}" for b in range(4)
+        f"mh{2*b}::VARCHAR || '#' || mh{2*b+1}::VARCHAR AS b{b}" for b in range(4)
     )
     cond = " OR ".join(f"l.b{b} = r.b{b}" for b in range(4))
     return f"""
@@ -315,10 +316,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sets_ = docs.select(
-        F.col("doc_id"),
-        F.col("lang"),
-        T.word_shingles(F.col("text"), 3).alias("shset"),
+    sets_ = D.shingle_sets(docs, "text", "doc_id", 3).withColumnRenamed(
+        "shingles", "shset"
+    ).join(docs.select(F.col("doc_id").alias("doc"), "lang"), "doc").select(
+        F.col("doc").alias("doc_id"), "lang", "shset"
     )
     a, b = sets_.alias("a"), sets_.alias("b")
     raw_j = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset"))) / F.greatest(

@@ -39,6 +39,13 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive for foreign sessions (the driver harness builds its own):
+    # see session.get_spark — InferFiltersFromGenerate re-evaluates expensive
+    # generator expressions per row; runtime-settable, so pin it here too.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

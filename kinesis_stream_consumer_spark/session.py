@@ -25,6 +25,15 @@ def get_spark(app_name: str = "kinesis-stream-consumer-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate duplicates the whole generator expression
+        # into a pre-filter; for explode(expensive-array-expr) (shingling,
+        # n-gram fingerprints) the inferred size()>0 filter re-evaluates the
+        # array build per row — measured 8× slowdown. The filter saves
+        # nothing here (our generators never produce empty arrays).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
