@@ -445,3 +445,122 @@ def scalar_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day", "event_type")
         .limit(100)
     )
+
+
+# --- CUBE + grouping sets ---------------------------------------------------
+
+@register(
+    "agg_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(COUNT(*) AS BIGINT)      AS n_items,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    doc="CUBE over (returnflag, linestatus): all 2^2 grouping sets in one "
+    "Expand + single hash aggregate — one scan, one shuffle, regardless of "
+    "how many grouping sets (vs re-scanning per level).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --- Approximate distinct (HLL) ---------------------------------------------
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL sketches are engine-specific — exactness asserted in tests
+    # against the true distinct count (rsd bound), not a value-hash oracle
+    doc="approx_count_distinct (HyperLogLog++) per order priority — the "
+    "sketch mergeable map-side, constant memory per group: the 100 TB "
+    "cardinality-estimation path where count_distinct's exact shuffle "
+    "would dominate. Driver records rows-only; tests/test_relational_extra "
+    "asserts the 2% rsd envelope vs the exact count.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ord_ = _t(spark, sf_dir, "orders")
+    return (
+        ord_.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- As-of join (merge-asof) ------------------------------------------------
+
+@register(
+    "join_asof_prior_signup",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    signups AS (
+      SELECT user_id, ts, MAX(event_id) AS signup_event_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           s.signup_event_id AS asof_signup_event_id,
+           CAST(CASE WHEN s.signup_event_id IS NULL THEN NULL
+                ELSE (epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)))
+                     // 1000000 END AS BIGINT) AS gap_s
+    FROM purchases p
+    ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+    doc="Merge-as-of join: each purchase enriched with the user's most "
+    "recent prior signup (inclusive). Spark has no ASOF JOIN; implemented "
+    "as the union-window carry-forward (operators/joins.py): one shuffle "
+    "on user_id, last(ignoreNulls) over (time, side) ordering — linear per "
+    "partition, no range-join candidate pairs. Oracle: DuckDB native "
+    "ASOF LEFT JOIN.",
+)
+def join_asof_prior_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.joins import merge_asof
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+    joined = merge_asof(
+        purchases,
+        signups,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["signup_event_id", "ts"],
+    )
+    gap = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")))
+        / F.lit(1000000)
+    ).cast("bigint")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "asof_signup_event_id",
+        F.when(F.col("asof_signup_event_id").isNotNull(), gap).alias("gap_s"),
+    ).orderBy("event_id")

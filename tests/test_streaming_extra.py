@@ -1,0 +1,208 @@
+"""Streaming + engine extras: DynamoDB stream type (S2/S7), the
+Structured Streaming attachment (S1/F1), native stateful operators, and
+the HLL approx-distinct accuracy envelope."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_stream_consumer_spark.config import EngineConfig, StreamType
+from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+from kinesis_stream_consumer_spark.sources.records import DYNAMODB_RECORD_SCHEMA
+from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _t(spark, sf, name):
+    from kinesis_stream_consumer_spark.plans.queries import _t as t
+
+    return t(spark, sf, name)
+
+
+def noop(message, task):
+    return None
+
+
+# --- S2/S7: DynamoDB stream type --------------------------------------------
+
+
+def test_dynamodb_stream_records(spark, tmp_path):
+    """DynamoDB CDC records: NewImage JSON is the message
+    (useStreamEventRecordAsMessage, reference kinesis-processing.js:114)."""
+    ev = _t(spark, SF_SMOKE, "events").where(F.col("event_id") < 12)
+    records = ev.select(
+        F.concat(
+            F.lit("shardId-000000000000:"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ).alias("eventID"),
+        F.lit("1.1").alias("eventVersion"),
+        F.when(F.col("event_id") % 3 == 0, "INSERT").otherwise("MODIFY").alias(
+            "eventName"
+        ),
+        F.lit("aws:dynamodb").alias("eventSource"),
+        F.lit("arn:aws:dynamodb:us-west-2:1:table/T/stream/S").alias(
+            "eventSourceARN"
+        ),
+        F.lit("us-west-2").alias("awsRegion"),
+        F.struct(
+            F.to_json(F.struct(F.col("event_id").alias("id1"))).alias("Keys"),
+            F.to_json(
+                F.struct(
+                    F.col("event_id").alias("id1"),
+                    F.col("user_id").alias("k1"),
+                    F.col("event_type").alias("k2"),
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("n1"),
+                    F.col("event_id").alias("n2"),
+                )
+            ).alias("NewImage"),
+            F.lit(None).cast("string").alias("OldImage"),
+            F.lpad(F.col("event_id").cast("string"), 21, "0").alias(
+                "SequenceNumber"
+            ),
+            F.lit(100).cast("long").alias("SizeBytes"),
+            F.lit("NEW_AND_OLD_IMAGES").alias("StreamViewType"),
+        ).alias("dynamodb"),
+    )
+    cfg = EngineConfig(
+        stream_type=StreamType.dynamodb,
+        sequencing_per_key=True,
+        key_property_names=["k1", "k2"],
+        id_property_names=["id1"],
+        seq_no_property_names=["n1", "n2"],
+    )
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=str(tmp_path / "state"),
+        drq_path=str(tmp_path / "drq"),
+        dmq_path=str(tmp_path / "dmq"),
+        process_one_defs=[TaskDef("t1", noop)],
+    )
+    res = eng.process_batch(records, batch_id=1)
+    assert res.messages == 12 and res.fully_finalised == 12
+    rows = eng.state.read_all().collect()
+    assert all(r["streamConsumerId"].startswith("D|") for r in rows)
+    assert all(json.loads(r["tasks_json"])["t1"]["status"] == "Completed" for r in rows)
+
+
+# --- S1: streaming attachment ------------------------------------------------
+
+
+def test_streaming_attach_foreachbatch(spark, tmp_path):
+    """stream_records → attach → availableNow: 2 files ⇒ 2 micro-batches;
+    DMQ accumulates across batches, state holds the last batch per shard."""
+    from kinesis_stream_consumer_spark.sources import stream_records
+
+    ev = _t(spark, SF_SMOKE, "events")
+    for i in range(2):
+        batch = events_as_kinesis_records(
+            ev.where((F.col("event_id") >= i * 10) & (F.col("event_id") < (i + 1) * 10))
+        )
+        batch.coalesce(1).write.mode("append").json(str(tmp_path / "in"))
+
+    def rejector(message, task):
+        if message["k2"] == "error":
+            task.reject("error events rejected")
+
+    cfg = EngineConfig(
+        sequencing_per_key=True,
+        key_property_names=["k1", "k2"],
+        id_property_names=["id1"],
+        seq_no_property_names=["n1", "n2"],
+    )
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=str(tmp_path / "state"),
+        drq_path=str(tmp_path / "drq"),
+        dmq_path=str(tmp_path / "dmq"),
+        process_one_defs=[TaskDef("validate", rejector)],
+    )
+    q = eng.attach(
+        stream_records(spark, str(tmp_path / "in")), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    n_err = ev.where(
+        (F.col("event_id") < 20) & (F.col("event_type") == "error")
+    ).count()
+    dmq = spark.read.parquet(str(tmp_path / "dmq"))
+    assert dmq.count() == n_err
+    assert set(dmq.select("ver").distinct().toPandas()["ver"]) == {"DM|K|2.0"}
+
+
+# --- Native stateful operator ------------------------------------------------
+
+
+def test_running_user_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-user cumulative stats across
+    micro-batches; totals after the last batch equal the batch-free
+    groupBy."""
+    from kinesis_stream_consumer_spark.streaming.stateful import running_user_stats
+
+    ev = _t(spark, SF_SMOKE, "events").where(F.col("event_id") < 200)
+    for i in range(2):
+        (
+            ev.where((F.col("event_id") >= i * 100) & (F.col("event_id") < (i + 1) * 100))
+            .coalesce(1)
+            .write.mode("append")
+            .json(str(tmp_path / "in"))
+        )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user = cumulative totals
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, ROUND(sum_value, 2) AS sum_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY batch_seen DESC, n_events DESC) rn
+          FROM running_stats
+        ) WHERE rn = 1
+        """
+    )
+    expected = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
+
+
+# --- HLL approx-distinct accuracy -------------------------------------------
+
+
+def test_approx_distinct_rsd_bound(spark):
+    from kinesis_stream_consumer_spark.plans import QUERIES
+
+    approx = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in QUERIES["agg_approx_distinct"].fn(spark, SF_CORRECT).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in _t(spark, SF_CORRECT, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for prio, n in exact.items():
+        assert abs(approx[prio] - n) / n < 0.08, (prio, approx[prio], n)
