@@ -199,7 +199,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         sign_projection_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)  # compute the 8 projections once, not per join side
     a, b = buck.alias("a"), buck.alias("b")
     return (
         a.join(

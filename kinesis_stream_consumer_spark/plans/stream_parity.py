@@ -287,25 +287,19 @@ def ingest_usable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_replayed_batch",
     """
     WITH replayed AS (
-      SELECT * FROM events WHERE event_id < 5000
+      SELECT *, 1 AS src FROM events WHERE event_id < 5000
       UNION ALL
-      SELECT * FROM events WHERE event_id < 2500   -- partial replay of the batch
+      SELECT *, 2 AS src FROM events WHERE event_id < 2500  -- partial replay
     ),
     identified AS (
-      SELECT *, md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
-                    || '|' || props) AS msg_md5
+      SELECT src, md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+                      || '|' || props) AS msg_md5
       FROM replayed
-    ),
-    deduped AS (
-      SELECT * FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY msg_md5 ORDER BY event_id) AS rn
-        FROM identified
-      ) WHERE rn = 1
     )
-    SELECT COUNT(*) AS n_delivered,
-           (SELECT COUNT(*) FROM deduped) AS n_unique,
-           (SELECT COUNT(*) FROM events WHERE event_id < 5000) AS n_expected
-    FROM replayed
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_delivered,
+           CAST(COUNT(DISTINCT msg_md5) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_expected
+    FROM identified
     """,
     doc="Reference D1: at-least-once delivery + idempotent re-execution — a "
     "replayed batch must not double-process; identity = md5 over "
@@ -314,10 +308,12 @@ def ingest_usable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_replayed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    batch = ev.where(F.col("event_id") < 5000)
-    replayed = batch.unionByName(ev.where(F.col("event_id") < 2500))
-    identified = replayed.withColumn(
-        "msg_md5",
+    batch = ev.where(F.col("event_id") < 5000).withColumn("src", F.lit(1))
+    replayed = batch.unionByName(
+        ev.where(F.col("event_id") < 2500).withColumn("src", F.lit(2))
+    )
+    identified = replayed.select(
+        "src",
         F.md5(
             F.concat_ws(
                 "|",
@@ -325,18 +321,15 @@ def dedup_replayed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("user_id").cast("string"),
                 F.col("props"),
             ).cast("binary")
-        ),
+        ).alias("msg_md5"),
     )
-    deduped = identified.dropDuplicates(["msg_md5"])
-    return spark.createDataFrame(
-        [
-            (
-                replayed.count(),
-                deduped.count(),
-                batch.count(),
-            )
-        ],
-        "n_delivered long, n_unique long, n_expected long",
+    # ONE aggregate job (count + distinct + filtered count together) — the
+    # dedup itself is the count_distinct on the identity digest; no
+    # driver-side multi-job orchestration
+    return identified.agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.count_distinct("msg_md5").alias("n_unique"),
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0)).alias("n_expected"),
     )
 
 
