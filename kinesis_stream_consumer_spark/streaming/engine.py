@@ -124,6 +124,7 @@ class Engine:
         dmq_path: str,
         process_one_defs: Sequence[TaskDef] = (),
         process_all_defs: Sequence[TaskDef] = (),
+        resubmit_path: Optional[str] = None,
     ):
         from kinesis_stream_consumer_spark.session import ensure_package_on_workers
 
@@ -135,20 +136,39 @@ class Engine:
         self.dmq_path = dmq_path
         self.one_defs = list(process_one_defs)
         self.all_defs = list(process_all_defs)
+        self.resubmit_path = resubmit_path
 
     # --- phase 2a: processOne via per-chain ordered applyInPandas ----------
 
-    def _exec_fn(self) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    def _exec_fn(
+        self, deadline_epoch: Optional[float] = None
+    ) -> Callable[[pd.DataFrame], pd.DataFrame]:
         one_defs, all_defs = self.one_defs, self.all_defs
         one_names = [d.name for d in one_defs]
 
         def run_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+            import time as _time
+
             pdf = pdf.sort_values("seq_index")
             out_tasks: List[str] = []
             blocked = False
             for _, row in pdf.iterrows():
                 tasks = tk.init_tasks(row["prior_tasks_json"], one_defs, all_defs)
-                if not blocked:
+                # X5 timeout race: past the deadline, unfinished tasks become
+                # TimedOut (attempts reset at finalise), state still saved,
+                # batch fails ⇒ replay (test/kinesis-consumer.test.js:2884-3030)
+                timed_out = (
+                    deadline_epoch is not None and _time.time() >= deadline_epoch
+                )
+                if timed_out:
+                    for d in one_defs:
+                        st = tasks[d.name]
+                        statuses = [st["status"]] + [
+                            s["status"] for s in st.get("subtasks", {}).values()
+                        ]
+                        if not all(s in tk.FINALISED for s in statuses):
+                            st["status"] = tk.TIMED_OUT
+                elif not blocked:
                     try:
                         message = json.loads(row["data_str"])
                     except Exception:
@@ -253,8 +273,29 @@ class Engine:
 
     # --- the 3-phase batch lifecycle ---------------------------------------
 
-    def process_batch(self, records: DataFrame, batch_id: int = 0) -> BatchResult:
+    def process_batch(
+        self,
+        records: DataFrame,
+        batch_id: int = 0,
+        remaining_time_ms: Optional[float] = None,
+    ) -> BatchResult:
+        """Run the 3-phase lifecycle on one batch of records.
+
+        ``remaining_time_ms`` is the X5 analogue of Lambda's
+        getRemainingTimeInMillis: the processing phase gets
+        ``timeout_at_percentage_of_remaining_time`` × that budget; past the
+        deadline, unfinished tasks become TimedOut (attempts reset), state
+        is still saved, and the batch fails for replay.
+        """
+        import time as _time
+
         cfg = self.config
+        deadline = (
+            _time.time()
+            + cfg.timeout_at_percentage_of_remaining_time * remaining_time_ms / 1000.0
+            if remaining_time_ms is not None
+            else None
+        )
         n_records = records.count()
 
         # ---- Phase 1: initiate -------------------------------------------
@@ -302,10 +343,16 @@ class Engine:
             "left",
         ).drop("_pid")
 
+        # F3 hook: preProcessBatch (kinesis-processing.js:292-298)
+        if cfg.pre_process_batch is not None:
+            maybe = cfg.pre_process_batch(revived, self)
+            if maybe is not None:
+                revived = maybe
+
         # ---- Phase 2: process --------------------------------------------
         executed = (
             revived.groupBy("chain_key")
-            .applyInPandas(self._exec_fn(), schema=_EXEC_SCHEMA)
+            .applyInPandas(self._exec_fn(deadline), schema=_EXEC_SCHEMA)
         )
 
         # summary flag for processAll scoping (incompleteMessages, X2):
@@ -333,6 +380,9 @@ class Engine:
         )
 
         # ---- Phase 3: finalise -------------------------------------------
+        # F3 hook: preFinaliseBatch
+        if cfg.pre_finalise_batch is not None:
+            cfg.pre_finalise_batch(finalised, self)
         tag = "K" if cfg.stream_type == StreamType.kinesis else "D"
         unusable = ing.unusable.localCheckpoint(eager=True)
         n_unusable = unusable.count()
@@ -403,7 +453,32 @@ class Engine:
             discarded_to_drq=n_unusable,
             incomplete=n_incomplete,
         )
+        # F3 hook: postFinaliseBatch
+        if cfg.post_finalise_batch is not None:
+            cfg.post_finalise_batch(result, self)
         if n_incomplete:
+            # F2: in unsequenced mode with a resubmit sink configured,
+            # incomplete messages are resubmitted to the source instead of
+            # failing the whole batch (test titles
+            # kinesis-consumer.unseq.test.js:1521,1867,2911,3063) — ordering
+            # doesn't matter there, so replaying only stragglers is safe.
+            if (
+                not cfg.sequencing_required
+                and self.resubmit_path is not None
+            ):
+                from kinesis_stream_consumer_spark.sources.records import (
+                    KINESIS_RECORD_SCHEMA,
+                )
+
+                incomplete_records = (
+                    finalised.where(F.col("incomplete"))
+                    .select(
+                        F.from_json("record_json", KINESIS_RECORD_SCHEMA).alias("r")
+                    )
+                    .select("r.*")
+                )
+                incomplete_records.write.mode("append").json(self.resubmit_path)
+                return result
             raise BatchReplayError(result)  # F1: fail ⇒ source replays batch
         return result
 

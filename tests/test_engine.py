@@ -356,3 +356,84 @@ def test_kpl_encoded_pipeline(spark, tmp_path):
         for r in eng.state.read_all().select("event_sub_seq_no").collect()
     }
     assert subseqs == {0, 1, 2, 3, None}
+
+
+def test_timeout_race_marks_timed_out(spark, tmp_path):
+    """X5: past the deadline, unfinished tasks become TimedOut; attempts
+    reset at finalise (test/kinesis-consumer.test.js:2884-3030,2985-2988);
+    state saved; batch fails for replay."""
+    import time as _t
+
+    def slowish(message, task):
+        _t.sleep(0.05)
+
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", slowish)])
+    with pytest.raises(BatchReplayError):
+        # 1ms budget: deadline passes before any task runs
+        eng.process_batch(records_df(spark, 10), batch_id=1, remaining_time_ms=1)
+    states = tasks_of(eng)
+    assert len(states) == 10
+    for t in states.values():
+        assert t["t1"]["status"] == "TimedOut"
+        assert t["t1"]["attempts"] == 0  # X4: TimedOut does not count
+
+    # replay with a real budget: everything completes with attempts == 1
+    res = eng.process_batch(records_df(spark, 10), batch_id=2)
+    assert res.fully_finalised == 10
+    for t in tasks_of(eng).values():
+        assert t["t1"]["status"] == "Completed" and t["t1"]["attempts"] == 1
+
+
+def test_resubmit_incomplete_unsequenced(spark, tmp_path):
+    """F2: unsequenced mode + resubmit sink ⇒ incomplete messages are
+    resubmitted to the source instead of failing the batch
+    (kinesis-consumer.unseq.test.js:1521,2911)."""
+    def flaky(message, task):
+        if message["id1"] == 3:
+            raise RuntimeError("transient")
+
+    eng = make_engine(
+        spark,
+        tmp_path,
+        one_defs=[TaskDef("t1", flaky)],
+        sequencing_required=False,
+        sequencing_per_key=False,
+        key_property_names=[],
+        seq_no_property_names=[],
+    )
+    eng.resubmit_path = str(tmp_path / "resubmit")
+    res = eng.process_batch(records_df(spark, 10), batch_id=1)  # no raise
+    assert res.incomplete == 1
+    resub = spark.read.json(str(tmp_path / "resubmit"))
+    assert resub.count() == 1
+    # the resubmitted record is a well-formed Kinesis record and reprocesses
+    from kinesis_stream_consumer_spark.sources.records import KINESIS_RECORD_SCHEMA
+
+    rec2 = spark.read.schema(KINESIS_RECORD_SCHEMA).json(str(tmp_path / "resubmit"))
+    eng2 = make_engine(
+        spark,
+        tmp_path,
+        one_defs=[TaskDef("t1", noop)],
+        sequencing_required=False,
+        sequencing_per_key=False,
+        key_property_names=[],
+        seq_no_property_names=[],
+    )
+    res2 = eng2.process_batch(rec2, batch_id=2)
+    assert res2.messages == 1 and res2.fully_finalised == 1
+
+
+def test_hooks_fire(spark, tmp_path):
+    """F3: pre/post hooks around the batch (kinesis-processing.js:292-298)."""
+    calls = []
+
+    eng = make_engine(
+        spark,
+        tmp_path,
+        one_defs=[TaskDef("t1", noop)],
+        pre_process_batch=lambda df, e: calls.append("pre_process"),
+        pre_finalise_batch=lambda df, e: calls.append("pre_finalise"),
+        post_finalise_batch=lambda result, e: calls.append(("post", result.messages)),
+    )
+    eng.process_batch(records_df(spark, 5), batch_id=1)
+    assert calls == ["pre_process", "pre_finalise", ("post", 5)]
