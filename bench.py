@@ -58,6 +58,43 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         del n
 
+    # engine throughput: full consumer lifecycle (ingest→sequence→tasks→
+    # state→DLQ) over the first 20k events, per-key sequencing
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.plans.queries import _t
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+    from kinesis_stream_consumer_spark.streaming.tasks import TaskRejectedError
+
+    def validate(message, task):
+        if message["k2"] == "error":
+            raise TaskRejectedError("error events rejected")
+
+    ev = _t(spark, SF_DIR, "events").where(F.col("event_id") < 20000)
+    recs = events_as_kinesis_records(ev).localCheckpoint(eager=True)
+    n_msgs = recs.count()
+    tmp = tempfile.mkdtemp(prefix="ksc-bench-")
+    eng = Engine(
+        spark,
+        EngineConfig(
+            sequencing_per_key=True,
+            key_property_names=["k1", "k2"],
+            id_property_names=["id1"],
+            seq_no_property_names=["n1", "n2"],
+        ),
+        f"{tmp}/state",
+        f"{tmp}/drq",
+        f"{tmp}/dmq",
+        [TaskDef("validate", validate)],
+    )
+    t0 = time.perf_counter()
+    eng.process_batch(recs, 1)
+    engine_sec = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -69,6 +106,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "engine": {
+            "messages": n_msgs,
+            "sec": engine_sec,
+            "msgs_per_sec": round(n_msgs / engine_sec, 1),
+        },
     }
     print(json.dumps(out))
 

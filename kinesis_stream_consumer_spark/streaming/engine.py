@@ -140,53 +140,94 @@ class Engine:
 
     # --- phase 2a: processOne via per-chain ordered applyInPandas ----------
 
-    def _exec_fn(
-        self, deadline_epoch: Optional[float] = None
-    ) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    def _make_message_executor(self, deadline_epoch: Optional[float]):
+        """(prior_json, data_str, blocked) → (tasks_json, one_incomplete).
+        The shared X1/X5/D1 per-message execution core, closed over
+        picklable state only."""
         one_defs, all_defs = self.one_defs, self.all_defs
         one_names = [d.name for d in one_defs]
 
-        def run_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        def execute_message(prior_json, data_str, blocked):
             import time as _time
 
+            tasks = tk.init_tasks(prior_json, one_defs, all_defs)
+            # X5 timeout race: past the deadline, unfinished tasks become
+            # TimedOut (attempts reset at finalise), state still saved,
+            # batch fails ⇒ replay (test/kinesis-consumer.test.js:2884-3030)
+            timed_out = (
+                deadline_epoch is not None and _time.time() >= deadline_epoch
+            )
+            if timed_out:
+                for d in one_defs:
+                    st = tasks[d.name]
+                    statuses = [st["status"]] + [
+                        s["status"] for s in st.get("subtasks", {}).values()
+                    ]
+                    if not all(s in tk.FINALISED for s in statuses):
+                        st["status"] = tk.TIMED_OUT
+            elif not blocked:
+                try:
+                    message = json.loads(data_str)
+                except Exception:
+                    message = {}
+                for d in one_defs:
+                    tk.execute_one_task(tasks[d.name], d, message)
+            one_part = {n: tasks[n] for n in one_names if n in tasks}
+            return tk.dumps(tasks), tk.is_incomplete(one_part)
+
+        return execute_message
+
+    def _exec_fn(
+        self, deadline_epoch: Optional[float] = None
+    ) -> Callable[[pd.DataFrame], pd.DataFrame]:
+        execute_message = self._make_message_executor(deadline_epoch)
+
+        def run_chain(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("seq_index")
             out_tasks: List[str] = []
             blocked = False
-            for _, row in pdf.iterrows():
-                tasks = tk.init_tasks(row["prior_tasks_json"], one_defs, all_defs)
-                # X5 timeout race: past the deadline, unfinished tasks become
-                # TimedOut (attempts reset at finalise), state still saved,
-                # batch fails ⇒ replay (test/kinesis-consumer.test.js:2884-3030)
-                timed_out = (
-                    deadline_epoch is not None and _time.time() >= deadline_epoch
+            # zip over plain lists, not iterrows — per-row Series
+            # construction dominates at 10^5+ messages per partition
+            for prior_json, data_str in zip(
+                pdf["prior_tasks_json"].tolist(), pdf["data_str"].tolist()
+            ):
+                tasks_json, one_incomplete = execute_message(
+                    prior_json, data_str, blocked
                 )
-                if timed_out:
-                    for d in one_defs:
-                        st = tasks[d.name]
-                        statuses = [st["status"]] + [
-                            s["status"] for s in st.get("subtasks", {}).values()
-                        ]
-                        if not all(s in tk.FINALISED for s in statuses):
-                            st["status"] = tk.TIMED_OUT
-                elif not blocked:
-                    try:
-                        message = json.loads(row["data_str"])
-                    except Exception:
-                        message = {}
-                    for d in one_defs:
-                        tk.execute_one_task(tasks[d.name], d, message)
                 # X1 chain blocking: an incomplete message blocks its chain
                 # successors (implied by Q3/Q4 + firstMessagesToProcess,
                 # test/kinesis-consumer.test.js:505)
-                one_part = {n: tasks[n] for n in one_names if n in tasks}
-                if tk.is_incomplete(one_part):
+                if one_incomplete:
                     blocked = True
-                out_tasks.append(tk.dumps(tasks))
+                out_tasks.append(tasks_json)
             out = pdf[_PASS_COLS].copy()
             out["tasks_json"] = out_tasks
             return out
 
         return run_chain
+
+    def _exec_map_fn(
+        self, deadline_epoch: Optional[float] = None
+    ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+        """Q5 unsequenced fast path: every message is its own chain, so no
+        ordering and no blocking — mapInPandas over the scan partitions,
+        ZERO shuffle (the per-chain path would shuffle on chain_key just to
+        build 1-row groups)."""
+        execute_message = self._make_message_executor(deadline_epoch)
+
+        def run_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_tasks = [
+                    execute_message(prior_json, data_str, False)[0]
+                    for prior_json, data_str in zip(
+                        pdf["prior_tasks_json"].tolist(), pdf["data_str"].tolist()
+                    )
+                ]
+                out = pdf[_PASS_COLS].copy()
+                out["tasks_json"] = out_tasks
+                yield out
+
+        return run_rows
 
     # --- phase 2b/2c: processAll master + finalise-merge -------------------
 
@@ -223,9 +264,11 @@ class Engine:
 
         def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                rows = []
-                for _, row in pdf.iterrows():
-                    tasks = json.loads(row["tasks_json"])
+                out_tasks, out_ff, out_rej, out_inc, out_reason = [], [], [], [], []
+                for tasks_json, ident in zip(
+                    pdf["tasks_json"].tolist(), pdf["identity"].tolist()
+                ):
+                    tasks = json.loads(tasks_json)
                     # X2 scope: incompleteMessages = not fully finalised
                     # before processAll fan-out (replayed fully-done
                     # messages are skipped — D1)
@@ -240,7 +283,7 @@ class Engine:
                         if all(s in tk.FINALISED for s in statuses):
                             continue  # idempotent resume (D1)
                         slave["attempts"] += 1
-                        ov = overrides.get(row["identity"])
+                        ov = overrides.get(ident)
                         if ov is not None:
                             slave["status"], slave["reason"] = ov[0], ov[1]
                         else:
@@ -248,26 +291,28 @@ class Engine:
                             slave["error"] = error
                             slave["reason"] = reason
                     tk.apply_finalise_rules(tasks, max_attempts)
-                    reason_rejected = next(
-                        (
-                            node.get("reason")
-                            for st in tasks.values()
-                            for node in [st, *st.get("subtasks", {}).values()]
-                            if node["status"] in tk.FULLY_FINALISED_TERMINAL
-                        ),
-                        None,
+                    out_reason.append(
+                        next(
+                            (
+                                node.get("reason")
+                                for st in tasks.values()
+                                for node in [st, *st.get("subtasks", {}).values()]
+                                if node["status"] in tk.FULLY_FINALISED_TERMINAL
+                            ),
+                            None,
+                        )
                     )
-                    rows.append(
-                        {
-                            **{c: row[c] for c in _PASS_COLS},
-                            "tasks_json": tk.dumps(tasks),
-                            "fully_finalised": tk.is_fully_finalised(tasks),
-                            "rejectedish": tk.is_rejectedish(tasks),
-                            "incomplete": tk.is_incomplete(tasks),
-                            "reason_rejected": reason_rejected,
-                        }
-                    )
-                yield pd.DataFrame(rows, columns=[f.name for f in _FINAL_SCHEMA.fields])
+                    out_tasks.append(tk.dumps(tasks))
+                    out_ff.append(tk.is_fully_finalised(tasks))
+                    out_rej.append(tk.is_rejectedish(tasks))
+                    out_inc.append(tk.is_incomplete(tasks))
+                out = pdf[_PASS_COLS].copy()
+                out["tasks_json"] = out_tasks
+                out["fully_finalised"] = out_ff
+                out["rejectedish"] = out_rej
+                out["incomplete"] = out_inc
+                out["reason_rejected"] = out_reason
+                yield out
 
         return merge
 
@@ -318,19 +363,24 @@ class Engine:
             else F.concat(F.lit("S|"), F.col("shard_id"))
         )
         seqd = seqd.withColumn("shardOrEventID", shard_or_event)
-        shards = [r[0] for r in seqd.select("shardOrEventID").distinct().collect()]
-        u_shards = [
-            r[0]
-            for r in ing.unusable.select(
-                F.concat(F.lit("S|"), F.col("shard_id"))
-            ).distinct().collect()
-        ]
+        # one job for both shard sets (batch-key resolution I4)
+        shard_rows = (
+            seqd.select("shardOrEventID")
+            .unionByName(
+                ing.unusable.select(
+                    F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID")
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        shards = {r[0] for r in shard_rows}
 
         # T1 load + T2 revive: broadcast the (small) prior-state slice into
         # the messages — one partition-pruned scan per batch, like the
         # reference's single DynamoDB get.
         prior = self.state.load(
-            cfg.stream_consumer_id, set(shards) | set(u_shards) or None
+            cfg.stream_consumer_id, shards or None
         ).where(F.col("kind").isin("message", "rejected"))
         revived = seqd.join(
             F.broadcast(
@@ -350,10 +400,15 @@ class Engine:
                 revived = maybe
 
         # ---- Phase 2: process --------------------------------------------
-        executed = (
-            revived.groupBy("chain_key")
-            .applyInPandas(self._exec_fn(deadline), schema=_EXEC_SCHEMA)
-        )
+        if cfg.sequencing_required:
+            executed = revived.groupBy("chain_key").applyInPandas(
+                self._exec_fn(deadline), schema=_EXEC_SCHEMA
+            )
+        else:
+            # Q5: no ordering ⇒ no shuffle — map straight over the scan
+            executed = revived.mapInPandas(
+                self._exec_map_fn(deadline), schema=_EXEC_SCHEMA
+            )
 
         # summary flag for processAll scoping (incompleteMessages, X2):
         # a message is in scope unless its whole task tree is terminal
@@ -369,8 +424,11 @@ class Engine:
         executed = executed.withColumn(
             "_one_fully_finalised", _one_ff(F.col("tasks_json"))
         ).localCheckpoint(eager=True)
-        n_messages = executed.count()
-        n_incomplete_scope = executed.where(~F.col("_one_fully_finalised")).count()
+        n_messages, n_incomplete_scope = executed.agg(
+            F.count(F.lit(1)),
+            F.sum(F.when(~F.col("_one_fully_finalised"), 1).otherwise(0)),
+        ).first()
+        n_incomplete_scope = n_incomplete_scope or 0
 
         all_results = self._run_process_all(executed, n_incomplete_scope)
         finalised = (
@@ -392,7 +450,15 @@ class Engine:
                 self.drq_path,
             )
         rejected = finalised.where(F.col("rejectedish"))
-        n_rejected = rejected.count()
+        # one aggregate job for all three finalise counters
+        counts = finalised.agg(
+            F.sum(F.when(F.col("rejectedish"), 1).otherwise(0)),
+            F.sum(F.when(F.col("fully_finalised"), 1).otherwise(0)),
+            F.sum(F.when(F.col("incomplete"), 1).otherwise(0)),
+        ).first()
+        n_rejected = counts[0] or 0
+        n_fully_finalised = counts[1] or 0
+        n_incomplete = counts[2] or 0
         if n_rejected:
             append_to_queue(
                 dead_message_envelopes(rejected, cfg.stream_consumer_id, tag),
@@ -442,13 +508,12 @@ class Engine:
         if n_messages or n_unusable:
             self.state.save(msg_states.unionByName(unusable_states))
 
-        n_incomplete = finalised.where(F.col("incomplete")).count()
         result = BatchResult(
             batch_id=batch_id,
             records=n_records,
             messages=n_messages,
             unusable=n_unusable,
-            fully_finalised=finalised.where(F.col("fully_finalised")).count(),
+            fully_finalised=n_fully_finalised,
             rejected_to_dmq=n_rejected,
             discarded_to_drq=n_unusable,
             incomplete=n_incomplete,
