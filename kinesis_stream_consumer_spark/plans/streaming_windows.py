@@ -109,3 +109,45 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "streaming_sliding_window",
+    f"""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS tb, event_type, value FROM events
+    ),
+    expanded AS (
+      SELECT unnest([tb, tb - INTERVAL 30 MINUTE]) AS window_start, event_type, value
+      FROM buckets
+    )
+    SELECT strftime(window_start, '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Sliding windows (1h length, 30m slide): every event lands in 2 "
+    "overlapping windows — Spark expands via the window() generator before "
+    "one hash aggregation. Oracle reproduces the expansion with "
+    "unnest([bucket, bucket − slide]). At scale the fan-out factor is "
+    "length/slide; partial aggregation still combines map-side.",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withWatermark("ts", "10 minutes")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
