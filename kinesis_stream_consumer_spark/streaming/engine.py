@@ -179,32 +179,44 @@ class Engine:
 
     def _exec_fn(
         self, deadline_epoch: Optional[float] = None
-    ) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+        """Ordered per-chain execution as a STREAMING mapInPandas over
+        partitions hash-partitioned by chain_key and sorted by
+        (chain_key, seq_index). Unlike groupBy().applyInPandas — which
+        materializes each chain as one pandas DataFrame — this processes
+        Arrow batches incrementally, so a giant chain (per-shard mode, the
+        reference's own serialization hazard) streams through bounded
+        memory instead of OOMing. Chain-blocking state is a per-chain
+        boolean carried across batch boundaries."""
         execute_message = self._make_message_executor(deadline_epoch)
 
-        def run_chain(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("seq_index")
-            out_tasks: List[str] = []
-            blocked = False
-            # zip over plain lists, not iterrows — per-row Series
-            # construction dominates at 10^5+ messages per partition
-            for prior_json, data_str in zip(
-                pdf["prior_tasks_json"].tolist(), pdf["data_str"].tolist()
-            ):
-                tasks_json, one_incomplete = execute_message(
-                    prior_json, data_str, blocked
-                )
-                # X1 chain blocking: an incomplete message blocks its chain
-                # successors (implied by Q3/Q4 + firstMessagesToProcess,
-                # test/kinesis-consumer.test.js:505)
-                if one_incomplete:
-                    blocked = True
-                out_tasks.append(tasks_json)
-            out = pdf[_PASS_COLS].copy()
-            out["tasks_json"] = out_tasks
-            return out
+        def run_sorted_partition(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            blocked: Dict[str, bool] = {}
+            for pdf in batches:
+                out_tasks: List[str] = []
+                # zip over plain lists, not iterrows — per-row Series
+                # construction dominates at 10^5+ messages per partition
+                for chain, prior_json, data_str in zip(
+                    pdf["chain_key"].tolist(),
+                    pdf["prior_tasks_json"].tolist(),
+                    pdf["data_str"].tolist(),
+                ):
+                    tasks_json, one_incomplete = execute_message(
+                        prior_json, data_str, blocked.get(chain, False)
+                    )
+                    # X1 chain blocking: an incomplete message blocks its
+                    # chain successors (implied by Q3/Q4 +
+                    # firstMessagesToProcess, test/kinesis-consumer.test.js:505)
+                    if one_incomplete:
+                        blocked[chain] = True
+                    out_tasks.append(tasks_json)
+                out = pdf[_PASS_COLS].copy()
+                out["tasks_json"] = out_tasks
+                yield out
 
-        return run_chain
+        return run_sorted_partition
 
     def _exec_map_fn(
         self, deadline_epoch: Optional[float] = None
@@ -401,8 +413,11 @@ class Engine:
 
         # ---- Phase 2: process --------------------------------------------
         if cfg.sequencing_required:
-            executed = revived.groupBy("chain_key").applyInPandas(
-                self._exec_fn(deadline), schema=_EXEC_SCHEMA
+            # co-locate each chain, order within partition, stream batches
+            executed = (
+                revived.repartition("chain_key")
+                .sortWithinPartitions("chain_key", "seq_index")
+                .mapInPandas(self._exec_fn(deadline), schema=_EXEC_SCHEMA)
             )
         else:
             # Q5: no ordering ⇒ no shuffle — map straight over the scan
