@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the invariant-heavy corners:
+the sequencing sort-key encoding and the KPL aggregate codec."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis_stream_consumer_spark.sources.kpl import (
+    kpl_aggregate,
+    kpl_deaggregate,
+)
+
+# --- KPL codec: encode ∘ decode == identity ---------------------------------
+
+pk = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), min_size=1, max_size=40
+)
+payload = st.binary(min_size=0, max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(pk, payload), min_size=1, max_size=20))
+def test_kpl_roundtrip_property(urs):
+    out = kpl_deaggregate(kpl_aggregate(urs))
+    assert [(u["partitionKey"], u["data"]) for u in out] == urs
+    assert [u["subSequenceNumber"] for u in out] == list(range(len(urs)))
+
+
+# --- Sort-key encoding: encoded order == semantic order ----------------------
+# The engine encodes each seqNo part into one sortable string
+# (streaming/sequencing.py). Property: for values of the same SortType,
+# lexicographic order of encodings == semantic order of values. Verified
+# via Spark once per type class over hypothesis-generated batches.
+
+
+def _encoded(spark, values):
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.streaming.sequencing import encode_part
+
+    df = spark.createDataFrame([(str(v),) for v in values], "part string")
+    rows = df.select(F.col("part"), encode_part(F.col("part")).alias("enc")).collect()
+    return {r["part"]: r["enc"] for r in rows}
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_number_encoding_orders_like_numbers(spark, xs):
+    vals = [f"{x:.4f}" for x in xs]
+    enc = _encoded(spark, vals)
+    semantic = sorted(vals, key=lambda v: float(v))
+    lexicographic = sorted(vals, key=lambda v: enc[v])
+    assert semantic == lexicographic
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=10**16, max_value=10**56 - 1),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_bigint_encoding_orders_like_integers(spark, xs):
+    vals = [str(x) for x in xs]
+    enc = _encoded(spark, vals)
+    assert sorted(vals, key=lambda v: int(v)) == sorted(vals, key=lambda v: enc[v])
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1990, 1, 1), max_value=dt.datetime(2030, 1, 1)
+        ),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_datetime_encoding_orders_like_timestamps(spark, xs):
+    vals = [x.strftime("%Y-%m-%dT%H:%M:%S.%f") for x in xs]
+    enc = _encoded(spark, vals)
+    assert sorted(vals) == sorted(vals, key=lambda v: enc[v])
+
+
+def test_mixed_type_tags_keep_classes_apart(spark):
+    """Type tags partition the encoding space: dates < numbers < strings
+    never interleave (deterministic cross-type ordering for the rare
+    mixed-position case the reference tolerates)."""
+    enc = _encoded(
+        spark, ["2020-01-02", "123.5", "20000000000000000000002", "zebra"]
+    )
+    assert enc["2020-01-02"].startswith("T")
+    assert enc["123.5"].startswith("N")
+    assert enc["20000000000000000000002"].startswith("N")
+    assert enc["zebra"].startswith("S")
