@@ -428,29 +428,35 @@ class Engine:
         # summary flag for processAll scoping (incompleteMessages, X2):
         # a message is in scope unless its whole task tree is terminal
 
-        @F.udf("boolean")
-        def _one_ff(tj):
-            return tk.is_fully_finalised(json.loads(tj))
+        if self.all_defs:
+            # processAll needs the materialized post-processOne batch as its
+            # scope (incompleteMessages, X2) — one extra checkpoint + agg
+            @F.udf("boolean")
+            def _one_ff(tj):
+                return tk.is_fully_finalised(json.loads(tj))
+
+            executed = executed.withColumn(
+                "_one_fully_finalised", _one_ff(F.col("tasks_json"))
+            ).localCheckpoint(eager=True)
+            n_incomplete_scope = (
+                executed.agg(
+                    F.sum(F.when(~F.col("_one_fully_finalised"), 1).otherwise(0))
+                ).first()[0]
+                or 0
+            )
+            all_results = self._run_process_all(executed, n_incomplete_scope)
+            executed = executed.drop("_one_fully_finalised")
+        else:
+            all_results = []
 
         # localCheckpoint severs lineage: the state save below overwrites the
         # parquet this plan's revive-join reads, so any later recomputation
         # would replay tasks against their own freshly-saved state (double
-        # attempts). Checkpointing freezes the executed batch first.
-        executed = executed.withColumn(
-            "_one_fully_finalised", _one_ff(F.col("tasks_json"))
+        # attempts). Checkpointing freezes the finalised batch first (and
+        # nothing downstream reads `executed` directly).
+        finalised = executed.mapInPandas(
+            self._finalise_fn(all_results), schema=_FINAL_SCHEMA
         ).localCheckpoint(eager=True)
-        n_messages, n_incomplete_scope = executed.agg(
-            F.count(F.lit(1)),
-            F.sum(F.when(~F.col("_one_fully_finalised"), 1).otherwise(0)),
-        ).first()
-        n_incomplete_scope = n_incomplete_scope or 0
-
-        all_results = self._run_process_all(executed, n_incomplete_scope)
-        finalised = (
-            executed.drop("_one_fully_finalised")
-            .mapInPandas(self._finalise_fn(all_results), schema=_FINAL_SCHEMA)
-            .localCheckpoint(eager=True)
-        )
 
         # ---- Phase 3: finalise -------------------------------------------
         # F3 hook: preFinaliseBatch
@@ -465,15 +471,17 @@ class Engine:
                 self.drq_path,
             )
         rejected = finalised.where(F.col("rejectedish"))
-        # one aggregate job for all three finalise counters
+        # one aggregate job for all finalise counters
         counts = finalised.agg(
+            F.count(F.lit(1)),
             F.sum(F.when(F.col("rejectedish"), 1).otherwise(0)),
             F.sum(F.when(F.col("fully_finalised"), 1).otherwise(0)),
             F.sum(F.when(F.col("incomplete"), 1).otherwise(0)),
         ).first()
-        n_rejected = counts[0] or 0
-        n_fully_finalised = counts[1] or 0
-        n_incomplete = counts[2] or 0
+        n_messages = counts[0]
+        n_rejected = counts[1] or 0
+        n_fully_finalised = counts[2] or 0
+        n_incomplete = counts[3] or 0
         if n_rejected:
             append_to_queue(
                 dead_message_envelopes(rejected, cfg.stream_consumer_id, tag),
