@@ -564,3 +564,44 @@ def join_asof_prior_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_signup_event_id",
         F.when(F.col("asof_signup_event_id").isNotNull(), gap).alias("gap_s"),
     ).orderBy("event_id")
+
+
+# --- Pandas UDAF surface (vectorized grouped aggregation) -------------------
+
+@register(
+    "udaf_weighted_avg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="User-defined aggregate via Arrow-batched grouped-agg pandas_udf — "
+    "the engine's UDAF surface (reference analogue: processAll aggregation "
+    "over a batch, X2). Arrow transfers whole column batches; the numpy "
+    "body is vectorized. For scale: grouped-agg pandas UDFs don't do "
+    "partial aggregation, so the shuffle carries raw rows — prefer "
+    "built-ins when expressible (q1); this query exists to pin the "
+    "UDAF path itself.",
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` stringifies
+    # type hints, so signature inference can't classify this as GROUPED_AGG
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_avg(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("weighted_avg_price")
+        )
+        .orderBy("l_returnflag")
+    )
