@@ -79,10 +79,12 @@ def brute_force_topk(
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (coarse quantization).
-    Centroids are broadcast; assignment is a map-side argmin — no shuffle
-    of the corpus."""
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (coarse
+    quantization; nprobe=1 for corpus indexing, >1 for multi-probe query
+    expansion — the standard IVF recall/cost knob). Centroids are
+    broadcast; assignment is a map-side top-n — no shuffle of the corpus."""
     c = centroids.select(
         F.col("cell_id"), F.col("centroid")
     )
@@ -96,7 +98,7 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
+        .where(F.col("rnk") <= nprobe)
         .drop("rnk", "sim")
     )
 
@@ -108,16 +110,19 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: score queries only against vectors in the query's cell.
-    The corpus⋈query join becomes an equi-join on cell_id (shuffle on a
-    small key space) instead of a cross product — the 100 TB path."""
+    """IVF search: score queries only against vectors in the query's
+    ``nprobe`` closest cells. The corpus⋈query join becomes an equi-join
+    on cell_id (shuffle on a small key space) instead of a cross product —
+    the 100 TB path; nprobe trades recall for the fraction of the corpus
+    touched (nprobe/n_cells)."""
     va = ivf_assign(vectors, centroids, id_col, vec_col).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("mvec"),
         F.col("cell_id"),
     )
-    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+    qa = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col("cell_id"),

@@ -491,7 +491,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_count_distinct (HyperLogLog++) per order priority — the "
     "sketch mergeable map-side, constant memory per group: the 100 TB "
     "cardinality-estimation path where count_distinct's exact shuffle "
-    "would dominate. Driver records rows-only; tests/test_relational_extra "
+    "would dominate. Driver records rows-only; tests/test_streaming_extra "
     "asserts the 2% rsd envelope vs the exact count.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
