@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "text_quality",
+    "llm_prep_pipeline",
     "sim_topk_bruteforce",
     "scalar_datetime_json",
     "streaming_tumbling_window",

@@ -519,3 +519,78 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
     return M.frame_sample_plan(media, 10).orderBy("media_id", "frame_index")
+
+
+# --- Composed training-data prep pipeline -----------------------------------
+
+@register(
+    "llm_prep_pipeline",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, source, lang, text,
+             len({_TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             LENGTH(text) AS n_chars,
+             len(list_filter({_TOKS.replace("text", "lower(text)")},
+                             t -> t IN {_EN_STOP})) AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT *,
+             FLOOR((0.5 * LEAST(n_tokens / 20.0, 1.0)
+                  + 0.5 * LEAST((FLOOR((n_stop / GREATEST(n_tokens, 1)) * 10000.0 + 0.5) / 10000.0) * 5.0, 1.0)
+                  - 0.25 * LEAST((FLOOR((n_punct / GREATEST(n_chars, 1)) * 10000.0 + 0.5) / 10000.0) * 5.0, 1.0))
+                  * 10000.0 + 0.5) / 10000.0 AS quality_score
+      FROM feats
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM scored
+        WHERE lang = 'en' AND quality_score >= 0.5
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           -- sum exact integer quality units, divide once: immune to
+           -- engine-specific double-summation order
+           FLOOR(SUM(CAST(FLOOR(quality_score * 10000.0 + 0.5) AS BIGINT))
+                 / COUNT(*) + 0.5) / 10000.0 AS avg_quality
+    FROM kept
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Composed training-data prep: quality-score filter → language "
+    "filter → exact-dedup keep-first (row_number over content digest) → "
+    "per-source token accounting. One declarative plan: Catalyst fuses the "
+    "scoring projections into the scan, the dedup window shuffles on the "
+    "digest (uniform), the final rollup combines map-side — the shape a "
+    "100 TB corpus prep job actually runs.",
+)
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        T.token_count(t).alias("n_tokens"),
+        T.quality_score(t).alias("quality_score"),
+    )
+    filtered = scored.where((F.col("lang") == "en") & (F.col("quality_score") >= 0.5))
+    w = Window.partitionBy(D.exact_digest(F.col("text"))).orderBy("doc_id")
+    kept = filtered.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    q_units = F.floor(F.col("quality_score") * 10000.0 + F.lit(0.5)).cast("long")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.floor(F.sum(q_units) / F.count(F.lit(1)) + F.lit(0.5)) / 10000.0
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
