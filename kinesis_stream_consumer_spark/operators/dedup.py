@@ -218,7 +218,10 @@ def minhash_lsh_candidate_pairs(
         .distinct()
     )
     # Verify each unique pair exactly once with true shingle Jaccard.
-    shsets = shingle_sets(df, text_col, id_col, k)
+    # Checkpoint: the shingle sets are read by BOTH sides of the pair join —
+    # materializing once halves the tokenize/shingle work and lets the two
+    # joins reuse the same in-memory blocks.
+    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
     return (
         pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
         .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))

@@ -106,6 +106,51 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched image resize via mapInPandas — decode/resize/encode is
+    a STUB (deterministic fake: digest-derived bytes tagged with the target
+    dims; a real PIL/libvips body slots into `fake_resize` unchanged in
+    shape). Payload-in/payload-out through Arrow is the real, tested
+    contract: binary columns survive the round trip and the output schema
+    carries the new dimensions as prunable metadata."""
+
+    def fake_resize(payload: bytes) -> bytes:
+        import hashlib
+
+        digest = hashlib.sha256(
+            payload + f"|{width}x{height}".encode()
+        ).digest()
+        return digest  # stand-in for re-encoded image bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fake_resize(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": resized,
+                    "n_bytes": [len(p) for p in resized],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """STUB plumbing for video frame sampling: emits one row per sampled
     frame index based on metadata only (duration unknown without a decoder,
