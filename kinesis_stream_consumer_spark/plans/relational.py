@@ -605,3 +605,40 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- Pivot (wide aggregation) -----------------------------------------------
+
+@register(
+    "agg_pivot",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY user_bucket
+    """,
+    doc="Pivot: long→wide event-type counts per user bucket via "
+    "groupBy().pivot(values=[…]).count(). Supplying the pivot values "
+    "explicitly matters at scale: without them Spark runs an extra "
+    "distinct scan just to discover the columns.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pivoted = (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return pivoted.select(
+        "user_bucket",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("click", "error", "purchase", "signup", "view")
+        ],
+    ).orderBy("user_bucket")
