@@ -206,3 +206,70 @@ def test_approx_distinct_rsd_bound(spark):
     }
     for prio, n in exact.items():
         assert abs(approx[prio] - n) / n < 0.08, (prio, approx[prio], n)
+
+
+# --- Batch keyed on eventID (reference batchKeyedOnEventID option) -----------
+
+
+def test_batch_keyed_on_event_id(spark, tmp_path):
+    """'E|<eventID>' batch keys (reference test/batch.test.js:123-152
+    eventID variant): state partitions per event instead of per shard."""
+    ev = _t(spark, SF_SMOKE, "events").where(F.col("event_id") < 6)
+    cfg = EngineConfig(
+        batch_keyed_on_event_id=True,
+        sequencing_per_key=True,
+        key_property_names=["k1", "k2"],
+        id_property_names=["id1"],
+        seq_no_property_names=["n1", "n2"],
+    )
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=str(tmp_path / "state"),
+        drq_path=str(tmp_path / "drq"),
+        dmq_path=str(tmp_path / "dmq"),
+        process_one_defs=[TaskDef("t1", noop)],
+    )
+    res = eng.process_batch(events_as_kinesis_records(ev), batch_id=1)
+    assert res.fully_finalised == 6
+    keys = {r["shardOrEventID"] for r in eng.state.read_all().collect()}
+    assert len(keys) == 6 and all(k.startswith("E|shardId-") for k in keys)
+
+
+# --- Streaming dedup with watermark ------------------------------------------
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate deliveries inside the
+    watermark interval are suppressed in a real streaming query — the
+    Spark-native half of the reference's D1 dedup story (state-table
+    revive covers cross-batch replays beyond the watermark)."""
+    ev = _t(spark, SF_SMOKE, "events").where(F.col("event_id") < 50)
+    # two files with overlapping rows = duplicate deliveries
+    ev.coalesce(1).write.mode("append").json(str(tmp_path / "in"))
+    ev.where(F.col("event_id") < 25).coalesce(1).write.mode("append").json(
+        str(tmp_path / "in")
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 50  # 75 delivered, 25 duplicates suppressed
+    assert out.select("event_id").distinct().count() == 50
