@@ -437,3 +437,65 @@ def test_hooks_fire(spark, tmp_path):
     )
     eng.process_batch(records_df(spark, 5), batch_id=1)
     assert calls == ["pre_process", "pre_finalise", ("post", 5)]
+
+
+def test_empty_batch(spark, tmp_path):
+    """Streaming triggers with no new data deliver empty micro-batches —
+    the lifecycle must no-op cleanly (no state write, no DLQ, no raise)."""
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", noop)])
+    res = eng.process_batch(records_df(spark, 0), batch_id=1)
+    assert res.records == 0 and res.messages == 0 and res.incomplete == 0
+    assert not (tmp_path / "state").exists()
+    assert not (tmp_path / "dmq").exists()
+
+
+def test_all_unusable_batch(spark, tmp_path):
+    """A batch of only garbage records (reference: batch key resolved from
+    the unusable records' shard) still discards to DRQ and checkpoints the
+    unusable states, then commits."""
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", noop)])
+    garbage = records_df(spark, 5, bad=5).where(
+        F.col("eventID").startswith("bad:")
+    )
+    res = eng.process_batch(garbage, batch_id=1)
+    assert res.records == 5 and res.messages == 0 and res.unusable == 5
+    assert res.incomplete == 0
+    drq = spark.read.parquet(str(tmp_path / "drq"))
+    assert drq.count() == 5
+    kinds = {r["kind"] for r in eng.state.read_all().collect()}
+    assert kinds == {"unusable"}
+
+
+def test_independent_consumers_share_state_table(spark, tmp_path):
+    """C2: N consumers per stream, isolated by streamConsumerId in the
+    shared state table (consumerId = function:stage, test/batch.test.js:88).
+    One consumer's failure must not disturb the other's checkpoint."""
+    def failing(message, task):
+        raise RuntimeError("consumer B is broken")
+
+    eng_a = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", noop)],
+                        function_name="consumerA")
+    eng_b = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", failing)],
+                        function_name="consumerB")
+    eng_a.process_batch(records_df(spark, 8), batch_id=1)
+    with pytest.raises(BatchReplayError):
+        eng_b.process_batch(records_df(spark, 8), batch_id=1)
+    state = eng_a.state.read_all()
+    by_consumer = {
+        r["streamConsumerId"]: r["n"]
+        for r in state.groupBy("streamConsumerId").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_consumer == {
+        "K|TestStream|consumerA:dev": 8,
+        "K|TestStream|consumerB:dev": 8,
+    }
+    # A's tasks all Completed; B's replay sees only B's Failed states
+    a_states = json.loads(
+        state.where(F.col("streamConsumerId").startswith("K|TestStream|consumerA"))
+        .first()["tasks_json"]
+    )
+    assert a_states["t1"]["status"] == "Completed"
+    res_a2 = eng_a.process_batch(records_df(spark, 8), batch_id=2)
+    assert res_a2.fully_finalised == 8  # replay skips, untouched by B
