@@ -642,3 +642,78 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("click", "error", "purchase", "signup", "view")
         ],
     ).orderBy("user_bucket")
+
+
+# --- Percentiles + argmax aggregates ----------------------------------------
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           ROUND(MAX(l_extendedprice), 2)                 AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (SQL percentile_cont semantics on "
+    "both engines). Exact percentiles sort per group; at 100 TB swap in "
+    "approx_percentile (t-digest, mergeable map-side) when ±ε is "
+    "acceptable — same query shape.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias(
+                "p95_price"
+            ),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_argmax",
+    """
+    SELECT r_name,
+           arg_max(n_name, nation_balance) AS richest_nation,
+           ROUND(MAX(nation_balance), 2)   AS top_balance
+    FROM (
+      SELECT r_name, n_name, SUM(c_acctbal) AS nation_balance
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    doc="max_by / arg_max: the value of one column at another's maximum — "
+    "avoids the join-back-to-max anti-pattern (two scans + a shuffle) with "
+    "a single mergeable aggregate.",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    nation_bal = (
+        cu.join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("c_acctbal").alias("nation_balance"))
+    )
+    return (
+        nation_bal.groupBy("r_name")
+        .agg(
+            F.max_by("n_name", "nation_balance").alias("richest_nation"),
+            F.round(F.max("nation_balance"), 2).alias("top_balance"),
+        )
+        .orderBy("r_name")
+    )
