@@ -187,9 +187,13 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
     else:
         flat = _flatten_kinesis(records, config)
 
-    decoded = flat.withColumn(
-        "data_str", F.unbase64(F.col("data_b64")).cast("string")
-    ).withColumn("parsed_ok", F.try_parse_json(F.col("data_str")).isNotNull())
+    # parse once: msg_json doubles as the validity signal (null ⇒ unusable)
+    # and the canonical serialization for the message MD5
+    decoded = (
+        flat.withColumn("data_str", F.unbase64(F.col("data_b64")).cast("string"))
+        .withColumn("msg_json", F.to_json(F.try_parse_json(F.col("data_str"))))
+        .withColumn("parsed_ok", F.col("msg_json").isNotNull())
+    )
 
     # I1 MD5 fingerprints + I3 canonical ids/keys/seqNos
     seq_no_names = list(config.seq_no_property_names)
@@ -221,11 +225,9 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
         "parsed_ok",
         F.md5(F.col("data_str").cast("binary")).alias("data_md5"),
         F.md5(F.col("record_json").cast("binary")).alias("rec_md5"),
-        F.md5(
-            F.coalesce(
-                F.to_json(F.try_parse_json(F.col("data_str"))), F.lit("")
-            ).cast("binary")
-        ).alias("msg_md5"),
+        F.md5(F.coalesce(F.col("msg_json"), F.lit("")).cast("binary")).alias(
+            "msg_md5"
+        ),
         _canonical(config.id_property_names).alias("id"),
         _canonical(config.key_property_names).alias("key"),
         seq_no_col.alias("seqNo"),
