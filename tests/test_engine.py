@@ -499,3 +499,54 @@ def test_independent_consumers_share_state_table(spark, tmp_path):
     assert a_states["t1"]["status"] == "Completed"
     res_a2 = eng_a.process_batch(records_df(spark, 8), batch_id=2)
     assert res_a2.fully_finalised == 8  # replay skips, untouched by B
+
+
+def test_subtask_failure_keeps_message_incomplete(spark, tmp_path):
+    """X3: sub-task states roll up — a failed sub-task keeps the message
+    incomplete even when the parent completed, and the whole task re-runs
+    on replay until the sub-task is terminal (README.md:55-60,128-144)."""
+    def with_subtask(message, task):
+        if message["id1"] == 4:
+            task.subtask("persist").fail("downstream store unavailable")
+        else:
+            task.subtask("persist").complete()
+
+    defs = [TaskDef("t1", with_subtask, sub_task_names=["persist"])]
+    eng = make_engine(spark, tmp_path, one_defs=defs)
+    with pytest.raises(BatchReplayError) as ei:
+        eng.process_batch(records_df(spark, 8), batch_id=1)
+    assert ei.value.result.incomplete == 1
+    t4 = tasks_of(eng)["id1:4"]["t1"]
+    assert t4["status"] == "Completed"           # parent finished
+    assert t4["subtasks"]["persist"]["status"] == "Failed"
+    ok = tasks_of(eng)["id1:5"]["t1"]
+    assert ok["subtasks"]["persist"]["status"] == "Completed"
+
+    # replay with the dependency healthy: whole task re-runs (attempts=2)
+    def healthy(message, task):
+        task.subtask("persist").complete()
+
+    eng2 = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("t1", healthy, sub_task_names=["persist"])]
+    )
+    res = eng2.process_batch(records_df(spark, 8), batch_id=2)
+    assert res.fully_finalised == 8
+    t4b = tasks_of(eng2)["id1:4"]["t1"]
+    assert t4b["subtasks"]["persist"]["status"] == "Completed"
+    assert t4b["attempts"] == 2
+    # untouched messages revived, not re-run
+    assert tasks_of(eng2)["id1:5"]["t1"]["attempts"] == 1
+
+
+def test_failed_discard_fails_batch(spark, tmp_path):
+    """D3/F1: failure to discard a rejected message must fail the batch
+    (reference test/kinesis-consumer.test.js:1160,2060) — the DMQ append
+    error propagates instead of being swallowed."""
+    def rejector(message, task):
+        task.reject("always rejected")
+
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", rejector)])
+    (tmp_path / "dmq").write_text("not a directory")  # sabotage the sink
+    with pytest.raises(Exception) as ei:
+        eng.process_batch(records_df(spark, 4), batch_id=1)
+    assert not isinstance(ei.value, BatchReplayError)  # a sink error, not F1
