@@ -194,15 +194,28 @@ class Engine:
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
             blocked: Dict[str, bool] = {}
+            last_identity: Dict[str, str] = {}
             for pdf in batches:
                 out_tasks: List[str] = []
+                keep: List[bool] = []
                 # zip over plain lists, not iterrows — per-row Series
                 # construction dominates at 10^5+ messages per partition
-                for chain, prior_json, data_str in zip(
+                for chain, ident, prior_json, data_str in zip(
                     pdf["chain_key"].tolist(),
+                    pdf["identity"].tolist(),
                     pdf["prior_tasks_json"].tolist(),
                     pdf["data_str"].tolist(),
                 ):
+                    # D1 within-batch dedup: duplicate deliveries share an
+                    # identity and sort adjacently in their chain (same sort
+                    # key) — process the first, drop the rest. Zero extra
+                    # shuffle (reference: dropDuplicates on ids/md5s).
+                    if last_identity.get(chain) == ident:
+                        keep.append(False)
+                        out_tasks.append("")
+                        continue
+                    last_identity[chain] = ident
+                    keep.append(True)
                     tasks_json, one_incomplete = execute_message(
                         prior_json, data_str, blocked.get(chain, False)
                     )
@@ -214,6 +227,7 @@ class Engine:
                     out_tasks.append(tasks_json)
                 out = pdf[_PASS_COLS].copy()
                 out["tasks_json"] = out_tasks
+                out = out[pd.Series(keep, index=out.index)]
                 yield out
 
         return run_sorted_partition
@@ -420,8 +434,10 @@ class Engine:
                 .mapInPandas(self._exec_fn(deadline), schema=_EXEC_SCHEMA)
             )
         else:
-            # Q5: no ordering ⇒ no shuffle — map straight over the scan
-            executed = revived.mapInPandas(
+            # Q5: no ordering ⇒ map straight over the scan; D1 within-batch
+            # dedup needs one shuffle here (no chain sort to make duplicate
+            # identities adjacent)
+            executed = revived.dropDuplicates(["identity"]).mapInPandas(
                 self._exec_map_fn(deadline), schema=_EXEC_SCHEMA
             )
 

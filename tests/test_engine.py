@@ -550,3 +550,38 @@ def test_failed_discard_fails_batch(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         eng.process_batch(records_df(spark, 4), batch_id=1)
     assert not isinstance(ei.value, BatchReplayError)  # a sink error, not F1
+
+
+@pytest.mark.parametrize(
+    "mode_kw",
+    [
+        {"sequencing_per_key": True, "key_property_names": ["k1", "k2"]},
+        {
+            "sequencing_required": False,
+            "sequencing_per_key": False,
+            "key_property_names": [],
+            "seq_no_property_names": [],
+        },
+    ],
+    ids=["per-key", "unsequenced"],
+)
+def test_duplicate_deliveries_within_batch(spark, tmp_path, mode_kw):
+    """D1: the same message delivered twice in ONE batch executes once —
+    identity dedup on ids/md5s (reference dropDuplicates semantics); state
+    holds one row per identity with attempts == 1."""
+    calls = []
+
+    def counting(message, task):
+        return None
+
+    recs = records_df(spark, 10)
+    doubled = recs.unionByName(recs)  # every record delivered twice
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", counting)], **mode_kw)
+    res = eng.process_batch(doubled, batch_id=1)
+    assert res.records == 20
+    assert res.messages == 10  # duplicates collapsed
+    assert res.fully_finalised == 10
+    states = tasks_of(eng)
+    assert len(states) == 10
+    for t in states.values():
+        assert t["t1"]["attempts"] == 1  # executed once, not twice
