@@ -273,3 +273,82 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 50  # 75 delivered, 25 duplicates suppressed
     assert out.select("event_id").distinct().count() == 50
+
+
+# --- F1 through the real streaming checkpoint --------------------------------
+
+
+def test_streaming_replay_after_failure(spark, tmp_path):
+    """The full F1 loop through Structured Streaming's own checkpoint: a
+    poison message fails the query mid-stream; restarting the query replays
+    the uncommitted micro-batch, the engine revives saved task state
+    (completed work skipped), and with the poison fixed the stream drains.
+    """
+    from kinesis_stream_consumer_spark.sources import stream_records
+
+    ev = _t(spark, SF_SMOKE, "events")
+    # poison lives in the LAST micro-batch so its state survives (each
+    # committed batch overwrites its shards' state — reference per-batch
+    # item semantics)
+    for i in range(2):
+        batch = events_as_kinesis_records(
+            ev.where(
+                (F.col("event_id") >= i * 10) & (F.col("event_id") < (i + 1) * 10)
+            )
+        )
+        batch.coalesce(1).write.mode("append").json(str(tmp_path / "in"))
+
+    def flaky(message, task):
+        if message["id1"] == 15:  # lives in the 2nd file/micro-batch
+            raise RuntimeError("poison")
+
+    cfg = EngineConfig(
+        sequencing_per_key=True,
+        key_property_names=["k1", "k2"],
+        id_property_names=["id1"],
+        seq_no_property_names=["n1", "n2"],
+    )
+
+    def engine_with(fn):
+        return Engine(
+            spark,
+            cfg,
+            state_path=str(tmp_path / "state"),
+            drq_path=str(tmp_path / "drq"),
+            dmq_path=str(tmp_path / "dmq"),
+            process_one_defs=[TaskDef("t1", fn)],
+        )
+
+    q = engine_with(flaky).attach(
+        stream_records(spark, str(tmp_path / "in")), str(tmp_path / "ckpt")
+    ).start()
+    with pytest.raises(Exception, match="batch incomplete|poison|Terminated"):
+        q.awaitTermination(120)
+        if q.exception():
+            raise Exception(str(q.exception()))
+
+    # restart with the poison fixed: Spark replays the failed micro-batch
+    # from ITS checkpoint; the engine's state makes the replay idempotent
+    q2 = engine_with(noop).attach(
+        stream_records(spark, str(tmp_path / "in")), str(tmp_path / "ckpt")
+    ).start()
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    state = engine_with(noop).state.read_all()
+    statuses = {
+        r["identity"]: json.loads(r["tasks_json"])["t1"]
+        for r in state.collect()
+        if r["tasks_json"]
+    }
+    assert statuses["id1:15"]["status"] == "Completed"
+    assert statuses["id1:15"]["attempts"] == 2  # failed once, then re-ran
+    batch2_others = [
+        t
+        for i, t in statuses.items()
+        if i != "id1:15" and 10 <= int(i.split(":")[1]) < 20
+    ]
+    assert batch2_others
+    assert all(
+        t["status"] == "Completed" and t["attempts"] == 1 for t in batch2_others
+    )
