@@ -387,12 +387,67 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ann_ivf",
-    None,  # iterative centroid assignment — rows-only check; recall vs brute
-    # force is asserted in tests/test_similarity.py
+    f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    cent AS (
+      SELECT label AS cell_id, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN dims
+      GROUP BY label, i
+    ),
+    cnorm AS (SELECT cell_id, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cell_id),
+    vnorm AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vn
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
+    ),
+    csims AS (
+      SELECT e.vec_id, ct.cell_id,
+             SUM(CAST(e.embedding[ct.i] AS DOUBLE) * ct.c) AS dp
+      FROM embeddings e CROSS JOIN cent ct
+      GROUP BY e.vec_id, ct.cell_id
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT s.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.dp / (v.vn * c.cn) DESC, s.cell_id) AS arnk
+        FROM csims s JOIN vnorm v USING (vec_id) JOIN cnorm c USING (cell_id)
+      ) WHERE arnk = 1
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, m.vec_id AS match_id, q.cell_id
+      FROM assigned q JOIN assigned m
+        ON q.cell_id = m.cell_id AND q.vec_id != m.vec_id
+      WHERE q.vec_id < 10
+    ),
+    dots AS (
+      SELECT c.query_id, c.match_id, c.cell_id,
+             SUM(CAST(eq.embedding[d.i] AS DOUBLE)
+                 * CAST(em.embedding[d.i] AS DOUBLE)) AS dp
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings em ON em.vec_id = c.match_id
+      CROSS JOIN dims d
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, match_id, cell_id, cosine_sim, rnk FROM (
+      SELECT d.query_id, d.match_id, d.cell_id,
+             ROUND(d.dp / (vq.vn * vm.vn), 4) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY ROUND(d.dp / (vq.vn * vm.vn), 4) DESC,
+                                         d.match_id) AS rnk
+      FROM dots d JOIN vnorm vq ON vq.vec_id = d.query_id
+                  JOIN vnorm vm ON vm.vec_id = d.match_id
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
     doc="IVF approximate NN: coarse cells from per-label centroids "
     "(deterministic stand-in for offline k-means), queries scored only "
     "against their own cell — corpus⋈query becomes an equi-join on cell_id. "
-    "The 100 TB scale path for similarity search.",
+    "The 100 TB scale path for similarity search. The whole pipeline "
+    "(centroid means → cosine argmax assignment → within-cell top-k) is "
+    "deterministic, so the DuckDB oracle reproduces it end-to-end and the "
+    "driver value-hashes the full result; recall-vs-brute-force is "
+    "additionally asserted in tests/test_similarity.py.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
