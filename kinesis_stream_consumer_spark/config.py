@@ -60,6 +60,30 @@ class EngineConfig:
     pre_finalise_batch: Optional[Callable] = None
     post_finalise_batch: Optional[Callable] = None
 
+    # Pluggable processing functions (reference kinesis-processing.js:284-299;
+    # accessor surface asserted at test/settings.test.js:17-45). Each is an
+    # optional seam in the declarative plan; None ⇒ the Spark-first default.
+    # Signatures (DataFrame/Column in, DataFrame/Column out — a custom fn may
+    # be a column expression or an Arrow-batched pandas_udf):
+    #   extract_messages_from_record(records_df, config) -> flat envelope DF
+    #   extract_message_from_record(data_str_col)        -> msg_json Column
+    #   generate_md5s({data_str,record_json,msg_json})   -> {msg_md5,rec_md5,data_md5}
+    #   resolve_event_id_and_seq_nos(flat_df, config)    -> flat DF (event_* rewritten)
+    #   resolve_message_ids_and_seq_nos(config)          -> {id,key,seqNo,seq_no_parts} Columns
+    #   load_batch_state(engine, shard_keys)             -> prior-state DF (identity, tasks_json)
+    #   save_batch_state(states_df, engine)              -> None
+    #   discard_unusable_record(unusable_df, engine)     -> None
+    #   discard_rejected_message(rejected_df, engine)    -> None
+    extract_messages_from_record: Optional[Callable] = None
+    extract_message_from_record: Optional[Callable] = None
+    generate_md5s: Optional[Callable] = None
+    resolve_event_id_and_seq_nos: Optional[Callable] = None
+    resolve_message_ids_and_seq_nos: Optional[Callable] = None
+    load_batch_state: Optional[Callable] = None
+    save_batch_state: Optional[Callable] = None
+    discard_unusable_record: Optional[Callable] = None
+    discard_rejected_message: Optional[Callable] = None
+
     def __post_init__(self) -> None:
         self.id_property_names = tuple(self.id_property_names)
         self.key_property_names = tuple(self.key_property_names)
@@ -89,6 +113,42 @@ class EngineConfig:
             )
         if self.max_number_of_attempts < 1:
             raise FatalConfigError("FATAL: maxNumberOfAttempts must be >= 1")
+
+    # --- Effective processing-function accessors (reference
+    # Settings.getXxxFunction, asserted test/settings.test.js:17-45:
+    # each getter returns the configured override or the stream-type /
+    # kplEncoded-appropriate default) ---
+    def processing_functions(self) -> dict:
+        # the streaming package re-exports ingest() the FUNCTION under the
+        # same name as the module — fetch the module itself
+        import importlib
+
+        ig = importlib.import_module(
+            "kinesis_stream_consumer_spark.streaming.ingest"
+        )
+
+        if self.stream_type == StreamType.dynamodb:
+            default_extract = ig.extract_messages_from_dynamodb_record
+        elif self.kpl_encoded:
+            default_extract = ig.extract_messages_from_kpl_encoded_record
+        else:
+            default_extract = ig.extract_messages_from_kinesis_record
+        return {
+            "extract_messages_from_record": self.extract_messages_from_record
+            or default_extract,
+            "extract_message_from_record": self.extract_message_from_record
+            or ig.extract_json_message_from_record,
+            "generate_md5s": self.generate_md5s or ig.generate_kinesis_md5s,
+            "resolve_event_id_and_seq_nos": self.resolve_event_id_and_seq_nos,
+            "resolve_message_ids_and_seq_nos": self.resolve_message_ids_and_seq_nos,
+            "load_batch_state": self.load_batch_state,
+            "save_batch_state": self.save_batch_state,
+            "discard_unusable_record": self.discard_unusable_record,
+            "discard_rejected_message": self.discard_rejected_message,
+            "pre_process_batch": self.pre_process_batch,
+            "pre_finalise_batch": self.pre_finalise_batch,
+            "post_finalise_batch": self.post_finalise_batch,
+        }
 
     # --- Consumer identity (reference kinesis-consumer.js:82; asserted
     # test/batch.test.js:88,124) ---

@@ -113,9 +113,14 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
 def minhash_band_rows(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
     """LSH banding over a signatures DataFrame (doc, mh0..mh7) →
     (doc, band, band_key) rows; docs sharing any (band, band_key) are
-    candidate pairs."""
+    candidate pairs.
+
+    If the signatures carry a ``_block`` column (an extra blocking key such
+    as language), it is folded into every band key — only same-block docs
+    can collide, without any block-sized join ever forming."""
     n = len(MINHASH_PERMS)
     assert n % rows_per_band == 0
+    has_block = "_block" in signatures.columns
     bands = F.array(
         *[
             F.struct(
@@ -123,6 +128,7 @@ def minhash_band_rows(signatures: DataFrame, rows_per_band: int = 2) -> DataFram
                 F.concat_ws(
                     "#",
                     *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    *([F.col("_block")] if has_block else []),
                 ).alias("band_key"),
             )
             for b in range(n // rows_per_band)
@@ -186,7 +192,13 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_lsh_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, rows_per_band: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    rows_per_band: int = 2,
+    block_col: str | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash-LSH banding.
 
@@ -195,15 +207,26 @@ def minhash_lsh_candidate_pairs(
     with exact shingle Jaccard. The join key is the band hash, so the
     shuffle is uniform even when documents are skewed; the cross product
     only materializes within identical-band buckets.
+
+    ``block_col`` names an extra blocking column (e.g. language) folded
+    into every band key: same-block candidates only, as an additional
+    band-key component rather than a block-wide join — the block never
+    becomes a join bucket by itself, so a 4-language corpus does NOT
+    degenerate into 4 all-pairs products. ``threshold`` keeps only pairs
+    with exact Jaccard ≥ threshold.
     """
     # Slim band table: (doc, band, band_key) only — the heavy shingle arrays
     # must NOT ride through the self-join (they'd be shuffled once per band
     # and compared once per duplicate candidate). localCheckpoint
     # materializes the signatures ONCE; without it the self-join recomputes
     # the whole shingle→hash→min pipeline for each side.
-    banded = minhash_band_rows(
-        minhash_signatures(df, text_col, id_col, k), rows_per_band
-    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    if block_col is not None:
+        sigs = sigs.join(
+            df.select(F.col(id_col).alias("doc"), F.col(block_col).alias("_block")),
+            "doc",
+        )
+    banded = minhash_band_rows(sigs, rows_per_band).localCheckpoint(eager=True)
     # Self-equi-join on the band hash → de-duplicated candidate pairs. A pair
     # colliding in multiple bands appears once thanks to the early distinct.
     pairs = (
@@ -222,7 +245,7 @@ def minhash_lsh_candidate_pairs(
     # materializing once halves the tokenize/shingle work and lets the two
     # joins reuse the same in-memory blocks.
     shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
-    return (
+    verified = (
         pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
         .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
         .select(
@@ -231,3 +254,6 @@ def minhash_lsh_candidate_pairs(
             jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias("jaccard_sim"),
         )
     )
+    if threshold is not None:
+        verified = verified.where(F.col("jaccard_sim") >= threshold)
+    return verified

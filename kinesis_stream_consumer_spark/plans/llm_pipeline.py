@@ -293,52 +293,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_jaccard_oracle() -> str:
+    # band keys fold the language into every band hash — same plan as the
+    # Spark side: language-aware LSH candidates, never a lang-only join
+    bands = " , ".join(
+        f"mh{2*b}::VARCHAR || '#' || mh{2*b+1}::VARCHAR || '#' || lang AS b{b}"
+        for b in range(4)
+    )
+    cond = " OR ".join(f"l.b{b} = r.b{b}" for b in range(4))
+    return f"""
+    WITH {_SHINGLE_ROWS},
+    sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (SELECT s.doc_id, {bands}
+               FROM sigs s JOIN documents USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r ON l.doc_id < r.doc_id AND ({cond})
+    ),
+    shsets AS (SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(sa.shset, sb.shset))
+                 / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1), 4)
+             AS jaccard_sim
+    FROM cand
+    JOIN shsets sa ON sa.doc_id = doc_a
+    JOIN shsets sb ON sb.doc_id = doc_b
+    WHERE len(list_intersect(sa.shset, sb.shset))
+          / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1) >= 0.2
+    ORDER BY doc_a, doc_b
+    """
+
+
 @register(
     "dedup_ngram_jaccard",
-    f"""
-    WITH {_SHINGLE_ROWS},
-    shsets AS (SELECT doc_id, lang, list(DISTINCT shingle) AS shset
-               FROM sh JOIN documents USING (doc_id) GROUP BY doc_id, lang)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.shset, b.shset))
-                 / GREATEST(len(list_distinct(list_cat(a.shset, b.shset))), 1), 4)
-             AS jaccard_sim
-    FROM shsets a JOIN shsets b
-      ON a.doc_id < b.doc_id AND a.lang = b.lang
-    WHERE len(list_intersect(a.shset, b.shset))
-          / GREATEST(len(list_distinct(list_cat(a.shset, b.shset))), 1) >= 0.2
-    ORDER BY doc_a, doc_b
-    """,
-    doc="N-gram Jaccard near-dup pairs with language blocking (only same-lang "
-    "pairs compared) — blocking keys turn the cross product into an "
-    "equi-join; the LSH variant (dedup_minhash_lsh) is the preferred path "
-    "when no natural blocking key exists.",
+    _ngram_jaccard_oracle(),
+    doc="N-gram Jaccard near-dup pairs, language-blocked THROUGH the "
+    "MinHash-LSH band join: the language is an extra component of every "
+    "band key, so only same-language docs with a colliding signature band "
+    "become candidates, then exact shingle Jaccard ≥ 0.2 verifies. The "
+    "language never forms a join bucket by itself — a 4-language corpus "
+    "does not degenerate into 4 all-pairs products (the 100 TB fix for "
+    "naive blocked Jaccard).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sets_ = D.shingle_sets(docs, "text", "doc_id", 3).withColumnRenamed(
-        "shingles", "shset"
-    ).join(docs.select(F.col("doc_id").alias("doc"), "lang"), "doc").select(
-        F.col("doc").alias("doc_id"), "lang", "shset"
-    )
-    a, b = sets_.alias("a"), sets_.alias("b")
-    raw_j = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset"))) / F.greatest(
-        F.size(F.array_union(F.col("a.shset"), F.col("b.shset"))), F.lit(1)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.lang") == F.col("b.lang")),
-        )
-        .where(raw_j >= 0.2)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(raw_j, 4).alias("jaccard_sim"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return D.minhash_lsh_candidate_pairs(
+        docs, "text", "doc_id", 3, 2, block_col="lang", threshold=0.2
+    ).orderBy("doc_a", "doc_b")
 
 
 # --- Similarity search ------------------------------------------------------

@@ -404,10 +404,16 @@ class Engine:
 
         # T1 load + T2 revive: broadcast the (small) prior-state slice into
         # the messages — one partition-pruned scan per batch, like the
-        # reference's single DynamoDB get.
-        prior = self.state.load(
-            cfg.stream_consumer_id, shards or None
-        ).where(F.col("kind").isin("message", "rejected"))
+        # reference's single DynamoDB get. loadBatchState is pluggable
+        # (reference persisting.loadBatchStateFromDynamoDB default,
+        # kinesis-processing.js:291): a custom fn returns the prior slice
+        # (already filtered to live message/rejected states).
+        if cfg.load_batch_state is not None:
+            prior = cfg.load_batch_state(self, shards or None)
+        else:
+            prior = self.state.load(
+                cfg.stream_consumer_id, shards or None
+            ).where(F.col("kind").isin("message", "rejected"))
         revived = seqd.join(
             F.broadcast(
                 prior.select(
@@ -482,10 +488,15 @@ class Engine:
         unusable = ing.unusable.localCheckpoint(eager=True)
         n_unusable = unusable.count()
         if n_unusable:
-            append_to_queue(
-                dead_record_envelopes(unusable, cfg.stream_consumer_id, tag),
-                self.drq_path,
-            )
+            # D2 seam: discardUnusableRecord (default DRQ append,
+            # kinesis-processing.js:296 discardUnusableRecordToDRQ)
+            if cfg.discard_unusable_record is not None:
+                cfg.discard_unusable_record(unusable, self)
+            else:
+                append_to_queue(
+                    dead_record_envelopes(unusable, cfg.stream_consumer_id, tag),
+                    self.drq_path,
+                )
         rejected = finalised.where(F.col("rejectedish"))
         # one aggregate job for all finalise counters
         counts = finalised.agg(
@@ -499,10 +510,15 @@ class Engine:
         n_fully_finalised = counts[2] or 0
         n_incomplete = counts[3] or 0
         if n_rejected:
-            append_to_queue(
-                dead_message_envelopes(rejected, cfg.stream_consumer_id, tag),
-                self.dmq_path,
-            )
+            # D3 seam: discardRejectedMessage (default DMQ append,
+            # kinesis-processing.js:297 discardRejectedMessageToDMQ)
+            if cfg.discard_rejected_message is not None:
+                cfg.discard_rejected_message(rejected, self)
+            else:
+                append_to_queue(
+                    dead_message_envelopes(rejected, cfg.stream_consumer_id, tag),
+                    self.dmq_path,
+                )
 
         # T4 save — message + rejected + unusable states, one parquet upsert
         msg_states = finalised.select(
@@ -545,7 +561,13 @@ class Engine:
             F.lit(batch_id).cast("long").alias("batch_id"),
         )
         if n_messages or n_unusable:
-            self.state.save(msg_states.unionByName(unusable_states))
+            # T4 seam: saveBatchState (default parquet MERGE upsert,
+            # kinesis-processing.js:295 saveBatchStateToDynamoDB)
+            states = msg_states.unionByName(unusable_states)
+            if cfg.save_batch_state is not None:
+                cfg.save_batch_state(states, self)
+            else:
+                self.state.save(states)
 
         result = BatchResult(
             batch_id=batch_id,

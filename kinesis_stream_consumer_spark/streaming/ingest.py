@@ -91,8 +91,13 @@ def _kpl_deagg_udf(data_b64: pd.Series) -> pd.Series:
 
 
 def _msg_path(name: str):
-    """get_json_object path for a (possibly compound 'a.b.c') property name."""
-    return F.get_json_object("data_str", "$." + name)
+    """get_json_object path for a (possibly compound 'a.b.c') property name.
+
+    Resolution targets msg_json — the canonical EXTRACTED message, not the
+    raw payload — so property resolution works for any wire format a custom
+    extract_message_from_record maps to JSON (reference resolves ids off
+    the message object, kinesis-identify.js:85-133)."""
+    return F.get_json_object("msg_json", "$." + name)
 
 
 def _resolve(name: str):
@@ -119,8 +124,36 @@ class IngestResult:
     unusable: DataFrame
 
 
-def _flatten_kinesis(records: DataFrame, config: EngineConfig) -> DataFrame:
-    """Normalize a Kinesis records DF to the flat envelope columns."""
+def extract_messages_from_kinesis_record(
+    records: DataFrame, config: EngineConfig
+) -> DataFrame:
+    """Default non-KPL extractMessagesFromRecord: normalize a Kinesis
+    records DF to the flat envelope columns (reference
+    ``extractMessagesFromKinesisRecord``, kinesis-processing.js:477-489).
+
+    Any custom ``extract_messages_from_record`` must produce the same
+    envelope columns: event_id, shard_id, event_seq_no, event_sub_seq_no,
+    partition_key, explicit_hash_key, data_b64, event_source_arn,
+    record_json."""
+    return records.select(
+        F.col("eventID").alias("event_id"),
+        F.split(F.col("eventID"), ":").getItem(0).alias("shard_id"),
+        F.col("kinesis.sequenceNumber").alias("event_seq_no"),
+        F.col("kinesis.partitionKey").alias("partition_key"),
+        F.col("kinesis.explicitHashKey").alias("explicit_hash_key"),
+        F.col("kinesis.data").alias("data_b64"),
+        F.col("eventSourceARN").alias("event_source_arn"),
+        F.to_json(F.struct(*records.columns)).alias("record_json"),
+    ).withColumn("event_sub_seq_no", F.lit(None).cast("long"))
+
+
+def extract_messages_from_kpl_encoded_record(
+    records: DataFrame, config: EngineConfig
+) -> DataFrame:
+    """Default KPL extractMessagesFromRecord: de-aggregate each blob into
+    its user records and explode (reference
+    ``extractMessagesFromKplEncodedRecord``, kinesis-processing.js:533-570;
+    S5: deagg → explode; outer keeps failed blobs as one null row)."""
     flat = records.select(
         F.col("eventID").alias("event_id"),
         F.split(F.col("eventID"), ":").getItem(0).alias("shard_id"),
@@ -131,38 +164,114 @@ def _flatten_kinesis(records: DataFrame, config: EngineConfig) -> DataFrame:
         F.col("eventSourceARN").alias("event_source_arn"),
         F.to_json(F.struct(*records.columns)).alias("record_json"),
     )
-    if config.kpl_encoded:
-        # S5: deagg → posexplode; outer keeps failed blobs as one null row
-        flat = (
-            flat.withColumn("user_records", _kpl_deagg_udf(F.col("data_b64")))
-            .select(
-                "*",
-                F.explode_outer("user_records").alias("ur"),
-            )
-            .select(
-                "event_id",
-                "shard_id",
-                "event_seq_no",
-                F.coalesce(F.col("ur.partitionKey"), F.col("partition_key")).alias(
-                    "partition_key"
-                ),
-                F.coalesce(
-                    F.col("ur.explicitHashKey"), F.col("explicit_hash_key")
-                ).alias("explicit_hash_key"),
-                F.col("ur.data").alias("data_b64"),
-                F.col("ur.subSequenceNumber").alias("event_sub_seq_no"),
-                "event_source_arn",
-                "record_json",
-            )
+    return (
+        flat.withColumn("user_records", _kpl_deagg_udf(F.col("data_b64")))
+        .select(
+            "*",
+            F.explode_outer("user_records").alias("ur"),
         )
-    else:
-        flat = flat.withColumn("event_sub_seq_no", F.lit(None).cast("long"))
-    return flat
+        .select(
+            "event_id",
+            "shard_id",
+            "event_seq_no",
+            F.coalesce(F.col("ur.partitionKey"), F.col("partition_key")).alias(
+                "partition_key"
+            ),
+            F.coalesce(
+                F.col("ur.explicitHashKey"), F.col("explicit_hash_key")
+            ).alias("explicit_hash_key"),
+            F.col("ur.data").alias("data_b64"),
+            F.col("ur.subSequenceNumber").alias("event_sub_seq_no"),
+            "event_source_arn",
+            "record_json",
+        )
+    )
 
 
-def _flatten_dynamodb(records: DataFrame) -> DataFrame:
-    """S2/S7: DynamoDB stream records — the NewImage (▷ Keys) JSON *is* the
-    message (useStreamEventRecordAsMessage path, kinesis-processing.js:114)."""
+def _flatten_kinesis(records: DataFrame, config: EngineConfig) -> DataFrame:
+    """Normalize a Kinesis records DF to the flat envelope columns."""
+    if config.kpl_encoded:
+        return extract_messages_from_kpl_encoded_record(records, config)
+    return extract_messages_from_kinesis_record(records, config)
+
+
+# DynamoDB attribute-value simplification (S2): stream images arrive as
+# typed attribute values {"id1": {"N": "123"}, "k1": {"S": "x"}}; the
+# reference simplifies them to plain JSON before identification
+# (test/samples.js:358-367 via awsStreamConsumerCore's simplifyKeysNew,
+# exercised by test/kinesis-processing.test.js:1357-1510). Done here as a
+# recursive JSON transform in an Arrow-batched pandas UDF — runs once per
+# record on ingest, exactly like the reference's per-record simplify.
+def simplify_dynamodb_attribute_values(obj):
+    """{'S': 'x'} → 'x', {'N': '1'} → 1, {'M': {...}} → {...}, etc.
+    Non-attribute-value JSON passes through unchanged, so pre-simplified
+    fixtures keep working."""
+    _AV_KEYS = {"S", "N", "B", "BOOL", "NULL", "M", "L", "SS", "NS", "BS"}
+
+    def _num(s):
+        try:
+            i = int(s)
+            return i
+        except (TypeError, ValueError):
+            try:
+                return float(s)
+            except (TypeError, ValueError):
+                return s
+
+    def simp(v):
+        if isinstance(v, dict):
+            if len(v) == 1 and next(iter(v)) in _AV_KEYS:
+                t, inner = next(iter(v.items()))
+                if t == "S" or t == "B":
+                    return inner
+                if t == "N":
+                    return _num(inner)
+                if t == "BOOL":
+                    return bool(inner)
+                if t == "NULL":
+                    return None
+                if t == "M":
+                    return {k: simp(x) for k, x in inner.items()}
+                if t == "L":
+                    return [simp(x) for x in inner]
+                if t == "SS" or t == "BS":
+                    return list(inner)
+                if t == "NS":
+                    return [_num(x) for x in inner]
+            return {k: simp(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [simp(x) for x in v]
+        return v
+
+    return simp(obj)
+
+
+@pandas_udf(T.StringType())
+def _simplify_ddb_udf(image_json: pd.Series) -> pd.Series:
+    import json as _json
+
+    def one(s):
+        if s is None:
+            return None
+        try:
+            return _json.dumps(
+                simplify_dynamodb_attribute_values(_json.loads(s)),
+                separators=(",", ":"),
+                sort_keys=True,
+            )
+        except Exception:
+            return s  # not JSON — leave for the unusable branch downstream
+
+    return image_json.map(one)
+
+
+def extract_messages_from_dynamodb_record(
+    records: DataFrame, config: EngineConfig
+) -> DataFrame:
+    """S2/S7: DynamoDB stream records — the simplified NewImage (▷ Keys)
+    JSON *is* the message (useStreamEventRecordAsMessage path,
+    kinesis-processing.js:114; attribute values simplified per
+    test/samples.js:358-367)."""
     return records.select(
         F.col("eventID").alias("event_id"),
         F.split(F.col("eventID"), ":").getItem(0).alias("shard_id"),
@@ -170,9 +279,9 @@ def _flatten_dynamodb(records: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("partition_key"),
         F.lit(None).cast("string").alias("explicit_hash_key"),
         F.base64(
-            F.coalesce(F.col("dynamodb.NewImage"), F.col("dynamodb.Keys")).cast(
-                "binary"
-            )
+            _simplify_ddb_udf(
+                F.coalesce(F.col("dynamodb.NewImage"), F.col("dynamodb.Keys"))
+            ).cast("binary")
         ).alias("data_b64"),
         F.col("eventSourceARN").alias("event_source_arn"),
         F.to_json(F.struct(*records.columns)).alias("record_json"),
@@ -180,19 +289,72 @@ def _flatten_dynamodb(records: DataFrame) -> DataFrame:
     )
 
 
+def _flatten_dynamodb(records: DataFrame, config: EngineConfig) -> DataFrame:
+    return extract_messages_from_dynamodb_record(records, config)
+
+
+def extract_json_message_from_record(data_str):
+    """Default extractMessageFromRecord: parse the decoded payload as JSON
+    and re-serialize canonically; null ⇒ unusable (S6,
+    kinesis-processing.js:502-517). A custom override maps any wire format
+    (CSV, protobuf, …) to a JSON-string Column — Column expression or
+    Arrow-batched pandas_udf, the engine doesn't care."""
+    return F.to_json(F.try_parse_json(data_str))
+
+
+def generate_kinesis_md5s(cols):
+    """Default generateMD5s (I1): md5 fingerprints of the message, record
+    and raw data (reference kinesis-identify.js:33-44,135-137). ``cols``
+    maps {data_str, record_json, msg_json} → Columns; returns
+    {msg_md5, rec_md5, data_md5} Columns."""
+    return {
+        "msg_md5": F.md5(F.coalesce(cols["msg_json"], F.lit("")).cast("binary")),
+        "rec_md5": F.md5(cols["record_json"].cast("binary")),
+        "data_md5": F.md5(cols["data_str"].cast("binary")),
+    }
+
+
 def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
-    """records → identified messages + unusable records (S3–S7, I1–I3, P1)."""
-    if config.stream_type == StreamType.dynamodb:
-        flat = _flatten_dynamodb(records)
+    """records → identified messages + unusable records (S3–S7, I1–I3, P1).
+
+    Every step is a pluggable seam (reference kinesis-processing.js:284-299):
+    ``config.extract_messages_from_record`` replaces the record→envelope
+    flatten, ``config.resolve_event_id_and_seq_nos`` rewrites the envelope's
+    event identity columns, ``config.extract_message_from_record`` maps the
+    decoded payload to the canonical message JSON, ``config.generate_md5s``
+    supplies the fingerprint columns, and
+    ``config.resolve_message_ids_and_seq_nos`` overrides id/key/seqNo
+    resolution. None ⇒ the defaults below.
+    """
+    if config.extract_messages_from_record is not None:
+        flat = config.extract_messages_from_record(records, config)
+    elif config.stream_type == StreamType.dynamodb:
+        flat = _flatten_dynamodb(records, config)
     else:
         flat = _flatten_kinesis(records, config)
 
+    # I2 seam: rewrite event_id / event_seq_no / event_sub_seq_no
+    # (reference resolveEventIdAndSeqNos, kinesis-identify.js:54-68)
+    if config.resolve_event_id_and_seq_nos is not None:
+        flat = config.resolve_event_id_and_seq_nos(flat, config)
+
     # parse once: msg_json doubles as the validity signal (null ⇒ unusable)
     # and the canonical serialization for the message MD5
+    extract_msg = (
+        config.extract_message_from_record or extract_json_message_from_record
+    )
+    md5_gen = config.generate_md5s or generate_kinesis_md5s
     decoded = (
         flat.withColumn("data_str", F.unbase64(F.col("data_b64")).cast("string"))
-        .withColumn("msg_json", F.to_json(F.try_parse_json(F.col("data_str"))))
+        .withColumn("msg_json", extract_msg(F.col("data_str")))
         .withColumn("parsed_ok", F.col("msg_json").isNotNull())
+    )
+    md5s = md5_gen(
+        {
+            "data_str": F.col("data_str"),
+            "record_json": F.col("record_json"),
+            "msg_json": F.col("msg_json"),
+        }
     )
 
     # I1 MD5 fingerprints + I3 canonical ids/keys/seqNos
@@ -211,6 +373,24 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
             ),
         )
     )
+    # I3 id/key/seqNo resolution — overridable as a whole
+    # (reference resolveMessageIdsAndSeqNos, kinesis-identify.js:85-133)
+    id_cols = {
+        "id": _canonical(config.id_property_names),
+        "key": _canonical(config.key_property_names),
+        "seqNo": seq_no_col,
+        "seq_no_parts": (
+            F.array(*[_resolve(n) for n in config.seq_no_property_names])
+            if seq_no_names
+            else F.array(
+                F.col("event_seq_no"),
+                F.coalesce(F.col("event_sub_seq_no").cast("string"), F.lit("0")),
+            )
+        ),
+    }
+    if config.resolve_message_ids_and_seq_nos is not None:
+        id_cols.update(config.resolve_message_ids_and_seq_nos(config) or {})
+
     identified = decoded.select(
         "event_id",
         "shard_id",
@@ -222,23 +402,15 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
         "record_json",
         "data_b64",
         "data_str",
+        "msg_json",
         "parsed_ok",
-        F.md5(F.col("data_str").cast("binary")).alias("data_md5"),
-        F.md5(F.col("record_json").cast("binary")).alias("rec_md5"),
-        F.md5(F.coalesce(F.col("msg_json"), F.lit("")).cast("binary")).alias(
-            "msg_md5"
-        ),
-        _canonical(config.id_property_names).alias("id"),
-        _canonical(config.key_property_names).alias("key"),
-        seq_no_col.alias("seqNo"),
-        F.array(
-            *[_resolve(n) for n in config.seq_no_property_names]
-        ).alias("seq_no_parts")
-        if seq_no_names
-        else F.array(
-            F.col("event_seq_no"),
-            F.coalesce(F.col("event_sub_seq_no").cast("string"), F.lit("0")),
-        ).alias("seq_no_parts"),
+        md5s["data_md5"].alias("data_md5"),
+        md5s["rec_md5"].alias("rec_md5"),
+        md5s["msg_md5"].alias("msg_md5"),
+        id_cols["id"].alias("id"),
+        id_cols["key"].alias("key"),
+        id_cols["seqNo"].alias("seqNo"),
+        id_cols["seq_no_parts"].alias("seq_no_parts"),
     )
 
     # Mandatory-property enforcement (I3): keys mandatory in per-key mode,
