@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kinesis_stream_consumer_spark.operators.text import word_shingles
+from kinesis_stream_consumer_spark.operators.text import shingles_from_tokens
 
 # MinHash "permutations": universal-hash mixes h_i(x) = (a_i·x + b_i) mod P
 # over ONE md5-derived uint64 base per shingle. One md5 per shingle row
@@ -54,32 +54,20 @@ def md5_u64_le(col: Column) -> Column:
     return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
 
 
-def _shingles_from_toks(k: int):
-    """Shingle array over a MATERIALIZED token-array column. The two-step
-    projection is load-bearing: with tokens as a column reference,
-    element_at is O(1) per access; inlining tokens() into the lambda makes
-    Catalyst re-evaluate the regex split per element_at — 3 full splits per
-    shingle position, O(k·n²) per document."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(1))
-            ),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
-            ),
-        )
-    )
-
-
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(doc, shingles array<string>) with linear-time shingle construction."""
+    """(doc, shingles array<string>) with linear-time shingle construction.
+
+    The two-step projection is load-bearing: materializing the token array
+    as its own column keeps element_at O(1) per access (see
+    text.shingles_from_tokens for why inlining tokens() is O(k·n²))."""
     from kinesis_stream_consumer_spark.operators.text import tokens
 
     toked = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
     )
-    return toked.select("doc", _shingles_from_toks(k).alias("shingles"))
+    return toked.select(
+        "doc", shingles_from_tokens(F.col("toks"), k).alias("shingles")
+    )
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:

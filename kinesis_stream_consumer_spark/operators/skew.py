@@ -32,35 +32,65 @@ def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> Data
     )
 
 
+# Named combiners for phase-2 re-merge. Only aggregates that decompose into
+# (phase1 per salt, associative merge) belong here — avg/stddev/percentile
+# do NOT (sum of per-salt averages is wrong); express those as their
+# decomposed parts (sum + count) and divide after.
+COMBINERS = {
+    "sum": F.sum,  # also merges count: partial counts add
+    "min": F.min,
+    "max": F.max,
+}
+
+
 def salted_agg(
     df: DataFrame,
     key: str,
-    aggs: Dict[str, Column],
+    aggs: Dict[str, tuple],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase salted aggregation for skewed group keys.
 
-    ``aggs`` maps output column name → phase-1 aggregate Column; phase 2
-    re-merges with the matching combiner (sum for sum/count, min for min,
-    max for max — detected from the phase-1 expression name).
+    ``aggs`` maps output column name → ``(phase1_column, combiner)`` where
+    combiner is one of COMBINERS' names ('sum'|'min'|'max') or a callable
+    Column → aggregate Column. The spec is EXPLICIT by design: silently
+    guessing the merge for a non-decomposable aggregate (e.g. F.avg) would
+    return a wrong answer, so anything that isn't a (column, combiner) pair
+    with a known combiner raises instead.
     """
+    specs = {}
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise TypeError(
+                f"salted_agg aggs[{name!r}] must be a (phase1_column, combiner) "
+                "pair — bare aggregate Columns are rejected because only "
+                "decomposable aggregates (sum/count/min/max) merge correctly "
+                "across salt buckets; e.g. avg must be computed as "
+                "sum + count and divided after"
+            )
+        col, comb = spec
+        if isinstance(comb, str):
+            if comb not in COMBINERS:
+                raise ValueError(
+                    f"salted_agg aggs[{name!r}]: unsupported combiner {comb!r} "
+                    f"(supported: {sorted(COMBINERS)}; pass a callable for "
+                    "custom merges)"
+                )
+            comb = COMBINERS[comb]
+        elif not callable(comb):
+            raise TypeError(
+                f"salted_agg aggs[{name!r}]: combiner must be a name in "
+                f"{sorted(COMBINERS)} or a callable, got {type(comb).__name__}"
+            )
+        specs[name] = (col, comb)
+
     salted = with_salt(df, n_salts)
     phase1 = salted.groupBy(key, "_salt").agg(
-        *[c.alias(f"_p1_{name}") for name, c in aggs.items()]
+        *[col.alias(f"_p1_{name}") for name, (col, _) in specs.items()]
     )
-
-    def combiner(name: str, col: Column) -> Column:
-        expr = str(aggs[name]._jc).lower()
-        if expr.startswith("min"):
-            return F.min(col)
-        if expr.startswith("max"):
-            return F.max(col)
-        # sum and count both merge by summation
-        return F.sum(col)
-
     return phase1.groupBy(key).agg(
         *[
-            combiner(name, F.col(f"_p1_{name}")).alias(name)
-            for name in aggs
+            comb(F.col(f"_p1_{name}")).alias(name)
+            for name, (_, comb) in specs.items()
         ]
     )

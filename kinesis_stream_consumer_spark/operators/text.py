@@ -117,12 +117,29 @@ def char_ngram_min_fingerprint(text: Column, n: int = 5) -> Column:
     return F.array_min(grams)
 
 
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles over a token-array Column — the single
+    shared shingle-window builder (dedup + text paths both use this).
+
+    Pass a MATERIALIZED token column (a projection step) in hot paths:
+    with `toks` as a column reference each element_at is O(1); inlining
+    tokens() makes Catalyst re-evaluate the regex split per element_at —
+    k full splits per shingle position, O(k·n²) per document (see
+    dedup.shingle_sets for the linear-time two-step)."""
+    positions = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            positions,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string> — the unit set for
-    Jaccard / MinHash dedup."""
-    toks = tokens(text)
-    positions = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)]
-    )
-    return F.array_distinct(F.transform(positions, shingle))
+    Jaccard / MinHash dedup. Convenience single-expression form; for hot
+    paths prefer dedup.shingle_sets, which materializes the token array
+    first (linear time — see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(text), k)

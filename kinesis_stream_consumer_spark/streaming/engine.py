@@ -414,16 +414,24 @@ class Engine:
             prior = self.state.load(
                 cfg.stream_consumer_id, shards or None
             ).where(F.col("kind").isin("message", "rejected"))
+        # Mismatched-prior-state tolerance: prior state only revives when its
+        # content digest matches the current message — same id but different
+        # content means the state is stale and the message executes fresh
+        # (reference "COMPLETELY MISMATCHED PRIOR state" ⇒ attempts restart
+        # at 1, test/kinesis-consumer.test.js:847-945). A prior row with no
+        # recorded digest (custom stores) still revives.
         revived = seqd.join(
             F.broadcast(
                 prior.select(
                     F.col("identity").alias("_pid"),
+                    F.col("msg_md5").alias("_pmd5"),
                     F.col("tasks_json").alias("prior_tasks_json"),
                 )
             ),
-            F.col("identity") == F.col("_pid"),
+            (F.col("identity") == F.col("_pid"))
+            & (F.col("_pmd5").isNull() | (F.col("_pmd5") == F.col("msg_md5"))),
             "left",
-        ).drop("_pid")
+        ).drop("_pid", "_pmd5")
 
         # F3 hook: preProcessBatch (kinesis-processing.js:292-298)
         if cfg.pre_process_batch is not None:

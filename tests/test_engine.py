@@ -144,6 +144,40 @@ def test_replay_keeps_attempts_at_one(spark, tmp_path):
         assert t["t1"]["attempts"] == 1  # not re-executed
 
 
+def test_mismatched_prior_state_ignored(spark, tmp_path):
+    """T2 digest guard: prior state revives ONLY when its msg_md5 matches
+    the current message. Same ids but altered content ⇒ the stale state is
+    ignored and tasks execute fresh with attempts restarting at 1
+    (reference 'COMPLETELY MISMATCHED PRIOR state' scenario,
+    test/kinesis-consumer.test.js:847-945)."""
+
+    def failing(message, task):
+        raise RuntimeError("always fails")
+
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", failing)])
+    with pytest.raises(BatchReplayError):
+        eng.process_batch(records_df(spark, 10), batch_id=1)
+    # chain heads Failed (attempts=1); blocked successors stay unstarted
+    statuses = [t["t1"] for t in tasks_of(eng).values()]
+    assert any(t["status"] == "Failed" and t["attempts"] == 1 for t in statuses)
+    assert all(t["status"] != "Completed" for t in statuses)
+
+    # same ids/keys/seqNos, ALTERED message content ⇒ different msg_md5
+    from kinesis_stream_consumer_spark.plans.queries import _t
+
+    ev = _t(spark, SF_SMOKE, "events").where(F.col("event_id") < 10)
+    altered = events_as_kinesis_records(ev.withColumn("value", F.col("value") + 1000))
+
+    eng2 = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", noop)])
+    res = eng2.process_batch(altered, batch_id=2)
+    assert res.fully_finalised == 10
+    for t in tasks_of(eng2).values():
+        assert t["t1"]["status"] == "Completed"
+        # had the stale state revived, the Failed task would re-execute and
+        # carry attempts=2; fresh execution restarts at 1
+        assert t["t1"]["attempts"] == 1
+
+
 def test_unusable_records_go_to_drq(spark, tmp_path):
     eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", noop)])
     res = eng.process_batch(records_df(spark, 10, bad=2), batch_id=1)

@@ -21,21 +21,27 @@ def _skewed(spark):
 
 def test_salted_agg_equals_plain(spark):
     df = _skewed(spark)
-    aggs = {
+    phase1 = {
         "n": F.count(F.lit(1)),
         "total": F.sum("value"),
         "mx": F.max("value"),
         "mn": F.min("value"),
     }
+    specs = {
+        "n": (phase1["n"], "sum"),
+        "total": (phase1["total"], "sum"),
+        "mx": (phase1["mx"], "max"),
+        "mn": (phase1["mn"], "min"),
+    }
     plain = {
         r["k"]: (r["n"], round(r["total"], 6), r["mx"], r["mn"])
         for r in df.groupBy("k")
-        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .agg(*[c.alias(n) for n, c in phase1.items()])
         .collect()
     }
     salted = {
         r["k"]: (r["n"], round(r["total"], 6), r["mx"], r["mn"])
-        for r in salted_agg(df, "k", aggs, n_salts=8).collect()
+        for r in salted_agg(df, "k", specs, n_salts=8).collect()
     }
     assert plain == salted
 
@@ -57,7 +63,22 @@ def test_salt_is_deterministic_and_spread(spark):
 def test_salted_plan_has_two_aggregates(spark):
     df = _skewed(spark)
     plan = salted_agg(
-        df, "k", {"n": F.count(F.lit(1))}, n_salts=8
+        df, "k", {"n": (F.count(F.lit(1)), "sum")}, n_salts=8
     )._jdf.queryExecution().executedPlan().toString()
     # (partial+final) × two phases; the phase-1 exchange is on (k, salt)
     assert plan.count("HashAggregate") >= 4
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    """A bare aggregate Column (e.g. F.avg) must raise — summing per-salt
+    averages would silently return a wrong answer."""
+    import pytest
+
+    df = _skewed(spark)
+    with pytest.raises(TypeError, match="phase1_column, combiner"):
+        salted_agg(df, "k", {"a": F.avg("value")})
+    with pytest.raises(ValueError, match="unsupported combiner"):
+        salted_agg(df, "k", {"a": (F.avg("value"), "avg")})
+    # custom callable combiners stay allowed (user owns correctness)
+    out = salted_agg(df, "k", {"n": (F.count(F.lit(1)), lambda c: F.sum(c))})
+    assert out.count() > 0
