@@ -166,21 +166,23 @@ def label_centroids(vectors: DataFrame, vec_col: str = "embedding",
     )
 
 
-def sign_projection_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
+def sign_projection_bucket(vec: Column, n_bits: int = 8, dim: int = 64,
+                           bit_offset: int = 0) -> Column:
     """Random-hyperplane LSH bucket id for embedding near-dup detection.
 
-    Bit b = sign of <vec, w_b> with deterministic integer weights
-    w_b[i] = ((i·31 + b·17) mod 7) − 3 — reproducible in any engine (the
-    DuckDB oracle computes the identical buckets), no stored model. Cosine-
-    similar vectors land in the same bucket with high probability, so the
-    near-dup self-join becomes an equi-join on bucket — the 100 TB path:
-    candidate pairs only materialize within buckets (2^n_bits cells), never
-    as a cross product.
+    Bit b = sign of <vec, w_g> with deterministic integer weights
+    w_g[i] = ((i·31 + g·17) mod 7) − 3, g = bit_offset + b — reproducible
+    in any engine (the DuckDB oracle computes the identical buckets), no
+    stored model. Cosine-similar vectors land in the same bucket with high
+    probability, so the near-dup self-join becomes an equi-join on bucket.
+    ``bit_offset`` gives each hash table of the banded scheme its own
+    hyperplane family.
     """
     dv = _as_double(vec)
     bucket = F.lit(0)
     for b in range(n_bits):
-        w = F.array(*[F.lit(((i * 31 + b * 17) % 7) - 3) for i in range(1, dim + 1)])
+        g = bit_offset + b
+        w = F.array(*[F.lit(((i * 31 + g * 17) % 7) - 3) for i in range(1, dim + 1)])
         proj = F.aggregate(
             F.zip_with(dv, w, lambda x, wt: x * wt), F.lit(0.0), lambda a, x: a + x
         )
@@ -188,34 +190,98 @@ def sign_projection_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Colum
     return bucket.cast("long")
 
 
-def embedding_near_dup_pairs(
+# Sizing contract shared with the DuckDB oracle (llm_pipeline's
+# dedup_embedding_cosine SQL computes the identical expression from
+# COUNT(*)): buckets per table ≈ n / TARGET_BUCKET_SIZE, clamped. The
+# bucket count GROWS WITH THE CORPUS — the property the fixed-8-bit scheme
+# lacked: at constant bits the within-bucket self-join is quadratic in
+# corpus size; at constant target bucket SIZE it stays linear.
+LSH_TARGET_BUCKET_SIZE = 8
+LSH_MIN_BITS, LSH_MAX_BITS = 4, 24
+
+
+def sign_bits_for(n_rows: int, target_bucket_size: int = LSH_TARGET_BUCKET_SIZE) -> int:
+    import math
+
+    raw = math.ceil(math.log2(max(n_rows / target_bucket_size, 2.0)))
+    return min(LSH_MAX_BITS, max(LSH_MIN_BITS, raw))
+
+
+def banded_sign_projection_rows(
     vectors: DataFrame,
-    threshold: float = 0.35,
-    n_bits: int = 8,
+    n_tables: int = 4,
+    bits_per_table: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate candidate pairs: bucket by
-    sign-projection LSH, self-equi-join per bucket, verify exact cosine ≥
-    threshold. Approximate by construction (pairs split across all buckets
-    are missed) — the same contract as MinHash-LSH for text."""
-    buck = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        sign_projection_bucket(F.col(vec_col), n_bits, dim).alias("bucket"),
-    ).localCheckpoint(eager=True)  # compute the 8 projections once, not per join side
-    a, b = buck.alias("a"), buck.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+    """(vid, tbl, bucket) rows for multi-table sign-projection LSH —
+    the vector analogue of minhash_band_rows: ``n_tables`` independent
+    hash tables (hyperplane families), a pair is a candidate if it
+    collides in ANY table. Tables buy recall; bits-per-table buys
+    selectivity; bits default to corpus-size-derived (sign_bits_for), so
+    the bucket count scales with n. Map-side only — one projection pass,
+    then an explode to one slim row per (vector, table)."""
+    if bits_per_table is None:
+        bits_per_table = sign_bits_for(vectors.count())
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_projection_bucket(
+                    F.col(vec_col), bits_per_table, dim,
+                    bit_offset=t * bits_per_table,
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col).alias("vid"), F.explode(tables).alias("tb")
+    ).select("vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 4,
+    bits_per_table: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded multi-table
+    sign-projection LSH → per-(table, bucket) self-equi-join → distinct
+    candidate pairs → verify exact cosine ≥ threshold. Approximate by
+    construction (pairs colliding in no table are missed) — the same
+    contract and plan shape as MinHash-LSH for text: slim band rows ride
+    the join (never the vectors), the shuffle key is (table, bucket), and
+    the bucket count grows with the corpus so within-bucket work stays
+    bounded at 100 TB."""
+    slim = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).localCheckpoint(eager=True)
+    banded = banded_sign_projection_rows(
+        slim, n_tables, bits_per_table, dim, id_col="vid", vec_col="vec"
+    ).localCheckpoint(eager=True)  # project once, not per join side
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
+        .select(F.col("a.vid").alias("vec_id_a"), F.col("b.vid").alias("vec_id_b"))
+        .distinct()
+    )
+    return (
+        pairs.join(slim.alias("va"), F.col("vec_id_a") == F.col("va.vid"))
+        .join(slim.alias("vb"), F.col("vec_id_b") == F.col("vb.vid"))
         .select(
-            F.col("a.vid").alias("vec_id_a"),
-            F.col("b.vid").alias("vec_id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cosine_sim"),
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("va.vec"), F.col("vb.vec")), 4).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

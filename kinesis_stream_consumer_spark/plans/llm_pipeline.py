@@ -460,25 +460,39 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
 
 
+_LSH_TABLES = 4
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
-    WITH dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
-    bitsrc AS (SELECT unnest(generate_series(0, 7)) AS b),
+    WITH params AS (
+      SELECT LEAST({S.LSH_MAX_BITS}, GREATEST({S.LSH_MIN_BITS},
+               CAST(CEIL(LOG2(GREATEST(COUNT(*) / {S.LSH_TARGET_BUCKET_SIZE}.0,
+                                       2.0))) AS INT))) AS nbits
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    gbits AS (
+      SELECT unnest(generate_series(0, {_LSH_TABLES} * nbits - 1)) AS g, nbits
+      FROM params
+    ),
     bits AS (
-      SELECT e.vec_id, s.b,
+      SELECT e.vec_id, gb.g // gb.nbits AS tbl, gb.g % gb.nbits AS b,
              CASE WHEN SUM(CAST(e.embedding[d.i] AS DOUBLE)
-                           * (((d.i*31 + s.b*17) % 7) - 3)) >= 0
+                           * (((d.i*31 + gb.g*17) % 7) - 3)) >= 0
                   THEN 1 ELSE 0 END AS bit
-      FROM embeddings e CROSS JOIN dims d CROSS JOIN bitsrc s
-      GROUP BY e.vec_id, s.b
+      FROM embeddings e CROSS JOIN dims d CROSS JOIN gbits gb
+      GROUP BY e.vec_id, gb.g, gb.nbits
     ),
     buckets AS (
-      SELECT vec_id, CAST(SUM(bit << b) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
+      SELECT vec_id, tbl, CAST(SUM(bit << b) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, tbl
     ),
     pairs AS (
-      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
     norms AS (
       SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
@@ -501,17 +515,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ROUND(dp / (na.nrm * nb.nrm), 4) >= 0.35
     ORDER BY vec_id_a, vec_id_b
     """,
-    doc="Embedding-cosine near-dup: sign-projection LSH buckets (8 "
-    "deterministic hyperplanes) → per-bucket self-equi-join → exact-cosine "
-    "verify. The candidate join is an equi-join on bucket id — uniform "
-    "shuffle, no cross product; zip_with/aggregate dot products stay "
-    "JVM-side. The text-dedup family's contract applied to vectors.",
+    doc="Embedding-cosine near-dup via BANDED multi-table sign-projection "
+    "LSH (the vector analogue of MinHash banding): 4 independent hyperplane "
+    "families, bits-per-table derived from the corpus size "
+    "(≈ n / target_bucket_size buckets per table, clamped) so the bucket "
+    "count GROWS with the corpus and within-bucket self-join work stays "
+    "bounded at 100 TB — the fix for the fixed-256-bucket scheme whose "
+    "buckets go quadratic as n grows. Candidates = collision in ANY table "
+    "(tables buy recall, bits buy selectivity), then exact-cosine verify. "
+    "Slim (vid, tbl, bucket) rows ride the join; the oracle derives the "
+    "identical bit count from COUNT(*), so parity holds at every sf.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, threshold=0.35, n_bits=8, dim=_DIM).orderBy(
-        "vec_id_a", "vec_id_b"
-    )
+    return S.embedding_near_dup_pairs(
+        emb, threshold=0.35, n_tables=_LSH_TABLES, dim=_DIM
+    ).orderBy("vec_id_a", "vec_id_b")
 
 
 # --- Multimodal columns -----------------------------------------------------

@@ -52,6 +52,39 @@ def test_ivf_recall_vs_brute_force(spark):
         assert corpus_cell[m] in probed[q]
 
 
+def test_banded_lsh_scales_with_corpus(spark):
+    """The banded scheme's scale contract: bits (⇒ bucket count) grow with
+    corpus size, each vector lands in every table, and tables are
+    independent hyperplane families (different bucketings)."""
+    # sizing: bucket count tracks n / target_bucket_size, clamped
+    assert S.sign_bits_for(500) == 6
+    assert S.sign_bits_for(5_000) < S.sign_bits_for(5_000_000)
+    assert S.sign_bits_for(10) == S.LSH_MIN_BITS
+    assert S.sign_bits_for(10**12) == S.LSH_MAX_BITS
+
+    emb = _emb(spark)
+    n = emb.count()
+    rows = S.banded_sign_projection_rows(emb, n_tables=3, bits_per_table=6)
+    assert rows.count() == 3 * n  # one slim row per (vector, table)
+    per_table = {
+        r["tbl"]: r["nb"]
+        for r in rows.groupBy("tbl").agg(
+            F.countDistinct("bucket").alias("nb")
+        ).collect()
+    }
+    assert set(per_table) == {0, 1, 2}
+    assert all(nb > 10 for nb in per_table.values())  # buckets actually used
+    # different tables bucket differently (independent families)
+    t01 = (
+        rows.where(F.col("tbl") == 0)
+        .alias("a")
+        .join(rows.where(F.col("tbl") == 1).alias("b"), F.col("a.vid") == F.col("b.vid"))
+        .where(F.col("a.bucket") == F.col("b.bucket"))
+        .count()
+    )
+    assert t01 < n  # not the same partitioning
+
+
 def test_sign_projection_buckets_balanced(spark):
     """Bucket histogram sanity: the 8-bit sign projection should spread
     500 vectors over many buckets with no catastrophic hot bucket (the
