@@ -442,6 +442,457 @@ def engine_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S3/S5: KPL de-aggregation through the real ingest path ------------------
+
+@register(
+    "kpl_deagg_roundtrip",
+    """
+    SELECT event_id,
+           CAST(CAST(event_id % 5 AS INTEGER) AS BIGINT) AS sub_seq_no,
+           CAST(user_id AS VARCHAR) AS pk
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+    doc="Reference S3/S5: KPL-aggregated blobs (5 user records each, built "
+    "with the pure-Python codec for the public KPL wire format, "
+    "kpl-deagg-async.js:50-186) de-aggregate through the real ingest path — "
+    "each user record becomes its own message with its subSequenceNumber "
+    "and the KPL-carried partition key. The oracle predicts every "
+    "(event, sub-seq, pk) from the blob layout.",
+)
+def kpl_deagg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64 as _b64
+    import json as _json
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import kpl_aggregate
+    from kinesis_stream_consumer_spark.sources.records import KINESIS_RECORD_SCHEMA
+    from kinesis_stream_consumer_spark.streaming.ingest import ingest
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 300)
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    # build one KPL blob per 5 consecutive events (driver-side test-vector
+    # construction only — the decode runs distributed inside ingest)
+    recs = []
+    for blob_idx in range(0, len(ev), 5):
+        chunk = ev[blob_idx : blob_idx + 5]
+        blob = kpl_aggregate(
+            [
+                (
+                    str(r["user_id"]),
+                    _json.dumps(
+                        {"id1": r["event_id"], "k1": r["user_id"]}
+                    ).encode(),
+                )
+                for r in chunk
+            ]
+        )
+        seq = str(blob_idx // 5).zfill(56)
+        recs.append(
+            {
+                "eventID": f"shardId-000000000000:{seq}",
+                "eventVersion": "1.0",
+                "eventName": "aws:kinesis:record",
+                "eventSource": "aws:kinesis",
+                "eventSourceARN": "arn:aws:kinesis:us-west-2:1:stream/T",
+                "awsRegion": "us-west-2",
+                "invokeIdentityArn": None,
+                "kinesis": {
+                    "kinesisSchemaVersion": "1.0",
+                    "partitionKey": "agg",
+                    "explicitHashKey": None,
+                    "sequenceNumber": seq,
+                    "data": _b64.b64encode(blob).decode(),
+                },
+            }
+        )
+    records = spark.createDataFrame(recs, KINESIS_RECORD_SCHEMA)
+    cfg = EngineConfig(kpl_encoded=True, id_property_names=["id1"])
+    msgs = ingest(records, cfg).messages
+    return msgs.select(
+        F.get_json_object("msg_json", "$.id1").cast("long").alias("event_id"),
+        F.col("event_sub_seq_no").alias("sub_seq_no"),
+        F.col("partition_key").alias("pk"),
+    ).orderBy("event_id")
+
+
+# --- T1–T4/D1: state save → load → revive across two real batches -----------
+
+@register(
+    "state_replay_attempts",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN CAST(2 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS attempts,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_id < 1000
+    GROUP BY 1
+    ORDER BY attempts
+    """,
+    doc="Reference T1–T4 + D1 across TWO real process_batch calls: batch 1 "
+    "fails every 'error' message (state saved, batch raises for replay); "
+    "the replayed batch loads + revives that state — completed tasks are "
+    "skipped (attempts stay 1, D1), failed tasks re-execute exactly once "
+    "more (attempts 2) and complete. The oracle predicts the final "
+    "attempts histogram declaratively "
+    "(test/kinesis-consumer.test.js:746-845).",
+)
+def state_replay_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import (
+        BatchReplayError,
+        Engine,
+        TaskDef,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    records = events_as_kinesis_records(ev)
+    tmp = tempfile.mkdtemp(prefix="ksc-replay-")
+    cfg = EngineConfig(
+        sequencing_required=False,
+        id_property_names=["id1"],
+    )
+
+    def flaky(message, task):
+        if message["k2"] == "error":
+            raise RuntimeError("transient failure")
+
+    def fixed(message, task):
+        return None
+
+    def engine(fn):
+        return Engine(
+            spark,
+            cfg,
+            state_path=f"{tmp}/state",
+            drq_path=f"{tmp}/drq",
+            dmq_path=f"{tmp}/dmq",
+            process_one_defs=[TaskDef("t1", fn)],
+        )
+
+    try:
+        engine(flaky).process_batch(records, batch_id=1)
+    except BatchReplayError:
+        pass  # F1: incomplete ⇒ replay — exactly the contract under test
+    eng2 = engine(fixed)
+    eng2.process_batch(records, batch_id=2)
+    return (
+        eng2.state.read_all()
+        .select(
+            F.get_json_object("tasks_json", "$.t1.attempts")
+            .cast("long")
+            .alias("attempts")
+        )
+        .groupBy("attempts")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("attempts")
+    )
+
+
+# --- X5: timeout race through the real deadline path -------------------------
+
+@register(
+    "timeout_policy",
+    """
+    SELECT 'after_replay' AS phase, 'Completed' AS status,
+           CAST(1 AS BIGINT) AS attempts, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_id < 500
+    UNION ALL
+    SELECT 'after_timeout', 'TimedOut', CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE event_id < 500
+    ORDER BY phase
+    """,
+    doc="Reference X5 timeout race: with a zero remaining-time budget every "
+    "task transitions to TimedOut (attempts RESET — "
+    "test/kinesis-consumer.test.js:2985-2988), state is still saved, and "
+    "the batch fails for replay; the replayed batch with a normal budget "
+    "executes everything fresh (attempts 1, Completed). Both phase "
+    "snapshots come from the real saved state table.",
+)
+def timeout_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import (
+        BatchReplayError,
+        Engine,
+        TaskDef,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    records = events_as_kinesis_records(ev)
+    tmp = tempfile.mkdtemp(prefix="ksc-timeout-")
+    cfg = EngineConfig(sequencing_required=False, id_property_names=["id1"])
+
+    def work(message, task):
+        return None
+
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=f"{tmp}/state",
+        drq_path=f"{tmp}/drq",
+        dmq_path=f"{tmp}/dmq",
+        process_one_defs=[TaskDef("t1", work)],
+    )
+    try:
+        eng.process_batch(records, batch_id=1, remaining_time_ms=0)
+    except BatchReplayError:
+        pass  # expected: everything timed out ⇒ replay
+
+    def snapshot(phase):
+        return (
+            eng.state.read_all()
+            .select(
+                F.lit(phase).alias("phase"),
+                F.get_json_object("tasks_json", "$.t1.status").alias("status"),
+                F.get_json_object("tasks_json", "$.t1.attempts")
+                .cast("long")
+                .alias("attempts"),
+            )
+            .groupBy("phase", "status", "attempts")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint(eager=True)  # freeze before the next save overwrites
+        )
+
+    snap1 = snapshot("after_timeout")
+    eng.process_batch(records, batch_id=2)  # normal budget ⇒ fresh execution
+    snap2 = snapshot("after_replay")
+    return snap1.unionByName(snap2).orderBy("phase")
+
+
+# --- D2: DRQ envelopes through the real ingest path --------------------------
+
+@register(
+    "drq_envelopes_ingest",
+    """
+    SELECT 'DR|K|2.0' AS ver,
+           'K|TestStream|consumer:dev' AS streamConsumerId,
+           'S|shardId-' || lpad(CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR), 12, '0')
+             AS shardOrEventID,
+           'shardId-' || lpad(CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR), 12, '0')
+             || ':' || lpad(CAST(event_id AS VARCHAR), 56, '0') AS eventID,
+           'unparseable record data (S6)' AS reasonUnusable,
+           CAST(user_id AS VARCHAR) AS partitionKey
+    FROM events
+    WHERE event_id < 500 AND event_id % 10 = 0
+    ORDER BY eventID
+    """,
+    doc="Reference D2 through the REAL ingest path: every 10th record's "
+    "payload is corrupted to non-JSON, ingest partitions it unusable (P1), "
+    "and dead_record_envelopes builds the 'DR|K|2.0' envelope with the "
+    "partition-key fallback chain (kinesis-processing.js:634-647,743-746). "
+    "The oracle predicts each envelope from the corruption rule.",
+)
+def drq_envelopes_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming.dlq import dead_record_envelopes
+    from kinesis_stream_consumer_spark.streaming.ingest import ingest
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    records = events_as_kinesis_records(ev)
+    # corrupt every 10th payload (sequenceNumber carries the event_id)
+    corrupted = records.withColumn(
+        "kinesis",
+        F.when(
+            F.col("kinesis.sequenceNumber").cast("long") % 10 == 0,
+            F.col("kinesis").withField(
+                "data", F.base64(F.lit("<not json>").cast("binary"))
+            ),
+        ).otherwise(F.col("kinesis")),
+    )
+    cfg = EngineConfig()
+    unusable = ingest(corrupted, cfg).unusable
+    return (
+        dead_record_envelopes(unusable, cfg.stream_consumer_id, "K")
+        .select(
+            "ver",
+            "streamConsumerId",
+            "shardOrEventID",
+            "eventID",
+            "reasonUnusable",
+            "partitionKey",
+        )
+        .orderBy("eventID")
+    )
+
+
+# --- C1/C2: consumer identity + staged resource names ------------------------
+
+@register(
+    "consumer_identity",
+    """
+    SELECT * FROM (VALUES
+      ('base',     'consumer:dev',    'K|TestStream|consumer:dev',
+       'StreamConsumerBatchState_DEV', 'DeadRecordQueue_DEV', 'DeadMessageQueue_DEV'),
+      ('suffixed', 'consumer:dev|s1', 'K|TestStream|consumer:dev|s1',
+       'StreamConsumerBatchState_DEV', 'DeadRecordQueue_DEV', 'DeadMessageQueue_DEV'),
+      ('dynamodb', 'consumer:dev',    'D|TestStream|consumer:dev',
+       'StreamConsumerBatchState_DEV', 'DeadRecordQueue_DEV', 'DeadMessageQueue_DEV'),
+      ('prod',     'consumer:prod',   'K|TestStream|consumer:prod',
+       'StreamConsumerBatchState_PROD', 'DeadRecordQueue_PROD', 'DeadMessageQueue_PROD')
+    ) AS t(cfg_case, consumer_id, stream_consumer_id, state_table, drq_name, dmq_name)
+    ORDER BY cfg_case
+    """,
+    doc="Reference C1/C2: consumer identity '<function>:<stage>[|<suffix>]', "
+    "stream-consumer id '<K|D>|<stream>|<consumer>' and stage-suffixed "
+    "resource names (kinesis-consumer.js:82, default-kinesis-options.json:9-15, "
+    "asserted test/batch.test.js:88-152) — emitted from real EngineConfig "
+    "instances so the driver pins the identity scheme.",
+)
+def consumer_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.config import EngineConfig, StreamType
+
+    cases = {
+        "base": EngineConfig(),
+        "suffixed": EngineConfig(consumer_id_suffix="s1"),
+        "dynamodb": EngineConfig(stream_type=StreamType.dynamodb),
+        "prod": EngineConfig(stage="prod"),
+    }
+    rows = [
+        (
+            name,
+            c.consumer_id,
+            c.stream_consumer_id,
+            c.state_table,
+            c.drq_name,
+            c.dmq_name,
+        )
+        for name, c in sorted(cases.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cfg_case string, consumer_id string, stream_consumer_id string, "
+        "state_table string, drq_name string, dmq_name string",
+    ).orderBy("cfg_case")
+
+
+# --- F3: lifecycle hooks fire ------------------------------------------------
+
+@register(
+    "hooks_fire",
+    """
+    SELECT 'messages_seen' AS hook, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_id < 200
+    UNION ALL SELECT 'post_finalise_batch', 1
+    UNION ALL SELECT 'pre_finalise_batch', 1
+    UNION ALL SELECT 'pre_process_batch', 1
+    ORDER BY hook
+    """,
+    doc="Reference F3: the three lifecycle hooks (preProcessBatch, "
+    "preFinaliseBatch, postFinaliseBatch — kinesis-processing.js:292-298) "
+    "each fire exactly once per batch through the real engine; the "
+    "post-hook's BatchResult carries the message count.",
+)
+def hooks_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    records = events_as_kinesis_records(ev)
+    fired = {"pre_process_batch": 0, "pre_finalise_batch": 0}
+    seen = {"messages": 0, "post_finalise_batch": 0}
+
+    def pre_process(df, engine):
+        fired["pre_process_batch"] += 1
+        return df
+
+    def pre_finalise(df, engine):
+        fired["pre_finalise_batch"] += 1
+
+    def post_finalise(result, engine):
+        seen["post_finalise_batch"] += 1
+        seen["messages"] = result.messages
+
+    tmp = tempfile.mkdtemp(prefix="ksc-hooks-")
+    cfg = EngineConfig(
+        sequencing_required=False,
+        id_property_names=["id1"],
+        pre_process_batch=pre_process,
+        pre_finalise_batch=pre_finalise,
+        post_finalise_batch=post_finalise,
+    )
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=f"{tmp}/state",
+        drq_path=f"{tmp}/drq",
+        dmq_path=f"{tmp}/dmq",
+        process_one_defs=[TaskDef("t1", lambda m, t: None)],
+    )
+    eng.process_batch(records, batch_id=1)
+    rows = [
+        ("messages_seen", seen["messages"]),
+        ("post_finalise_batch", seen["post_finalise_batch"]),
+        ("pre_finalise_batch", fired["pre_finalise_batch"]),
+        ("pre_process_batch", fired["pre_process_batch"]),
+    ]
+    return spark.createDataFrame(rows, "hook string, n long").orderBy("hook")
+
+
+# --- F2: resubmit incomplete messages (unsequenced) --------------------------
+
+@register(
+    "resubmit_incomplete",
+    """
+    SELECT event_id
+    FROM events
+    WHERE event_id < 500 AND event_type = 'error'
+    ORDER BY event_id
+    """,
+    doc="Reference F2: in unsequenced mode with a resubmit sink configured, "
+    "incomplete messages are RESUBMITTED to the source instead of failing "
+    "the whole batch (kinesis-consumer.unseq.test.js:1521,1867) — ordering "
+    "doesn't matter there, so only the stragglers replay. The query runs "
+    "the real engine and reads the resubmitted records back from the sink.",
+)
+def resubmit_incomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.sources.records import KINESIS_RECORD_SCHEMA
+    from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    records = events_as_kinesis_records(ev)
+    tmp = tempfile.mkdtemp(prefix="ksc-resubmit-")
+
+    def flaky(message, task):
+        if message["k2"] == "error":
+            raise RuntimeError("still failing")
+
+    cfg = EngineConfig(sequencing_required=False, id_property_names=["id1"])
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=f"{tmp}/state",
+        drq_path=f"{tmp}/drq",
+        dmq_path=f"{tmp}/dmq",
+        process_one_defs=[TaskDef("t1", flaky)],
+        resubmit_path=f"{tmp}/resubmit",
+    )
+    eng.process_batch(records, batch_id=1)  # must NOT raise — F2 contract
+    resubmitted = spark.read.schema(KINESIS_RECORD_SCHEMA).json(f"{tmp}/resubmit")
+    return resubmitted.select(
+        F.col("kinesis.sequenceNumber").cast("long").alias("event_id")
+    ).orderBy("event_id")
+
+
 # --- X4/F1: max-attempts discard policy as a declarative rule ---------------
 
 @register(
