@@ -371,7 +371,10 @@ class Engine:
 
         # ---- Phase 1: initiate -------------------------------------------
         ing = ingest(records, cfg)
-        seqd = sequence_messages(ing.messages, cfg)
+        # msg_json is an ingest-surface column (custom-format resolution);
+        # the engine only needs the digests downstream — dropping it here
+        # keeps a full message copy out of the chain shuffle
+        seqd = sequence_messages(ing.messages.drop("msg_json"), cfg)
         identity = F.coalesce(
             F.nullif(F.col("id"), F.lit("")),
             F.concat_ws(

