@@ -80,12 +80,12 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(doc, mh0..mh7): per fixed salt, the min md5 over the doc's shingles.
-
-    min() combines map-side, so the shuffle carries only (doc, 8 hashes)
-    regardless of document size — the 100 TB-safe signature plan."""
-    rows = shingle_rows(df, text_col, id_col, k).withColumn(
+def minhash_signatures_from_sets(shsets: DataFrame) -> DataFrame:
+    """(doc, mh0..mh7) from a (doc, shingles) frame — the explode+min
+    pipeline of minhash_signatures, reusable when the shingle sets are
+    already materialized (the LSH pipeline shares ONE shingle pass between
+    signatures and the exact-Jaccard verify)."""
+    rows = shsets.select("doc", F.explode("shingles").alias("shingle")).withColumn(
         "h", md5_u64_le(F.col("shingle"))
     )
     return rows.groupBy("doc").agg(
@@ -96,6 +96,14 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
             for i, (a, b) in enumerate(MINHASH_PERMS)
         ]
     )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(doc, mh0..mh7): per fixed salt, the min md5 over the doc's shingles.
+
+    min() combines map-side, so the shuffle carries only (doc, 8 hashes)
+    regardless of document size — the 100 TB-safe signature plan."""
+    return minhash_signatures_from_sets(shingle_sets(df, text_col, id_col, k))
 
 
 def minhash_band_rows(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
@@ -203,12 +211,16 @@ def minhash_lsh_candidate_pairs(
     degenerate into 4 all-pairs products. ``threshold`` keeps only pairs
     with exact Jaccard ≥ threshold.
     """
+    # ONE shingle pass for the whole pipeline: the checkpointed sets feed
+    # the signature aggregate AND both sides of the exact-Jaccard verify —
+    # tokenization is the dominant map cost and would otherwise run twice.
+    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
     # Slim band table: (doc, band, band_key) only — the heavy shingle arrays
     # must NOT ride through the self-join (they'd be shuffled once per band
     # and compared once per duplicate candidate). localCheckpoint
     # materializes the signatures ONCE; without it the self-join recomputes
     # the whole shingle→hash→min pipeline for each side.
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    sigs = minhash_signatures_from_sets(shsets)
     if block_col is not None:
         sigs = sigs.join(
             df.select(F.col(id_col).alias("doc"), F.col(block_col).alias("_block")),
@@ -228,11 +240,8 @@ def minhash_lsh_candidate_pairs(
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    # Verify each unique pair exactly once with true shingle Jaccard.
-    # Checkpoint: the shingle sets are read by BOTH sides of the pair join —
-    # materializing once halves the tokenize/shingle work and lets the two
-    # joins reuse the same in-memory blocks.
-    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
+    # Verify each unique pair exactly once with true shingle Jaccard,
+    # reading both sides from the same checkpointed sets.
     verified = (
         pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
         .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))

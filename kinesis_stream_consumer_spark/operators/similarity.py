@@ -220,25 +220,49 @@ def banded_sign_projection_rows(
     hash tables (hyperplane families), a pair is a candidate if it
     collides in ANY table. Tables buy recall; bits-per-table buys
     selectivity; bits default to corpus-size-derived (sign_bits_for), so
-    the bucket count scales with n. Map-side only — one projection pass,
-    then an explode to one slim row per (vector, table)."""
+    the bucket count scales with n.
+
+    All ``n_tables × bits`` projections compute in ONE grouped pass:
+    posexplode the vector to (vid, i, x) rows, then one hash aggregate
+    with a sum per hyperplane, the weight derived arithmetically from
+    (i, g) — no per-bit weight-array literals (building 32 zip_with/
+    aggregate expression trees cost ~7 s of driver time alone), and the
+    explode collapses back to one row per vid in the map-side partial
+    aggregate before anything shuffles."""
     if bits_per_table is None:
         bits_per_table = sign_bits_for(vectors.count())
+    n_g = n_tables * bits_per_table
+    ex = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    ).select("vid", (F.col("pos") + 1).alias("i"), "x")
+    # w(i, g) = ((i·31 + g·17) mod 7) − 3 — same family as
+    # sign_projection_bucket / the DuckDB oracle (i is 1-based there too)
+    projs = ex.groupBy("vid").agg(
+        *[
+            F.sum(
+                F.col("x") * (((F.col("i") * 31 + F.lit(g * 17)) % 7) - 3)
+            ).alias(f"p{g}")
+            for g in range(n_g)
+        ]
+    )
+
+    def bucket_col(t: int) -> Column:
+        b = F.lit(0)
+        for k in range(bits_per_table):
+            g = t * bits_per_table + k
+            b = b + F.when(F.col(f"p{g}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        return b.cast("long")
+
     tables = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                sign_projection_bucket(
-                    F.col(vec_col), bits_per_table, dim,
-                    bit_offset=t * bits_per_table,
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(t).alias("tbl"), bucket_col(t).alias("bucket"))
             for t in range(n_tables)
         ]
     )
-    return vectors.select(
-        F.col(id_col).alias("vid"), F.explode(tables).alias("tb")
-    ).select("vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    return projs.select("vid", F.explode(tables).alias("tb")).select(
+        "vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
 
 
 def embedding_near_dup_pairs(
@@ -258,12 +282,15 @@ def embedding_near_dup_pairs(
     the join (never the vectors), the shuffle key is (table, bucket), and
     the bucket count grows with the corpus so within-bucket work stays
     bounded at 100 TB."""
-    slim = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).localCheckpoint(eager=True)
+    # No checkpoint on slim: materializing the corpus to executor storage
+    # is the anti-pattern at 100 TB — the verify joins re-read a
+    # column-pruned parquet scan instead. The banded rows ARE
+    # checkpointed: they are tiny (n_tables slim rows per vector) and it
+    # stops the projection aggregate running once per self-join side.
+    slim = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     banded = banded_sign_projection_rows(
         slim, n_tables, bits_per_table, dim, id_col="vid", vec_col="vec"
-    ).localCheckpoint(eager=True)  # project once, not per join side
+    ).localCheckpoint(eager=True)
     pairs = (
         banded.alias("a")
         .join(

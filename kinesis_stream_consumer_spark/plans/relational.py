@@ -296,16 +296,23 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT buyers.n AS n_with_orders, lurkers.n AS n_without_orders
     FROM buyers, lurkers
     """,
-    doc="LEFT SEMI / LEFT ANTI joins — existence checks without row "
-    "duplication; broadcast when the right side is small.",
+    doc="SEMI/ANTI existence-check cardinalities in ONE pass: left join "
+    "against the distinct'd key set, count matches and misses in the same "
+    "aggregate — each table is scanned once and both answers come from one "
+    "action (the naive two-count form scans customer and orders twice).",
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = _t(spark, sf_dir, "customer")
-    ok = _t(spark, sf_dir, "orders").select("o_custkey")
-    semi = cu.join(ok, cu.c_custkey == ok.o_custkey, "left_semi").count()
-    anti = cu.join(ok, cu.c_custkey == ok.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(semi, anti)], "n_with_orders long, n_without_orders long"
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    ok = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        cu.join(ok, cu.c_custkey == ok.o_custkey, "left")
+        .agg(
+            F.count("o_custkey").alias("n_with_orders"),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("_anti"),
+        )
+        .select(
+            "n_with_orders", F.col("_anti").cast("long").alias("n_without_orders")
+        )
     )
 
 

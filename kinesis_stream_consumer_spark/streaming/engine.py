@@ -371,10 +371,38 @@ class Engine:
 
         # ---- Phase 1: initiate -------------------------------------------
         ing = ingest(records, cfg)
-        # msg_json is an ingest-surface column (custom-format resolution);
-        # the engine only needs the digests downstream — dropping it here
-        # keeps a full message copy out of the chain shuffle
-        seqd = sequence_messages(ing.messages.drop("msg_json"), cfg)
+        # Materialize the ingest output ONCE, before anything branches off
+        # it: the shard-key collect below, the sequencing shuffle, and the
+        # unusable/DRQ path would each otherwise recompute the whole
+        # decode→identify pipeline. msg_json is dropped first — it is an
+        # ingest-surface column (custom-format resolution); the engine only
+        # needs the digests downstream, and dropping it keeps a full
+        # message copy out of the checkpoint and the chain shuffle.
+        msgs = ing.messages.drop("msg_json").localCheckpoint(eager=True)
+        unusable = ing.unusable.localCheckpoint(eager=True)
+
+        shard_or_event = (
+            F.concat(F.lit("E|"), F.col("event_id"))
+            if cfg.batch_keyed_on_event_id
+            else F.concat(F.lit("S|"), F.col("shard_id"))
+        )
+        # one job for both shard sets (batch-key resolution I4) — a slim
+        # scan of the checkpointed batch, not a recompute of ingest; the
+        # driver-side set feeds the partition-pruned state load (the
+        # parquet analogue of the reference's single DynamoDB get)
+        shard_rows = (
+            msgs.select(shard_or_event.alias("shardOrEventID"))
+            .unionByName(
+                unusable.select(
+                    F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID")
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        shards = {r[0] for r in shard_rows}
+
+        seqd = sequence_messages(msgs, cfg)
         identity = F.coalesce(
             F.nullif(F.col("id"), F.lit("")),
             F.concat_ws(
@@ -384,26 +412,9 @@ class Engine:
                 F.coalesce(F.col("event_sub_seq_no").cast("string"), F.lit("")),
             ),
         )
-        seqd = seqd.withColumn("identity", identity)
-
-        shard_or_event = (
-            F.concat(F.lit("E|"), F.col("event_id"))
-            if cfg.batch_keyed_on_event_id
-            else F.concat(F.lit("S|"), F.col("shard_id"))
+        seqd = seqd.withColumn("identity", identity).withColumn(
+            "shardOrEventID", shard_or_event
         )
-        seqd = seqd.withColumn("shardOrEventID", shard_or_event)
-        # one job for both shard sets (batch-key resolution I4)
-        shard_rows = (
-            seqd.select("shardOrEventID")
-            .unionByName(
-                ing.unusable.select(
-                    F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID")
-                )
-            )
-            .distinct()
-            .collect()
-        )
-        shards = {r[0] for r in shard_rows}
 
         # T1 load + T2 revive: broadcast the (small) prior-state slice into
         # the messages — one partition-pruned scan per batch, like the
@@ -496,7 +507,6 @@ class Engine:
         if cfg.pre_finalise_batch is not None:
             cfg.pre_finalise_batch(finalised, self)
         tag = "K" if cfg.stream_type == StreamType.kinesis else "D"
-        unusable = ing.unusable.localCheckpoint(eager=True)
         n_unusable = unusable.count()
         if n_unusable:
             # D2 seam: discardUnusableRecord (default DRQ append,
