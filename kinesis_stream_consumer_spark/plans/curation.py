@@ -1,0 +1,275 @@
+"""Corpus-curation queries: deterministic splits, stratified sampling,
+per-source quotas, context-window packing, contamination checks, PII
+scrubbing (SURVEY §2.3 extensions over the documents table).
+
+Every oracle replicates the Spark computation arithmetically — the same
+md5-bucket assignment (DuckDB ``md5_number_upper`` ≡ dedup.md5_u64_le), the
+same window frames, the same regexes — so the driver's value-hash compare
+is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_consumer_spark.operators import curation as C
+from kinesis_stream_consumer_spark.operators import text as T
+from kinesis_stream_consumer_spark.plans.llm_pipeline import _SHINGLE_ROWS
+from kinesis_stream_consumer_spark.plans.queries import _t, register
+
+# DuckDB mirror of curation.hash_bucket (md5_number_upper ≡ md5_u64_le,
+# proven by the minhash parity suite).
+_HB = (
+    "CAST(md5_number_upper(CAST({col} AS VARCHAR))::HUGEINT"
+    f" % {C.HASH_BUCKETS} AS INT)"
+)
+
+_BPE_TOKS = r"len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\w\s]'))"
+
+
+@register(
+    "curation_split",
+    f"""
+    WITH b AS (
+      SELECT lang, n_chars, {_HB.format(col='doc_id')} AS hb FROM documents
+    )
+    SELECT CASE WHEN hb < 8000 THEN 'train'
+                WHEN hb < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2 ORDER BY split, lang
+    """,
+    doc="Deterministic hash-based train/val/test split (80/10/10): "
+    "assignment is a pure function of doc_id — map-side only, no shuffle, "
+    "reproducible, and stable under corpus growth (a doc never changes "
+    "split when others are added). The query reports the per-(split, lang) "
+    "census.",
+)
+def curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        C.train_val_test_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "curation_stratified_sample",
+    f"""
+    WITH hb AS (
+      SELECT doc_id, lang, {_HB.format(col='doc_id')} AS _hb FROM documents
+    ),
+    t AS (
+      SELECT lang, CAST(CEIL(COUNT(*) * 0.1) AS INT) AS target,
+             LEAST({C.HASH_BUCKETS},
+                   CAST(CEIL({C.HASH_BUCKETS} * (CAST({0.1 * 1.5!r} AS DOUBLE)
+                          + CAST(32 AS DOUBLE) / COUNT(*))) AS INT)) AS thresh
+      FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT doc_id, hb.lang, target,
+             ROW_NUMBER() OVER (PARTITION BY hb.lang
+                                ORDER BY _hb, doc_id) AS rnk
+      FROM hb JOIN t ON t.lang = hb.lang
+      WHERE _hb < thresh
+    )
+    SELECT doc_id, lang FROM r WHERE rnk <= target ORDER BY lang, doc_id
+    """,
+    doc="Proportional stratified sample (10% per language), two-phase for "
+    "scale: a map-side hash-threshold prefilter (per-stratum threshold "
+    "margin·fraction + slack/n — tiny strata keep everything, huge strata "
+    "keep ~15%) discards most of the corpus before any shuffle, then an "
+    "exact smallest-hash-first rank over the survivors hits ceil(0.1·n) "
+    "per stratum. Stratum targets travel as a broadcast of (stratum, "
+    "count) rows.",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        C.stratified_sample(docs, "lang", "doc_id", 0.1)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "curation_source_quota",
+    """
+    WITH capped AS (
+      SELECT source, n_chars, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS shortest_kept
+    FROM capped WHERE rnk <= 15
+    GROUP BY source ORDER BY source
+    """,
+    doc="Per-source quota enforcement: keep at most 15 docs per source "
+    "(longest-first, doc_id tiebreak) so no domain dominates the corpus. "
+    "One shuffle on the source key — high-cardinality at real scale "
+    "(domains), so the window parallelizes.",
+)
+def curation_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    capped = C.cap_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], 15
+    )
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").alias("shortest_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "curation_pack_windows",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id, {_BPE_TOKS} AS n_tok FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 256) AS INT) AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY source, bin_id ORDER BY source, bin_id
+    """,
+    doc="Context-window packing: documents chunk sequentially per source "
+    "into 256-token bins (bin = the window the doc's cumulative start "
+    "offset falls in, BPE-ish token counts). Sequential chunking is the "
+    "deterministic, order-stable, one-running-sum-per-group form — linear "
+    "at any scale, unlike first-fit repacking.",
+)
+def curation_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        T.bpe_ish_token_count(F.col("text")).alias("n_tok"),
+    )
+    packed = C.pack_context_windows(docs, "source", "doc_id", "n_tok", 256)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "curation_contamination",
+    f"""
+    WITH {_SHINGLE_ROWS},
+    hb AS (
+      SELECT doc_id, {_HB.format(col='doc_id')} AS _hb FROM documents
+    ),
+    rows0 AS (
+      SELECT sh.doc_id, shingle, _hb FROM sh JOIN hb USING (doc_id)
+    ),
+    informative AS (
+      SELECT shingle FROM rows0 GROUP BY shingle HAVING COUNT(*) <= 100
+    ),
+    rows1 AS (
+      SELECT rows0.doc_id, rows0.shingle, rows0._hb
+      FROM rows0 JOIN informative USING (shingle)
+    ),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM rows1 WHERE _hb < 500
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id, rows1.shingle
+      FROM rows1 JOIN eval_sh USING (shingle)
+      WHERE _hb >= 500
+    )
+    SELECT doc_id, COUNT(*) AS n_shared_shingles
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Train/eval contamination check: train docs sharing any informative "
+    "3-shingle with the (deterministic 5%) eval slice. Shingles with "
+    "document frequency > 100 are dropped first — boilerplate is "
+    "uninformative AND the skew killer for the shingle equi-join; the "
+    "match is then an equi-join on a bounded-fanout key. The standard "
+    "pre-training hygiene pass at 100 TB.",
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        C.ngram_contamination(docs, "text", "doc_id", 500, 3, 100)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_P_EMAIL = C.PII_PATTERNS["email"]
+_P_PHONE = C.PII_PATTERNS["phone"]
+_P_SSN = C.PII_PATTERNS["ssn"]
+
+
+@register(
+    "curation_pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 415-555-'
+                  || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ssn 123-45-6789' AS itext
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(itext, '{_P_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(itext, '{_P_PHONE}')) AS n_phones,
+           len(regexp_extract_all(itext, '{_P_SSN}')) AS n_ssns,
+           md5(regexp_replace(regexp_replace(regexp_replace(itext,
+                 '{_P_EMAIL}', '<EMAIL>', 'g'),
+                 '{_P_SSN}', '<SSN>', 'g'),
+                 '{_P_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+    FROM injected ORDER BY doc_id
+    """,
+    doc="PII scrubbing: match-count + redaction of email/phone/SSN patterns "
+    "(engine-portable regexes — identical under Java regex and RE2). The "
+    "documents corpus is synthetic word-salad with no real PII, so each "
+    "row gets deterministic PII injected first (same expression on both "
+    "engines) and the md5 of the scrubbed text proves byte-identical "
+    "redaction. Pure regexp columns — codegen'd, linear at 100 TB.",
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    cnt = C.pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        cnt["email"].alias("n_emails"),
+        cnt["phone"].alias("n_phones"),
+        cnt["ssn"].alias("n_ssns"),
+        F.md5(C.scrub_pii(injected).cast("binary")).alias("scrub_md5"),
+    ).orderBy("doc_id")
