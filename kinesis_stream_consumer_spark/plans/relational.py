@@ -316,6 +316,55 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bucketed co-located join -----------------------------------------------
+
+@register(
+    "join_bucketed_colocated",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Big⋈big join via BUCKETED tables: both sides are written "
+    "bucketBy(8, orderkey)+sortBy once, then the join plans as a "
+    "SortMergeJoin over bare bucketed scans — NO Exchange, no Sort on "
+    "either side (asserted in tests/test_bucketing.py). The "
+    "pay-the-shuffle-once pattern for fact⋈fact keys reused across many "
+    "queries at 100 TB. Results identical to the plain shuffle join, "
+    "which is what the oracle runs.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.operators import bucketing as B
+
+    base = tempfile.mkdtemp(prefix="ksc-bucketed-")
+    B.write_bucketed(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "ksc_orders_bucketed", "o_orderkey", 8, path=f"{base}/orders",
+    )
+    B.write_bucketed(
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "ksc_lineitem_bucketed", "o_orderkey", 8, path=f"{base}/lineitem",
+    )
+    return (
+        B.colocated_join(
+            spark, "ksc_orders_bucketed", "ksc_lineitem_bucketed", "o_orderkey"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # --- Range (non-equi) join --------------------------------------------------
 
 @register(

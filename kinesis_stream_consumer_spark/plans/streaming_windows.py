@@ -151,3 +151,65 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "streaming_stream_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT c.user_id,
+           COUNT(*) AS n_attributions,
+           CAST(COUNT(DISTINCT c.event_id) AS BIGINT) AS n_attributed_clicks
+    FROM clicks c JOIN views v
+      ON v.user_id = c.user_id
+     AND v.ts <= c.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    doc="Stream-stream interval join (view→click attribution within 30 "
+    "minutes): both sides carry watermarks and the join condition bounds "
+    "event time, which is exactly what lets Structured Streaming evict "
+    "buffered state — an UNBOUNDED stream-stream join is impossible at "
+    "scale; the interval bound makes state O(watermark × rate). Equi-key "
+    "user_id drives the shuffle; the time bound is the residual. The same "
+    "plan runs genuinely streaming in "
+    "tests/test_streaming_extra.py::test_stream_stream_interval_join.",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributions"),
+            F.countDistinct("click_id").alias("n_attributed_clicks"),
+        )
+        .orderBy("user_id")
+    )

@@ -461,3 +461,65 @@ def test_streaming_replay_after_failure(spark, tmp_path):
     assert all(
         t["status"] == "Completed" and t["attempts"] == 1 for t in batch2_others
     )
+
+
+# --- Stream-stream interval join --------------------------------------------
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """The view→click attribution join runs GENUINELY streaming: both sides
+    are file streams with watermarks, the interval bound makes buffered
+    state evictable, and the streamed result matches the batch join."""
+    ev = _t(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def sides(df):
+        clicks = (
+            df.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        views = (
+            df.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "10 minutes")
+        )
+        return clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (
+                F.col("click_ts")
+                < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).select("click_id", "view_id", "user_id")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sides(stream)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("ssj_out")
+    batch = sides(spark.read.parquet(src))
+    assert streamed.count() == batch.count() > 0
+    assert (
+        streamed.exceptAll(batch).count() == 0
+        and batch.exceptAll(streamed).count() == 0
+    )
