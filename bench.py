@@ -92,6 +92,19 @@ def main() -> None:
         f"{tmp}/dmq",
         [TaskDef("validate", validate)],
     )
+    # warm the engine path too (codegen + Arrow/task-runner spin-up), same
+    # policy as the query warm-up above: a tiny throwaway batch into its
+    # own state dir, then time the real one
+    warm_tmp = tempfile.mkdtemp(prefix="ksc-bench-warm-")
+    Engine(
+        spark,
+        eng.config,
+        f"{warm_tmp}/state",
+        f"{warm_tmp}/drq",
+        f"{warm_tmp}/dmq",
+        [TaskDef("validate", validate)],
+    ).process_batch(recs.limit(200).localCheckpoint(eager=True), 0)
+
     t0 = time.perf_counter()
     eng.process_batch(recs, 1)
     engine_sec = round(time.perf_counter() - t0, 3)

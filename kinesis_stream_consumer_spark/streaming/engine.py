@@ -371,15 +371,24 @@ class Engine:
 
         # ---- Phase 1: initiate -------------------------------------------
         ing = ingest(records, cfg)
-        # Materialize the ingest output ONCE, before anything branches off
-        # it: the shard-key collect below, the sequencing shuffle, and the
-        # unusable/DRQ path would each otherwise recompute the whole
-        # decode→identify pipeline. msg_json is dropped first — it is an
+        # Materialize the UNSPLIT ingest output ONCE, before anything
+        # branches off it: the usable/unusable split, the shard-key collect
+        # below, the sequencing shuffle, and the DRQ path would each
+        # otherwise recompute the whole decode→identify pipeline — and
+        # filtering the lazy split plans lets PushDownPredicate inline the
+        # unbase64/JSON-parse work into each side's filter a second time.
+        # Splitting AFTER the checkpoint reads reason_unusable as
+        # materialized data. msg_json is dropped first — it is an
         # ingest-surface column (custom-format resolution); the engine only
         # needs the digests downstream, and dropping it keeps a full
         # message copy out of the checkpoint and the chain shuffle.
-        msgs = ing.messages.drop("msg_json").localCheckpoint(eager=True)
-        unusable = ing.unusable.localCheckpoint(eager=True)
+        tagged = ing.tagged.drop("msg_json", "parsed_ok").localCheckpoint(
+            eager=True
+        )
+        msgs = tagged.where(F.col("reason_unusable").isNull()).drop(
+            "reason_unusable"
+        )
+        unusable = tagged.where(F.col("reason_unusable").isNotNull())
 
         shard_or_event = (
             F.concat(F.lit("E|"), F.col("event_id"))

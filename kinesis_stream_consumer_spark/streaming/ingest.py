@@ -129,6 +129,14 @@ def _canonical(names: Sequence[str], src: str = "data_str"):
 class IngestResult:
     messages: DataFrame
     unusable: DataFrame
+    # The unfiltered decode→identify frame (messages ∪ unusable, with the
+    # reason_unusable column). Consumers that materialize BOTH sides (the
+    # engine) should checkpoint THIS and re-derive the split as a column
+    # filter: filtering the lazy plans instead lets PushDownPredicate push
+    # each side's predicate beneath the projection, re-inlining the
+    # unbase64/JSON-parse expressions into the filter — the whole decode
+    # runs twice per branch.
+    tagged: DataFrame = None
 
 
 def extract_messages_from_kinesis_record(
@@ -452,4 +460,4 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
         "reason_unusable", "parsed_ok"
     )
     unusable = tagged.where(F.col("reason_unusable").isNotNull()).drop("parsed_ok")
-    return IngestResult(messages=messages, unusable=unusable)
+    return IngestResult(messages=messages, unusable=unusable, tagged=tagged)
