@@ -281,6 +281,46 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_range_trailing",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS tus
+      FROM events WHERE user_id < 10
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_trailing_1h
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="RANGE-frame window: per-user trailing-1-hour event count and value "
+    "sum — the frame is bounded by event TIME (epoch micros), not row "
+    "count, so it is the windowed form of 'rate over the last hour'. "
+    "Distinct machinery from ROWS frames: Spark binds the frame by value "
+    "range per row. One shuffle on user_id; linear scan per partition.",
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select("event_id", "user_id", "value", F.unix_micros("ts").alias("tus"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    ).orderBy("user_id", "event_id")
+
+
 # --- Semi / anti joins ------------------------------------------------------
 
 @register(
@@ -403,6 +443,103 @@ def join_range_shiplag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Multi-format scans -------------------------------------------------------
+
+@register(
+    "scan_csv_json_roundtrip",
+    """
+    WITH agg AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value,
+             CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+      FROM events GROUP BY event_type
+    )
+    SELECT f.fmt, a.* FROM agg a
+    CROSS JOIN (SELECT unnest(['csv', 'jsonl']) AS fmt) f
+    ORDER BY fmt, event_type
+    """,
+    doc="Source-format coverage: the events table is written out as CSV and "
+    "as JSON-lines (timestamps as epoch micros, JSON props as an opaque "
+    "quoted string), read back with EXPLICIT schemas (inference is a full "
+    "extra pass — never at 100 TB), and aggregated per format. Identical "
+    "results from both formats AND from the parquet oracle proves lossless "
+    "decode across all three sources, including doubles and quoted JSON "
+    "through CSV.",
+)
+def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.sources import formats as FMT
+
+    flat = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    base = tempfile.mkdtemp(prefix="ksc-formats-")
+    flat.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
+    flat.write.mode("overwrite").json(f"{base}/jsonl")
+    both = FMT.read_csv(spark, f"{base}/csv", FMT.EVENTS_FLAT_SCHEMA).withColumn(
+        "fmt", F.lit("csv")
+    ).unionByName(
+        FMT.read_jsonl(spark, f"{base}/jsonl", FMT.EVENTS_FLAT_SCHEMA).withColumn(
+            "fmt", F.lit("jsonl")
+        )
+    )
+    return (
+        both.groupBy("fmt", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("ts_us").cast("long").alias("sum_ts_us"),
+        )
+        .orderBy("fmt", "event_type")
+    )
+
+
+# --- Skew-mitigated aggregation ----------------------------------------------
+
+@register(
+    "agg_salted_skew",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Salted two-phase aggregation over a LOW-CARDINALITY skewed key "
+    "(event_type, 5 values): phase 1 groups by (key, salt) so the hot "
+    "key's rows spread across 16 reducers, phase 2 merges ≤16 partials "
+    "per key. Deterministic hash salt (not rand — retried tasks must salt "
+    "identically). Results exactly equal the unsalted plan, which is what "
+    "the oracle runs; combiners are explicit (sum/min/max) because "
+    "non-decomposable aggregates must be expressed as parts.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.select("event_type", "value"),
+        "event_type",
+        {
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "sum_value": (F.sum("value"), "sum"),
+            "max_value": (F.max("value"), "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "max_value",
+    ).orderBy("event_type")
 
 
 # --- Set operations ---------------------------------------------------------

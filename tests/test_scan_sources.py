@@ -1,0 +1,52 @@
+"""Source-format coverage: CSV/JSONL lossless roundtrip with explicit
+schemas, and partition pruning on Hive-partitioned parquet (the scan must
+carry PartitionFilters and skip non-matching directories)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from kinesis_stream_consumer_spark.sources import formats as FMT
+from tests.conftest import SF_CORRECT
+
+
+def _events_flat(spark):
+    from kinesis_stream_consumer_spark.plans.queries import _t
+
+    return _t(spark, SF_CORRECT, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_csv_jsonl_roundtrip_lossless(spark, tmp_path):
+    flat = _events_flat(spark)
+    flat.write.option("header", "true").csv(str(tmp_path / "csv"))
+    flat.write.json(str(tmp_path / "jsonl"))
+    csv = FMT.read_csv(spark, str(tmp_path / "csv"), FMT.EVENTS_FLAT_SCHEMA)
+    jsl = FMT.read_jsonl(spark, str(tmp_path / "jsonl"), FMT.EVENTS_FLAT_SCHEMA)
+    # every row identical across all three representations, doubles included
+    assert csv.exceptAll(flat).count() == 0 and flat.exceptAll(csv).count() == 0
+    assert jsl.exceptAll(flat).count() == 0 and flat.exceptAll(jsl).count() == 0
+
+
+def test_partitioned_parquet_scan_prunes(spark, tmp_path):
+    flat = _events_flat(spark)
+    FMT.write_partitioned_parquet(flat, str(tmp_path / "part"), ["event_type"])
+    scan = spark.read.parquet(str(tmp_path / "part")).where(
+        F.col("event_type") == "click"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert scan.count() == flat.where(F.col("event_type") == "click").count()
