@@ -619,3 +619,38 @@ def test_duplicate_deliveries_within_batch(spark, tmp_path, mode_kw):
     assert len(states) == 10
     for t in states.values():
         assert t["t1"]["attempts"] == 1  # executed once, not twice
+
+
+def test_giant_single_chain_hot_key(spark, tmp_path):
+    """Skew robustness: ONE key owning thousands of messages forms a single
+    giant chain. The per-chain executor streams Arrow batches instead of
+    materializing the group, so the hot chain completes (serialized, as
+    ordering demands) while unrelated keys still parallelize — the engine
+    must finish and finalise every message with attempts=1."""
+    from tests.conftest import SF_CORRECT
+
+    from kinesis_stream_consumer_spark.plans.queries import _t
+
+    ev = _t(spark, SF_CORRECT, "events").where(F.col("event_id") < 4000)
+    # 3000 messages onto one (k1, k2) pair + 1000 spread across real keys
+    hot = ev.where(F.col("event_id") < 3000).withColumn(
+        "user_id", F.lit(7)
+    ).withColumn("event_type", F.lit("click"))
+    mixed = hot.unionByName(ev.where(F.col("event_id") >= 3000))
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("t1", noop)])
+    res = eng.process_batch(events_as_kinesis_records(mixed), batch_id=1)
+    assert res.messages == 4000
+    assert res.fully_finalised == 4000
+    assert res.incomplete == 0
+    state = eng.state.read_all()
+    # the hot chain's states share one key (3000 forced + any events that
+    # naturally carry user_id=7/click); every task completed exactly once
+    natural = (
+        ev.where(
+            (F.col("event_id") >= 3000)
+            & (F.col("user_id") == 7)
+            & (F.col("event_type") == "click")
+        ).count()
+    )
+    hot_rows = state.where(F.col("key") == "k1:7|k2:click")
+    assert hot_rows.count() == 3000 + natural

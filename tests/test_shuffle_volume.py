@@ -1,0 +1,69 @@
+"""Shuffle-volume contracts: executed-plan SQL metrics prove the scale
+claims the operator docstrings make. These bounds are the difference
+between "works on 60k rows" and "survives 100 TB" — a regression that
+breaks map-side combine or starts shuffling payload columns fails here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_stream_consumer_spark.functions.metrics import shuffle_stats
+from kinesis_stream_consumer_spark.operators import dedup as D
+from tests.conftest import SF_CORRECT
+
+N_DOCS = 500  # sf0.01 documents rows
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+
+def test_minhash_signature_shuffle_is_per_doc_not_per_shingle(spark):
+    sigs = D.minhash_signatures(_docs(spark), "text", "doc_id")
+    sigs.collect()
+    s = shuffle_stats(sigs)
+    # thousands of shingle rows fan out of the explode...
+    assert s["generated_rows"] > 10 * N_DOCS
+    # ...but partial min() collapses them BEFORE the exchange: the shuffle
+    # carries one slim row per doc (doc + 8 longs ≈ 80 B + overhead)
+    assert s["shuffle_records"] == N_DOCS
+    assert s["shuffle_bytes"] < N_DOCS * 200
+
+
+def test_simhash_shuffle_is_per_doc(spark):
+    sh = D.simhash32_df(_docs(spark), "text", "doc_id")
+    sh.collect()
+    s = shuffle_stats(sh)
+    assert s["generated_rows"] > 10 * N_DOCS
+    # 32 vote sums combine map-side; shuffle = one row per doc
+    assert s["shuffle_records"] == N_DOCS
+    assert s["shuffle_bytes"] < N_DOCS * 450
+
+
+def test_exact_dedup_single_shuffle_on_digest(spark):
+    groups = D.exact_dedup_groups(_docs(spark), "text", "doc_id")
+    groups.collect()
+    s = shuffle_stats(groups)
+    assert s["exchanges"] == 1
+    # the shuffle carries (digest, partial min, partial count) — bounded by
+    # distinct digests, never by corpus text
+    assert s["shuffle_records"] <= N_DOCS
+    assert s["shuffle_bytes"] < N_DOCS * 150
+
+
+def test_brute_force_topk_corpus_never_shuffles(spark):
+    from kinesis_stream_consumer_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_corpus = emb.count()
+    queries = emb.where(F.col("vec_id") < 10)
+    topk = brute_force_topk(emb, queries, k=5)
+    topk.collect()
+    s = shuffle_stats(topk)
+    # the only exchange feeds the per-query top-k window: scored slim rows
+    # (query, match, sim) — the embedding vectors themselves never shuffle
+    assert s["shuffle_records"] <= n_corpus * 10  # |corpus| × |queries|
+    per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
+    assert per_row < 64, f"scored rows should be slim, got {per_row:.0f} B/row"
