@@ -109,6 +109,32 @@ def main() -> None:
     eng.process_batch(recs, 1)
     engine_sec = round(time.perf_counter() - t0, 3)
 
+    # sustained STREAMING throughput: the same lifecycle attached via
+    # writeStream.foreachBatch, 4 micro-batches of 5k messages each
+    # (availableNow) through a fresh checkpoint — measures the steady
+    # micro-batch cadence including Spark's streaming machinery, not just
+    # one batch call
+    from kinesis_stream_consumer_spark.sources import stream_records
+
+    sdir = tempfile.mkdtemp(prefix="ksc-bench-stream-")
+    for i in range(4):
+        recs.where(
+            (F.col("eventID").isNotNull())
+            & (F.crc32(F.col("eventID").cast("binary")) % 4 == i)
+        ).coalesce(1).write.mode("append").json(f"{sdir}/in")
+    seng = Engine(
+        spark,
+        eng.config,
+        f"{sdir}/state",
+        f"{sdir}/drq",
+        f"{sdir}/dmq",
+        [TaskDef("validate", validate)],
+    )
+    t0 = time.perf_counter()
+    q = seng.attach(stream_records(spark, f"{sdir}/in"), f"{sdir}/ckpt").start()
+    q.awaitTermination(600)
+    stream_sec = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -124,6 +150,12 @@ def main() -> None:
             "messages": n_msgs,
             "sec": engine_sec,
             "msgs_per_sec": round(n_msgs / engine_sec, 1),
+        },
+        "streaming": {
+            "messages": n_msgs,
+            "micro_batches": 4,
+            "sec": stream_sec,
+            "msgs_per_sec": round(n_msgs / stream_sec, 1),
         },
     }
     print(json.dumps(out))

@@ -222,6 +222,48 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_token_histogram",
+    f"""
+    WITH toks AS (
+      SELECT lang, {_BPE_TOKS} AS n_tok FROM documents
+    )
+    SELECT lang,
+           CAST(n_tok // 8 AS INT) AS bucket,
+           CAST(n_tok // 8 AS INT) * 8 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+    doc="Token-length histogram per language (fixed-width 8-token "
+    "buckets): the length-distribution profile every corpus audit starts "
+    "with — detects truncation spikes, boilerplate modes, and per-language "
+    "length skew before training. Binning is integer division in the "
+    "group key: one hash aggregate, map-side combining, no sort and no "
+    "per-group memory beyond the bucket count.",
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = T.bpe_ish_token_count(F.col("text"))
+    bucket = F.floor(n_tok / 8).cast("int")
+    return (
+        docs.select("lang", n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            (F.col("bucket") * 8).alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 _P_EMAIL = C.PII_PATTERNS["email"]
 _P_PHONE = C.PII_PATTERNS["phone"]
 _P_SSN = C.PII_PATTERNS["ssn"]

@@ -735,6 +735,47 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_percentile",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 2) AS exact_p50,
+           ROUND(quantile_cont(value, 0.99), 2) AS exact_p99,
+           TRUE AS p50_within_5pct,
+           TRUE AS p99_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="approx_percentile (t-digest-style sketch) per event_type — "
+    "constant memory per group, merges map-side: the 100 TB quantile path "
+    "where an exact percentile needs a per-group sort. Hash-checked via "
+    "the same envelope pattern as agg_approx_distinct: the approximate "
+    "p50/p99 must land within 5% relative of DuckDB's exact "
+    "quantile_cont, emitted as booleans; the sketch's accuracy contract "
+    "is what the oracle pins, not the engine-specific estimate.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def within(approx, exact):
+        return (F.abs(approx - exact) / F.abs(exact) <= 0.05) | (
+            F.abs(approx - exact) <= 0.01
+        )
+
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("a50"),
+        F.percentile_approx("value", 0.99, 10000).alias("a99"),
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("e50", 2).alias("exact_p50"),
+        F.round("e99", 2).alias("exact_p99"),
+        within(F.col("a50"), F.col("e50")).alias("p50_within_5pct"),
+        within(F.col("a99"), F.col("e99")).alias("p99_within_5pct"),
+    ).orderBy("event_type")
+
+
 # --- As-of join (merge-asof) ------------------------------------------------
 
 @register(
