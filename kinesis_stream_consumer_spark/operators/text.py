@@ -82,10 +82,16 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def lang_id(text: Column) -> Column:
-    """Stopword-hit language ID over LANG_STOPWORDS; ties broken by fixed
-    language order (en > es > de > fr), 'und' (undetermined) when no hits."""
-    lowered = tokens(F.lower(text))
+def lang_id_from_tokens(lowered_toks: Column) -> Column:
+    """Stopword-hit language ID from a LOWERCASED token-array column; ties
+    broken by fixed language order (en > es > de > fr), 'und'
+    (undetermined) when no hits.
+
+    Hot paths should pass a MATERIALIZED token column (a projection step):
+    the per-language hit counts each reference the tokens, and with an
+    inline tokens(lower(text)) expression Catalyst re-evaluates the regex
+    split once per language — measured 3× slower (same trick as
+    shingles_from_tokens)."""
 
     def _pred(words):
         # closure factory: a 2-arg lambda would receive Spark's element
@@ -93,7 +99,7 @@ def lang_id(text: Column) -> Column:
         return lambda t: t.isin(*words)
 
     hit_cols = {
-        lang: F.size(F.filter(lowered, _pred(words)))
+        lang: F.size(F.filter(lowered_toks, _pred(words)))
         for lang, words in LANG_STOPWORDS.items()
     }
     best = F.greatest(*hit_cols.values())
@@ -104,6 +110,12 @@ def lang_id(text: Column) -> Column:
             (hit_cols[lang] > 0) & (hit_cols[lang] == best), F.lit(lang)
         ).otherwise(expr)
     return expr
+
+
+def lang_id(text: Column) -> Column:
+    """lang_id_from_tokens over an inline tokenization — convenient form;
+    prefer the two-step in hot paths (see lang_id_from_tokens)."""
+    return lang_id_from_tokens(tokens(F.lower(text)))
 
 
 def char_ngram_min_fingerprint(text: Column, n: int = 5) -> Column:

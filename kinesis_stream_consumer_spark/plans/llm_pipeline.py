@@ -133,10 +133,17 @@ def _langid_oracle() -> str:
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # two-step: materialize the lowered token array once, then the 4
+    # per-language hit counts reference the column instead of re-splitting
+    toked = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        T.lang_id(F.col("text")).alias("predicted_lang"),
+        T.tokens(F.lower(F.col("text"))).alias("_lt"),
+    )
+    return toked.select(
+        "doc_id",
+        "labeled_lang",
+        T.lang_id_from_tokens(F.col("_lt")).alias("predicted_lang"),
     ).orderBy("doc_id")
 
 
