@@ -164,3 +164,39 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", "mime", F.explode(frames).alias("frame_index")
     )
+
+
+def audio_chunk_plan(
+    media: DataFrame, chunk_bytes: int, hop_bytes: int
+) -> DataFrame:
+    """Fixed-window audio chunking with overlap — REAL byte slicing, no
+    codec needed: for PCM-style payloads a chunk is a byte range
+    (chunk_bytes ≈ window_seconds × sample_rate × sample_width), so
+    windowing is `substring` on the binary column. One media row fans out
+    to its chunks via sequence+explode — all JVM-side, nothing collects to
+    the driver, and the chunk payload rides as a real binary column ready
+    for a downstream feature extractor.
+
+    Chunks start every ``hop_bytes`` (hop < chunk ⇒ overlap, the standard
+    ASR windowing); a final short tail chunk is emitted so no audio is
+    dropped."""
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n_bytes") - F.lit(hop_bytes) + 1, F.lit(1)),
+        F.lit(hop_bytes),
+    )
+    chunked = media.select(
+        "media_id",
+        "mime",
+        "payload",
+        F.posexplode(starts).alias("chunk_index", "byte_start"),
+    )
+    chunk = F.expr(f"substring(payload, byte_start, {chunk_bytes})")
+    return chunked.select(
+        "media_id",
+        "mime",
+        "chunk_index",
+        "byte_start",
+        chunk.alias("chunk"),
+        F.octet_length(chunk).alias("chunk_bytes"),
+    )

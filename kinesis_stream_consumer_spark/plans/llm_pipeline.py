@@ -606,6 +606,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(media, 10).orderBy("media_id", "frame_index")
 
 
+@register(
+    "multimodal_audio_chunks",
+    """
+    WITH media AS (
+      -- the synthetic corpus is pure ASCII (asserted: octet_length ==
+      -- length for every row), so VARCHAR slicing is byte slicing; DuckDB
+      -- has no BLOB substring
+      SELECT doc_id AS media_id, 'audio/pcm' AS mime, text AS payload,
+             length(text) AS n_bytes
+      FROM documents
+    ),
+    starts AS (
+      SELECT media_id, mime, payload,
+             unnest(generate_series(1, GREATEST(n_bytes - 32 + 1, 1), 32))
+               AS byte_start
+      FROM media
+    )
+    SELECT media_id, mime,
+           CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY byte_start)
+                - 1 AS INT) AS chunk_index,
+           byte_start,
+           md5(substring(payload, byte_start, 64)) AS chunk_md5,
+           length(substring(payload, byte_start, 64)) AS chunk_bytes
+    FROM starts ORDER BY media_id, chunk_index
+    """,
+    doc="Audio chunking with overlap — REAL byte-range windowing, no codec: "
+    "64-byte chunks every 32 bytes (hop < window ⇒ 50% overlap, the "
+    "standard ASR shape; for PCM, bytes ≡ time). sequence+posexplode fans "
+    "each media row out to its chunks distributed, substring slices the "
+    "binary JVM-side, and the md5 of every chunk hash-checks that the "
+    "sliced payload bytes are identical across engines.",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media(docs, "doc_id", F.col("text"), "audio/pcm")
+    chunks = M.audio_chunk_plan(media, chunk_bytes=64, hop_bytes=32)
+    return chunks.select(
+        "media_id",
+        "mime",
+        "chunk_index",
+        "byte_start",
+        F.md5("chunk").alias("chunk_md5"),
+        "chunk_bytes",
+    ).orderBy("media_id", "chunk_index")
+
+
 # --- Composed training-data prep pipeline -----------------------------------
 
 @register(
