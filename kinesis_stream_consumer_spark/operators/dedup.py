@@ -21,10 +21,13 @@ from pyspark.sql import functions as F
 from kinesis_stream_consumer_spark.operators.text import shingles_from_tokens
 
 # MinHash "permutations": universal-hash mixes h_i(x) = (a_i·x + b_i) mod P
-# over ONE md5-derived uint64 base per shingle. One md5 per shingle row
+# over ONE md5-derived 56-bit base per shingle. One md5 per shingle row
 # (instead of one per permutation) is the dominant cost saving — the mixes
-# are integer ops. P = 2^61 − 1 (Mersenne prime); exactly reproducible in
-# DuckDB via (md5_number_upper(s)::HUGEINT · a + b) % P.
+# are integer ops. The base is 56-bit (not 64) so that base·a_i stays under
+# 2^63 and the whole pipeline runs in primitive LONG arithmetic — decimal
+# (20,0) math measured ~2× slower over the shingle volume. P = 2^61 − 1
+# (Mersenne prime); exactly reproducible in DuckDB via
+# ((md5_number_upper(s) >> 8) · a + b) % P.
 MINHASH_P = (1 << 61) - 1
 MINHASH_PERMS = tuple(
     (a, b)
@@ -52,6 +55,22 @@ def md5_u64_le(col: Column) -> Column:
     h = F.md5(col.cast("binary"))
     le_hex = F.concat(*[F.substring(h, p, 2) for p in (15, 13, 11, 9, 7, 5, 3, 1)])
     return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def md5_u56_le(col: Column) -> Column:
+    """Top 56 bits of the little-endian uint64 of the first 8 md5 bytes,
+    as a primitive LONG.
+
+    Numerically identical to DuckDB's ``md5_number_upper(s) >> 8`` (the
+    shift drops the lowest-order byte — the FIRST hex pair of the digest in
+    little-endian order). 56 bits instead of 64 so h·a_max stays below 2^63
+    and every minhash mix runs in long arithmetic: the decimal(20,0)
+    pipeline this replaces measured ~2× slower over the per-shingle hash
+    volume, and min(long) keeps the tightest possible HashAggregate buffer.
+    """
+    h = F.md5(col.cast("binary"))
+    le_hex = F.concat(*[F.substring(h, p, 2) for p in (15, 13, 11, 9, 7, 5, 3)])
+    return F.conv(le_hex, 16, 10).cast("long")
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
@@ -86,13 +105,14 @@ def minhash_signatures_from_sets(shsets: DataFrame) -> DataFrame:
     already materialized (the LSH pipeline shares ONE shingle pass between
     signatures and the exact-Jaccard verify)."""
     rows = shsets.select("doc", F.explode("shingles").alias("shingle")).withColumn(
-        "h", md5_u64_le(F.col("shingle"))
+        "h", md5_u56_le(F.col("shingle"))
     )
+    # Expression strings (one py4j call per aggregate) + all-long math:
+    # h < 2^56 and a ≤ 23 keep h·a + b below 2^63, so pmod never leaves
+    # primitive long arithmetic.
     return rows.groupBy("doc").agg(
         *[
-            F.min(
-                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P)).cast("long")
-            ).alias(f"mh{i}")
+            F.expr(f"min(pmod(h * {a}L + {b}L, {MINHASH_P}L)) as mh{i}")
             for i, (a, b) in enumerate(MINHASH_PERMS)
         ]
     )

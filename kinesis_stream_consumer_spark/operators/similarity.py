@@ -153,16 +153,21 @@ def label_centroids(vectors: DataFrame, vec_col: str = "embedding",
     (stands in for k-means training, which would be run offline)."""
     dim_df = vectors.select(F.size(vec_col).alias("d")).limit(1)
     dim = dim_df.collect()[0]["d"]
+    # Expression-STRING construction (F.expr / selectExpr): one py4j call
+    # per column instead of ~6 per Column-API term — building 64 sum trees
+    # through py4j costs ~1 s of driver time alone (see CLAUDE.md).
     sums = vectors.groupBy(F.col(label_col).alias("cell_id")).agg(
         *[
-            F.sum(F.element_at(F.col(vec_col).cast("array<double>"), i + 1)).alias(f"s{i}")
+            F.expr(
+                f"sum(element_at(cast({vec_col} as array<double>), {i + 1})) as s{i}"
+            )
             for i in range(dim)
         ],
         F.count(F.lit(1)).alias("n"),
     )
-    return sums.select(
+    return sums.selectExpr(
         "cell_id",
-        F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("centroid"),
+        "array(" + ", ".join(f"s{i} / n" for i in range(dim)) + ") as centroid",
     )
 
 
@@ -237,32 +242,30 @@ def banded_sign_projection_rows(
         F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
     ).select("vid", (F.col("pos") + 1).alias("i"), "x")
     # w(i, g) = ((i·31 + g·17) mod 7) − 3 — same family as
-    # sign_projection_bucket / the DuckDB oracle (i is 1-based there too)
+    # sign_projection_bucket / the DuckDB oracle (i is 1-based there too).
+    # Aggregates are built as expression STRINGS: one py4j call per column
+    # instead of ~6 per Column-API term — 32 Column-API sum trees cost
+    # ~0.8 s of pure driver time per invocation (measured; see CLAUDE.md).
     projs = ex.groupBy("vid").agg(
         *[
-            F.sum(
-                F.col("x") * (((F.col("i") * 31 + F.lit(g * 17)) % 7) - 3)
-            ).alias(f"p{g}")
+            F.expr(f"sum(x * (((i*31 + {g * 17}) % 7) - 3)) as p{g}")
             for g in range(n_g)
         ]
     )
 
-    def bucket_col(t: int) -> Column:
-        b = F.lit(0)
-        for k in range(bits_per_table):
-            g = t * bits_per_table + k
-            b = b + F.when(F.col(f"p{g}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
-        return b.cast("long")
+    def bucket_expr(t: int) -> str:
+        terms = " + ".join(
+            f"if(p{t * bits_per_table + k} >= 0, {1 << k}, 0)"
+            for k in range(bits_per_table)
+        )
+        return f"cast({terms} as long)"
 
-    tables = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), bucket_col(t).alias("bucket"))
-            for t in range(n_tables)
-        ]
+    tables = ", ".join(
+        f"struct({t} as tbl, {bucket_expr(t)} as bucket)" for t in range(n_tables)
     )
-    return projs.select("vid", F.explode(tables).alias("tb")).select(
-        "vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+    return projs.select(
+        "vid", F.explode(F.expr(f"array({tables})")).alias("tb")
+    ).select("vid", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
 def embedding_near_dup_pairs(

@@ -192,7 +192,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_cols_sql() -> str:
     return ",\n             ".join(
-        f"MIN(CAST((md5_number_upper(shingle)::HUGEINT * {a} + {b}) "
+        f"MIN(CAST(((md5_number_upper(shingle) >> 8) * {a} + {b}) "
         f"% {D.MINHASH_P} AS BIGINT)) AS mh{i}"
         for i, (a, b) in enumerate(D.MINHASH_PERMS)
     )
