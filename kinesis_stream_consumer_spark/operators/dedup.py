@@ -170,28 +170,25 @@ def simhash32_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     row, hex digits → ints via conv(), 32 ±1 vote columns summed with
     map-side combine — the shuffle carries (doc, 32 longs) only.
     """
+    # ONE conv per shingle row: the first 8 hex digits as a 32-bit int;
+    # hex digit d (1-indexed) is (h32 >> 4·(8−d)) & 0xF, so fingerprint
+    # bit b (digit b//4+1, digit-bit b%4 — same mapping as the DuckDB
+    # oracle) is (h32 >> (28 − 4·(b//4) + b%4)) & 1. The former 8-digit +
+    # 32-vote projection built ~100 Column-API trees through py4j and ran
+    # 8 convs per row; this is one conv and 32 expr-string aggregates.
     rows = shingle_rows(df, text_col, id_col, k).withColumn(
-        "h", F.md5(F.col("shingle").cast("binary"))
+        "h32", F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10).cast("long")
     )
-    # one digit column per md5 hex position (8 digits = 32 bits)
-    for d in range(8):
-        rows = rows.withColumn(f"d{d}", F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int"))
-    votes = [
-        (
-            F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{b}")
-        for b in range(32)
-    ]
-    summed = rows.select("doc", *votes).groupBy("doc").agg(
-        *[F.sum(f"v{b}").alias(f"s{b}") for b in range(32)]
+    summed = rows.groupBy("doc").agg(
+        *[
+            F.expr(
+                f"sum((shiftright(h32, {28 - 4 * (b // 4) + b % 4}) & 1) * 2 - 1) as s{b}"
+            )
+            for b in range(32)
+        ]
     )
-    fp = None
-    for b in range(32):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return summed.select("doc", fp.alias("simhash"))
+    fp = " + ".join(f"if(s{b} > 0, cast({2 ** b} as bigint), 0L)" for b in range(32))
+    return summed.selectExpr("doc", f"{fp} as simhash")
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
