@@ -149,6 +149,47 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     )
 
 
+def repetition_gram_rows(df, text_col: str, id_col: str):
+    """(doc, kind, gram) rows for repetition analysis: kind 0 = unigrams
+    (every token occurrence), kind 1 = adjacent bigrams. Counts matter
+    here (unlike the DISTINCT shingle sets), so this explodes occurrences.
+
+    Scale shape: the token array materializes once per doc (same
+    linear-time two-step as shingle_sets); bigrams come from a transform
+    over the SAME array — no window function, no per-doc shuffle. The
+    downstream aggregations key on (doc, kind, gram) then (doc, kind):
+    uniform keys with map-side combine, so the plan is two slim hash
+    shuffles at any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    toked = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    )
+    uni = toked.select(
+        "doc", F.lit(0).alias("kind"), F.explode("toks").alias("gram")
+    )
+    big = toked.select(
+        "doc",
+        F.lit(1).alias("kind"),
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    return uni.unionByName(big)
+
+
+# Representative Gopher-style repetition thresholds (Rae et al. 2021,
+# "Scaling Language Models" appendix A1.1 uses per-n-gram thresholds of
+# this magnitude): docs whose single most frequent word exceeds 20% of
+# tokens, or where words inside repeated bigrams exceed 50%, are flagged.
+REPETITION_TOP_UNIGRAM_MAX = 0.2
+REPETITION_DUP_BIGRAM_MAX = 0.5
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array<string> — the unit set for
     Jaccard / MinHash dedup. Convenience single-expression form; for hot

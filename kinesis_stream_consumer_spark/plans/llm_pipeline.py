@@ -16,6 +16,7 @@ from kinesis_stream_consumer_spark.operators import dedup as D
 from kinesis_stream_consumer_spark.operators import multimodal as M
 from kinesis_stream_consumer_spark.operators import similarity as S
 from kinesis_stream_consumer_spark.operators import text as T
+from kinesis_stream_consumer_spark.functions.numeric import round_half_up
 from kinesis_stream_consumer_spark.plans.queries import _t, register
 
 # Shared SQL fragments ------------------------------------------------------
@@ -100,6 +101,75 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["punct_ratio"].alias("punct_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         T.quality_score(t).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    uni AS (SELECT doc_id, 0 AS kind, unnest(toks) AS gram FROM tok),
+    big AS (SELECT doc_id, 1 AS kind, concat(toks[i], ' ', toks[i+1]) AS gram
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM tok)),
+    cnts AS (SELECT doc_id, kind, gram, COUNT(*) AS c
+             FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+             GROUP BY doc_id, kind, gram),
+    stats AS (SELECT doc_id, kind, MAX(c) AS mx, SUM(c) AS tot,
+                     COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup
+              FROM cnts GROUP BY doc_id, kind),
+    ratios AS (
+      SELECT doc_id,
+             FLOOR((MAX(CASE WHEN kind = 0 THEN mx END)::DOUBLE
+                    / MAX(CASE WHEN kind = 0 THEN tot END)) * 10000.0 + 0.5)
+               / 10000.0 AS top_unigram_ratio,
+             FLOOR((COALESCE(MAX(CASE WHEN kind = 1 THEN dup END)::DOUBLE
+                    / GREATEST(MAX(CASE WHEN kind = 1 THEN tot END), 1), 0))
+                    * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac
+      FROM stats GROUP BY doc_id
+    )
+    SELECT doc_id, top_unigram_ratio, dup_bigram_frac,
+           (top_unigram_ratio > CAST({T.REPETITION_TOP_UNIGRAM_MAX!r} AS DOUBLE)
+            OR dup_bigram_frac > CAST({T.REPETITION_DUP_BIGRAM_MAX!r} AS DOUBLE))
+             AS is_repetitive
+    FROM ratios ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality filter (Rae et al. 2021 A1.1): "
+    "most-frequent-word ratio and fraction of tokens inside repeated "
+    "bigrams, flagged against representative thresholds. Occurrence "
+    "counts (not distinct sets), built from ONE materialized token array "
+    "per doc — bigrams via an array transform, no window function — then "
+    "two slim hash shuffles keyed (doc, kind, gram) and (doc, kind) with "
+    "map-side combine: linear at any corpus size.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = T.repetition_gram_rows(docs, "text", "doc_id")
+    cnts = grams.groupBy("doc", "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = cnts.groupBy("doc", "kind").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)).alias("dup"),
+    )
+    uni = F.when(F.col("kind") == 0, F.col("mx"))
+    uni_tot = F.when(F.col("kind") == 0, F.col("tot"))
+    dup = F.when(F.col("kind") == 1, F.col("dup"))
+    big_tot = F.when(F.col("kind") == 1, F.col("tot"))
+    ratios = stats.groupBy(F.col("doc").alias("doc_id")).agg(
+        round_half_up(F.max(uni) / F.max(uni_tot)).alias("top_unigram_ratio"),
+        round_half_up(
+            F.coalesce(F.max(dup) / F.greatest(F.max(big_tot), F.lit(1)), F.lit(0.0))
+        ).alias("dup_bigram_frac"),
+    )
+    return ratios.select(
+        "doc_id",
+        "top_unigram_ratio",
+        "dup_bigram_frac",
+        (
+            (F.col("top_unigram_ratio") > T.REPETITION_TOP_UNIGRAM_MAX)
+            | (F.col("dup_bigram_frac") > T.REPETITION_DUP_BIGRAM_MAX)
+        ).alias("is_repetitive"),
     ).orderBy("doc_id")
 
 

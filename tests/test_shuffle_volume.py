@@ -67,3 +67,24 @@ def test_brute_force_topk_corpus_never_shuffles(spark):
     assert s["shuffle_records"] <= n_corpus * 10  # |corpus| × |queries|
     per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
     assert per_row < 64, f"scored rows should be slim, got {per_row:.0f} B/row"
+
+
+def test_repetition_shuffles_are_slim_gram_counts(spark):
+    from kinesis_stream_consumer_spark.operators.text import repetition_gram_rows
+
+    grams = repetition_gram_rows(_docs(spark), "text", "doc_id")
+    cnts = grams.groupBy("doc", "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = cnts.groupBy("doc", "kind").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    stats.collect()
+    s = shuffle_stats(stats)
+    # two hash shuffles: (doc, kind, gram) partial counts, then (doc, kind)
+    assert s["exchanges"] == 2
+    # explode fans out every token + bigram occurrence...
+    assert s["generated_rows"] > 20 * N_DOCS
+    # ...but map-side combine means the shuffles carry gram COUNTS (bounded
+    # by distinct grams), never raw occurrences, and rows stay slim
+    assert s["shuffle_records"] < s["generated_rows"]
+    per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
+    assert per_row < 120, f"gram-count rows should be slim, got {per_row:.0f} B/row"
