@@ -337,6 +337,78 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+@register(
+    "ts_gapfill_resample",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+             COUNT(*) AS n_events
+      FROM events WHERE user_id < 50
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    rng AS (SELECT user_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx
+            FROM obs GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+             FROM rng)
+    SELECT g.user_id, g.bucket_ts,
+           COALESCE(o.n_events, 0) AS n_events,
+           LAST_VALUE(o.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           o.avg_value IS NULL AS is_gap
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.bucket_ts = g.bucket_ts
+    ORDER BY g.user_id, g.bucket_ts
+    """,
+    doc="Time-series gap-fill + resample: per-user hourly buckets over the "
+    "user's own [first, last] range, empty buckets forward-filled with the "
+    "last observed hourly average. The dense grid comes from sequence()+"
+    "explode on per-user aggregates (distributed fan-out, no driver loop), "
+    "the fill is one last(ignorenulls) running window — one shuffle on "
+    "user_id for the window, one equi-join grid⋈obs on (user, bucket). "
+    "Both keys are uniform at any scale; grid size is span/granularity per "
+    "user, independent of event volume.",
+)
+def ts_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.functions.numeric import round_half_up
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        round_half_up(F.avg("value")).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "bucket_ts"], "left")
+        .select(
+            "user_id",
+            "bucket_ts",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("avg_value").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "bucket_ts")
+    )
+
+
 # --- Semi / anti joins ------------------------------------------------------
 
 @register(
