@@ -67,8 +67,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # per the driver north star they are exposed Spark-first over the data model.
 # ---------------------------------------------------------------------------
 
+# Registration order matters: the driver's CORRECTNESS harness records the
+# first 50 registered queries only. Round 2 registered relational/stream_parity
+# first, which pushed every curation/llm_pipeline query past text_langid out of
+# the window — 22 queries (incl. the rewritten minhash/simhash) went
+# driver-unchecked. Register the never/stale-certified suites FIRST; the
+# relational/stream_parity/streaming_windows rows that fall out all have green
+# r2 driver evidence and unchanged code.
+from kinesis_stream_consumer_spark.plans import curation  # noqa: E402,F401
+from kinesis_stream_consumer_spark.plans import llm_pipeline  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import relational  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import stream_parity  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import streaming_windows  # noqa: E402,F401
-from kinesis_stream_consumer_spark.plans import llm_pipeline  # noqa: E402,F401
-from kinesis_stream_consumer_spark.plans import curation  # noqa: E402,F401
