@@ -466,86 +466,19 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 
 
-@register(
-    "sim_ann_ivf",
-    f"""
-    WITH dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
-    cent AS (
-      SELECT label AS cell_id, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
-      FROM embeddings CROSS JOIN dims
-      GROUP BY label, i
-    ),
-    cnorm AS (SELECT cell_id, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cell_id),
-    vnorm AS (
-      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vn
-      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
-    ),
-    csims AS (
-      SELECT e.vec_id, ct.cell_id,
-             SUM(CAST(e.embedding[ct.i] AS DOUBLE) * ct.c) AS dp
-      FROM embeddings e CROSS JOIN cent ct
-      GROUP BY e.vec_id, ct.cell_id
-    ),
-    assigned AS (
-      SELECT vec_id, cell_id FROM (
-        SELECT s.vec_id, s.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                                  ORDER BY s.dp / (v.vn * c.cn) DESC, s.cell_id) AS arnk
-        FROM csims s JOIN vnorm v USING (vec_id) JOIN cnorm c USING (cell_id)
-      ) WHERE arnk = 1
-    ),
-    cand AS (
-      SELECT q.vec_id AS query_id, m.vec_id AS match_id, q.cell_id
-      FROM assigned q JOIN assigned m
-        ON q.cell_id = m.cell_id AND q.vec_id != m.vec_id
-      WHERE q.vec_id < 10
-    ),
-    dots AS (
-      SELECT c.query_id, c.match_id, c.cell_id,
-             SUM(CAST(eq.embedding[d.i] AS DOUBLE)
-                 * CAST(em.embedding[d.i] AS DOUBLE)) AS dp
-      FROM cand c
-      JOIN embeddings eq ON eq.vec_id = c.query_id
-      JOIN embeddings em ON em.vec_id = c.match_id
-      CROSS JOIN dims d
-      GROUP BY 1, 2, 3
-    )
-    SELECT query_id, match_id, cell_id, cosine_sim, rnk FROM (
-      SELECT d.query_id, d.match_id, d.cell_id,
-             ROUND(d.dp / (vq.vn * vm.vn), 4) AS cosine_sim,
-             ROW_NUMBER() OVER (PARTITION BY d.query_id
-                                ORDER BY ROUND(d.dp / (vq.vn * vm.vn), 4) DESC,
-                                         d.match_id) AS rnk
-      FROM dots d JOIN vnorm vq ON vq.vec_id = d.query_id
-                  JOIN vnorm vm ON vm.vec_id = d.match_id
-    ) WHERE rnk <= 5
-    ORDER BY query_id, rnk
-    """,
-    doc="IVF approximate NN: coarse cells from per-label centroids "
-    "(deterministic stand-in for offline k-means), queries scored only "
-    "against their own cell — corpus⋈query becomes an equi-join on cell_id. "
-    "The 100 TB scale path for similarity search. The whole pipeline "
-    "(centroid means → cosine argmax assignment → within-cell top-k) is "
-    "deterministic, so the DuckDB oracle reproduces it end-to-end and the "
-    "driver value-hashes the full result; recall-vs-brute-force is "
-    "additionally asserted in tests/test_similarity.py.",
-)
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = S.label_centroids(emb)
-    queries = emb.where(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
-
-
 _KMEANS_K = 8
 _KMEANS_ITER = 2
 
 
-def _kmeans_oracle(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
-    """One CTE pair per Lloyd iteration, generated so Spark and SQL are
-    provably the same computation. All arithmetic is integer-exact (see
-    operators.similarity.kmeans_fit_quantized), so the hash compare checks
-    a TRAINED clustering, not a float coincidence."""
+def _kmeans_ctes(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
+    """The Lloyd-iteration CTE chain shared by the sim_kmeans_cells oracle
+    and the trained-IVF oracle: quantize → init from the k smallest ids →
+    n_iter × (distance, argmin-assign, half-up integer centroid update) →
+    final assignment ``fa(vid, cell, dist)``. One CTE pair per iteration,
+    generated so Spark and SQL are provably the same computation. All
+    arithmetic is integer-exact (see operators.similarity
+    .kmeans_fit_quantized), so downstream consumers hash-check a TRAINED
+    clustering, not a float coincidence."""
     sc = S.KMEANS_QUANT_SCALE
     parts = [
         f"""q AS (
@@ -573,15 +506,22 @@ def _kmeans_oracle(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
     )""")
         prev = f"u{it}"
     joined = ",\n    ".join(parts)
-    return f"""
-    WITH {joined},
+    return f"""{joined},
     fd AS (
       SELECT q.vid, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
       FROM q JOIN {prev} c ON c.pos = q.pos GROUP BY q.vid, c.cell
-    )
-    SELECT vid AS vec_id, cell AS cell_id, dist FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
-      FROM fd) WHERE rn = 1
+    ),
+    fa AS (
+      SELECT vid, cell, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+        FROM fd) WHERE rn = 1
+    )"""
+
+
+def _kmeans_oracle(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
+    return f"""
+    WITH {_kmeans_ctes(k, n_iter)}
+    SELECT vid AS vec_id, cell AS cell_id, dist FROM fa
     ORDER BY vec_id
     """
 
@@ -603,6 +543,85 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_fit_quantized(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER).orderBy(
         "vec_id"
     )
+
+
+@register(
+    "sim_ann_ivf",
+    f"""
+    WITH {_kmeans_ctes()},
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    cent AS (
+      SELECT a.cell AS cell_id, q.pos + 1 AS i,
+             AVG(q.qx) / {S.KMEANS_QUANT_SCALE}.0 AS c
+      FROM fa a JOIN q USING (vid)
+      GROUP BY a.cell, q.pos
+    ),
+    cnorm AS (SELECT cell_id, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cell_id),
+    vnorm AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vn
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
+    ),
+    csims AS (
+      SELECT e.vec_id, ct.cell_id,
+             SUM(CAST(e.embedding[ct.i] AS DOUBLE) * ct.c) AS dp
+      FROM embeddings e CROSS JOIN cent ct
+      GROUP BY e.vec_id, ct.cell_id
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT s.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.dp / (v.vn * c.cn) DESC, s.cell_id) AS arnk
+        FROM csims s JOIN vnorm v USING (vec_id) JOIN cnorm c USING (cell_id)
+      ) WHERE arnk = 1
+    ),
+    cand AS (
+      SELECT qq.vec_id AS query_id, m.vec_id AS match_id, qq.cell_id
+      FROM assigned qq JOIN assigned m
+        ON qq.cell_id = m.cell_id AND qq.vec_id != m.vec_id
+      WHERE qq.vec_id < 10
+    ),
+    dots AS (
+      SELECT c.query_id, c.match_id, c.cell_id,
+             SUM(CAST(eq.embedding[d.i] AS DOUBLE)
+                 * CAST(em.embedding[d.i] AS DOUBLE)) AS dp
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings em ON em.vec_id = c.match_id
+      CROSS JOIN dims d
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, match_id, cell_id, cosine_sim, rnk FROM (
+      SELECT d.query_id, d.match_id, d.cell_id,
+             ROUND(d.dp / (vq.vn * vm.vn), 4) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY ROUND(d.dp / (vq.vn * vm.vn), 4) DESC,
+                                         d.match_id) AS rnk
+      FROM dots d JOIN vnorm vq ON vq.vec_id = d.query_id
+                  JOIN vnorm vm ON vm.vec_id = d.match_id
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="IVF approximate NN over a TRAINED coarse quantizer: cells come "
+    "from the integer-quantized Lloyd k-means fit (sim_kmeans_cells), "
+    "dequantized to float centroids; queries are scored only against their "
+    "own cell — corpus⋈query becomes an equi-join on cell_id. The 100 TB "
+    "scale path for similarity search: the k·dim centroid model broadcasts, "
+    "the corpus never cross-joins. The whole pipeline (integer k-means → "
+    "centroid means → cosine argmax assignment → within-cell top-k) is "
+    "deterministic, so the DuckDB oracle reproduces it end-to-end and the "
+    "driver value-hashes the full result; recall-vs-brute-force is "
+    "additionally asserted in tests/test_similarity.py.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # k·dim rows — checkpoint the trained model once so the two
+    # ivf_assign broadcasts don't re-run the Lloyd iterations.
+    centroids = S.kmeans_centroids_quantized(
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER
+    ).localCheckpoint(eager=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
 
 
 _LSH_TABLES = 4
