@@ -69,13 +69,21 @@ _PASSTHROUGH = [
     ("seq_index", T.IntegerType()),
 ]
 
+_EXEC_BASE_FIELDS = [T.StructField(n, t) for n, t in _PASSTHROUGH] + [
+    T.StructField("tasks_json", T.StringType())
+]
+
+# _one_fully_finalised is computed INSIDE the exec pandas fn (the executor
+# already holds the parsed task tree) — the processAll scoping flag costs
+# zero extra work there, whereas deriving it afterwards would mean a
+# row-wise Python UDF re-parsing tasks_json (a BatchEvalPython node, the
+# exact thing the plan-hygiene gate bans in query plans).
 _EXEC_SCHEMA = T.StructType(
-    [T.StructField(n, t) for n, t in _PASSTHROUGH]
-    + [T.StructField("tasks_json", T.StringType())]
+    _EXEC_BASE_FIELDS + [T.StructField("_one_fully_finalised", T.BooleanType())]
 )
 
 _FINAL_SCHEMA = T.StructType(
-    _EXEC_SCHEMA.fields
+    _EXEC_BASE_FIELDS
     + [
         T.StructField("fully_finalised", T.BooleanType()),
         T.StructField("rejectedish", T.BooleanType()),
@@ -173,7 +181,11 @@ class Engine:
                 for d in one_defs:
                     tk.execute_one_task(tasks[d.name], d, message)
             one_part = {n: tasks[n] for n in one_names if n in tasks}
-            return tk.dumps(tasks), tk.is_incomplete(one_part)
+            return (
+                tk.dumps(tasks),
+                tk.is_incomplete(one_part),
+                tk.is_fully_finalised(tasks),
+            )
 
         return execute_message
 
@@ -197,6 +209,7 @@ class Engine:
             last_identity: Dict[str, str] = {}
             for pdf in batches:
                 out_tasks: List[str] = []
+                out_ff: List[bool] = []
                 keep: List[bool] = []
                 # zip over plain lists, not iterrows — per-row Series
                 # construction dominates at 10^5+ messages per partition
@@ -213,10 +226,11 @@ class Engine:
                     if last_identity.get(chain) == ident:
                         keep.append(False)
                         out_tasks.append("")
+                        out_ff.append(False)
                         continue
                     last_identity[chain] = ident
                     keep.append(True)
-                    tasks_json, one_incomplete = execute_message(
+                    tasks_json, one_incomplete, fully_fin = execute_message(
                         prior_json, data_str, blocked.get(chain, False)
                     )
                     # X1 chain blocking: an incomplete message blocks its
@@ -225,8 +239,10 @@ class Engine:
                     if one_incomplete:
                         blocked[chain] = True
                     out_tasks.append(tasks_json)
+                    out_ff.append(fully_fin)
                 out = pdf[_PASS_COLS].copy()
                 out["tasks_json"] = out_tasks
+                out["_one_fully_finalised"] = out_ff
                 out = out[pd.Series(keep, index=out.index)]
                 yield out
 
@@ -243,14 +259,15 @@ class Engine:
 
         def run_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                out_tasks = [
-                    execute_message(prior_json, data_str, False)[0]
+                results = [
+                    execute_message(prior_json, data_str, False)
                     for prior_json, data_str in zip(
                         pdf["prior_tasks_json"].tolist(), pdf["data_str"].tolist()
                     )
                 ]
                 out = pdf[_PASS_COLS].copy()
-                out["tasks_json"] = out_tasks
+                out["tasks_json"] = [r[0] for r in results]
+                out["_one_fully_finalised"] = [r[2] for r in results]
                 yield out
 
         return run_rows
@@ -478,19 +495,15 @@ class Engine:
                 self._exec_map_fn(deadline), schema=_EXEC_SCHEMA
             )
 
-        # summary flag for processAll scoping (incompleteMessages, X2):
-        # a message is in scope unless its whole task tree is terminal
-
+        # _one_fully_finalised (processAll scoping, X2) is emitted by the
+        # exec fn itself — the executor already holds the parsed task tree,
+        # so the flag is free and phase 2b's plan stays UDF-less (no
+        # BatchEvalPython; the engine obeys the same plan-hygiene bar as
+        # the query registry).
         if self.all_defs:
             # processAll needs the materialized post-processOne batch as its
             # scope (incompleteMessages, X2) — one extra checkpoint + agg
-            @F.udf("boolean")
-            def _one_ff(tj):
-                return tk.is_fully_finalised(json.loads(tj))
-
-            executed = executed.withColumn(
-                "_one_fully_finalised", _one_ff(F.col("tasks_json"))
-            ).localCheckpoint(eager=True)
+            executed = executed.localCheckpoint(eager=True)
             n_incomplete_scope = (
                 executed.agg(
                     F.sum(F.when(~F.col("_one_fully_finalised"), 1).otherwise(0))
@@ -498,9 +511,9 @@ class Engine:
                 or 0
             )
             all_results = self._run_process_all(executed, n_incomplete_scope)
-            executed = executed.drop("_one_fully_finalised")
         else:
             all_results = []
+        executed = executed.drop("_one_fully_finalised")
 
         # localCheckpoint severs lineage: the state save below overwrites the
         # parquet this plan's revive-join reads, so any later recomputation

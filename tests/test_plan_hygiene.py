@@ -46,3 +46,55 @@ def test_plan_has_no_scale_killers(spark, name):
     # pandas evaluation (ArrowEvalPython / mapInPandas / FlatMapGroups*)
     # is the sanctioned Python surface
     assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+
+
+def _executed_plan_descriptions(spark, from_execution_id: int) -> list[str]:
+    """Physical-plan descriptions of every SQL execution with id >
+    ``from_execution_id`` — the engine runs many internal jobs per batch;
+    this captures ALL of them, not just the plans a test happens to hold a
+    DataFrame for."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    out = []
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() > from_execution_id:
+            out.append(e.physicalPlanDescription())
+    return out
+
+
+def _last_execution_id(spark) -> int:
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return lst.apply(lst.size() - 1).executionId() if lst.size() else -1
+
+
+def test_engine_batch_plans_have_no_batch_eval_python(spark, tmp_path):
+    """The engine holds itself to the same bar as the query registry: no
+    SQL execution issued by process_batch (ingest, sequencing, revive join,
+    exec, processAll scoping, finalise, state save, counters) may contain a
+    row-wise Python UDF (BatchEvalPython). The exec/finalise passes are
+    Arrow-batched mapInPandas; the processAll scope flag is emitted by the
+    exec fn itself rather than derived by a per-row UDF afterwards."""
+    from kinesis_stream_consumer_spark.streaming import TaskDef
+    from tests.test_engine import make_engine, noop, records_df
+
+    def master(batch_df, engine):
+        batch_df.count()
+        return None
+
+    eng = make_engine(
+        spark,
+        tmp_path,
+        one_defs=[TaskDef("t1", noop)],
+        all_defs=[TaskDef("agg", master)],
+    )
+    mark = _last_execution_id(spark)
+    res = eng.process_batch(records_df(spark, 12), batch_id=1)
+    assert res.fully_finalised == 12
+    plans = _executed_plan_descriptions(spark, mark)
+    assert plans, "no SQL executions captured for the engine batch"
+    for p in plans:
+        assert "BatchEvalPython" not in p, (
+            "engine batch plan contains a row-wise Python UDF:\n" + p[:2000]
+        )
