@@ -339,6 +339,7 @@ def banded_sign_projection_rows(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(vid, tbl, bucket) rows for multi-table sign-projection LSH —
     the vector analogue of minhash_band_rows: ``n_tables`` independent
@@ -353,9 +354,16 @@ def banded_sign_projection_rows(
     (i, g) — no per-bit weight-array literals (building 32 zip_with/
     aggregate expression trees cost ~7 s of driver time alone), and the
     explode collapses back to one row per vid in the map-side partial
-    aggregate before anything shuffles."""
+    aggregate before anything shuffles.
+
+    ``n_rows`` is the corpus-size statistic used to derive bits when
+    ``bits_per_table`` is None — pass it from a catalog/table-stats lookup
+    (or parquet footer metadata) so sizing the index costs no Spark job;
+    counting here is the fallback for callers with no stats at hand."""
     if bits_per_table is None:
-        bits_per_table = sign_bits_for(vectors.count())
+        bits_per_table = sign_bits_for(
+            n_rows if n_rows is not None else vectors.count()
+        )
     n_g = n_tables * bits_per_table
     ex = vectors.select(
         F.col(id_col).alias("vid"),
@@ -396,6 +404,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded multi-table
     sign-projection LSH → per-(table, bucket) self-equi-join → distinct
@@ -412,7 +421,8 @@ def embedding_near_dup_pairs(
     # stops the projection aggregate running once per self-join side.
     slim = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     banded = banded_sign_projection_rows(
-        slim, n_tables, bits_per_table, dim, id_col="vid", vec_col="vec"
+        slim, n_tables, bits_per_table, dim, id_col="vid", vec_col="vec",
+        n_rows=n_rows,
     ).localCheckpoint(eager=True)
     pairs = (
         banded.alias("a")

@@ -17,7 +17,11 @@ from kinesis_stream_consumer_spark.operators import multimodal as M
 from kinesis_stream_consumer_spark.operators import similarity as S
 from kinesis_stream_consumer_spark.operators import text as T
 from kinesis_stream_consumer_spark.functions.numeric import round_half_up
-from kinesis_stream_consumer_spark.plans.queries import _t, register
+from kinesis_stream_consumer_spark.plans.queries import (
+    _t,
+    _table_row_count,
+    register,
+)
 
 # Shared SQL fragments ------------------------------------------------------
 
@@ -692,8 +696,10 @@ _LSH_TABLES = 4
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    # bits sized from footer stats (the catalog-stats path) — no count() job
     return S.embedding_near_dup_pairs(
-        emb, threshold=0.35, n_tables=_LSH_TABLES, dim=_DIM
+        emb, threshold=0.35, n_tables=_LSH_TABLES, dim=_DIM,
+        n_rows=_table_row_count(sf_dir, "embeddings"),
     ).orderBy("vec_id_a", "vec_id_b")
 
 

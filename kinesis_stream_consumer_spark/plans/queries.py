@@ -60,6 +60,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a parquet table from footer metadata — the local
+    stand-in for a catalog/table-stats lookup (metastore rowCount /
+    ANALYZE). Index-sizing decisions (LSH bits, bucket counts) read this
+    instead of paying a Spark count() job over the corpus."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.2): scans, projection/filter, joins, aggs,
 # windows, sorts/limits, set ops, scalar fns. The reference has none of these

@@ -103,6 +103,32 @@ def test_sign_projection_buckets_balanced(spark):
     assert biggest / total < 0.10, f"hot bucket: {biggest}/{total}"
 
 
+def test_near_dup_with_stats_issues_no_count_job(spark, monkeypatch):
+    """When the caller supplies the corpus-size statistic (catalog/footer
+    stats), the banded LSH must not pay a count() job to size its bucket
+    space — and the stats-sized result is identical to the counted one."""
+    from pyspark.sql import DataFrame
+
+    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
+
+    emb = _emb(spark)
+    n = emb.count()
+    assert _table_row_count(SF_CORRECT, "embeddings") == n
+
+    counted = sorted(
+        map(tuple, S.embedding_near_dup_pairs(emb, threshold=0.35).collect())
+    )
+
+    def boom(self):
+        raise AssertionError("count() despite caller-provided n_rows")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    with_stats = sorted(
+        map(tuple, S.embedding_near_dup_pairs(emb, threshold=0.35, n_rows=n).collect())
+    )
+    assert with_stats == counted
+
+
 def test_kmeans_trained_centroids_power_ivf(spark):
     """The quantized Lloyd fit is a usable trained coarse quantizer:
     training reduces inertia vs its own init, the dequantized centroids
