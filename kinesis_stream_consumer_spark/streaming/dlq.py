@@ -1,8 +1,9 @@
 """Dead-letter queues — reference D2 (DRQ) / D3 (DMQ) envelope writers.
 
 Envelope parity (kinesis-processing.js:634-647,708-724): version strings
-'DR|K|2.0' / 'DM|K|2.0', batch key, the offending record/message, its
-tracked state, the reason, and a discard timestamp. Partition-key fallback
+'DR|K|2.0' / 'DM|K|2.0', batch key, the offending record/message, the
+deaggregated KPL userRecord when there is one, its tracked state, the
+reason, and a discard timestamp. Partition-key fallback
 chain: record pk ▷ streamConsumerId ▷ 'LAST_RESORT_KEY', truncated to the
 Kinesis 256-char max (kinesis-processing.js:743-746,:41).
 
@@ -31,6 +32,27 @@ def _partition_key(stream_consumer_id: str):
     )
 
 
+def _kpl_user_record(data_col: str):
+    """The envelope's ``userRecord`` sub-object: the de-aggregated KPL user
+    record (its own partition key / explicit hash key / payload /
+    subSequenceNumber). Present only for KPL sub-records — the reference
+    sets userRecord to undefined when it IS the record
+    (kinesis-processing.js:634-647: ``userRecord !== unusableRecord``);
+    here the non-null event_sub_seq_no is exactly that signal (only the
+    KPL deagg path assigns one, streaming/ingest.py:199)."""
+    return F.when(
+        F.col("event_sub_seq_no").isNotNull(),
+        F.to_json(
+            F.struct(
+                F.col("partition_key").alias("partitionKey"),
+                F.col("explicit_hash_key").alias("explicitHashKey"),
+                F.col(data_col).alias("data"),
+                F.col("event_sub_seq_no").alias("subSequenceNumber"),
+            )
+        ),
+    )
+
+
 def dead_record_envelopes(
     unusable: DataFrame, stream_consumer_id: str, stream_type_tag: str = "K"
 ) -> DataFrame:
@@ -41,6 +63,7 @@ def dead_record_envelopes(
         F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID"),
         F.col("event_id").alias("eventID"),
         F.col("record_json").alias("record"),
+        _kpl_user_record("data_b64").alias("userRecord"),
         F.col("data_b64").alias("data"),
         F.col("reason_unusable").alias("reasonUnusable"),
         _partition_key(stream_consumer_id).alias("partitionKey"),
@@ -64,6 +87,7 @@ def dead_message_envelopes(
         F.col("seqNo"),
         F.col("data_str").alias("message"),
         F.col("record_json").alias("record"),
+        _kpl_user_record("data_str").alias("userRecord"),
         F.col("tasks_json").alias("state"),
         F.col("reason_rejected").alias("reasonRejected"),
         _partition_key(stream_consumer_id).alias("partitionKey"),

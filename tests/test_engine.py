@@ -188,6 +188,10 @@ def test_unusable_records_go_to_drq(spark, tmp_path):
     assert row["ver"] == "DR|K|2.0"
     assert row["reasonUnusable"] == "unparseable record data (S6)"
     assert row["streamConsumerId"] == "K|TestStream|consumer:dev"
+    # non-KPL: userRecord omitted (null) — it would BE the record
+    # (kinesis-processing.js:644 userRecord !== unusableRecord)
+    assert "userRecord" in drq.columns
+    assert drq.where(F.col("userRecord").isNotNull()).count() == 0
     # unusable state rows persisted alongside message states (T4)
     kinds = {r["kind"] for r in eng.state.read_all().collect()}
     assert kinds == {"message", "unusable"}
@@ -390,6 +394,33 @@ def test_kpl_encoded_pipeline(spark, tmp_path):
         for r in eng.state.read_all().select("event_sub_seq_no").collect()
     }
     assert subseqs == {0, 1, 2, 3, None}
+
+    # rejected KPL sub-records carry the deaggregated userRecord context in
+    # their DMQ envelope (kinesis-processing.js:708-724: {message, record,
+    # userRecord, state, ...}); the plain passthrough record does not
+    def rejector(message, task):
+        from kinesis_stream_consumer_spark.streaming.tasks import (
+            TaskRejectedError,
+        )
+
+        raise TaskRejectedError("all rejected")
+
+    eng2 = make_engine(
+        spark,
+        tmp_path / "kpl-dmq",
+        one_defs=[TaskDef("t1", rejector)],
+        kpl_encoded=True,
+    )
+    res2 = eng2.process_batch(recs, batch_id=1)
+    assert res2.rejected_to_dmq == 5
+    dmq = spark.read.parquet(str(tmp_path / "kpl-dmq" / "dmq"))
+    with_ur = dmq.where(F.col("userRecord").isNotNull())
+    assert with_ur.count() == 4  # the 4 deaggregated sub-records
+    urs = [json.loads(r["userRecord"]) for r in with_ur.collect()]
+    assert {u["subSequenceNumber"] for u in urs} == {0, 1, 2, 3}
+    assert all(u["partitionKey"] == "1" for u in urs)
+    # the sub-object's payload is the deaggregated user data, not the blob
+    assert {json.loads(u["data"])["id1"] for u in urs} == {100, 101, 102, 103}
 
 
 def test_timeout_race_marks_timed_out(spark, tmp_path):
