@@ -33,6 +33,8 @@ HEADLINE = [
     "text_quality",
     "llm_prep_pipeline",
     "sim_topk_bruteforce",
+    "sim_kmeans_cells",
+    "curation_contamination",
     "scalar_datetime_json",
     "streaming_tumbling_window",
     "streaming_session_window",
