@@ -48,15 +48,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as long and convert (truncating) to micros —
-        # the same truncation DuckDB applies when formatting TIMESTAMP_NS.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects without nanosAsLong) and plain
+        # TIMESTAMP(MICROS); normalise either layout to a session-tz
+        # TimestampType column so downstream window/agg code sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos read back as raw long: truncate to micros like DuckDB.
+            return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
