@@ -445,3 +445,65 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup-style): cluster the corpus with the
+    trained quantized k-means coarse quantizer, compute EXACT cosine only
+    between cell-mates, and mark a vector as a duplicate when some
+    smaller-id vector in the same cell matches at ≥ threshold — the same
+    keep-first-occurrence rule the exact/MinHash dedups use. Emits one row
+    per duplicate: (vec_id, cell_id, dup_of, cosine_sim) where dup_of is
+    the smallest qualifying cell-mate and cosine_sim the (rounded)
+    similarity to it.
+
+    Scale shape: the k-means fit is the trained-quantizer plan (corpus as
+    slim quantized rows, k·dim model broadcast per iteration); the
+    pairwise stage shuffles the corpus ONCE on cell_id and does quadratic
+    work only within a cell — k grows with the corpus so cell sizes stay
+    bounded, which is precisely SemDeDup's answer to all-pairs cosine at
+    100 TB. The assignment is checkpointed so the Lloyd iterations don't
+    re-run on both sides of the self-join.
+    """
+    fit = kmeans_fit_quantized(vectors, k, n_iter, id_col, vec_col)
+    assigned = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .join(fit.select(F.col(id_col).alias("vid"), "cell_id"), "vid")
+        .localCheckpoint(eager=True)
+    )
+    sim = F.round(
+        cosine(F.col("a.vec"), F.col("b.vec")), round_digits
+    ).alias("cosine_sim")
+    matches = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("b.vid").alias("vec_id"),
+            F.col("b.cell_id").alias("cell_id"),
+            F.col("a.vid").alias("cand"),
+            sim,
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    return (
+        matches.groupBy("vec_id", "cell_id")
+        .agg(F.min(F.struct("cand", "cosine_sim")).alias("s"))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.col("s.cand").alias("dup_of"),
+            F.col("s.cosine_sim").alias("cosine_sim"),
+        )
+    )

@@ -703,6 +703,58 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id_a", "vec_id_b")
 
 
+@register(
+    "dedup_semantic",
+    f"""
+    WITH {_kmeans_ctes()},
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT a.vid AS id_a, b.vid AS id_b, b.cell
+      FROM fa a JOIN fa b ON a.cell = b.cell AND a.vid < b.vid
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b, p.cell,
+             SUM(CAST(ea.embedding[d.i] AS DOUBLE)
+                 * CAST(eb.embedding[d.i] AS DOUBLE)) AS dp
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.id_a
+      JOIN embeddings eb ON eb.vec_id = p.id_b
+      CROSS JOIN dims d
+      GROUP BY 1, 2, 3
+    ),
+    sims AS (
+      SELECT id_a, id_b, cell, ROUND(dp / (na.nrm * nb.nrm), 4) AS cs
+      FROM dots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE ROUND(dp / (na.nrm * nb.nrm), 4) >= 0.35
+    )
+    SELECT id_b AS vec_id, cell AS cell_id, id_a AS dup_of, cs AS cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+          FROM sims)
+    WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    doc="Semantic dedup (SemDeDup-style): trained quantized-k-means cells, "
+    "EXACT cosine restricted to cell-mates, keep-first-occurrence rule "
+    "(duplicate ⇐ a smaller-id cell-mate matches at ≥ τ; dup_of = the "
+    "smallest such). One corpus shuffle on cell_id; quadratic work only "
+    "within a cell, and k grows with the corpus so cell sizes stay bounded "
+    "— the SemDeDup answer to all-pairs cosine at 100 TB. Complements "
+    "dedup_embedding_cosine: LSH banding recalls by random hyperplanes, "
+    "semantic cells recall by the trained cluster structure.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, threshold=0.35
+    ).orderBy("vec_id")
+
+
 # --- Multimodal columns -----------------------------------------------------
 
 @register(

@@ -163,3 +163,24 @@ def test_kmeans_trained_centroids_power_ivf(spark):
     assert len(e & a_all) / len(e) == 1.0  # all cells probed == exact
     a1 = pairs(S.ivf_topk(emb, queries, cents, k=5, nprobe=1))
     assert len(e & a1) / len(e) > 0  # single probe finds something
+
+
+def test_semantic_dedup_keep_first_rule(spark):
+    """dedup_semantic semantics on a hand-built corpus: vectors 0/1/2 are
+    near-identical (one cluster), 3 is orthogonal. The keep-first rule must
+    mark 1 and 2 as duplicates of 0 (the smallest cell-mate above τ), never
+    0 itself, and never the orthogonal vector."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.998, 0.02, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["dup_of"], r["cosine_sim"])
+        for r in S.semantic_dedup(df, k=2, n_iter=1, threshold=0.9).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1][0] == 0 and out[2][0] == 0
+    assert out[1][1] >= 0.99 and out[2][1] >= 0.99
