@@ -244,6 +244,122 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "text_tfidf_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN((1.0 + n.n) / (1.0 + d.df)), 4) AS tfidf
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    doc="TF-IDF keyword extraction: top-3 terms per document by "
+    "tf·ln((1+N)/(1+df)) (smoothed idf). Tokenize once; term counts are "
+    "one (doc, term) shuffle with map-side combine; document frequency is "
+    "a second slim shuffle keyed on term; N comes from table stats "
+    "(footer row count), not a count() job. The tf⋈df join is keyed on "
+    "term — at 100 TB the vocab table shards across executors instead of "
+    "broadcasting an unbounded dictionary.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _table_row_count(sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    lm AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM lm)
+    SELECT tf.doc_id,
+           ROUND(SUM(tf.tf * LN((lm.cnt + 1.0) / (tot.total + tot.vocab)))
+                 / SUM(tf.tf), 4) AS mean_logprob,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+    FROM tf JOIN lm USING (term) CROSS JOIN tot
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """,
+    doc="Unigram-LM fluency score (the cheap stand-in for perplexity "
+    "filtering): train an add-one-smoothed unigram model on the corpus "
+    "itself, score each doc by its mean token log-probability. Two passes "
+    "over one tokenization: (doc, term) counts shuffle once; the model is "
+    "a slim (term, cnt) table joined back on term; the scalar "
+    "(total, vocab) pair broadcasts. Low scores flag gibberish/rare-token "
+    "docs exactly as a KenLM perplexity gate would at 100 TB.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # The trained model: a slim (term, cnt) table. Checkpoint it once so
+    # the normalizer aggregate and the scoring join don't each re-run the
+    # tokenize+count pass, then pull the TWO-value normalizer (total mass,
+    # vocab size) through the driver as literals — the same "only the
+    # model's scalars cross the driver" shape as the k-means trainer.
+    # (A crossJoin(broadcast(1-row-agg)) plans as BroadcastNestedLoopJoin
+    # — banned by the plan-hygiene gate — and Catalyst folds literal equi
+    # keys back into one.)
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    tot = lm.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).first()
+    denom = float(tot["total"] + tot["vocab"])
+    return (
+        tf.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log((F.col("cnt") + 1.0) / denom))
+                / F.sum("tf"),
+                4,
+            ).alias("mean_logprob"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- Deduplication ----------------------------------------------------------
 
 @register(

@@ -59,6 +59,89 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "subquery_exists_late_ship",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Correlated EXISTS subquery (TPC-H Q4 shape, adapted to the "
+    "available columns): orders in a window with at least one lineitem "
+    "shipped after the order date, counted per priority. Catalyst rewrites "
+    "the correlated EXISTS into a LEFT SEMI hash join on l_orderkey with "
+    "the date comparison as the join residual — one shuffle keyed on "
+    "orderkey, the date filter pushed into both scans; exactly the plan "
+    "you'd hand-write, derived from the declarative form.",
+)
+def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM v_orders o
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1995-07-01'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "subquery_scalar_small_qty",
+    """
+    SELECT p.p_brand,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 2, 2) AS DOUBLE) AS avg_halfyear_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+      AND l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    doc="Correlated SCALAR subquery (TPC-H Q17 shape): lineitems whose "
+    "quantity is below half their part's average, revenue per brand. "
+    "Catalyst de-correlates to a per-partkey average aggregate joined back "
+    "on l_partkey — the subquery becomes one slim (partkey, avg) shuffle "
+    "instead of a per-row re-scan, and the brand filter broadcasts the "
+    "part side.",
+)
+def subquery_scalar_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 2, 2) AS DOUBLE) AS avg_halfyear_revenue
+        FROM v_lineitem l
+        JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+          AND l.l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity)
+            FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    )
+
+
 # --- Multi-way join with broadcast dims ------------------------------------
 
 @register(
