@@ -167,8 +167,14 @@ def ngram_contamination(
     equi-join quadratically). DF comes from one count aggregate on the
     shingle key (map-side combine); the train⋈eval match is then an
     equi-join on the (high-cardinality, bounded-fanout) shingle."""
-    rows = shingle_rows(docs, text_col, id_col, k).withColumn(
-        "_hb", hash_bucket(F.col("doc"))
+    # One shared shingle pass: the (doc, shingle, _hb) rows feed the DF
+    # aggregate, the eval-shingle set AND the train side — without the
+    # checkpoint the regexp-split explode re-runs once per consumer
+    # (the same multiply-referenced-frame rule as the dedup shingle pass).
+    rows = (
+        shingle_rows(docs, text_col, id_col, k)
+        .withColumn("_hb", hash_bucket(F.col("doc")))
+        .localCheckpoint(eager=True)
     )
     informative = (
         rows.groupBy("shingle")

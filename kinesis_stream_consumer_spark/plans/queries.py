@@ -38,6 +38,42 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
     return deco
 
 
+_SCAN_META: dict[str, tuple[int, int]] = {}
+
+
+def _scan_meta(path: str) -> tuple[int, int]:
+    """(rows, row_groups) from the parquet footer, cached per path."""
+    if path not in _SCAN_META:
+        import pyarrow.parquet as pq
+
+        m = pq.read_metadata(path)
+        _SCAN_META[path] = (m.num_rows, m.num_row_groups)
+    return _SCAN_META[path]
+
+
+def _rebalance_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Compensate for scan-side starvation on under-chunked files.
+
+    Spark parallelises a parquet scan by row group; a single-row-group
+    file pins the whole scan — and any CPU-heavy projection fused onto it
+    (regex shingling, embedding HOFs, partial aggregation) — to ONE task
+    no matter how many cores the cluster has. At 100 TB inputs carry
+    thousands of row groups and this helper is a no-op; locally the
+    driver-generated test files are one row group each, so rebalance the
+    scan output across the cluster once. Conditioned on footer metadata
+    (cached, no job): only fires when the file has materially fewer row
+    groups than cores AND enough rows for parallelism to matter — tiny
+    dims stay put and broadcast as usual.
+    """
+    if not os.path.isfile(path):
+        return df  # multi-file / partitioned dirs already scan in parallel
+    rows, groups = _scan_meta(path)
+    cores = spark.sparkContext.defaultParallelism
+    if rows >= 1000 and groups < max(cores // 2, 2):
+        return df.repartition(cores)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive for foreign sessions (the driver harness builds its own):
     # see session.get_spark — InferFiltersFromGenerate re-evaluates expensive
@@ -56,13 +92,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
-        df = spark.read.parquet(path)
+        df = _rebalance_scan(spark, spark.read.parquet(path), path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             # nanos read back as raw long: truncate to micros like DuckDB.
             return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(path)
+    return _rebalance_scan(spark, spark.read.parquet(path), path)
 
 
 def _table_row_count(sf_dir: str, name: str) -> int:
