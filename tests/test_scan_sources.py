@@ -50,3 +50,29 @@ def test_partitioned_parquet_scan_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert scan.count() == flat.where(F.col("event_type") == "click").count()
+
+
+def test_rebalance_scan_conditions(spark):
+    """_rebalance_scan fires only for big single-row-group files: tiny dims
+    keep their scan partitioning (and stay broadcast-able), big flat files
+    fan out to defaultParallelism, and filters/pruning still reach the scan
+    through the added Exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.queries import _t
+
+    cores = spark.sparkContext.defaultParallelism
+    li = _t(spark, SF_CORRECT, "lineitem")  # 60k rows, 1 row group
+    assert li.rdd.getNumPartitions() == cores
+    region = _t(spark, SF_CORRECT, "region")  # 5 rows: untouched
+    assert region.rdd.getNumPartitions() == 1
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        li.where(F.col("l_quantity") > 49).select("l_orderkey").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49" in plan
+    assert "l_extendedprice" not in plan  # pruning intact through Exchange
