@@ -223,3 +223,70 @@ def scrub_pii(text: Column) -> Column:
     out = F.regexp_replace(out, PII_PATTERNS["ssn"], "<SSN>")
     out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
     return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, int],
+    default_weight: int = 1,
+    total_denom: int = 5,
+    margin: float = 1.5,
+    slack_rows: int = 32,
+) -> DataFrame:
+    """Domain-mixture sampling: draw a deterministic sample whose
+    per-source composition follows INTEGER mixture weights (a source with
+    weight 4 contributes 4× the share of a weight-1 source), total size
+    ≈ corpus/``total_denom``, each source capped at its own row count.
+
+    The pretraining-mix primitive: "upsample wikipedia 4×, downsample
+    common-crawl" expressed as relative weights, realized as
+    smallest-hash-first selection so the sample is reproducible, stable
+    under corpus growth, and engine-portable.
+
+    Scale shape: per-source counts are a map-side count aggregate — only
+    (source, n) rows move, and the source domain is small by construction
+    (a mixture spec is written by hand), so the target table is
+    model-sized: it crosses the driver like any trained model and
+    broadcasts back. Selection reuses the stratified_sample two-phase
+    discipline: a map-side hash-threshold prefilter (margin·share +
+    slack) discards most of the corpus before the exact per-source rank
+    runs over the ~target-sized survivor set. Weights are integers so the
+    normalizer Σw is exact in any summation order — the one float op
+    (w/Σw·T) is a single division+multiply, bit-identical cross-engine.
+    """
+    import math
+
+    counts = {
+        r["src"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    t_total = n_total // total_denom
+    sumw = sum(weights.get(s, default_weight) for s in counts)
+    rows = []
+    for s, n in sorted(counts.items()):
+        w = weights.get(s, default_weight)
+        tgt = min(n, math.floor(w / sumw * t_total + 0.5))
+        thresh = min(
+            HASH_BUCKETS,
+            math.ceil(HASH_BUCKETS * (margin * tgt / n + slack_rows / n)),
+        )
+        rows.append((s, tgt, thresh))
+    targets = df.sparkSession.createDataFrame(
+        rows, f"{source_col} string, _target int, _thresh int"
+    )
+    pre = (
+        df.withColumn("_hb", hash_bucket(F.col(id_col)))
+        .join(F.broadcast(targets), source_col)
+        .where(F.col("_hb") < F.col("_thresh"))
+    )
+    w = Window.partitionBy(source_col).orderBy("_hb", id_col)
+    return (
+        pre.withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= F.col("_target"))
+        .drop("_hb", "_target", "_thresh", "_rnk")
+    )

@@ -315,3 +315,61 @@ def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt["ssn"].alias("n_ssns"),
         F.md5(C.scrub_pii(injected).cast("binary")).alias("scrub_md5"),
     ).orderBy("doc_id")
+
+
+_MIX_WEIGHTS = {"src0": 4, "src1": 2}  # every other source: weight 1
+
+
+@register(
+    "curation_mixture_sample",
+    f"""
+    WITH hb AS (
+      SELECT doc_id, source, {_HB.format(col='doc_id')} AS _hb FROM documents
+    ),
+    counts AS (
+      SELECT source, COUNT(*) AS n,
+             CASE WHEN source = 'src0' THEN 4
+                  WHEN source = 'src1' THEN 2
+                  ELSE 1 END AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS n_total, SUM(w) AS sumw FROM counts),
+    tgt AS (
+      SELECT source, n,
+             LEAST(n, CAST(FLOOR(w / sumw * (n_total // 5) + 0.5) AS INT))
+               AS target
+      FROM counts CROSS JOIN tot
+    ),
+    th AS (
+      SELECT source, target,
+             LEAST({C.HASH_BUCKETS},
+                   CAST(CEIL({C.HASH_BUCKETS} * (CAST(1.5 AS DOUBLE) * target / n
+                          + CAST(32 AS DOUBLE) / n)) AS INT)) AS thresh
+      FROM tgt
+    ),
+    r AS (
+      SELECT hb.doc_id, hb.source, th.target,
+             ROW_NUMBER() OVER (PARTITION BY hb.source
+                                ORDER BY _hb, hb.doc_id) AS rnk
+      FROM hb JOIN th USING (source)
+      WHERE _hb < th.thresh
+    )
+    SELECT doc_id, source FROM r WHERE rnk <= target
+    ORDER BY source, doc_id
+    """,
+    doc="Domain-mixture sampling: 20%-of-corpus sample whose composition "
+    "follows integer mixture weights (src0 4×, src1 2×, rest 1×), each "
+    "source capped at its own size — the 'upsample wiki, downsample crawl' "
+    "pretraining-mix primitive. Deterministic smallest-hash-first "
+    "selection; targets are a model-sized (source, target, thresh) table "
+    "computed from a count-only aggregate and broadcast back; the "
+    "stratified two-phase prefilter keeps the rank window off the full "
+    "corpus. Integer weights make the normalizer exact cross-engine.",
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        C.mixture_sample(docs, "source", "doc_id", _MIX_WEIGHTS)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )

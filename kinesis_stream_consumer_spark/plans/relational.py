@@ -309,6 +309,43 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL')   AS returnflag,
+           COALESCE(l_linestatus, 'ALL')   AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                                           AS grouping_lvl,
+           CAST(COUNT(*) AS BIGINT)        AS n_items,
+           ROUND(SUM(l_quantity), 2)       AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY grouping_lvl, returnflag, linestatus
+    """,
+    doc="Explicit GROUPING SETS (detail, per-returnflag, grand total) with "
+    "GROUPING() disambiguation of real-NULL vs subtotal rows — the "
+    "irregular-lattice case CUBE/ROLLUP can't express. Same physical shape "
+    "as CUBE: one Expand over the listed sets, one hash aggregate, one "
+    "shuffle regardless of set count.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL')   AS returnflag,
+               COALESCE(l_linestatus, 'ALL')   AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                                               AS grouping_lvl,
+               COUNT(*)                        AS n_items,
+               ROUND(SUM(l_quantity), 2)       AS sum_qty
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY grouping_lvl, returnflag, linestatus
+        """
+    )
+
+
 # --- Window functions -------------------------------------------------------
 
 @register(
@@ -418,6 +455,38 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_lag_lead_delta",
+    """
+    SELECT event_id, user_id,
+           ROUND(value, 2) AS value,
+           ROUND(value - LAG(value)  OVER w, 2) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 2) AS delta_next,
+           CAST(ROW_NUMBER() OVER w AS BIGINT)  AS seq_no
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, seq_no
+    """,
+    doc="LAG/LEAD offset analytics: per-user event-to-event value deltas "
+    "plus a sequence number, deterministic tie-break on (ts, event_id). "
+    "One shuffle on user_id then a single in-partition sort serves all "
+    "three window functions (Catalyst collapses same-frame windows); the "
+    "user_id<10 filter is pushed to the scan.",
+)
+def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+        F.row_number().over(w).cast("long").alias("seq_no"),
+    ).orderBy("user_id", "seq_no")
 
 
 @register(
