@@ -507,3 +507,143 @@ def semantic_dedup(
             F.col("s.cosine_sim").alias("cosine_sim"),
         )
     )
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+
+def pq_sub_rows(vectors: DataFrame, m: int = 8, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vid, sub, pos, qx): integer-quantized components split into ``m``
+    contiguous subspaces of dim/m components each — the training/encoding
+    layout for product quantization. Same milli-unit quantization as the
+    coarse k-means, so every downstream distance is exact integer math."""
+    sub_dim = dim // m
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("i", "x"),
+    ).select(
+        "vid",
+        (F.col("i") / sub_dim).cast("int").alias("sub"),
+        F.pmod(F.col("i"), F.lit(sub_dim)).alias("pos"),
+        F.floor(F.col("x") * KMEANS_QUANT_SCALE + 0.5).cast("long").alias("qx"),
+    )
+
+
+def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
+           dim: int = 64, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Train all ``m`` per-subspace codebooks in ONE dataflow and encode the
+    corpus: returns (codes, codebooks) where codes = (vid, sub, code) —
+    m small ints per vector, a 32× compression of a 64-float embedding —
+    and codebooks = (sub, cell, pos, qc).
+
+    This is the PQ half of FAISS-style IVF-PQ, Spark-first: instead of m
+    driver-looped k-means fits, the subspace id rides as a key column
+    through the SAME Lloyd pipeline the coarse quantizer uses — join on
+    (sub, pos), distance aggregate to one row per (vid, sub, cell) with
+    map-side combine, argmin per (vid, sub), half-up integer centroid
+    update per (sub, cell, pos). One set of stages trains all m codebooks;
+    only the m·k·(dim/m) centroid model crosses the driver between
+    iterations. Deterministic: init = the k smallest vids (per subspace),
+    ties to the lowest cell; exact integer arithmetic throughout."""
+    q = pq_sub_rows(vectors, m, dim, id_col, vec_col).localCheckpoint(eager=True)
+    cents = q.where(F.col("vid") < k).select(
+        "sub", F.col("vid").cast("int").alias("cell"), "pos",
+        F.col("qx").alias("qc"),
+    )
+
+    def _assign(c):
+        d = (
+            q.join(F.broadcast(c), ["sub", "pos"])
+            .groupBy("vid", "sub", "cell")
+            .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
+        )
+        return (
+            d.groupBy("vid", "sub")
+            .agg(F.min(F.struct("dist", "cell")).alias("s"))
+            .select("vid", "sub", F.col("s.cell").alias("cell"),
+                    F.col("s.dist").alias("dist"))
+        )
+
+    for _ in range(n_iter):
+        assigned = _assign(cents)
+        cents = (
+            assigned.join(q, ["vid", "sub"])
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.floor(
+                    (2 * F.sum("qx") + F.count(F.lit(1)))
+                    / (2 * F.count(F.lit(1)))
+                ).cast("long").alias("qc")
+            )
+        ).localCheckpoint(eager=True)  # m·k·sub_dim model rows per iteration
+    codes = _assign(cents).select("vid", "sub", F.col("cell").alias("code"))
+    return codes, cents
+
+
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
+                k: int = 16, n_iter: int = 2, topk: int = 5, dim: int = 64,
+                rerank: int = 0, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes, with optional exact
+    re-ranking of the ADC shortlist (FAISS's refine step): for each query,
+    the exact squared-L2 to every codebook centroid forms a per-(query,
+    sub, cell) distance table; a vector's approximate distance is the SUM
+    of m table lookups selected by its codes. With ``rerank=R > 0`` the
+    ADC top-R shortlist is re-scored with the EXACT (quantized, integer)
+    squared-L2 and the final top-k ranked by it — recovering most of the
+    recall PQ's 32× compression gives up. Returns (query_id, match_id,
+    qdist, rnk) when re-ranking, else (query_id, match_id, adc_dist, rnk);
+    integer-exact either way.
+
+    The 100 TB shape (how FAISS scans billions): the corpus rides as slim
+    (vid, sub, code) rows — never the vectors; the distance table is
+    |queries|·m·k rows and BROADCASTS; the lookup is a broadcast hash
+    join; partial sums combine map-side into one row per (query, vid).
+    The only full-corpus shuffle carries (query, vid, partial sum). The
+    re-rank touches |queries|·R candidate pairs — the broadcast pair set
+    semi-joins the corpus scan, i.e. the 'fetch the shortlist's full
+    vectors' lookup, never an all-pairs pass."""
+    vrows = pq_sub_rows(vectors, m, dim, id_col, vec_col)
+    codes, cents = pq_fit(vectors, m, k, n_iter, dim, id_col, vec_col)
+    qsub = pq_sub_rows(queries, m, dim, id_col, vec_col).select(
+        F.col("vid").alias("query_id"), "sub", "pos", F.col("qx").alias("qq")
+    )
+    dtable = (
+        qsub.join(F.broadcast(cents), ["sub", "pos"])
+        .groupBy("query_id", "sub", "cell")
+        .agg(F.sum((F.col("qq") - F.col("qc")) * (F.col("qq") - F.col("qc"))).alias("d"))
+    )
+    scored = (
+        codes.withColumnRenamed("code", "cell")
+        .join(F.broadcast(dtable), ["sub", "cell"])
+        .where(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    if not rerank:
+        w = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= topk)
+            .select("query_id", F.col("vid").alias("match_id"), "adc_dist", "rnk")
+        )
+    ws = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
+    pairs = (
+        scored.withColumn("arnk", F.row_number().over(ws))
+        .where(F.col("arnk") <= rerank)
+        .select("query_id", "vid")
+    )
+    exact = (
+        F.broadcast(pairs)
+        .join(vrows, "vid")
+        .join(F.broadcast(qsub), ["query_id", "sub", "pos"])
+        .groupBy("query_id", "vid")
+        .agg(F.sum((F.col("qx") - F.col("qq")) * (F.col("qx") - F.col("qq"))).alias("qdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("qdist", "vid")
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select("query_id", F.col("vid").alias("match_id"), "qdist", "rnk")
+    )

@@ -184,3 +184,45 @@ def test_semantic_dedup_keep_first_rule(spark):
     assert set(out) == {1, 2}
     assert out[1][0] == 0 and out[2][0] == 0
     assert out[1][1] >= 0.99 and out[2][1] >= 0.99
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    """PQ-ADC top-5 must overlap substantially with the exact top-5: with
+    m=8 subspaces × 16 centroids on 500 random vectors the quantization
+    error is small relative to neighbor gaps. Gate is structural (>40%
+    recall@5 averaged over 10 queries), not tuned."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    # pure ADC on random vectors (PQ's worst case) sits around 0.25;
+    # the exact re-rank of the ADC top-40 recovers most of it
+    adc_only = {
+        (r["query_id"], r["match_id"])
+        for r in S.pq_adc_topk(emb, queries, m=8, k=16, n_iter=2, topk=5).collect()
+    }
+    reranked = {
+        (r["query_id"], r["match_id"])
+        for r in S.pq_adc_topk(
+            emb, queries, m=8, k=16, n_iter=2, topk=5, rerank=40
+        ).collect()
+    }
+    r_adc = len(exact & adc_only) / len(exact)
+    r_rr = len(exact & reranked) / len(exact)
+    assert r_rr > 0.6, f"PQ+rerank recall@5 too low: {r_rr}"
+    assert r_rr > r_adc, (r_rr, r_adc)  # the refine step actually helps
+
+
+def test_pq_codes_are_slim(spark):
+    """The encoded corpus is m rows per vector with small-int codes — the
+    32× compression the ADC scan rides on."""
+    emb = _emb(spark)
+    codes, cents = S.pq_fit(emb, m=8, k=16, n_iter=1)
+    n = emb.count()
+    assert codes.count() == 8 * n
+    mx = codes.agg(F.max("code")).first()[0]
+    assert 0 <= mx < 16
+    # codebooks: m · k · sub_dim rows at most (empty cells may drop)
+    assert cents.count() <= 8 * 16 * 8
