@@ -271,3 +271,60 @@ def minhash_lsh_candidate_pairs(
     if threshold is not None:
         verified = verified.where(F.col("jaccard_sim") >= threshold)
     return verified
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: returns
+    (node, component_id) where component_id is the SMALLEST node id
+    reachable — the canonical representative. This is the transitive step
+    real dedup needs: pairwise matches chain (A≈B, B≈C ⇒ {A,B,C} is one
+    duplicate group even when A,C never collide), and one document per
+    component survives.
+
+    Iterative min-label propagation to the FIXPOINT: each round joins the
+    (slim, checkpointed) edge list against current labels, takes the min
+    over neighbours, and stops when the strictly-decreasing label sum
+    stops changing — one scalar action per round, the same "only model
+    scalars cross the driver" discipline as the k-means trainer. Rounds
+    needed = graph diameter, and near-dup components are dense (shared
+    shingles make them clique-ish), so a handful of rounds suffices at
+    any corpus size; each round is one shuffle keyed on node id. The
+    fixpoint (min reachable id) is engine-independent — the oracle's
+    recursive CTE reaches the identical answer regardless of iteration
+    schedule."""
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("lab").alias("component_id"))

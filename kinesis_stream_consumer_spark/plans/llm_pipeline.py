@@ -454,6 +454,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      WHERE jaccard_sim >= CAST(0.8 AS DOUBLE)
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+      WHERE jaccard_sim >= CAST(0.8 AS DOUBLE)
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d AS node, r.lab FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+    doc="Transitive duplicate clusters: connected components over the "
+    "verified (Jaccard ≥ 0.8) MinHash-LSH pair graph, component id = "
+    "smallest member. Pairwise matches chain — A≈B, B≈C puts {{A,B,C}} in "
+    "one group even when A,C never collide in any band — and dedup keeps "
+    "one doc per COMPONENT, not per pair. Spark runs min-label "
+    "propagation to the fixpoint (slim checkpointed edges, one node-keyed "
+    "shuffle per round, rounds = graph diameter — near-dup components are "
+    "clique-ish so it converges in a few); the oracle's recursive CTE "
+    "reaches the identical fixpoint by construction.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidate_pairs(
+        docs, "text", "doc_id", 3, 2, threshold=0.8
+    )
+    return (
+        D.connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "component_id")
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_oracle() -> str:
     bit_terms = []
     for b in range(32):

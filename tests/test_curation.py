@@ -165,3 +165,19 @@ def test_pii_scrub_and_counts(spark):
     assert out[4]["scrubbed"] == "clean text with no pii at all"
     assert (out[5]["e"], out[5]["p"], out[5]["s"]) == (1, 0, 1)
     assert out[5]["scrubbed"] == "both <EMAIL> and <SSN>"
+
+
+def test_connected_components_transitive_chain(spark):
+    """A–B, B–C chain collapses to one component labelled by the smallest
+    id; D–E is a separate component; ids untouched by any pair don't
+    appear (they are their own singleton groups by definition)."""
+    from kinesis_stream_consumer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4), (9, 7), (7, 8), (8, 9)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r["node"]: r["component_id"] for r in connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7}
