@@ -34,6 +34,8 @@ HEADLINE = [
     "llm_prep_pipeline",
     "sim_topk_bruteforce",
     "sim_kmeans_cells",
+    "sim_pq_adc_topk",
+    "dedup_semantic",
     "curation_contamination",
     "scalar_datetime_json",
     "streaming_tumbling_window",

@@ -88,3 +88,45 @@ def test_repetition_shuffles_are_slim_gram_counts(spark):
     assert s["shuffle_records"] < s["generated_rows"]
     per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
     assert per_row < 120, f"gram-count rows should be slim, got {per_row:.0f} B/row"
+
+
+def test_pq_adc_shuffle_is_slim_partials(spark):
+    """PQ-ADC's only full-corpus shuffle carries (query, vid, partial-sum)
+    triples — the encoded corpus joins the BROADCAST distance table, so no
+    vectors and no per-component rows ever shuffle in the scoring stage."""
+    from kinesis_stream_consumer_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 10)
+    out = pq_adc_topk(emb, queries, m=8, k=16, n_iter=1, topk=5, rerank=20)
+    out.collect()
+    s = shuffle_stats(out)
+    # scoring: ≤ |q|·n (query, vid, partial) rows; training shuffles are
+    # per-(vid, sub[, cell]) — everything is keyed slim rows, never vectors
+    per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
+    assert per_row < 64, f"PQ shuffle rows should be slim, got {per_row:.0f} B"
+    # the ADC lookup join must be broadcast (no shuffle of the m·n codes
+    # against the distance table): codes appear in ONE exchange (groupBy),
+    # bounded by |q|·n + training volume
+    assert s["shuffle_records"] < 30 * n * 10
+
+
+def test_tfidf_combines_map_side(spark):
+    """tf shuffle is bounded by distinct (doc, term) pairs — the token
+    explosion collapses in the partial aggregate, never shuffling raw
+    token rows."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    out = QUERIES["text_tfidf_topk"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    distinct_pairs = (
+        _docs(spark)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert s["generated_rows"] > distinct_pairs  # explode really fanned out
+    # tf + df + window exchanges, each ≤ distinct pairs (+ slim df rows)
+    assert s["shuffle_records"] <= 4 * distinct_pairs
