@@ -90,3 +90,49 @@ class StateStore:
         return self.spark.read.parquet(self.path).select(
             *[f.name for f in STATE_SCHEMA.fields]
         )
+
+    # Any of these anywhere in the task tree ⇒ the message is NOT fully
+    # finalised and must survive compaction at any age. Matching the exact
+    # `"status": "<Name>"` JSON shape is safe against user text: a literal
+    # quote inside a reason string is escaped (\\") by the JSON writer, so
+    # it can never form this pattern.
+    _NON_FINAL_RE = (
+        r'"status":\s*"(Unstarted|Started|Failed|TimedOut|Unusable)"'
+    )
+
+    def compact(self, before_batch_id: int) -> int:
+        """Retention compaction — the state-table analogue of the
+        reference's stale-state abandonment window (T3 rides Kinesis's
+        retention; a parquet state table needs an explicit reaper or
+        fully-finalised rows accumulate forever). Drops rows that are BOTH
+        older than ``before_batch_id`` AND fully finalised; incomplete
+        rows are kept at ANY age — they are the replay contract. Returns
+        the number of rows dropped.
+
+        Finalisation is decided JVM-side by a regexp over the serialized
+        task tree (no non-terminal status present), so the maintenance
+        scan stays in whole-stage codegen — no JSON parse, no Python.
+        Production variant: the same predicate as a Delta ``DELETE WHERE``
+        / DynamoDB TTL; here the surviving rows are checkpointed (the
+        rewrite overwrites the very files being read — the same
+        lineage-cut save() relies on) and rewritten partitioned."""
+        if not self._exists:
+            return 0
+        df = self.spark.read.parquet(self.path)
+        total = df.count()
+        keep = df.where(
+            (F.col("batch_id") >= before_batch_id)
+            | (
+                F.col("tasks_json").isNotNull()
+                & F.col("tasks_json").rlike(self._NON_FINAL_RE)
+            )
+        ).select(*[f.name for f in STATE_SCHEMA.fields])
+        keep = keep.localCheckpoint(eager=True)
+        dropped = total - keep.count()
+        (
+            keep.repartition("streamConsumerId", "shardOrEventID")
+            .write.mode("overwrite")
+            .partitionBy("streamConsumerId", "shardOrEventID")
+            .parquet(self.path)
+        )
+        return dropped
