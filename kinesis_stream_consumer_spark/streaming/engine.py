@@ -133,6 +133,8 @@ class Engine:
         process_one_defs: Sequence[TaskDef] = (),
         process_all_defs: Sequence[TaskDef] = (),
         resubmit_path: Optional[str] = None,
+        compact_every_n_batches: Optional[int] = None,
+        compact_retention_batches: int = 100,
     ):
         from kinesis_stream_consumer_spark.session import ensure_package_on_workers
 
@@ -145,6 +147,13 @@ class Engine:
         self.one_defs = list(process_one_defs)
         self.all_defs = list(process_all_defs)
         self.resubmit_path = resubmit_path
+        # Opt-in state-table maintenance: every N successful batches, reap
+        # fully-finalised rows older than the retention window (see
+        # StateStore.compact — incomplete rows survive at any age). The
+        # reference gets this for free from Kinesis/DynamoDB retention;
+        # a parquet state table needs the explicit reaper.
+        self.compact_every_n_batches = compact_every_n_batches
+        self.compact_retention_batches = compact_retention_batches
 
     # --- phase 2a: processOne via per-chain ordered applyInPandas ----------
 
@@ -625,6 +634,13 @@ class Engine:
         # F3 hook: postFinaliseBatch
         if cfg.post_finalise_batch is not None:
             cfg.post_finalise_batch(result, self)
+        if (
+            self.compact_every_n_batches
+            and not n_incomplete
+            and batch_id > 0
+            and batch_id % self.compact_every_n_batches == 0
+        ):
+            self.state.compact(batch_id - self.compact_retention_batches)
         if n_incomplete:
             # F2: in unsequenced mode with a resubmit sink configured,
             # incomplete messages are resubmitted to the source instead of

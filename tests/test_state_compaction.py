@@ -84,3 +84,44 @@ def test_compact_result_still_loads_and_merges(spark, tmp_path):
         )
     )
     assert {r["identity"] for r in store.read_all().collect()} == {"b", "c"}
+
+
+def test_engine_auto_compacts_on_schedule(spark, tmp_path):
+    """compact_every_n_batches wires the reaper into the finalise phase:
+    after the scheduled batch, finalised rows older than the retention
+    window are gone while the newest batch's rows remain."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.plans.queries import _t
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming.engine import Engine
+    from kinesis_stream_consumer_spark.streaming.tasks import TaskDef
+    from tests.conftest import SF_SMOKE
+
+    cfg = EngineConfig(
+        sequencing_per_key=True,
+        key_property_names=["k1", "k2"],
+        id_property_names=["id1"],
+        seq_no_property_names=["n1", "n2"],
+    )
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=str(tmp_path / "state"),
+        drq_path=str(tmp_path / "drq"),
+        dmq_path=str(tmp_path / "dmq"),
+        process_one_defs=[TaskDef("ok", lambda message, task: None)],
+        compact_every_n_batches=2,
+        compact_retention_batches=1,
+    )
+    ev = _t(spark, SF_SMOKE, "events")
+    for b, lo in ((1, 0), (2, 5)):
+        recs = events_as_kinesis_records(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < lo + 5))
+        )
+        eng.process_batch(recs, batch_id=b)
+    left = {r["batch_id"] for r in eng.state.read_all().collect()}
+    # batch 2 triggered compact(before_batch_id=1): batch-1 finalised rows
+    # reaped, batch-2 rows intact
+    assert left == {2}
