@@ -108,3 +108,48 @@ def test_mixed_type_tags_keep_classes_apart(spark):
     assert enc["123.5"].startswith("N")
     assert enc["20000000000000000000002"].startswith("N")
     assert enc["zebra"].startswith("S")
+
+
+# --- Connected components == union-find -------------------------------------
+# The Spark fixpoint min-label propagation must agree with a reference
+# union-find on arbitrary graphs. One Spark run validates a disjoint union
+# of hypothesis-generated graphs (ids offset per graph).
+
+edge = st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1])
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.lists(edge, min_size=1, max_size=40), min_size=3, max_size=8))
+def test_connected_components_matches_union_find(spark, graphs):
+    from kinesis_stream_consumer_spark.operators.dedup import connected_components
+
+    all_edges = [
+        (a + 1000 * i, b + 1000 * i)
+        for i, es in enumerate(graphs)
+        for a, b in es
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in all_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # union-find roots are path-dependent; normalize to min-of-component
+    comp_min: dict[int, int] = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in parent}
+
+    pairs = spark.createDataFrame(all_edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
