@@ -435,13 +435,20 @@ def embedding_near_dup_pairs(
         .select(F.col("a.vid").alias("vec_id_a"), F.col("b.vid").alias("vec_id_b"))
         .distinct()
     )
+    # Norms once per joined row (O(candidates)), dot once per pair — not
+    # the 3-aggregate cosine() form, which re-derives both norms per pair.
+    withn = slim.withColumn("nrm", l2_norm(F.col("vec")))
     return (
-        pairs.join(slim.alias("va"), F.col("vec_id_a") == F.col("va.vid"))
-        .join(slim.alias("vb"), F.col("vec_id_b") == F.col("vb.vid"))
+        pairs.join(withn.alias("va"), F.col("vec_id_a") == F.col("va.vid"))
+        .join(withn.alias("vb"), F.col("vec_id_b") == F.col("vb.vid"))
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("va.vec"), F.col("vb.vec")), 4).alias("cosine_sim"),
+            F.round(
+                dot(F.col("va.vec"), F.col("vb.vec"))
+                / (F.col("va.nrm") * F.col("vb.nrm")),
+                4,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
@@ -474,13 +481,19 @@ def semantic_dedup(
     re-run on both sides of the self-join.
     """
     fit = kmeans_fit_quantized(vectors, k, n_iter, id_col, vec_col)
+    # Precompute the norm ONCE per vector at assignment time: the pairwise
+    # stage then evaluates a single dot() per pair instead of three
+    # interpreted higher-order aggregates (dot + 2 norms) — the norms are
+    # O(n), the pairs are O(Σ cell²).
     assigned = (
         vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .join(fit.select(F.col(id_col).alias("vid"), "cell_id"), "vid")
+        .withColumn("nrm", l2_norm(F.col("vec")))
         .localCheckpoint(eager=True)
     )
     sim = F.round(
-        cosine(F.col("a.vec"), F.col("b.vec")), round_digits
+        dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
+        round_digits,
     ).alias("cosine_sim")
     matches = (
         assigned.alias("a")
