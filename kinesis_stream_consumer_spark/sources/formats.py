@@ -45,3 +45,34 @@ def write_partitioned_parquet(
     columns prune directories at planning time (PartitionFilters in the
     scan node) — the scan never opens non-matching files."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_corpus_shards(
+    df,
+    path: str,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int = 100_000,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Training-corpus shard writer: layout-partitioned parquet with a
+    bounded records-per-file shard size — the output side of the curation
+    pipeline (a trainer's data loader wants many same-sized shards it can
+    assign to workers, not one file per Spark partition of arbitrary
+    size).
+
+    Scale notes: `maxRecordsPerFile` splits oversized partitions at write
+    time without an extra shuffle; `partitionBy` gives the
+    lang=…/split=… directory layout that lets a loader (or a later Spark
+    job) prune whole subtrees; an optional within-partition sort makes
+    shard contents deterministic so re-runs produce byte-stable outputs
+    (modulo parquet metadata) for caching/diffing."""
+    out = df
+    if sort_within:
+        cols = (partition_cols or []) + sort_within
+        out = out.sortWithinPartitions(*cols)
+    w = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)

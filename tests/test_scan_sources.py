@@ -76,3 +76,34 @@ def test_rebalance_scan_conditions(spark):
     plan = buf.getvalue()
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49" in plan
     assert "l_extendedprice" not in plan  # pruning intact through Exchange
+
+
+def test_write_corpus_shards_layout(spark, tmp_path):
+    """Shard writer: hive-style partition dirs, bounded shard sizes, and a
+    lossless round-trip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kinesis_stream_consumer_spark.operators.curation import (
+        train_val_test_split,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import _t
+    from kinesis_stream_consumer_spark.sources.formats import write_corpus_shards
+
+    docs = train_val_test_split(_t(spark, SF_CORRECT, "documents"), "doc_id")
+    out = str(tmp_path / "corpus")
+    write_corpus_shards(
+        docs,
+        out,
+        partition_cols=["split", "lang"],
+        max_records_per_file=50,
+        sort_within=["doc_id"],
+    )
+    files = glob.glob(f"{out}/split=*/lang=*/*.parquet")
+    assert files, "expected hive-partitioned shard files"
+    assert all(pq.read_metadata(f).num_rows <= 50 for f in files)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning reaches the directory layout
+    assert back.where("split = 'train'").count() < back.count()
