@@ -87,6 +87,66 @@ def stream_records(
     )
 
 
+def kinesis_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    endpoint_url: str | None = None,
+    starting_position: str = "LATEST",
+    connector_format: str = "aws-kinesis",
+) -> DataFrame:
+    """Live Kinesis source seam: `readStream.format("aws-kinesis")` with
+    the connector's option names, normalized to KINESIS_RECORD_SCHEMA so
+    the engine sees the SAME records DataFrame as the file-source path
+    (the one the test/bench harness drives).
+
+    The Kinesis connector (spark-streaming-sql-kinesis-connector, or
+    Kinesis->Kafka via MSK) ships as a separate jar; this container has
+    none, so calling without the jar raises Spark's standard
+    DATA_SOURCE_NOT_FOUND, which we re-raise with the wiring instructions.
+    The option mapping and projection below are the real integration
+    surface — swap the jar in and the engine runs unchanged (reference S1:
+    kinesis-consumer.js handler receives the same record shape from
+    Lambda's Kinesis trigger)."""
+    reader = (
+        spark.readStream.format(connector_format)
+        .option("streamName", stream_name)
+        .option("region", region)
+        .option("startingposition", starting_position)
+    )
+    if endpoint_url:
+        reader = reader.option("endpointUrl", endpoint_url)
+    try:
+        raw = reader.load()
+    except Exception as e:  # connector jar absent in this environment
+        raise RuntimeError(
+            "Kinesis connector not on the classpath. Add the "
+            "spark-streaming-sql-kinesis-connector jar (--packages) or "
+            "point the engine at the file/Kafka source path; the engine "
+            "consumes the same records DataFrame either way."
+        ) from e
+    # Connector columns -> reference Lambda record shape (S1).
+    return raw.select(
+        F.concat(F.lit("shardId:"), F.col("shardId"), F.lit(":"),
+                 F.col("sequenceNumber")).alias("eventID"),
+        F.lit("1.0").alias("eventVersion"),
+        F.struct(
+            F.col("partitionKey").alias("partitionKey"),
+            F.base64(F.col("data")).alias("data"),
+            F.lit("1.0").alias("kinesisSchemaVersion"),
+            F.col("sequenceNumber").alias("sequenceNumber"),
+        ).alias("kinesis"),
+        F.lit("aws:kinesis:record").alias("eventName"),
+        F.lit("aws:kinesis").alias("eventSource"),
+        F.concat(
+            F.lit(f"arn:aws:kinesis:{region}:000000000000:stream/"),
+            F.lit(stream_name),
+        ).alias("eventSourceARN"),
+        F.lit(region).alias("awsRegion"),
+        F.lit(None).cast("string").alias("invokeIdentityArn"),
+    )
+
+
 def events_as_kinesis_records(
     events: DataFrame,
     stream_name: str = "TestStream",

@@ -107,3 +107,14 @@ def test_write_corpus_shards_layout(spark, tmp_path):
     assert back.count() == docs.count()
     # partition pruning reaches the directory layout
     assert back.where("split = 'train'").count() < back.count()
+
+
+def test_kinesis_stream_seam_reports_missing_connector(spark):
+    """Without the connector jar the seam must fail loud and actionable,
+    not with a bare ClassNotFound."""
+    import pytest
+
+    from kinesis_stream_consumer_spark.sources.records import kinesis_stream
+
+    with pytest.raises(RuntimeError, match="Kinesis connector not on the classpath"):
+        kinesis_stream(spark, "my-stream", "us-west-2")
