@@ -199,7 +199,8 @@ def kmeans_fit_quantized(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_model: bool = False,
+):
     """Lloyd k-means over integer-quantized vectors; returns the final
     assignment (vec_id, cell_id, dist) — a TRAINED coarse quantizer for
     IVF (replacing the per-label stand-in), still fully deterministic:
@@ -252,7 +253,7 @@ def kmeans_fit_quantized(
         .groupBy("vid", "cell")
         .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
     )
-    return (
+    fit = (
         dists.groupBy("vid")
         .agg(F.min(F.struct("dist", "cell")).alias("s"))
         .select(
@@ -261,6 +262,11 @@ def kmeans_fit_quantized(
             F.col("s.dist").alias("dist"),
         )
     )
+    if return_model:
+        # (cell, pos, qc) — the trained INTEGER centroids, for callers that
+        # probe with exact quantized distances (IVF-PQ query routing)
+        return fit, cents
+    return fit
 
 
 def kmeans_centroids_quantized(
@@ -651,6 +657,95 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
         F.broadcast(pairs)
         .join(vrows, "vid")
         .join(F.broadcast(qsub), ["query_id", "sub", "pos"])
+        .groupBy("query_id", "vid")
+        .agg(F.sum((F.col("qx") - F.col("qq")) * (F.col("qx") - F.col("qq"))).alias("qdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("qdist", "vid")
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select("query_id", F.col("vid").alias("match_id"), "qdist", "rnk")
+    )
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
+               nprobe: int = 3, m: int = 8, k: int = 16, n_iter: int = 2,
+               topk: int = 5, rerank: int = 40, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the composed FAISS-style billion-scale index. The coarse
+    quantizer (trained integer k-means) partitions the corpus into cells
+    — the inverted lists; a query probes its ``nprobe`` nearest cells by
+    exact quantized L2 to the coarse centroids, then scans ONLY those
+    cells' PQ codes with the asymmetric distance table, and finally
+    re-ranks the ADC shortlist with the exact quantized L2 (the refine
+    step). Returns (query_id, match_id, qdist, rnk), integer-exact
+    end-to-end.
+
+    100 TB shape: the corpus is touched as (a) slim coarse assignments
+    (vid, cell) — the inverted-list index, (b) slim PQ codes (vid, sub,
+    code) read ONLY for candidate vids (the candidate pair set joins the
+    code table before any distance work — the inverted-list scan), and
+    (c) full vectors only for the |queries|·rerank shortlist. Both
+    trained models (coarse centroids, PQ codebooks) broadcast; every
+    aggregate combines map-side. Fraction of corpus scanned ≈
+    nprobe/coarse_k, the IVF contract."""
+    fit, coarse_cents = kmeans_fit_quantized(
+        vectors, coarse_k, n_iter, id_col, vec_col, return_model=True
+    )
+    coarse = fit.select(F.col(id_col).alias("vid"), "cell_id").localCheckpoint(
+        eager=True
+    )
+    qrows = quantized_vector_rows(queries, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    # probe: exact quantized L2 to the trained integer centroids
+    qdists = (
+        qrows.join(F.broadcast(coarse_cents), "pos")
+        .groupBy("vid", "cell")
+        .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
+    )
+    wprobe = Window.partitionBy("vid").orderBy("dist", "cell")
+    probes = (
+        qdists.withColumn("prnk", F.row_number().over(wprobe))
+        .where(F.col("prnk") <= nprobe)
+        .select(F.col("vid").alias("query_id"), F.col("cell").alias("cell_id"))
+    )
+    cand = (
+        coarse.join(F.broadcast(probes), "cell_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid")
+    )
+    # PQ codebooks + codes; ADC restricted to the candidate inverted lists
+    codes, pq_cents = pq_fit(vectors, m, k, n_iter, dim, id_col, vec_col)
+    qsub = pq_sub_rows(queries, m, dim, id_col, vec_col).select(
+        F.col("vid").alias("query_id"), "sub", "pos", F.col("qx").alias("qq")
+    )
+    dtable = (
+        qsub.join(F.broadcast(pq_cents), ["sub", "pos"])
+        .groupBy("query_id", "sub", "cell")
+        .agg(F.sum((F.col("qq") - F.col("qc")) * (F.col("qq") - F.col("qc"))).alias("d"))
+    )
+    scored = (
+        cand.join(codes, "vid")
+        .withColumnRenamed("code", "cell")
+        .join(F.broadcast(dtable), ["query_id", "sub", "cell"])
+        .groupBy("query_id", "vid")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
+    pairs = (
+        scored.withColumn("arnk", F.row_number().over(ws))
+        .where(F.col("arnk") <= rerank)
+        .select("query_id", "vid")
+    )
+    vrows = quantized_vector_rows(vectors, id_col, vec_col)
+    qfull = qrows.select(
+        F.col("vid").alias("query_id"), "pos", F.col("qx").alias("qq")
+    )
+    exact = (
+        F.broadcast(pairs)
+        .join(vrows, "vid")
+        .join(F.broadcast(qfull), ["query_id", "pos"])
         .groupBy("query_id", "vid")
         .agg(F.sum((F.col("qx") - F.col("qq")) * (F.col("qx") - F.col("qq"))).alias("qdist"))
     )

@@ -951,7 +951,8 @@ _PQ_ITER = 2
 _PQ_RERANK = 40
 
 
-def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
+             p: str = "") -> str:
     """CTE chain mirroring operators.similarity.pq_fit: quantized subspace
     rows → per-subspace Lloyd iterations (the subspace id rides as a key,
     so ONE chain trains all m codebooks, exactly like the Spark dataflow)
@@ -960,47 +961,47 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
     sc = S.KMEANS_QUANT_SCALE
     sub_dim = _DIM // m
     parts = [
-        f"""q AS (
+        f"""{p}q AS (
       SELECT vec_id AS vid, CAST((i - 1) // {sub_dim} AS INT) AS sub,
              (i - 1) % {sub_dim} AS pos,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {sc} + 0.5) AS BIGINT) AS qx
       FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
     ),
-    c0 AS (SELECT sub, CAST(vid AS INT) AS cell, pos, qx AS qc
-           FROM q WHERE vid < {k})"""
+    {p}c0 AS (SELECT sub, CAST(vid AS INT) AS cell, pos, qx AS qc
+           FROM {p}q WHERE vid < {k})"""
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, n_iter + 1):
-        parts.append(f"""d{it} AS (
+        parts.append(f"""{p}d{it} AS (
       SELECT q.vid, q.sub, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
-      FROM q JOIN {prev} c ON c.sub = q.sub AND c.pos = q.pos
+      FROM {p}q q JOIN {prev} c ON c.sub = q.sub AND c.pos = q.pos
       GROUP BY q.vid, q.sub, c.cell
     ),
-    a{it} AS (
+    {p}a{it} AS (
       SELECT vid, sub, cell FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, sub
                                      ORDER BY dist, cell) AS rn
-        FROM d{it}) WHERE rn = 1
+        FROM {p}d{it}) WHERE rn = 1
     ),
-    u{it} AS (
+    {p}u{it} AS (
       SELECT a.sub, a.cell, q.pos,
              CAST(FLOOR((2 * SUM(q.qx) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS qc
-      FROM a{it} a JOIN q ON q.vid = a.vid AND q.sub = a.sub
+      FROM {p}a{it} a JOIN {p}q q ON q.vid = a.vid AND q.sub = a.sub
       GROUP BY a.sub, a.cell, q.pos
     )""")
-        prev = f"u{it}"
+        prev = f"{p}u{it}"
     joined = ",\n    ".join(parts)
     return f"""{joined},
-    fd AS (
+    {p}fd AS (
       SELECT q.vid, q.sub, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
-      FROM q JOIN {prev} c ON c.sub = q.sub AND c.pos = q.pos
+      FROM {p}q q JOIN {prev} c ON c.sub = q.sub AND c.pos = q.pos
       GROUP BY q.vid, q.sub, c.cell
     ),
-    fa AS (
+    {p}fa AS (
       SELECT vid, sub, cell FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vid, sub
                                      ORDER BY dist, cell) AS rn
-        FROM fd) WHERE rn = 1
+        FROM {p}fd) WHERE rn = 1
     )"""
 
 
@@ -1066,6 +1067,90 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(
         emb, queries, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, topk=5,
         rerank=_PQ_RERANK,
+    ).orderBy("query_id", "rnk")
+
+
+_IVFPQ_NPROBE = 3
+
+
+@register(
+    "sim_ivfpq_topk",
+    f"""
+    WITH {_kmeans_ctes()},
+    {_pq_ctes(p='p')},
+    dq AS (
+      SELECT q.vid, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
+      FROM q JOIN u{_KMEANS_ITER} c ON c.pos = q.pos
+      WHERE q.vid < 10
+      GROUP BY q.vid, c.cell
+    ),
+    probes AS (
+      SELECT vid AS query_id, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+                                     ORDER BY dist, cell) AS prnk
+        FROM dq)
+      WHERE prnk <= {_IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, f.vid
+      FROM probes p JOIN fa f ON f.cell = p.cell
+      WHERE f.vid != p.query_id
+    ),
+    dt AS (
+      SELECT q.vid AS query_id, q.sub, c.cell,
+             SUM((q.qx - c.qc) * (q.qx - c.qc)) AS d
+      FROM pq q JOIN pu{_PQ_ITER} c ON c.sub = q.sub AND c.pos = q.pos
+      WHERE q.vid < 10
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT c.query_id, c.vid, SUM(dt.d) AS adc_dist
+      FROM cand c
+      JOIN pfa f ON f.vid = c.vid
+      JOIN dt ON dt.query_id = c.query_id AND dt.sub = f.sub
+             AND dt.cell = f.cell
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, vid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, vid) AS arnk
+        FROM scored)
+      WHERE arnk <= {_PQ_RERANK}
+    ),
+    ex AS (
+      SELECT s.query_id, s.vid,
+             SUM((qv.qx - qq.qx) * (qv.qx - qq.qx)) AS qdist
+      FROM short s
+      JOIN q qv ON qv.vid = s.vid
+      JOIN q qq ON qq.vid = s.query_id AND qq.pos = qv.pos
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vid AS match_id, CAST(qdist AS BIGINT) AS qdist, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qdist, vid) AS rnk
+      FROM ex)
+    WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="IVF-PQ — the composed FAISS index, end to end: trained integer "
+    "k-means coarse cells are the inverted lists; each query probes its "
+    f"{_IVFPQ_NPROBE} nearest cells by exact quantized L2 to the coarse "
+    "centroids, scans ONLY those cells' PQ codes with the broadcast ADC "
+    "distance table (the candidate pair set joins the code table before "
+    "any distance work — a true inverted-list scan touching "
+    f"≈nprobe/k = {_IVFPQ_NPROBE}/{_KMEANS_K} of the corpus), and "
+    "re-ranks the ADC top-40 with exact quantized L2. Both trained "
+    "models broadcast; every aggregate combines map-side; integer-exact "
+    "end-to-end so the oracle re-derives the identical index and result.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivfpq_topk(
+        emb, queries, coarse_k=_KMEANS_K, nprobe=_IVFPQ_NPROBE, m=_PQ_M,
+        k=_PQ_K, n_iter=_PQ_ITER, topk=5, rerank=_PQ_RERANK,
     ).orderBy("query_id", "rnk")
 
 

@@ -226,3 +226,34 @@ def test_pq_codes_are_slim(spark):
     assert 0 <= mx < 16
     # codebooks: m · k · sub_dim rows at most (empty cells may drop)
     assert cents.count() <= 8 * 16 * 8
+
+
+def test_ivfpq_exhaustive_probe_equals_full_pq_scan(spark):
+    """With nprobe = every coarse cell the inverted-list restriction is a
+    no-op, so IVF-PQ must reproduce the full-scan PQ result EXACTLY (same
+    codebooks, same ADC table, same re-rank) — pins the composition
+    without tuned thresholds. A partial probe returns a subset-or-equal
+    quality result over ~nprobe/k of the corpus."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    full = S.pq_adc_topk(
+        emb, queries, m=8, k=16, n_iter=2, topk=5, rerank=40
+    )
+    every = S.ivfpq_topk(
+        emb, queries, coarse_k=8, nprobe=8, m=8, k=16, n_iter=2, topk=5,
+        rerank=40,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["match_id"], r["rnk"]) for r in df.collect()
+        )
+
+    # Results ordered identically; qdist vs qdist — both integer metrics
+    # over the same quantized vectors, so the ranked ids must coincide
+    assert rows(every) == rows(full)
+    partial = S.ivfpq_topk(
+        emb, queries, coarse_k=8, nprobe=3, m=8, k=16, n_iter=2, topk=5,
+        rerank=40,
+    )
+    assert partial.count() == 50  # 10 queries × top-5, cells never empty
