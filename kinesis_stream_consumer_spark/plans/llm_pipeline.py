@@ -655,6 +655,56 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_levenshtein",
+    f"""
+    WITH cand AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]})
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           ROUND(levenshtein(da.text, db.text)
+                 / GREATEST(LENGTH(da.text), LENGTH(db.text), 1), 4)
+             AS edit_ratio
+    FROM cand
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    WHERE ROUND(levenshtein(da.text, db.text)
+                / GREATEST(LENGTH(da.text), LENGTH(db.text), 1), 4)
+          <= CAST(0.2 AS DOUBLE)
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Edit-distance near-dup verification: Levenshtein over the "
+    "MinHash-LSH candidate pairs only — the character-level complement to "
+    "shingle Jaccard (catches small in-place edits that shift every "
+    "shingle). O(len²) edit distance is affordable precisely because "
+    "banding already cut candidates to near-linear; running it all-pairs "
+    "would be the scale mistake. Normalized ratio ≤ 0.2 keeps true "
+    "near-dups; both engines implement the same unit-cost DP.",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_candidate_pairs(docs, "text", "doc_id", 3, 2).select(
+        "doc_a", "doc_b"
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    ratio = F.round(
+        lev / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)), 4
+    )
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            ratio.alias("edit_ratio"),
+        )
+        .where(F.col("edit_ratio") <= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _simhash_oracle() -> str:
     bit_terms = []
     for b in range(32):

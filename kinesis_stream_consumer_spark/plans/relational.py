@@ -346,6 +346,45 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_time_rollup",
+    """
+    SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL')  AS yr,
+           COALESCE(CAST(mo AS VARCHAR), 'ALL')  AS mo,
+           CAST(COUNT(*) AS BIGINT)              AS n_events,
+           ROUND(SUM(value), 2)                  AS sum_value
+    FROM (SELECT EXTRACT(year FROM ts) AS yr, EXTRACT(month FROM ts) AS mo,
+                 value
+          FROM events)
+    GROUP BY ROLLUP (yr, mo)
+    ORDER BY yr, mo
+    """,
+    doc="Time-hierarchy rollup (year → month → grand total) over the "
+    "event stream: the OLAP drill-down cube every metrics dashboard "
+    "issues. One Expand + one hash aggregate + one shuffle for all three "
+    "levels — never one scan per level.",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("yr"), F.month("ts").alias("mo"), "value"
+        )
+        .rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce(F.col("mo").cast("string"), F.lit("ALL")).alias("mo"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("yr", "mo")
+    )
+
+
 # --- Window functions -------------------------------------------------------
 
 @register(

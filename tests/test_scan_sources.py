@@ -118,3 +118,12 @@ def test_kinesis_stream_seam_reports_missing_connector(spark):
 
     with pytest.raises(RuntimeError, match="Kinesis connector not on the classpath"):
         kinesis_stream(spark, "my-stream", "us-west-2")
+
+
+def test_dynamodb_stream_seam_reports_missing_connector(spark):
+    import pytest
+
+    from kinesis_stream_consumer_spark.sources.records import dynamodb_stream
+
+    with pytest.raises(RuntimeError, match="DynamoDB Streams connector not on"):
+        dynamodb_stream(spark, "my-table", "us-west-2")
