@@ -1516,3 +1516,140 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_V2_FLUENCY_MIN = -3.45
+
+
+def _llm_prep_v2_oracle() -> str:
+    """Composed from the SAME certified fragments the component queries
+    use (quality, repetition, unigram fluency, recursive components +
+    keep-best) — one WITH chain, every stage's arithmetic identical to
+    its standalone query, so v2 parity is inherited rather than
+    re-derived."""
+    quality = QUERIES["text_quality"].oracle.rsplit("ORDER BY", 1)[0]
+    rep = QUERIES["text_repetition"].oracle.rsplit("ORDER BY", 1)[0]
+    flu = QUERIES["text_unigram_logprob"].oracle.rsplit("ORDER BY", 1)[0]
+    return f"""
+    WITH q AS ({quality}),
+    rep AS ({rep}),
+    flu AS ({flu}),
+    members AS (
+      WITH RECURSIVE {_components_ctes()}
+      SELECT node, component_id FROM comp
+    ),
+    canon AS (
+      SELECT component_id, doc_id AS canonical FROM (
+        SELECT m.component_id, m.node AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY m.component_id
+                                  ORDER BY q.quality_score DESC, m.node) AS rn
+        FROM members m JOIN q ON q.doc_id = m.node)
+      WHERE rn = 1
+    ),
+    nodecanon AS (
+      SELECT m.node, c.canonical
+      FROM members m JOIN canon c USING (component_id)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source, q.n_tokens, q.quality_score,
+             md5(d.text) AS dig
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      JOIN rep ON rep.doc_id = d.doc_id
+      JOIN flu ON flu.doc_id = d.doc_id
+      LEFT JOIN nodecanon nc ON nc.node = d.doc_id
+      WHERE d.lang = 'en'
+        AND q.quality_score >= CAST(0.5 AS DOUBLE)
+        AND NOT rep.is_repetitive
+        AND flu.mean_logprob >= CAST({_V2_FLUENCY_MIN!r} AS DOUBLE)
+        AND (nc.node IS NULL OR nc.canonical = d.doc_id)
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY dig ORDER BY doc_id) AS rn
+        FROM kept)
+      WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           FLOOR(SUM(CAST(FLOOR(quality_score * 10000.0 + 0.5) AS BIGINT))
+                 / COUNT(*) + 0.5) / 10000.0 AS avg_quality
+    FROM deduped
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "llm_prep_pipeline_v2",
+    _llm_prep_v2_oracle(),
+    doc="The FULL composed curation chain — what a production pretraining "
+    "prep job actually runs, built entirely from this repo's certified "
+    "operators: quality score ≥ 0.5, Gopher repetition filter, unigram-LM "
+    "fluency gate, language filter, transitive near-dup clusters reduced "
+    "to their best-quality canonical member, exact-dedup keep-first, then "
+    "per-source token accounting. Both sides compose the SAME certified "
+    "fragments (the Spark side calls the registered query fns, the oracle "
+    "splices their SQL bodies), so parity is inherited stage by stage. "
+    "Plan shape: each stage is shuffles already proven slim by the "
+    "standalone gates; the final census combines map-side.",
+)
+def llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    q = QUERIES["text_quality"].fn(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    rep = QUERIES["text_repetition"].fn(spark, sf_dir).select(
+        "doc_id", "is_repetitive"
+    )
+    flu = QUERIES["text_unigram_logprob"].fn(spark, sf_dir).select(
+        "doc_id", "mean_logprob"
+    )
+    members = QUERIES["dedup_cluster_components"].fn(spark, sf_dir)
+    canon = (
+        members.join(q, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component_id").orderBy(
+                    F.col("quality_score").desc(), "doc_id"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("canonical"))
+    )
+    nodecanon = members.join(canon, "component_id").select(
+        F.col("doc_id").alias("nc_doc"), "canonical"
+    )
+    kept = (
+        docs.select("doc_id", "source", "lang", "text")
+        .join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(flu, "doc_id")
+        .join(nodecanon, F.col("doc_id") == F.col("nc_doc"), "left")
+        .where(
+            (F.col("lang") == "en")
+            & (F.col("quality_score") >= 0.5)
+            & (~F.col("is_repetitive"))
+            & (F.col("mean_logprob") >= _V2_FLUENCY_MIN)
+            & (F.col("nc_doc").isNull() | (F.col("canonical") == F.col("doc_id")))
+        )
+    )
+    w = Window.partitionBy(D.exact_digest(F.col("text"))).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    q_units = F.floor(F.col("quality_score") * 10000.0 + F.lit(0.5)).cast("long")
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.floor(F.sum(q_units) / F.count(F.lit(1)) + F.lit(0.5)) / 10000.0
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
