@@ -17,6 +17,88 @@ from pyspark.sql.window import Window
 from kinesis_stream_consumer_spark.plans.queries import _t, register
 
 
+@register(
+    "ts_profile_similarity",
+    """
+    WITH hrs AS (SELECT unnest(generate_series(0, 23)) AS hr),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+    obs AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS hr,
+             CAST(FLOOR(AVG(value) * 10000.0 + 0.5) AS BIGINT) AS p
+      FROM events WHERE user_id < 40
+      GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT u.user_id, h.hr, COALESCE(o.p, 0) AS p
+      FROM users u CROSS JOIN hrs h
+      LEFT JOIN obs o ON o.user_id = u.user_id AND o.hr = h.hr
+    ),
+    dists AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             SUM((a.p - b.p) * (a.p - b.p)) AS dist2
+      FROM prof a JOIN prof b ON a.hr = b.hr AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, CAST(dist2 AS BIGINT) AS dist2, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_a
+                                   ORDER BY dist2, user_b) AS rnk
+      FROM dists)
+    WHERE rnk <= 3
+    ORDER BY user_a, rnk
+    """,
+    doc="Time-series similarity search over behavioural profiles "
+    "(EDBT'19-style PAA representation): each user's event stream is "
+    "reduced to a 24-bin hour-of-day profile with integer-quantized "
+    "segment means (a piecewise aggregate approximation — fixed length "
+    "by construction, engine-exact by quantization), then top-3 most "
+    "similar users per user by squared-L2 on the profile. The corpus is "
+    "touched once to build profiles; the pairwise stage works on the "
+    "REPRESENTATION (|users|·24 slim integer rows), the same "
+    "sketch-then-compare shape as the PQ/LSH operators — at 100 TB the "
+    "raw series never join, and the profile self-join would band on a "
+    "signature prefix exactly like the embedding LSH.",
+)
+def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    obs = ev.groupBy(
+        "user_id", F.hour("ts").alias("hr")
+    ).agg(
+        F.floor(F.avg("value") * 10000.0 + F.lit(0.5)).cast("long").alias("p")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr")
+    )
+    prof = (
+        grid.join(obs, ["user_id", "hr"], "left")
+        .select("user_id", "hr", F.coalesce("p", F.lit(0)).alias("p"))
+    )
+    a = prof.select(
+        F.col("user_id").alias("user_a"), "hr", F.col("p").alias("pa")
+    )
+    b = prof.select(
+        F.col("user_id").alias("user_b"), "hr", F.col("p").alias("pb")
+    )
+    dists = (
+        a.join(b, "hr")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum(
+                (F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("user_a").orderBy("dist2", "user_b")
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_a", "user_b", F.col("dist2").cast("long").alias("dist2"), "rnk")
+        .orderBy("user_a", "rnk")
+    )
+
+
 # --- Aggregation: hash agg with partial (map-side) combine -----------------
 
 @register(
@@ -388,6 +470,38 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Window functions -------------------------------------------------------
 
 @register(
+    "window_lag_lead_delta",
+    """
+    SELECT event_id, user_id,
+           ROUND(value, 2) AS value,
+           ROUND(value - LAG(value)  OVER w, 2) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 2) AS delta_next,
+           CAST(ROW_NUMBER() OVER w AS BIGINT)  AS seq_no
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, seq_no
+    """,
+    doc="LAG/LEAD offset analytics: per-user event-to-event value deltas "
+    "plus a sequence number, deterministic tie-break on (ts, event_id). "
+    "One shuffle on user_id then a single in-partition sort serves all "
+    "three window functions (Catalyst collapses same-frame windows); the "
+    "user_id<10 filter is pushed to the scan.",
+)
+def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+        F.row_number().over(w).cast("long").alias("seq_no"),
+    ).orderBy("user_id", "seq_no")
+
+
+@register(
     "window_topk_per_group",
     """
     SELECT * FROM (
@@ -494,120 +608,6 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
     ).orderBy("user_id", "event_id")
-
-
-@register(
-    "window_lag_lead_delta",
-    """
-    SELECT event_id, user_id,
-           ROUND(value, 2) AS value,
-           ROUND(value - LAG(value)  OVER w, 2) AS delta_prev,
-           ROUND(LEAD(value) OVER w - value, 2) AS delta_next,
-           CAST(ROW_NUMBER() OVER w AS BIGINT)  AS seq_no
-    FROM events
-    WHERE user_id < 10
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, seq_no
-    """,
-    doc="LAG/LEAD offset analytics: per-user event-to-event value deltas "
-    "plus a sequence number, deterministic tie-break on (ts, event_id). "
-    "One shuffle on user_id then a single in-partition sort serves all "
-    "three window functions (Catalyst collapses same-frame windows); the "
-    "user_id<10 filter is pushed to the scan.",
-)
-def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round("value", 2).alias("value"),
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
-        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
-        F.row_number().over(w).cast("long").alias("seq_no"),
-    ).orderBy("user_id", "seq_no")
-
-
-@register(
-    "ts_profile_similarity",
-    """
-    WITH hrs AS (SELECT unnest(generate_series(0, 23)) AS hr),
-    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
-    obs AS (
-      SELECT user_id, EXTRACT(hour FROM ts) AS hr,
-             CAST(FLOOR(AVG(value) * 10000.0 + 0.5) AS BIGINT) AS p
-      FROM events WHERE user_id < 40
-      GROUP BY 1, 2
-    ),
-    prof AS (
-      SELECT u.user_id, h.hr, COALESCE(o.p, 0) AS p
-      FROM users u CROSS JOIN hrs h
-      LEFT JOIN obs o ON o.user_id = u.user_id AND o.hr = h.hr
-    ),
-    dists AS (
-      SELECT a.user_id AS user_a, b.user_id AS user_b,
-             SUM((a.p - b.p) * (a.p - b.p)) AS dist2
-      FROM prof a JOIN prof b ON a.hr = b.hr AND a.user_id < b.user_id
-      GROUP BY 1, 2
-    )
-    SELECT user_a, user_b, CAST(dist2 AS BIGINT) AS dist2, rnk
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_a
-                                   ORDER BY dist2, user_b) AS rnk
-      FROM dists)
-    WHERE rnk <= 3
-    ORDER BY user_a, rnk
-    """,
-    doc="Time-series similarity search over behavioural profiles "
-    "(EDBT'19-style PAA representation): each user's event stream is "
-    "reduced to a 24-bin hour-of-day profile with integer-quantized "
-    "segment means (a piecewise aggregate approximation — fixed length "
-    "by construction, engine-exact by quantization), then top-3 most "
-    "similar users per user by squared-L2 on the profile. The corpus is "
-    "touched once to build profiles; the pairwise stage works on the "
-    "REPRESENTATION (|users|·24 slim integer rows), the same "
-    "sketch-then-compare shape as the PQ/LSH operators — at 100 TB the "
-    "raw series never join, and the profile self-join would band on a "
-    "signature prefix exactly like the embedding LSH.",
-)
-def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
-    obs = ev.groupBy(
-        "user_id", F.hour("ts").alias("hr")
-    ).agg(
-        F.floor(F.avg("value") * 10000.0 + F.lit(0.5)).cast("long").alias("p")
-    )
-    users = ev.select("user_id").distinct()
-    grid = users.select(
-        "user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr")
-    )
-    prof = (
-        grid.join(obs, ["user_id", "hr"], "left")
-        .select("user_id", "hr", F.coalesce("p", F.lit(0)).alias("p"))
-    )
-    a = prof.select(
-        F.col("user_id").alias("user_a"), "hr", F.col("p").alias("pa")
-    )
-    b = prof.select(
-        F.col("user_id").alias("user_b"), "hr", F.col("p").alias("pb")
-    )
-    dists = (
-        a.join(b, "hr")
-        .where(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(
-            F.sum(
-                (F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))
-            ).alias("dist2")
-        )
-    )
-    w = Window.partitionBy("user_a").orderBy("dist2", "user_b")
-    return (
-        dists.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("user_a", "user_b", F.col("dist2").cast("long").alias("dist2"), "rnk")
-        .orderBy("user_a", "rnk")
-    )
 
 
 @register(
