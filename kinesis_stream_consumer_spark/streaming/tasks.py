@@ -78,6 +78,13 @@ class TaskControl:
     def succeed(self):
         self._state["status"] = SUCCEEDED
 
+    @property
+    def attempts(self) -> int:
+        """Current attempt number, 1-based inside execute (incremented
+        before the call — reference task-utils exposes the same counter;
+        the retry-aware idiom is `if task.attempts < N: raise`)."""
+        return int(self._state.get("attempts", 0))
+
     def subtask(self, name: str) -> "SubTaskControl":
         sub = self._state["subtasks"].get(name)
         if sub is None:

@@ -685,3 +685,71 @@ def test_giant_single_chain_hot_key(spark, tmp_path):
     )
     hot_rows = state.where(F.col("key") == "k1:7|k2:click")
     assert hot_rows.count() == 3000 + natural
+
+
+def test_multi_batch_chaos_soak(spark, tmp_path):
+    """Soak the full lifecycle over 3 DISJOINT batches (the real Kinesis
+    shape: committed batches never re-deliver) with a scripted mix of
+    transient failures (fail until the 3rd attempt) and permanent
+    rejections, driven through the replay loop exactly as foreachBatch
+    would. Invariants, checked per batch at drain time (state is
+    per-batch-per-shard like the reference's Lambda checkpoint — the next
+    committed batch replaces its shard partitions):
+
+    - every batch eventually drains (no incomplete residue),
+    - attempts accounting is exact: transients carry attempts == 3
+      (2 failures + 1 success), everything else attempts == 1 — replays
+      never re-execute completed work (D1),
+    - every poison message reaches the DMQ (at-least-once: a replayed run
+      re-emits that run's rejected envelopes, so duplicates are bounded
+      by the replay count and collapse on the envelope id)."""
+
+    def scripted(message, task):
+        mid = message["id1"]
+        if mid % 7 == 3:  # permanent poison: reject (→ DMQ, terminal)
+            task.reject(f"poison {mid}")
+        if mid % 5 == 2 and task.attempts < 3:  # transient: fail twice
+            raise RuntimeError(f"transient {mid} attempt {task.attempts}")
+
+    from kinesis_stream_consumer_spark.plans.queries import _t
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+
+    ev = _t(spark, SF_SMOKE, "events")
+    eng = make_engine(spark, tmp_path, one_defs=[TaskDef("work", scripted)])
+    bid = 0
+    max_runs = 0
+    for lo, hi in ((0, 12), (12, 24), (24, 36)):
+        recs = events_as_kinesis_records(
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        )
+        for runs in range(1, 7):  # replay loop, as foreachBatch would
+            bid += 1
+            try:
+                eng.process_batch(recs, batch_id=bid)
+                max_runs = max(max_runs, runs)
+                break
+            except BatchReplayError:
+                continue
+        else:
+            raise AssertionError(f"batch [{lo},{hi}) never drained")
+
+        states = tasks_of(eng)  # latest saved batch == this one
+        batch_ids = {f"id1:{i}" for i in range(lo, hi)}
+        assert batch_ids <= set(states)
+        for i in range(lo, hi):
+            work = states[f"id1:{i}"]["work"]
+            st, att = work["status"], work["attempts"]
+            if i % 7 == 3:
+                assert st == "Rejected" and att == 1, (i, st, att)
+            elif i % 5 == 2:
+                assert st in ("Completed", "Succeeded") and att == 3, (i, st, att)
+            else:
+                assert st in ("Completed", "Succeeded") and att == 1, (i, st, att)
+
+    poison_ids = {i for i in range(36) if i % 7 == 3}
+    dmq = spark.read.parquet(str(tmp_path / "dmq"))
+    per_id = {r["id"]: r["n"] for r in dmq.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per_id) == {f"id1:{i}" for i in poison_ids}
+    # at-least-once: duplicates bounded by the worst replay count
+    assert all(1 <= n <= max_runs for n in per_id.values()), per_id
