@@ -83,6 +83,13 @@ def main():
             print(f"{name}: ERROR {type(ex).__name__}: {ex}")
             failures.append(name)
     print(f"\n{len(failures)} failures: {failures}")
+    # The driver's CORRECTNESS file records only the first 50 registered
+    # queries — surface the cut so a misplaced new query is caught here,
+    # not in the next round's verdict.
+    names = list(qs)
+    print(f"driver window (first 50 of {len(names)}): last in = {names[49]!r}")
+    if len(names) > 50:
+        print(f"outside window ({len(names) - 50}): {names[50:]}")
     sys.exit(1 if failures else 0)
 
 

@@ -523,3 +523,62 @@ def test_stream_stream_interval_join(spark, tmp_path):
         streamed.exceptAll(batch).count() == 0
         and batch.exceptAll(streamed).count() == 0
     )
+
+
+def test_streaming_incremental_corpus_dedup(spark, tmp_path):
+    """Incremental exact dedup over a document STREAM: watermarked
+    dropDuplicates on the content digest keeps the first arrival and
+    drops re-deliveries in LATER micro-batches via Spark-managed
+    dedup state — the streaming face of dedup_exact (batch mode pins
+    the same digest rule against the DuckDB oracle).
+
+    Scale notes: state is keyed by digest only (slim), the watermark
+    bounds it, and each micro-batch shuffles on digest exactly like the
+    batch operator."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    docs = _t(spark, SF_CORRECT, "documents").limit(60).select(
+        "doc_id", "text"
+    )
+    rows = [(int(r["doc_id"]), r["text"]) for r in docs.collect()]
+    # batch 0: docs 0..39; batch 1: docs 20..59 (20..39 are re-deliveries
+    # with NEW doc_ids — same text, so the digest state must drop them)
+    b0 = rows[:40]
+    b1 = [(doc_id + 100000, text) for doc_id, text in rows[20:60]]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    for i, batch in enumerate((b0, b1)):
+        spark.createDataFrame(batch, schema).withColumn(
+            "arrival_ts", F.lit(f"2026-01-01 00:0{i}:00").cast("timestamp")
+        ).coalesce(1).write.mode("append").json(str(tmp_path / "in"))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, arrival_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+        .withColumn("digest", F.md5(F.col("text").cast("binary")))
+        .withWatermark("arrival_ts", "10 minutes")
+        .dropDuplicates(["digest"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n_unique_texts = len({t for _, t in rows})
+    assert out.count() == n_unique_texts
+    # every re-delivered duplicate was dropped by the cross-batch state
+    assert out.where(F.col("doc_id") >= 100000).count() == len(
+        {t for _, t in rows[40:60]} - {t for _, t in rows[:40]}
+    )
