@@ -275,12 +275,15 @@ def kmeans_centroids_quantized(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit: DataFrame | None = None,
 ) -> DataFrame:
     """(cell_id, centroid array<double>) from the quantized k-means fit,
     dequantized back to float space — drop-in for ivf_assign/ivf_topk's
-    ``centroids`` argument (the trained replacement for label_centroids)."""
+    ``centroids`` argument (the trained replacement for label_centroids).
+    Pass a prebuilt ``fit`` to reuse a cached training run."""
     q = quantized_vector_rows(vectors, id_col, vec_col)
-    fit = kmeans_fit_quantized(vectors, k, n_iter, id_col, vec_col)
+    if fit is None:
+        fit = kmeans_fit_quantized(vectors, k, n_iter, id_col, vec_col)
     cent_rows = (
         fit.select(F.col(id_col).alias("vid"), "cell_id")
         .join(q, "vid")
@@ -468,6 +471,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    fit: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup-style): cluster the corpus with the
     trained quantized k-means coarse quantizer, compute EXACT cosine only
@@ -486,7 +490,8 @@ def semantic_dedup(
     100 TB. The assignment is checkpointed so the Lloyd iterations don't
     re-run on both sides of the self-join.
     """
-    fit = kmeans_fit_quantized(vectors, k, n_iter, id_col, vec_col)
+    if fit is None:
+        fit = kmeans_fit_quantized(vectors, k, n_iter, id_col, vec_col)
     # Precompute the norm ONCE per vector at assignment time: the pairwise
     # stage then evaluates a single dot() per pair instead of three
     # interpreted higher-order aggregates (dot + 2 norms) — the norms are
@@ -603,7 +608,8 @@ def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
 def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
                 k: int = 16, n_iter: int = 2, topk: int = 5, dim: int = 64,
                 rerank: int = 0, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                pq: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes, with optional exact
     re-ranking of the ADC shortlist (FAISS's refine step): for each query,
     the exact squared-L2 to every codebook centroid forms a per-(query,
@@ -624,7 +630,9 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
     semi-joins the corpus scan, i.e. the 'fetch the shortlist's full
     vectors' lookup, never an all-pairs pass."""
     vrows = pq_sub_rows(vectors, m, dim, id_col, vec_col)
-    codes, cents = pq_fit(vectors, m, k, n_iter, dim, id_col, vec_col)
+    codes, cents = pq if pq is not None else pq_fit(
+        vectors, m, k, n_iter, dim, id_col, vec_col
+    )
     qsub = pq_sub_rows(queries, m, dim, id_col, vec_col).select(
         F.col("vid").alias("query_id"), "sub", "pos", F.col("qx").alias("qq")
     )
@@ -671,7 +679,9 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
                nprobe: int = 3, m: int = 8, k: int = 16, n_iter: int = 2,
                topk: int = 5, rerank: int = 40, dim: int = 64,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               coarse: tuple[DataFrame, DataFrame] | None = None,
+               pq: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """IVF-PQ: the composed FAISS-style billion-scale index. The coarse
     quantizer (trained integer k-means) partitions the corpus into cells
     — the inverted lists; a query probes its ``nprobe`` nearest cells by
@@ -689,7 +699,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
     trained models (coarse centroids, PQ codebooks) broadcast; every
     aggregate combines map-side. Fraction of corpus scanned ≈
     nprobe/coarse_k, the IVF contract."""
-    fit, coarse_cents = kmeans_fit_quantized(
+    fit, coarse_cents = coarse if coarse is not None else kmeans_fit_quantized(
         vectors, coarse_k, n_iter, id_col, vec_col, return_model=True
     )
     coarse = fit.select(F.col(id_col).alias("vid"), "cell_id").localCheckpoint(
@@ -716,7 +726,9 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
         .select("query_id", "vid")
     )
     # PQ codebooks + codes; ADC restricted to the candidate inverted lists
-    codes, pq_cents = pq_fit(vectors, m, k, n_iter, dim, id_col, vec_col)
+    codes, pq_cents = pq if pq is not None else pq_fit(
+        vectors, m, k, n_iter, dim, id_col, vec_col
+    )
     qsub = pq_sub_rows(queries, m, dim, id_col, vec_col).select(
         F.col("vid").alias("query_id"), "sub", "pos", F.col("qx").alias("qq")
     )

