@@ -35,6 +35,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_kmeans_cells",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     "dedup_semantic",
     "curation_contamination",
     "scalar_datetime_json",

@@ -847,14 +847,15 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MODEL_CACHE: dict = {}
 
 
-def _coarse_model(spark: SparkSession, sf_dir: str):
-    key = ("kmeans", spark.sparkContext.applicationId, sf_dir, _KMEANS_K, _KMEANS_ITER)
+def _coarse_model(spark: SparkSession, sf_dir: str, k: int | None = None,
+                  n_iter: int | None = None):
+    k = _KMEANS_K if k is None else k
+    n_iter = _KMEANS_ITER if n_iter is None else n_iter
+    key = ("kmeans", spark.sparkContext.applicationId, sf_dir, k, n_iter)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         emb = _t(spark, sf_dir, "embeddings")
-        fit, cents = S.kmeans_fit_quantized(
-            emb, _KMEANS_K, _KMEANS_ITER, return_model=True
-        )
+        fit, cents = S.kmeans_fit_quantized(emb, k, n_iter, return_model=True)
         hit = (fit.localCheckpoint(eager=True), cents)
         _MODEL_CACHE[key] = hit
     return hit
@@ -1314,10 +1315,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id_a", "vec_id_b")
 
 
+_SEMANTIC_K = 32  # cells grow with the corpus: more cells = smaller
+# within-cell quadratic stage (SemDeDup's scale knob); 32 on a 500–2000
+# vector corpus keeps cells tens-of-vectors sized
+
+
 @register(
     "dedup_semantic",
     f"""
-    WITH {_kmeans_ctes()},
+    WITH {_kmeans_ctes(k=_SEMANTIC_K)},
     dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
     norms AS (
       SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
@@ -1361,9 +1367,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    fit, _ = _coarse_model(spark, sf_dir)
+    fit, _ = _coarse_model(spark, sf_dir, k=_SEMANTIC_K)
     return S.semantic_dedup(
-        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, threshold=0.35, fit=fit
+        emb, k=_SEMANTIC_K, n_iter=_KMEANS_ITER, threshold=0.35, fit=fit
     ).orderBy("vec_id")
 
 
