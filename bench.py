@@ -127,6 +127,23 @@ def main() -> None:
             (F.col("eventID").isNotNull())
             & (F.crc32(F.col("eventID").cast("binary")) % 4 == i)
         ).coalesce(1).write.mode("append").json(f"{sdir}/in")
+    # warm the STREAMING machinery too (query planning for the streaming
+    # sink, checkpoint log setup, state-store first-write) with a tiny
+    # throwaway stream — the timed section then measures steady-state
+    # micro-batch cadence, not one-off spin-up
+    wdir = tempfile.mkdtemp(prefix="ksc-bench-stream-warm-")
+    recs.limit(100).coalesce(1).write.mode("append").json(f"{wdir}/in")
+    weng = Engine(
+        spark,
+        eng.config,
+        f"{wdir}/state",
+        f"{wdir}/drq",
+        f"{wdir}/dmq",
+        [TaskDef("validate", validate)],
+    )
+    wq = weng.attach(stream_records(spark, f"{wdir}/in"), f"{wdir}/ckpt").start()
+    wq.awaitTermination(120)
+
     seng = Engine(
         spark,
         eng.config,
