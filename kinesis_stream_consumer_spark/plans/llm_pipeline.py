@@ -927,7 +927,7 @@ def _kmeans_ctes(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
 def _kmeans_oracle(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
     return f"""
     WITH {_kmeans_ctes(k, n_iter)}
-    SELECT vid AS vec_id, cell AS cell_id, dist FROM fa
+    SELECT vid AS vec_id, cell AS cell_id, CAST(dist AS BIGINT) AS dist FROM fa
     ORDER BY vec_id
     """
 

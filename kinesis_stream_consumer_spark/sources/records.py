@@ -125,17 +125,23 @@ def kinesis_stream(
             "point the engine at the file/Kafka source path; the engine "
             "consumes the same records DataFrame either way."
         ) from e
-    # Connector columns -> reference Lambda record shape (S1).
+    return project_kinesis_connector_records(raw, stream_name, region)
+
+
+def project_kinesis_connector_records(
+    raw: DataFrame, stream_name: str, region: str
+) -> DataFrame:
+    """Connector columns -> reference Lambda record shape (S1). Pure
+    column projection, testable without the connector jar. eventID is
+    '{shardId}:{sequenceNumber}' — the same shape as
+    events_as_kinesis_records and the reference's sample eventIDs —
+    because ingest derives shard_id as split(eventID, ':')[0]; a literal
+    prefix here would collapse every shard into one sequencing chain and
+    one (consumer, shard) state partition."""
     return raw.select(
-        F.concat(F.lit("shardId:"), F.col("shardId"), F.lit(":"),
+        F.concat(F.col("shardId"), F.lit(":"),
                  F.col("sequenceNumber")).alias("eventID"),
         F.lit("1.0").alias("eventVersion"),
-        F.struct(
-            F.col("partitionKey").alias("partitionKey"),
-            F.base64(F.col("data")).alias("data"),
-            F.lit("1.0").alias("kinesisSchemaVersion"),
-            F.col("sequenceNumber").alias("sequenceNumber"),
-        ).alias("kinesis"),
         F.lit("aws:kinesis:record").alias("eventName"),
         F.lit("aws:kinesis").alias("eventSource"),
         F.concat(
@@ -144,6 +150,13 @@ def kinesis_stream(
         ).alias("eventSourceARN"),
         F.lit(region).alias("awsRegion"),
         F.lit(None).cast("string").alias("invokeIdentityArn"),
+        F.struct(
+            F.lit("1.0").alias("kinesisSchemaVersion"),
+            F.col("partitionKey").alias("partitionKey"),
+            F.lit(None).cast("string").alias("explicitHashKey"),
+            F.col("sequenceNumber").alias("sequenceNumber"),
+            F.base64(F.col("data")).alias("data"),
+        ).alias("kinesis"),
     )
 
 
@@ -181,6 +194,14 @@ def dynamodb_stream(
             "stream_records()/read_records(); the engine consumes the "
             "same records DataFrame either way."
         ) from e
+    return project_dynamodb_connector_records(raw, table_name, region)
+
+
+def project_dynamodb_connector_records(
+    raw: DataFrame, table_name: str, region: str
+) -> DataFrame:
+    """Connector columns -> DYNAMODB_RECORD_SCHEMA (S2). Pure column
+    projection, testable without the connector jar."""
     return raw.select(
         F.col("eventID"),
         F.lit("1.1").alias("eventVersion"),

@@ -38,6 +38,17 @@ ROWS_ONLY = [n for n, s in QUERIES.items() if s.oracle is None]
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
+    # Dtype gate: the str()-rendered value compare below is blind to DuckDB
+    # result dtypes, but the driver's value-hash is not — a SUM(BIGINT*BIGINT)
+    # silently widens to HUGEINT and defeats the hash even when every rendered
+    # value matches (r3's sim_kmeans_cells red row). Ban HUGEINT/DECIMAL
+    # output columns outright: cast to BIGINT / DOUBLE in the oracle.
+    desc = duck.execute("DESCRIBE " + spec.oracle).fetchall()
+    danger = [(c, t) for c, t, *_ in desc if "HUGEINT" in t or "DECIMAL" in t]
+    assert not danger, (
+        f"{name}: oracle output columns with hash-hostile DuckDB types "
+        f"{danger}; CAST them to BIGINT/DOUBLE in the oracle SQL"
+    )
     sdf = spec.fn(spark, SF_CORRECT)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
