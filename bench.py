@@ -80,7 +80,9 @@ def main() -> None:
         if message["k2"] == "error":
             raise TaskRejectedError("error events rejected")
 
-    ev = _t(spark, SF_DIR, "events").where(F.col("event_id") < 20000)
+    # rebalance: ingest (base64+JSON parse+md5) is CPU-bound and fuses onto
+    # the scan; the engine path measures faster with the fan-out.
+    ev = _t(spark, SF_DIR, "events", rebalance=True).where(F.col("event_id") < 20000)
     recs = events_as_kinesis_records(ev).localCheckpoint(eager=True)
     n_msgs = recs.count()
     tmp = tempfile.mkdtemp(prefix="ksc-bench-")

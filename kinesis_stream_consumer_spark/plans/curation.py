@@ -214,7 +214,9 @@ def curation_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-training hygiene pass at 100 TB.",
 )
 def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # rebalance: shingle materialization dominates and fuses onto the scan
+    # stage (measured +19% without it at sf0.1/local[32]).
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     return (
         C.ngram_contamination(docs, "text", "doc_id", 500, 3, 100)
         .withColumnRenamed("doc", "doc_id")

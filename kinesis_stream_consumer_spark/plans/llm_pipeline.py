@@ -832,7 +832,11 @@ _DIM = 64  # embedding dimensionality of the driver's embeddings table
     "corpus never shuffles; dot products via zip_with/aggregate (JVM, no UDF).",
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    # rebalance: every corpus row does k dot products map-side with NO
+    # downstream exchange before the per-partition top-k — the one shape
+    # where the single-row-group scan pins all the CPU to one task
+    # (measured +38% without it at sf0.1/local[32]).
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
     queries = emb.where(F.col("vec_id") < 10)
     return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 

@@ -65,10 +65,13 @@ def test_rebalance_scan_conditions(spark):
     from kinesis_stream_consumer_spark.plans.queries import _t
 
     cores = spark.sparkContext.defaultParallelism
-    li = _t(spark, SF_CORRECT, "lineitem")  # 60k rows, 1 row group
+    li = _t(spark, SF_CORRECT, "lineitem", rebalance=True)  # 60k rows, 1 row group
     assert li.rdd.getNumPartitions() == cores
-    region = _t(spark, SF_CORRECT, "region")  # 5 rows: untouched
+    region = _t(spark, SF_CORRECT, "region", rebalance=True)  # 5 rows: untouched
     assert region.rdd.getNumPartitions() == 1
+    # default (scan-bound call sites): no repartition is injected at all
+    li_cheap = _t(spark, SF_CORRECT, "lineitem")
+    assert li_cheap.rdd.getNumPartitions() == 1
 
     buf = io.StringIO()
     with redirect_stdout(buf):
