@@ -14,18 +14,83 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_stream_consumer_spark.operators import similarity as S
 from kinesis_stream_consumer_spark.plans.queries import _t, register
+
+# PAA-profile LSH parameters. The entity population is structurally capped
+# by the query (user_id < 40), so bits come from the same corpus-scaled
+# rule as the embedding LSH (sign_bits_for: target bucket size 8); at an
+# unbounded population, thread the entity count from table stats exactly
+# like dedup_embedding_cosine's n_rows.
+_PAA_USER_CAP = 40
+_PAA_BITS = S.sign_bits_for(_PAA_USER_CAP)
+_PAA_TABLES = 3
+_PAA_NG = _PAA_BITS * _PAA_TABLES
+
+
+def _paa_weight(g: int) -> str:
+    """±small integer projection weight for (hr, hyperplane g) — the same
+    arithmetic family as banded_sign_projection_rows (w(i,g) =
+    ((i·31 + g·17) mod 7) − 3, i 1-based), valid SQL in both engines and
+    integer-exact on the integer profile bins."""
+    return f"((((hr+1)*31 + {g * 17}) % 7) - 3)"
+
+
+def _paa_candidates(prof: DataFrame) -> DataFrame:
+    """Banded candidate pairs over (user_id, hr, p) profiles: multi-table
+    sign-projection signatures (integer-exact), a pair is a candidate iff
+    it collides in ANY table — bounded by bucket occupancy, never
+    all-pairs. The shuffle-volume gate pins this bound."""
+    sig = prof.groupBy("user_id").agg(
+        *[F.expr(f"sum(p * {_paa_weight(g)}) as s{g}") for g in range(_PAA_NG)]
+    )
+    tables = ", ".join(
+        "struct({t} as tbl, cast({terms} as long) as bucket)".format(
+            t=t,
+            terms=" + ".join(
+                f"if(s{t * _PAA_BITS + k} >= 0, {1 << k}, 0)"
+                for k in range(_PAA_BITS)
+            ),
+        )
+        for t in range(_PAA_TABLES)
+    )
+    bands = sig.select(
+        "user_id", F.explode(F.expr(f"array({tables})")).alias("tb")
+    ).select("user_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .distinct()
+    )
+
+
+def _paa_bucket_sql(t: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN s{t * _PAA_BITS + k} >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(_PAA_BITS)
+    )
+    return f"SELECT user_id, {t} AS tbl, {terms} AS bucket FROM sig"
 
 
 @register(
     "ts_profile_similarity",
-    """
+    f"""
     WITH hrs AS (SELECT unnest(generate_series(0, 23)) AS hr),
-    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < {_PAA_USER_CAP}),
     obs AS (
-      SELECT user_id, EXTRACT(hour FROM ts) AS hr,
-             CAST(FLOOR(AVG(value) * 10000.0 + 0.5) AS BIGINT) AS p
-      FROM events WHERE user_id < 40
+      SELECT user_id, hr, (2 * SUM(v6) + 100 * COUNT(*)) // (200 * COUNT(*)) AS p
+      FROM (
+        SELECT user_id, EXTRACT(hour FROM ts) AS hr,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v6
+        FROM events WHERE user_id < {_PAA_USER_CAP})
       GROUP BY 1, 2
     ),
     prof AS (
@@ -33,10 +98,22 @@ from kinesis_stream_consumer_spark.plans.queries import _t, register
       FROM users u CROSS JOIN hrs h
       LEFT JOIN obs o ON o.user_id = u.user_id AND o.hr = h.hr
     ),
+    sig AS (
+      SELECT user_id,
+             {", ".join(f"SUM(p * {_paa_weight(g)}) AS s{g}" for g in range(_PAA_NG))}
+      FROM prof GROUP BY user_id
+    ),
+    bands AS ({" UNION ALL ".join(_paa_bucket_sql(t) for t in range(_PAA_TABLES))}),
+    cand AS (
+      SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
+      FROM bands a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.user_id < b.user_id
+    ),
     dists AS (
-      SELECT a.user_id AS user_a, b.user_id AS user_b,
-             SUM((a.p - b.p) * (a.p - b.p)) AS dist2
-      FROM prof a JOIN prof b ON a.hr = b.hr AND a.user_id < b.user_id
+      SELECT c.user_a, c.user_b, SUM((a.p - b.p) * (a.p - b.p)) AS dist2
+      FROM cand c
+      JOIN prof a ON a.user_id = c.user_a
+      JOIN prof b ON b.user_id = c.user_b AND b.hr = a.hr
       GROUP BY 1, 2
     )
     SELECT user_a, user_b, CAST(dist2 AS BIGINT) AS dist2, rnk
@@ -49,22 +126,28 @@ from kinesis_stream_consumer_spark.plans.queries import _t, register
     """,
     doc="Time-series similarity search over behavioural profiles "
     "(EDBT'19-style PAA representation): each user's event stream is "
-    "reduced to a 24-bin hour-of-day profile with integer-quantized "
-    "segment means (a piecewise aggregate approximation — fixed length "
-    "by construction, engine-exact by quantization), then top-3 most "
-    "similar users per user by squared-L2 on the profile. The corpus is "
-    "touched once to build profiles; the pairwise stage works on the "
-    "REPRESENTATION (|users|·24 slim integer rows), the same "
-    "sketch-then-compare shape as the PQ/LSH operators — at 100 TB the "
-    "raw series never join, and the profile self-join would band on a "
-    "signature prefix exactly like the embedding LSH.",
+    "reduced to a 24-bin hour-of-day profile of integer-quantized segment "
+    "means — order-independent by construction (per-row micro-unit "
+    "quantization, then exact integer sum/divide, so no double-summation "
+    "drift cross-engine) — then top-3 most similar users per user by "
+    "squared-L2 on the profile, restricted to LSH candidates: the 24-int "
+    "profiles band through the same multi-table sign-projection family as "
+    "the embedding LSH (integer-exact here), candidate pairs are the "
+    "bucket collisions, and only those pairs pay the exact-distance join. "
+    "The corpus is touched once to build profiles; the pair stage is "
+    "bounded by bucket occupancy (corpus-scaled bits), never all-pairs — "
+    "the shuffle-volume gate pins the candidate count.",
 )
 def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
-    obs = ev.groupBy(
-        "user_id", F.hour("ts").alias("hr")
-    ).agg(
-        F.floor(F.avg("value") * 10000.0 + F.lit(0.5)).cast("long").alias("p")
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < _PAA_USER_CAP)
+    obs = (
+        ev.select(
+            "user_id",
+            F.hour("ts").alias("hr"),
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).alias("v6"),
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.expr("(2 * sum(v6) + 100 * count(*)) div (200 * count(*))").alias("p"))
     )
     users = ev.select("user_id").distinct()
     grid = users.select(
@@ -73,16 +156,14 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = (
         grid.join(obs, ["user_id", "hr"], "left")
         .select("user_id", "hr", F.coalesce("p", F.lit(0)).alias("p"))
+        .localCheckpoint(eager=True)  # profiles are |users|·24 slim rows
     )
-    a = prof.select(
-        F.col("user_id").alias("user_a"), "hr", F.col("p").alias("pa")
-    )
-    b = prof.select(
-        F.col("user_id").alias("user_b"), "hr", F.col("p").alias("pb")
-    )
+    cand = _paa_candidates(prof)
+    pa = prof.select(F.col("user_id").alias("user_a"), "hr", F.col("p").alias("pa"))
+    pb = prof.select(F.col("user_id").alias("user_b"), "hr", F.col("p").alias("pb"))
     dists = (
-        a.join(b, "hr")
-        .where(F.col("user_a") < F.col("user_b"))
+        cand.join(pa, "user_a")
+        .join(pb, ["user_b", "hr"])
         .groupBy("user_a", "user_b")
         .agg(
             F.sum(
