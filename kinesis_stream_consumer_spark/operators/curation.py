@@ -234,6 +234,7 @@ def mixture_sample(
     total_denom: int = 5,
     margin: float = 1.5,
     slack_rows: int = 32,
+    strict: bool = False,
 ) -> DataFrame:
     """Domain-mixture sampling: draw a deterministic sample whose
     per-source composition follows INTEGER mixture weights (a source with
@@ -255,6 +256,17 @@ def mixture_sample(
     runs over the ~target-sized survivor set. Weights are integers so the
     normalizer Σw is exact in any summation order — the one float op
     (w/Σw·T) is a single division+multiply, bit-identical cross-engine.
+
+    The prefilter is only STATISTICALLY sufficient: survivors per source
+    are ~Binomial(n, thresh/HASH_BUCKETS) with mean ≥ margin·target +
+    slack_rows, so by Chernoff the shortfall probability is ≤
+    exp(−(1−1/margin)²·mean/2) — at the defaults (margin 1.5, slack 32)
+    that is < e⁻³ for target 1 and < e⁻⁸ by target 100, but it is not
+    zero: a source whose ids happen to hash high can under-fill its
+    share while oracle parity still holds (the SQL mirrors the
+    prefilter). ``strict=True`` buys the exact contract: one cheap count
+    over the ~target-sized survivor set detects shortfall sources, and
+    only those re-rank over their unfiltered partition.
     """
     import math
 
@@ -284,6 +296,23 @@ def mixture_sample(
         .join(F.broadcast(targets), source_col)
         .where(F.col("_hb") < F.col("_thresh"))
     )
+    if strict:
+        surv = {
+            r["src"]: r["n"]
+            for r in pre.groupBy(F.col(source_col).alias("src"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        short = [s for s, t, _ in rows if surv.get(s, 0) < t]
+        if short:
+            pre = (
+                df.withColumn("_hb", hash_bucket(F.col(id_col)))
+                .join(F.broadcast(targets), source_col)
+                .where(
+                    (F.col("_hb") < F.col("_thresh"))
+                    | F.col(source_col).isin(short)
+                )
+            )
     w = Window.partitionBy(source_col).orderBy("_hb", id_col)
     return (
         pre.withColumn("_rnk", F.row_number().over(w))

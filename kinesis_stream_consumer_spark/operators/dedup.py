@@ -307,6 +307,7 @@ def connected_components(
         "lab", F.col("node")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lab")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["s"] == labels["node"])
@@ -325,6 +326,18 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("lab")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Partially-propagated labels are WRONG component ids, not an
+        # approximation — refuse to return them. Min-label needs diameter
+        # rounds; a chain-of-edits component longer than max_iter (rare:
+        # near-dup components are clique-ish) needs a higher max_iter or a
+        # pointer-doubling (large-star/small-star) variant.
+        raise RuntimeError(
+            f"connected_components did not reach the label fixpoint in "
+            f"{max_iter} rounds (graph diameter exceeds max_iter); raise "
+            f"max_iter — results would be incorrect, not approximate"
+        )
     return labels.select("node", F.col("lab").alias("component_id"))

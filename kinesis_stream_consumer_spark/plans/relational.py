@@ -515,7 +515,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL')  AS yr,
            COALESCE(CAST(mo AS VARCHAR), 'ALL')  AS mo,
            CAST(COUNT(*) AS BIGINT)              AS n_events,
-           ROUND(SUM(value), 2)                  AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
     FROM (SELECT EXTRACT(year FROM ts) AS yr, EXTRACT(month FROM ts) AS mo,
                  value
           FROM events)
@@ -536,7 +536,14 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("yr", "mo")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # DECIMAL(18,2) before SUM on both sides: the grand-total row
+            # sums every event, and ROUND(SUM(double)) at a rounding
+            # boundary differs by 1 ulp across partial-aggregate orders
+            # (CLAUDE.md trap; subquery_scalar_small_qty pattern). Exact:
+            # events.value carries exactly 2 decimal digits.
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),

@@ -181,3 +181,52 @@ def test_connected_components_transitive_chain(spark):
         r["node"]: r["component_id"] for r in connected_components(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7}
+
+
+def test_mixture_sample_strict_fills_shortfall_sources(spark):
+    """The hash-threshold prefilter is statistical: with a crushed margin
+    and no slack it under-fills sources whose ids hash high. strict=True
+    must detect the shortfall and deliver the exact per-source targets
+    (capped at source size) anyway; the loose mode documents the bound."""
+    df = _docs(spark, 1000)
+    weights = {"0": 4, "1": 2}
+    loose = C.mixture_sample(
+        df, "source", "doc_id", weights, margin=0.6, slack_rows=0
+    )
+    strict = C.mixture_sample(
+        df, "source", "doc_id", weights, margin=0.6, slack_rows=0, strict=True
+    )
+
+    import math
+
+    counts = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    t_total = n_total // 5
+    sumw = sum(weights.get(s, 1) for s in counts)
+    expected = {
+        s: min(counts[s], math.floor(weights.get(s, 1) / sumw * t_total + 0.5))
+        for s in counts
+    }
+    got_strict = {
+        r["source"]: r["n"]
+        for r in strict.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_strict == {s: t for s, t in expected.items() if t > 0}
+
+    got_loose = {
+        r["source"]: r["n"]
+        for r in loose.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # the crushed prefilter must have under-filled at least one source —
+    # otherwise this test isn't exercising the fallback at all
+    assert any(got_loose.get(s, 0) < t for s, t in expected.items())
+
+    # determinism: strict keeps smallest-hash-first selection
+    a = sorted(r["doc_id"] for r in strict.collect())
+    b = sorted(r["doc_id"] for r in C.mixture_sample(
+        df, "source", "doc_id", weights, margin=0.6, slack_rows=0, strict=True
+    ).collect())
+    assert a == b
