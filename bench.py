@@ -55,7 +55,20 @@ def main() -> None:
     # engine, not session startup
     QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).count()
 
+    # Trained-index entries: the first invocation trains the model (Lloyd
+    # iterations) and the session model cache keeps it; a second invocation
+    # is the pure serving path. Reported as {train, query} so the headline
+    # measures both one-off index build and steady-state query cost
+    # (VERDICT r3 #6). Note sim_ivfpq_topk reuses the coarse+PQ models
+    # trained by the two entries before it, so its "train" is ~0 by design.
+    INDEX_QUERIES = {
+        "sim_kmeans_cells",
+        "sim_pq_adc_topk",
+        "sim_ivfpq_topk",
+        "dedup_semantic",
+    }
     timings: dict[str, float] = {}
+    index_timing: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.perf_counter()
@@ -63,6 +76,14 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         del n
+        if name in INDEX_QUERIES:
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).count()
+            q_sec = time.perf_counter() - t0
+            index_timing[name] = {
+                "train": round(max(timings[name] - q_sec, 0.0), 3),
+                "query": round(q_sec, 3),
+            }
 
     # engine throughput: full consumer lifecycle (ingest→sequence→tasks→
     # state→DLQ) over the first 20k events, per-key sequencing
@@ -169,6 +190,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "index_timing": index_timing,
         "sf": sf_val,
         "engine": {
             "messages": n_msgs,
