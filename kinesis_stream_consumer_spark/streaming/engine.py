@@ -158,13 +158,16 @@ class Engine:
     # --- phase 2a: processOne via per-chain ordered applyInPandas ----------
 
     def _make_message_executor(self, deadline_epoch: Optional[float]):
-        """(prior_json, data_str, blocked) → (tasks_json, one_incomplete).
-        The shared X1/X5/D1 per-message execution core, closed over
-        picklable state only."""
+        """(prior_json, data_str, blocked[, raw]) → (tasks_json,
+        one_incomplete, fully_finalised), or with ``raw`` the parsed task
+        tree itself — the fused exec+finalise path finalises in place
+        instead of re-parsing the serialized tree in a second Python
+        stage. The shared X1/X5/D1 per-message execution core, closed
+        over picklable state only."""
         one_defs, all_defs = self.one_defs, self.all_defs
         one_names = [d.name for d in one_defs]
 
-        def execute_message(prior_json, data_str, blocked):
+        def execute_message(prior_json, data_str, blocked, raw=False):
             import time as _time
 
             tasks = tk.init_tasks(prior_json, one_defs, all_defs)
@@ -190,6 +193,8 @@ class Engine:
                 for d in one_defs:
                     tk.execute_one_task(tasks[d.name], d, message)
             one_part = {n: tasks[n] for n in one_names if n in tasks}
+            if raw:
+                return (tasks, tk.is_incomplete(one_part))
             return (
                 tk.dumps(tasks),
                 tk.is_incomplete(one_part),
@@ -199,7 +204,9 @@ class Engine:
         return execute_message
 
     def _exec_fn(
-        self, deadline_epoch: Optional[float] = None
+        self,
+        deadline_epoch: Optional[float] = None,
+        fused_finalise: bool = False,
     ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
         """Ordered per-chain execution as a STREAMING mapInPandas over
         partitions hash-partitioned by chain_key and sorted by
@@ -208,8 +215,16 @@ class Engine:
         Arrow batches incrementally, so a giant chain (per-shard mode, the
         reference's own serialization hazard) streams through bounded
         memory instead of OOMing. Chain-blocking state is a per-chain
-        boolean carried across batch boundaries."""
+        boolean carried across batch boundaries.
+
+        ``fused_finalise``: with no processAll defs nothing between
+        execution and the finalise-merge needs whole-batch scope, so the
+        finalise rules run here on the still-parsed task tree and the
+        batch crosses Arrow ONCE (emitting _FINAL_SCHEMA) instead of
+        serializing, re-parsing, and re-crossing in a second Python
+        stage."""
         execute_message = self._make_message_executor(deadline_epoch)
+        max_attempts = self.config.max_number_of_attempts
 
         def run_sorted_partition(
             batches: Iterator[pd.DataFrame],
@@ -219,6 +234,9 @@ class Engine:
             for pdf in batches:
                 out_tasks: List[str] = []
                 out_ff: List[bool] = []
+                out_rej: List[bool] = []
+                out_inc: List[bool] = []
+                out_reason: List[Optional[str]] = []
                 keep: List[bool] = []
                 # zip over plain lists, not iterrows — per-row Series
                 # construction dominates at 10^5+ messages per partition
@@ -236,9 +254,44 @@ class Engine:
                         keep.append(False)
                         out_tasks.append("")
                         out_ff.append(False)
+                        out_rej.append(False)
+                        out_inc.append(False)
+                        out_reason.append(None)
                         continue
                     last_identity[chain] = ident
                     keep.append(True)
+                    if fused_finalise:
+                        tasks, one_incomplete = execute_message(
+                            prior_json, data_str, blocked.get(chain, False),
+                            raw=True,
+                        )
+                        # blocking is decided on the PRE-finalise state,
+                        # exactly like the two-stage path (a message whose
+                        # tasks the rules then discard still blocked its
+                        # chain successors this batch)
+                        if one_incomplete:
+                            blocked[chain] = True
+                        tk.apply_finalise_rules(tasks, max_attempts)
+                        out_reason.append(
+                            next(
+                                (
+                                    node.get("reason")
+                                    for st in tasks.values()
+                                    for node in [
+                                        st,
+                                        *st.get("subtasks", {}).values(),
+                                    ]
+                                    if node["status"]
+                                    in tk.FULLY_FINALISED_TERMINAL
+                                ),
+                                None,
+                            )
+                        )
+                        out_tasks.append(tk.dumps(tasks))
+                        out_ff.append(tk.is_fully_finalised(tasks))
+                        out_rej.append(tk.is_rejectedish(tasks))
+                        out_inc.append(tk.is_incomplete(tasks))
+                        continue
                     tasks_json, one_incomplete, fully_fin = execute_message(
                         prior_json, data_str, blocked.get(chain, False)
                     )
@@ -251,30 +304,77 @@ class Engine:
                     out_ff.append(fully_fin)
                 out = pdf[_PASS_COLS].copy()
                 out["tasks_json"] = out_tasks
-                out["_one_fully_finalised"] = out_ff
+                if fused_finalise:
+                    out["fully_finalised"] = out_ff
+                    out["rejectedish"] = out_rej
+                    out["incomplete"] = out_inc
+                    out["reason_rejected"] = out_reason
+                else:
+                    out["_one_fully_finalised"] = out_ff
                 out = out[pd.Series(keep, index=out.index)]
                 yield out
 
         return run_sorted_partition
 
     def _exec_map_fn(
-        self, deadline_epoch: Optional[float] = None
+        self,
+        deadline_epoch: Optional[float] = None,
+        fused_finalise: bool = False,
     ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
         """Q5 unsequenced fast path: every message is its own chain, so no
         ordering and no blocking — mapInPandas over the scan partitions,
         ZERO shuffle (the per-chain path would shuffle on chain_key just to
-        build 1-row groups)."""
+        build 1-row groups). ``fused_finalise`` as in _exec_fn."""
         execute_message = self._make_message_executor(deadline_epoch)
+        max_attempts = self.config.max_number_of_attempts
 
         def run_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
+                out = pdf[_PASS_COLS].copy()
+                if fused_finalise:
+                    out_tasks, out_ff, out_rej, out_inc, out_reason = (
+                        [], [], [], [], []
+                    )
+                    for prior_json, data_str in zip(
+                        pdf["prior_tasks_json"].tolist(),
+                        pdf["data_str"].tolist(),
+                    ):
+                        tasks, _ = execute_message(
+                            prior_json, data_str, False, raw=True
+                        )
+                        tk.apply_finalise_rules(tasks, max_attempts)
+                        out_reason.append(
+                            next(
+                                (
+                                    node.get("reason")
+                                    for st in tasks.values()
+                                    for node in [
+                                        st,
+                                        *st.get("subtasks", {}).values(),
+                                    ]
+                                    if node["status"]
+                                    in tk.FULLY_FINALISED_TERMINAL
+                                ),
+                                None,
+                            )
+                        )
+                        out_tasks.append(tk.dumps(tasks))
+                        out_ff.append(tk.is_fully_finalised(tasks))
+                        out_rej.append(tk.is_rejectedish(tasks))
+                        out_inc.append(tk.is_incomplete(tasks))
+                    out["tasks_json"] = out_tasks
+                    out["fully_finalised"] = out_ff
+                    out["rejectedish"] = out_rej
+                    out["incomplete"] = out_inc
+                    out["reason_rejected"] = out_reason
+                    yield out
+                    continue
                 results = [
                     execute_message(prior_json, data_str, False)
                     for prior_json, data_str in zip(
                         pdf["prior_tasks_json"].tolist(), pdf["data_str"].tolist()
                     )
                 ]
-                out = pdf[_PASS_COLS].copy()
                 out["tasks_json"] = [r[0] for r in results]
                 out["_one_fully_finalised"] = [r[2] for r in results]
                 yield out
@@ -383,8 +483,24 @@ class Engine:
         ``timeout_at_percentage_of_remaining_time`` × that budget; past the
         deadline, unfinished tasks become TimedOut (attempts reset), state
         is still saved, and the batch fails for replay.
+
+        SPARK_GRAFT_ENGINE_TIMING=1 prints per-section wall times to
+        stderr — the profiling surface for micro-batch fixed costs.
         """
+        import os as _os
+        import sys as _sys
         import time as _time
+
+        _timing = _os.environ.get("SPARK_GRAFT_ENGINE_TIMING") == "1"
+        _marks: list[tuple[str, float]] = []
+        _last = _time.perf_counter()
+
+        def _mark(label: str) -> None:
+            nonlocal _last
+            if _timing:
+                now = _time.perf_counter()
+                _marks.append((label, now - _last))
+                _last = now
 
         cfg = self.config
         deadline = (
@@ -393,9 +509,16 @@ class Engine:
             if remaining_time_ms is not None
             else None
         )
-        n_records = records.count()
-
         # ---- Phase 1: initiate -------------------------------------------
+        # A micro-batch from a 1-file trigger arrives as ONE partition, and
+        # ingest (base64 + JSON parse + 3×md5) is CPU-bound and narrow — it
+        # would fuse onto that single task. Fan the raw records out first;
+        # the records are small (the shuffle moves the undecoded strings
+        # once) and a source that already delivers wide input skips this.
+        width = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        fan = min(8, width)
+        if records.rdd.getNumPartitions() < fan:
+            records = records.repartition(fan)
         ing = ingest(records, cfg)
         # Materialize the UNSPLIT ingest output ONCE, before anything
         # branches off it: the usable/unusable split, the shard-key collect
@@ -411,6 +534,7 @@ class Engine:
         tagged = ing.tagged.drop("msg_json", "parsed_ok").localCheckpoint(
             eager=True
         )
+        _mark("ingest_checkpoint")
         msgs = tagged.where(F.col("reason_unusable").isNull()).drop(
             "reason_unusable"
         )
@@ -421,21 +545,40 @@ class Engine:
             if cfg.batch_keyed_on_event_id
             else F.concat(F.lit("S|"), F.col("shard_id"))
         )
-        # one job for both shard sets (batch-key resolution I4) — a slim
-        # scan of the checkpointed batch, not a recompute of ingest; the
-        # driver-side set feeds the partition-pruned state load (the
-        # parquet analogue of the reference's single DynamoDB get)
-        shard_rows = (
-            msgs.select(shard_or_event.alias("shardOrEventID"))
-            .unionByName(
-                unusable.select(
-                    F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID")
-                )
+        # ONE stats job for batch-key resolution (I4) + batch counters — a
+        # slim scan of the checkpointed batch, not a recompute of ingest.
+        # Per shard key it returns (record deliveries, unusable rows), so
+        # the shard set for the partition-pruned state load, n_records and
+        # n_unusable all come from this single aggregate instead of three
+        # separate jobs (records.count / distinct-collect /
+        # unusable.count) — micro-batch fixed cost, measured ~0.4 s/batch.
+        # Delivery counting: every record lands in tagged as either rows
+        # with event_sub_seq_no NULL (non-KPL, failed-deagg, unusable) or
+        # an exploded run starting at sub-seq 0 (KPL, kpl.py:174), so
+        # "NULL or 0" counts each delivery exactly once — duplicate
+        # deliveries stay distinct (the reference counts Records entries,
+        # not unique records; dedup happens at execution, D1).
+        stats_key = F.when(
+            F.col("reason_unusable").isNotNull(),
+            F.concat(F.lit("S|"), F.col("shard_id")),
+        ).otherwise(shard_or_event)
+        is_delivery_head = (
+            F.col("event_sub_seq_no").isNull() | (F.col("event_sub_seq_no") == 0)
+        )
+        stat_rows = (
+            tagged.groupBy(stats_key.alias("shardOrEventID"))
+            .agg(
+                F.sum(F.when(is_delivery_head, 1).otherwise(0)).alias("n_rec"),
+                F.sum(
+                    F.when(F.col("reason_unusable").isNotNull(), 1).otherwise(0)
+                ).alias("n_unus"),
             )
-            .distinct()
             .collect()
         )
-        shards = {r[0] for r in shard_rows}
+        shards = {r["shardOrEventID"] for r in stat_rows}
+        n_records = int(sum(r["n_rec"] for r in stat_rows))
+        n_unusable = int(sum(r["n_unus"] for r in stat_rows))
+        _mark("stats_collect")
 
         seqd = sequence_messages(msgs, cfg)
         identity = F.coalesce(
@@ -489,19 +632,33 @@ class Engine:
                 revived = maybe
 
         # ---- Phase 2: process --------------------------------------------
+        # With no processAll defs, execution and finalise-merge fuse into
+        # ONE Python stage emitting _FINAL_SCHEMA (see _exec_fn) — a small
+        # micro-batch crosses Arrow once, not twice.
+        fused = not self.all_defs
+        exec_schema = _FINAL_SCHEMA if fused else _EXEC_SCHEMA
+        # Size the chain shuffle to the batch: 32 near-empty partitions ×
+        # two Python stages is pure scheduling overhead at micro-batch
+        # sizes; a big batch still fans out to the session's full shuffle
+        # width (so this is a no-op at cluster scale).
+        n_parts = max(4, min(width, (n_records // 2000) + 1))
         if cfg.sequencing_required:
             # co-locate each chain, order within partition, stream batches
             executed = (
-                revived.repartition("chain_key")
+                revived.repartition(n_parts, "chain_key")
                 .sortWithinPartitions("chain_key", "seq_index")
-                .mapInPandas(self._exec_fn(deadline), schema=_EXEC_SCHEMA)
+                .mapInPandas(
+                    self._exec_fn(deadline, fused_finalise=fused),
+                    schema=exec_schema,
+                )
             )
         else:
             # Q5: no ordering ⇒ map straight over the scan; D1 within-batch
             # dedup needs one shuffle here (no chain sort to make duplicate
             # identities adjacent)
             executed = revived.dropDuplicates(["identity"]).mapInPandas(
-                self._exec_map_fn(deadline), schema=_EXEC_SCHEMA
+                self._exec_map_fn(deadline, fused_finalise=fused),
+                schema=exec_schema,
             )
 
         # _one_fully_finalised (processAll scoping, X2) is emitted by the
@@ -509,7 +666,14 @@ class Engine:
         # so the flag is free and phase 2b's plan stays UDF-less (no
         # BatchEvalPython; the engine obeys the same plan-hygiene bar as
         # the query registry).
-        if self.all_defs:
+        # localCheckpoint severs lineage: the state save below overwrites the
+        # parquet this plan's revive-join reads, so any later recomputation
+        # would replay tasks against their own freshly-saved state (double
+        # attempts). Checkpointing freezes the finalised batch first (and
+        # nothing downstream reads `executed` directly).
+        if fused:
+            finalised = executed.localCheckpoint(eager=True)
+        else:
             # processAll needs the materialized post-processOne batch as its
             # scope (incompleteMessages, X2) — one extra checkpoint + agg
             executed = executed.localCheckpoint(eager=True)
@@ -520,34 +684,35 @@ class Engine:
                 or 0
             )
             all_results = self._run_process_all(executed, n_incomplete_scope)
-        else:
-            all_results = []
-        executed = executed.drop("_one_fully_finalised")
-
-        # localCheckpoint severs lineage: the state save below overwrites the
-        # parquet this plan's revive-join reads, so any later recomputation
-        # would replay tasks against their own freshly-saved state (double
-        # attempts). Checkpointing freezes the finalised batch first (and
-        # nothing downstream reads `executed` directly).
-        finalised = executed.mapInPandas(
-            self._finalise_fn(all_results), schema=_FINAL_SCHEMA
-        ).localCheckpoint(eager=True)
+            executed = executed.drop("_one_fully_finalised")
+            finalised = executed.mapInPandas(
+                self._finalise_fn(all_results), schema=_FINAL_SCHEMA
+            ).localCheckpoint(eager=True)
+        _mark("exec_finalise_checkpoint")
 
         # ---- Phase 3: finalise -------------------------------------------
         # F3 hook: preFinaliseBatch
         if cfg.pre_finalise_batch is not None:
             cfg.pre_finalise_batch(finalised, self)
         tag = "K" if cfg.stream_type == StreamType.kinesis else "D"
-        n_unusable = unusable.count()
+        # The three finalise sinks (DRQ, DMQ, state save) write to disjoint
+        # paths from frames that are all checkpointed — independent Spark
+        # jobs, so the DEFAULT sinks run concurrently from worker threads
+        # (driver-side job submission is thread-safe) instead of paying
+        # three serial write latencies per micro-batch. Custom seams run
+        # serially: user hooks are not assumed thread-safe.
+        sink_jobs: List[Callable[[], None]] = []
         if n_unusable:
             # D2 seam: discardUnusableRecord (default DRQ append,
             # kinesis-processing.js:296 discardUnusableRecordToDRQ)
             if cfg.discard_unusable_record is not None:
                 cfg.discard_unusable_record(unusable, self)
             else:
-                append_to_queue(
-                    dead_record_envelopes(unusable, cfg.stream_consumer_id, tag),
-                    self.drq_path,
+                drq_env = dead_record_envelopes(
+                    unusable, cfg.stream_consumer_id, tag
+                )
+                sink_jobs.append(
+                    lambda: append_to_queue(drq_env, self.drq_path)
                 )
         rejected = finalised.where(F.col("rejectedish"))
         # one aggregate job for all finalise counters
@@ -561,15 +726,18 @@ class Engine:
         n_rejected = counts[1] or 0
         n_fully_finalised = counts[2] or 0
         n_incomplete = counts[3] or 0
+        _mark("counters_agg")
         if n_rejected:
             # D3 seam: discardRejectedMessage (default DMQ append,
             # kinesis-processing.js:297 discardRejectedMessageToDMQ)
             if cfg.discard_rejected_message is not None:
                 cfg.discard_rejected_message(rejected, self)
             else:
-                append_to_queue(
-                    dead_message_envelopes(rejected, cfg.stream_consumer_id, tag),
-                    self.dmq_path,
+                dmq_env = dead_message_envelopes(
+                    rejected, cfg.stream_consumer_id, tag
+                )
+                sink_jobs.append(
+                    lambda: append_to_queue(dmq_env, self.dmq_path)
                 )
 
         # T4 save — message + rejected + unusable states, one parquet upsert
@@ -619,8 +787,28 @@ class Engine:
             if cfg.save_batch_state is not None:
                 cfg.save_batch_state(states, self)
             else:
-                self.state.save(states)
+                sink_jobs.append(
+                    lambda: self.state.save(
+                        states, n_partitions=max(1, min(len(shards), width))
+                    )
+                )
+        if len(sink_jobs) == 1:
+            sink_jobs[0]()
+        elif sink_jobs:
+            from concurrent.futures import ThreadPoolExecutor
 
+            with ThreadPoolExecutor(len(sink_jobs)) as pool:
+                for fut in [pool.submit(j) for j in sink_jobs]:
+                    fut.result()  # propagate the first failure
+        _mark("dlq_and_state_save")
+
+        if _timing:
+            total = sum(d for _, d in _marks)
+            _sys.stderr.write(
+                "ENGINE_TIMING batch=%s total=%.3f %s\n"
+                % (batch_id, total,
+                   " ".join(f"{k}={d:.3f}" for k, d in _marks))
+            )
         result = BatchResult(
             batch_id=batch_id,
             records=n_records,

@@ -71,14 +71,21 @@ class StateStore:
             df = df.where(F.col("shardOrEventID").isin(list(shard_ids)))
         return df.select(*[f.name for f in STATE_SCHEMA.fields])
 
-    def save(self, states: DataFrame) -> None:
+    def save(self, states: DataFrame, n_partitions: int | None = None) -> None:
         """T4: upsert via dynamic partition overwrite — only the
         (streamConsumerId, shardOrEventID) partitions present in `states`
-        are replaced; everything else is untouched."""
+        are replaced; everything else is untouched. ``n_partitions`` sizes
+        the pre-write shuffle (callers that know the shard count pass it:
+        a 4-shard micro-batch doesn't need the session's full shuffle
+        width of near-empty write tasks)."""
+        slim = states.select(*[f.name for f in STATE_SCHEMA.fields])
+        slim = (
+            slim.repartition(n_partitions, "streamConsumerId", "shardOrEventID")
+            if n_partitions
+            else slim.repartition("streamConsumerId", "shardOrEventID")
+        )
         (
-            states.select(*[f.name for f in STATE_SCHEMA.fields])
-            .repartition("streamConsumerId", "shardOrEventID")
-            .write.mode("overwrite")
+            slim.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("streamConsumerId", "shardOrEventID")
             .parquet(self.path)
