@@ -1,0 +1,71 @@
+"""Regenerate PLANS.md: physical-plan evidence for the headline queries.
+
+    python tests/gen_plans.py
+
+Captures `.explain('formatted')` at sf0.01 for every bench.HEADLINE query
+(plus ts_profile_similarity, whose pair-stage bound is a standing VERDICT
+item), filtered to the lines that prove the scale claims: joins,
+exchanges, aggregates (partial vs final), pushed filters, and any banned
+node (CartesianProduct / BroadcastNestedLoopJoin / BatchEvalPython) —
+which also fail tests/test_plan_hygiene.py.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF = "/root/testdata/sf0.01"
+
+KEEP = re.compile(
+    r"Exchange|HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoop|"
+    r"CartesianProduct|BatchEvalPython|ArrowEvalPython|PushedFilters|"
+    r"partial_|TakeOrderedAndProject|MapInPandas|Window"
+)
+
+HEADER = """# PLANS — physical-plan evidence for the headline queries
+
+Generated at sf0.01 by `python tests/gen_plans.py`
+(`.explain('formatted')`, filtered to join/exchange/aggregate/pushdown
+lines). What to look for: dims broadcast, filters pushed to scans, partial
+aggregates before every Exchange, and the absence of CartesianProduct /
+BroadcastNestedLoopJoin / BatchEvalPython anywhere — the same properties
+tests/test_plan_hygiene.py and test_shuffle_volume.py assert on every run.
+"""
+
+
+def main() -> None:
+    from bench import HEADLINE
+    from kinesis_stream_consumer_spark.plans import QUERIES
+    from kinesis_stream_consumer_spark.session import get_spark
+
+    spark = get_spark("gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = list(HEADLINE) + ["ts_profile_similarity"]
+    sections = [HEADER]
+    for name in names:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES[name].fn(spark, SF).explain("formatted")
+        lines = [
+            ln.strip()[:120]
+            for ln in buf.getvalue().splitlines()
+            if KEEP.search(ln)
+        ]
+        body = "\n".join(lines) or "(no join/exchange/aggregate nodes)"
+        sections.append(f"## {name}\n```\n{body}\n```\n")
+        print(f"{name}: {len(lines)} plan lines", file=sys.stderr)
+    (REPO / "PLANS.md").write_text("\n".join(sections))
+    print(f"wrote PLANS.md ({len(names)} queries)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
