@@ -154,6 +154,15 @@ class Engine:
         # a parquet state table needs the explicit reaper.
         self.compact_every_n_batches = compact_every_n_batches
         self.compact_retention_batches = compact_retention_batches
+        # Saved-state reuse: after a successful DEFAULT save, the written
+        # (consumer, shard) partitions on disk are byte-equivalent to the
+        # `states` frame just computed (dynamic partition overwrite replaces
+        # whole partitions), so the next batch's T1 load can serve from it
+        # instead of re-reading parquet — valid only while the requested
+        # shard set is covered and nothing else rewrites those partitions
+        # (custom save seams and compaction invalidate it). The frame is
+        # lazy over already-checkpointed inputs, so caching costs no job.
+        self._saved_state_cache: Optional[Tuple[frozenset, DataFrame]] = None
 
     # --- phase 2a: processOne via per-chain ordered applyInPandas ----------
 
@@ -603,9 +612,14 @@ class Engine:
         if cfg.load_batch_state is not None:
             prior = cfg.load_batch_state(self, shards or None)
         else:
-            prior = self.state.load(
-                cfg.stream_consumer_id, shards or None
-            ).where(F.col("kind").isin("message", "rejected"))
+            cache = self._saved_state_cache
+            if cache is not None and shards and shards <= cache[0]:
+                prior = cache[1].where(
+                    F.col("shardOrEventID").isin(list(shards))
+                )
+            else:
+                prior = self.state.load(cfg.stream_consumer_id, shards or None)
+            prior = prior.where(F.col("kind").isin("message", "rejected"))
         # Mismatched-prior-state tolerance: prior state only revives when its
         # content digest matches the current message — same id but different
         # content means the state is stale and the message executes fresh
@@ -780,18 +794,21 @@ class Engine:
             F.col("reason_unusable").alias("reason"),
             F.lit(batch_id).cast("long").alias("batch_id"),
         )
+        default_saved = False
         if n_messages or n_unusable:
             # T4 seam: saveBatchState (default parquet MERGE upsert,
             # kinesis-processing.js:295 saveBatchStateToDynamoDB)
             states = msg_states.unionByName(unusable_states)
             if cfg.save_batch_state is not None:
                 cfg.save_batch_state(states, self)
+                self._saved_state_cache = None  # unknown destination
             else:
                 sink_jobs.append(
                     lambda: self.state.save(
                         states, n_partitions=max(1, min(len(shards), width))
                     )
                 )
+                default_saved = True
         if len(sink_jobs) == 1:
             sink_jobs[0]()
         elif sink_jobs:
@@ -800,6 +817,10 @@ class Engine:
             with ThreadPoolExecutor(len(sink_jobs)) as pool:
                 for fut in [pool.submit(j) for j in sink_jobs]:
                     fut.result()  # propagate the first failure
+        if default_saved:
+            # the written partitions now equal `states` exactly — serve the
+            # next batch's T1 load from it (lazy over checkpointed inputs)
+            self._saved_state_cache = (frozenset(shards), states)
         _mark("dlq_and_state_save")
 
         if _timing:
@@ -829,6 +850,7 @@ class Engine:
             and batch_id % self.compact_every_n_batches == 0
         ):
             self.state.compact(batch_id - self.compact_retention_batches)
+            self._saved_state_cache = None  # disk rewritten under the cache
         if n_incomplete:
             # F2: in unsequenced mode with a resubmit sink configured,
             # incomplete messages are resubmitted to the source instead of
