@@ -1699,3 +1699,98 @@ def llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BOILER_SEG_WORDS = 5
+_BOILER_SUPPORT = 2
+
+
+@register(
+    "text_boilerplate_segments",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             array_to_string(
+               t[(i*{_BOILER_SEG_WORDS}+1):(i*{_BOILER_SEG_WORDS}+{_BOILER_SEG_WORDS})],
+               ' ') AS seg
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(0, len(t)//{_BOILER_SEG_WORDS} - 1)) AS i
+            FROM toks)
+    ),
+    boiler AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= {_BOILER_SUPPORT}
+    ),
+    per_doc AS (
+      SELECT s.doc_id, COUNT(*) AS n_boiler
+      FROM segs s JOIN boiler b ON s.seg = b.seg
+      GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t)//{_BOILER_SEG_WORDS} AS BIGINT) AS n_segs,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST(CASE WHEN len(t.t)//{_BOILER_SEG_WORDS} = 0 THEN 0
+                ELSE FLOOR(10000.0 * COALESCE(p.n_boiler, 0)
+                           / (len(t.t)//{_BOILER_SEG_WORDS}) + 0.5)
+                END AS BIGINT) AS boiler_bp
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="C4-style boilerplate-line removal stats: the corpus is cut into "
+    f"non-overlapping {_BOILER_SEG_WORDS}-word segments (the 'line' unit "
+    "of a corpus with no newline structure), a segment is boilerplate "
+    f"when it appears in >= {_BOILER_SUPPORT} distinct documents "
+    "(C4 removes lines shared across documents; support is the knob), "
+    "and each document reports its segment count, boilerplate-segment "
+    "count, and boilerplate share in integer basis points (FLOOR(x+0.5) "
+    "on a deterministic double — no ROUND-tie ambiguity cross-engine). "
+    "Scale shape: tokens materialize once; segments ride as slim "
+    "(seg, doc) rows into a two-phase distinct-count aggregate keyed on "
+    "the segment; the boiler set joins back on the same key (AQE "
+    "broadcasts it when small, shuffle-joins when boilerplate is "
+    "corpus-sized); per-doc totals come from array arithmetic, not a "
+    "second scan. The short-doc guard matters: Spark's sequence(0,-1) "
+    "DESCENDS where DuckDB's generate_series is empty, so segs are "
+    "gated on size >= the segment width.",
+)
+def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _BOILER_SEG_WORDS
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    seg_arr = F.expr(
+        f"CASE WHEN size(t) >= {w} THEN "
+        f"transform(sequence(0, size(t) div {w} - 1), "
+        f"i -> concat_ws(' ', slice(t, i*{w}+1, {w}))) "
+        "ELSE array() END"
+    )
+    segs = toks.select("doc_id", F.explode(seg_arr).alias("seg"))
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= _BOILER_SUPPORT)
+        .select("seg")
+    )
+    per_doc = segs.join(boiler, "seg").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    return (
+        toks.select("doc_id", F.expr(f"size(t) div {w}").cast("long").alias("n_segs"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.when(F.col("n_segs") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    10000.0 * F.coalesce("n_boiler", F.lit(0)) / F.col("n_segs")
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("boiler_bp"),
+        )
+        .orderBy("doc_id")
+    )
