@@ -164,3 +164,23 @@ def test_paa_profile_pair_stage_is_banded_not_all_pairs(spark):
     assert 0 < n_cand < all_pairs, (
         f"candidates {n_cand} not bounded below all-pairs {all_pairs}"
     )
+
+
+def test_boilerplate_segments_shuffles_are_slim(spark):
+    """text_boilerplate_segments: the distinct-count aggregate and the
+    join back ride (seg, doc) rows — bounded by segment count, and no
+    shuffle row ever carries document text (segments are 5 words)."""
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        text_boilerplate_segments,
+    )
+
+    res = text_boilerplate_segments(spark, SF_CORRECT)
+    rows = res.collect()
+    assert len(rows) == N_DOCS
+    s = shuffle_stats(res)
+    n_segs_total = sum(r["n_segs"] for r in rows)
+    # distinct-agg (two phases) + join + per-doc agg: each stage's input
+    # is bounded by total segments, never tokens or characters
+    assert s["shuffle_records"] <= 6 * n_segs_total
+    per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
+    assert per_row < 120, f"shuffle rows should be slim, got {per_row:.0f} B/row"
