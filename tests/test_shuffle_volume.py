@@ -184,3 +184,41 @@ def test_boilerplate_segments_shuffles_are_slim(spark):
     assert s["shuffle_records"] <= 6 * n_segs_total
     per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
     assert per_row < 120, f"shuffle rows should be slim, got {per_row:.0f} B/row"
+
+
+def test_lexical_sparse_join_is_df_pruned(spark):
+    """sim_lexical_sparse_topk: the postings self-join input is bounded by
+    the df cap — every surviving term has <= max(2, N/20) postings, so
+    per-term join fan-out is capped (the inverted-index analogue of the
+    LSH candidate bound), and no common term floods the pair stage."""
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        sim_lexical_sparse_topk,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
+
+    n = _table_row_count(SF_CORRECT, "documents")
+    cap = max(2, n // 20)
+    res = sim_lexical_sparse_topk(spark, SF_CORRECT)
+    rows = res.collect()
+    assert rows, "rare-term candidates must exist at sf0.01"
+    # re-derive the pruned postings and check the bound the plan relies on
+    docs = _docs(spark)
+    bi = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    tf = bi.groupBy("doc_id", "bg").count()
+    dfs = tf.groupBy("bg").count().withColumnRenamed("count", "df")
+    max_rare_df = (
+        dfs.where(F.col("df") <= cap).agg(F.max("df")).first()[0]
+    )
+    assert max_rare_df is not None and max_rare_df <= cap
+    # and the cap actually prunes: some terms exceed it and are dropped
+    assert dfs.where(F.col("df") > cap).count() > 0
