@@ -753,3 +753,95 @@ def test_multi_batch_chaos_soak(spark, tmp_path):
     assert set(per_id) == {f"id1:{i}" for i in poison_ids}
     # at-least-once: duplicates bounded by the worst replay count
     assert all(1 <= n <= max_runs for n in per_id.values()), per_id
+
+
+def test_fused_finalise_equals_two_stage(spark, tmp_path):
+    """r4's fused exec+finalise path must be byte-equivalent to the
+    two-stage path (exec -> _finalise_fn with no processAll results) on
+    the same input: completing, failing, rejecting, duplicate-delivery,
+    chain-blocked, and max-attempts-discard messages all produce the same
+    tasks_json and flags either way."""
+    import json as _json
+
+    import pandas as pd
+
+    from kinesis_stream_consumer_spark.streaming import tasks as tk
+    from kinesis_stream_consumer_spark.streaming.engine import _PASS_COLS
+
+    def flaky(message, task):
+        if message.get("k2") == "boom":
+            raise RuntimeError("boom")
+        if message.get("k2") == "reject":
+            raise tk.TaskRejectedError("nope")
+        return None
+
+    eng = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("t1", flaky)], max_number_of_attempts=3
+    )
+
+    # prior state one attempt away from the discard threshold
+    prior = tk.init_tasks(None, eng.one_defs, [])
+    prior["t1"]["status"] = "Failed"
+    prior["t1"]["attempts"] = 2
+    prior_json = tk.dumps(prior)
+
+    rows = [
+        # chain A: ok, then boom (fails + blocks), then ok (blocked)
+        ("A", "a1", None, '{"k2": "ok"}'),
+        ("A", "a2", None, '{"k2": "boom"}'),
+        ("A", "a3", None, '{"k2": "ok"}'),
+        # chain B: duplicate delivery of the same identity
+        ("B", "b1", None, '{"k2": "ok"}'),
+        ("B", "b1", None, '{"k2": "ok"}'),
+        # chain C: rejected; chain D: revived at the discard threshold
+        ("C", "c1", None, '{"k2": "reject"}'),
+        ("D", "d1", prior_json, '{"k2": "boom"}'),
+    ]
+    pdf = pd.DataFrame(
+        {c: ["x"] * len(rows) for c in _PASS_COLS}
+        | {
+            "chain_key": [r[0] for r in rows],
+            "identity": [r[1] for r in rows],
+            "prior_tasks_json": [r[2] for r in rows],
+            "data_str": [r[3] for r in rows],
+            "seq_index": list(range(len(rows))),
+        }
+    )
+
+    fused_out = pd.concat(list(eng._exec_fn(None, fused_finalise=True)([pdf])))
+    exec_out = pd.concat(list(eng._exec_fn(None, fused_finalise=False)([pdf])))
+    two_stage = pd.concat(
+        list(eng._finalise_fn([])([exec_out.drop(columns=["_one_fully_finalised"])]))
+    )
+
+    assert list(fused_out["identity"]) == list(two_stage["identity"])
+
+    def _stable(tj):
+        def scrub(node):
+            node.pop("took_ms", None)
+            node.pop("began", None)
+            for sub in node.get("subtasks", {}).values():
+                scrub(sub)
+
+        tasks = _json.loads(tj)
+        for st in tasks.values():
+            scrub(st)
+        return _json.dumps(tasks, sort_keys=True)
+
+    assert [_stable(t) for t in fused_out["tasks_json"]] == [
+        _stable(t) for t in two_stage["tasks_json"]
+    ]
+    for col in ["fully_finalised", "rejectedish", "incomplete",
+                "reason_rejected"]:
+        assert list(fused_out[col]) == list(two_stage[col]), col
+
+    # sanity: the scenarios actually exercised distinct outcomes
+    by_id = {r["identity"]: r for _, r in fused_out.iterrows()}
+    assert by_id["a2"]["incomplete"]                       # failed
+    assert by_id["a3"]["incomplete"]                       # chain-blocked
+    assert by_id["c1"]["rejectedish"]                      # rejected
+    assert by_id["d1"]["fully_finalised"]                  # discarded at max
+    assert "discarded after 3 attempts" in _json.dumps(
+        _json.loads(by_id["d1"]["tasks_json"])
+    )
+    assert "b1" in by_id and len(fused_out) == 6           # dup dropped
