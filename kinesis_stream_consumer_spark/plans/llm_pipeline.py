@@ -1809,7 +1809,7 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare AS (
       SELECT s.bg, (SELECT n FROM nn) // s.df AS w
       FROM (SELECT bg, COUNT(*) AS df FROM tf GROUP BY bg) s
-      WHERE s.df <= GREATEST(2, (SELECT n FROM nn) // 20)
+      WHERE s.df <= LEAST(GREATEST(2, (SELECT n FROM nn) // 20), 32)
     ),
     post AS (SELECT f.doc_id, f.bg, f.tf, r.w FROM tf f JOIN rare r USING (bg)),
     pairs AS (
@@ -1832,7 +1832,12 @@ def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knob: per-term postings stay <= cap so the postings self-join is "
     "bounded, the same candidate-bounding contract as the LSH bands), "
     "and surviving postings self-join on the term to accumulate "
-    "tf_a*tf_b*w^2 per pair, top-3 neighbours per doc. The idf surrogate "
+    "tf_a*tf_b*w^2 per pair, top-3 neighbours per doc. The cap is "
+    "ABSOLUTE above a floor (min(max(2, N/20), 32)): a term in hundreds "
+    "of documents is common regardless of corpus size, and a relative-"
+    "only cap would let per-term join volume grow as (N/20)^2 — with the "
+    "absolute cap the pair stage is O(#terms * cap^2), linear in the "
+    "vocabulary. The idf surrogate "
     "w = N div df is INTEGER (log-free: JVM and DuckDB libm may differ "
     "by 1 ulp on transcendental idf; integer weights make every partial "
     "sum exact cross-engine). N comes from footer/table stats, not a "
@@ -1843,7 +1848,7 @@ def sim_lexical_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     n = _table_row_count(sf_dir, "documents")
-    cap = max(2, n // 20)
+    cap = min(max(2, n // 20), 32)
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     bg_arr = F.expr(

@@ -197,7 +197,7 @@ def test_lexical_sparse_join_is_df_pruned(spark):
     from kinesis_stream_consumer_spark.plans.queries import _table_row_count
 
     n = _table_row_count(SF_CORRECT, "documents")
-    cap = max(2, n // 20)
+    cap = min(max(2, n // 20), 32)  # same formula as the plan fn
     res = sim_lexical_sparse_topk(spark, SF_CORRECT)
     rows = res.collect()
     assert rows, "rare-term candidates must exist at sf0.01"
