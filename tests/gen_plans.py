@@ -49,7 +49,11 @@ def main() -> None:
     spark = get_spark("gen-plans")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = list(HEADLINE) + ["ts_profile_similarity"]
+    names = list(HEADLINE) + [
+        "ts_profile_similarity",
+        "text_boilerplate_segments",
+        "sim_lexical_sparse_topk",
+    ]
     sections = [HEADER]
     for name in names:
         buf = io.StringIO()
