@@ -273,6 +273,128 @@ def minhash_lsh_candidate_pairs(
     return verified
 
 
+def containment(a: Column, b: Column) -> Column:
+    """Containment of two distinct-element arrays: |A∩B| / min(|A|,|B|).
+
+    The asymmetric complement to Jaccard: a short document quoted inside a
+    long one has low Jaccard (the union is large) but containment ≈ 1 —
+    the signal that catches quotes, boilerplate inclusions and
+    subset/superset duplication that Jaccard misses when sizes differ.
+    """
+    inter = F.size(F.array_intersect(a, b))
+    smaller = F.least(F.size(a), F.size(b))
+    return F.round(inter / F.greatest(smaller, F.lit(1)), 4)
+
+
+def minhash_lsh_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    rows_per_band: int = 2,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Candidate pairs via the same MinHash-LSH banding as
+    minhash_lsh_candidate_pairs, verified with exact shingle CONTAINMENT
+    instead of Jaccard. Identical scale shape (band-key equi-join, one
+    shingle pass, slim band table); only the verify metric differs.
+
+    Candidate generation is still Jaccard-biased (MinHash collision
+    probability tracks Jaccard, so an extreme needle-in-haystack quote may
+    not collide); for the near-dup range LSH targets, containment re-ranks
+    what banding surfaces.
+    """
+    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
+    banded = minhash_band_rows(
+        minhash_signatures_from_sets(shsets), rows_per_band
+    ).localCheckpoint(eager=True)
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.col("sa.shingles")).cast("long").alias("n_sh_a"),
+            F.size(F.col("sb.shingles")).cast("long").alias("n_sh_b"),
+            containment(F.col("sa.shingles"), F.col("sb.shingles")).alias(
+                "containment"
+            ),
+        )
+    )
+    if threshold is not None:
+        verified = verified.where(F.col("containment") >= threshold)
+    return verified
+
+
+def duplicated_shingle_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram coverage — the bounded, aggregate form
+    of substring-level dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): for each document, the share of its
+    distinct k-word shingles that also occur in at least ``min_docs``
+    documents corpus-wide. High coverage flags documents that are largely
+    assembled from text duplicated elsewhere even when no single pair
+    crosses a near-dup threshold.
+
+    Returns (doc, n_grams, n_dup, dup_bp) with dup_bp the coverage in
+    integer basis points (FLOOR(x+0.5) — no ROUND-tie ambiguity).
+
+    Scale shape: shingles materialize once and ride as DISTINCT
+    (doc, gram-hash) rows — the corpus-wide document frequency is one
+    count aggregate keyed on the 56-bit gram hash (slim longs, map-side
+    combine), and the duplicated set joins back on the same key, so both
+    shuffles are keyed on uniform hashes. No pairwise work at any scale:
+    cost is O(total shingles), not O(docs²).
+    """
+    # shingle_rows explodes the per-doc DISTINCT shingle set, so (doc, g)
+    # rows are already unique — no extra distinct shuffle needed. (A 56-bit
+    # in-doc hash collision would double-count one row; the oracle hashes
+    # with the same function, so the compare stays exact either way.)
+    rows = shingle_rows(df, text_col, id_col, k).select(
+        "doc", md5_u56_le(F.col("shingle")).alias("g")
+    ).localCheckpoint(eager=True)
+    dup = (
+        rows.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    per_doc = rows.join(dup, "g").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    totals = rows.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.floor(
+                10000.0 * F.coalesce("n_dup", F.lit(0)) / F.col("n_grams")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dup_bp"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

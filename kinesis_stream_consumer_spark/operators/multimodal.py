@@ -166,6 +166,89 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def chunk_hash_rows(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
+    """(media_id, chunk_index, chunk_hash) — piecewise signature of a binary
+    payload: md5 of each aligned full ``chunk_bytes`` slice (the ragged tail
+    is dropped so every hashed chunk has identical width). One substring +
+    md5 per chunk, all JVM-side; one media row fans out to its chunks via
+    sequence+explode, nothing collects to the driver."""
+    n_chunks = (F.col("n_bytes") / chunk_bytes).cast("long")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    rows = media.where(F.col("n_bytes") >= chunk_bytes).select(
+        "media_id", "payload", F.explode(idx).alias("chunk_index")
+    )
+    return rows.select(
+        "media_id",
+        "chunk_index",
+        F.md5(
+            F.expr(f"substring(payload, chunk_index * {chunk_bytes} + 1, {chunk_bytes})")
+        ).alias("chunk_hash"),
+    )
+
+
+def chunk_signature_pairs(
+    media: DataFrame, chunk_bytes: int = 64, min_shared: int = 2
+) -> DataFrame:
+    """Near-duplicate media pairs by piecewise chunk-hash matching — the
+    binary-payload analogue of MinHash-LSH for opaque media columns
+    (images/audio shipped as bytes): two payloads sharing at least
+    ``min_shared`` aligned chunks (same index AND same md5) are flagged,
+    robust to localized corruption/replacement while needing no codec.
+    Production variant: content-defined chunking (rolling-hash cut points,
+    ssdeep/FastCDC-style) makes the signature insertion-robust; the
+    alignment, join and verify shape here is identical.
+
+    Scale shape: payloads reduce map-side to slim (idx, hash) rows; the
+    self-equi-join keys on (chunk_index, chunk_hash) — md5-uniform, so no
+    skew — and only identical-chunk buckets ever pair up. No O(n²) stage;
+    per-bucket fan-out is bounded by how many true copies of a chunk exist.
+
+    Returns (media_a, media_b, n_shared, n_chunks_a, n_chunks_b,
+    shared_bp) where shared_bp = n_shared / min(n_chunks) in integer basis
+    points.
+    """
+    chunks = chunk_hash_rows(media, chunk_bytes).localCheckpoint(eager=True)
+    counts = chunks.groupBy(F.col("media_id")).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_index") == F.col("b.chunk_index"))
+            & (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(counts.withColumnRenamed("media_id", "media_a"), "media_a")
+        .withColumnRenamed("n_chunks", "n_chunks_a")
+        .join(counts.withColumnRenamed("media_id", "media_b"), "media_b")
+        .withColumnRenamed("n_chunks", "n_chunks_b")
+        .select(
+            "media_a",
+            "media_b",
+            "n_shared",
+            "n_chunks_a",
+            "n_chunks_b",
+            F.floor(
+                10000.0
+                * F.col("n_shared")
+                / F.least("n_chunks_a", "n_chunks_b")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("shared_bp"),
+        )
+    )
+
+
 def audio_chunk_plan(
     media: DataFrame, chunk_bytes: int, hop_bytes: int
 ) -> DataFrame:

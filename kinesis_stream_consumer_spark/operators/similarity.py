@@ -767,3 +767,111 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
         .where(F.col("rnk") <= topk)
         .select("query_id", F.col("vid").alias("match_id"), "qdist", "rnk")
     )
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------------
+
+RP_SCALE = 1_000_000  # micro-unit quantization: float component -> long
+
+
+def random_projection_signs(r_dims: int, dim: int, salt: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 projection matrix (r_dims × dim) from md5 — the
+    sign-agreement form of a JL random projection (Achlioptas 2003: ±1
+    entries preserve pairwise distances like Gaussian entries). Derived
+    from md5(salt|j|i) parity so any engine (and the DuckDB oracle)
+    reproduces the identical matrix with no stored model."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}|{j}|{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(r_dims)
+    ]
+
+
+def random_projection_cols(
+    vectors: DataFrame,
+    r_dims: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, p0..p{r-1}): integer-exact JL projection of each embedding.
+
+    Components quantize to micro-units (FLOOR(x·1e6 + 0.5) — order-
+    independent, cross-engine exact), then each projected coordinate is a
+    ±1-weighted integer sum over the 64 dims. Map-side only: no shuffle,
+    no model to broadcast (the matrix is literals baked into the plan),
+    8 integer dot products per row replacing 64-dim float work downstream.
+
+    The quantized array materializes as its own column first —
+    CollapseProject spares multiply-referenced aliases, so the 8
+    projection aggregates share ONE quantization pass instead of
+    re-running it per coordinate.
+    """
+    signs = random_projection_signs(r_dims, dim)
+    q = (
+        f"transform(cast({vec_col} as array<double>), "
+        f"x -> cast(floor(x * {RP_SCALE} + 0.5d) as bigint))"
+    )
+    projected = vectors.select(
+        F.col(id_col), F.expr(q).alias("_q")
+    )
+    proj_exprs = []
+    for j in range(r_dims):
+        arr = ", ".join(f"{s}L" for s in signs[j])
+        proj_exprs.append(
+            f"aggregate(sequence(1, {dim}), 0L, (acc, i) -> "
+            f"acc + element_at(_q, i) * element_at(array({arr}), i)) as p{j}"
+        )
+    return projected.selectExpr(id_col, *proj_exprs)
+
+
+def random_projection_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    r_dims: int = 8,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbours in JL-projected space: project corpus and
+    queries to ``r_dims`` integer coordinates, broadcast the projected
+    query set, score L2 in projected space (integer-exact), per-query
+    window top-k. Same broadcast-score shape as brute force but each
+    comparison is r_dims integer ops instead of ``dim`` float ops — the
+    dimensionality-reduction serving path (recall governed by the JL
+    distortion bound; raise r_dims for tighter rank agreement).
+
+    Returns (query_id, match_id, pdist, rnk) with pdist the exact integer
+    squared L2 distance in projected space.
+    """
+    proj = random_projection_cols(vectors, r_dims, dim, id_col, vec_col)
+    qproj = random_projection_cols(queries, r_dims, dim, id_col, vec_col)
+    qn = qproj.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(f"p{j}").alias(f"q{j}") for j in range(r_dims)],
+    )
+    dist = " + ".join(
+        f"(p{j} - q{j}) * (p{j} - q{j})" for j in range(r_dims)
+    )
+    scored = (
+        proj.crossJoin(F.broadcast(qn))
+        .where(F.col(id_col) != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            f"{id_col} as match_id",
+            f"cast({dist} as bigint) as pdist",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("pdist", "match_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "pdist", "rnk")
+    )

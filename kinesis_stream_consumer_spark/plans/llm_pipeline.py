@@ -1891,3 +1891,229 @@ def sim_lexical_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sim", "rnk")
         .orderBy("doc_a", "rnk")
     )
+
+
+_DUP_NGRAM_K = 5
+_DUP_NGRAM_MIN_DOCS = 2
+
+
+@register(
+    "text_dup_ngram_coverage",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, GREATEST(len(toks)-{_DUP_NGRAM_K - 1}, 1))) AS i
+            FROM tok),
+    sh AS (SELECT DISTINCT doc_id,
+                  concat_ws(' ', {", ".join(f"toks[i+{j}]" for j in range(5)).replace("toks[i+0]", "toks[i]")}) AS shingle
+           FROM pos),
+    g AS (SELECT doc_id, CAST((md5_number_upper(shingle) >> 8) AS BIGINT) AS g FROM sh),
+    dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= {_DUP_NGRAM_MIN_DOCS}),
+    per AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN dup USING (g) GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+           CAST(FLOOR(10000.0 * COALESCE(p.n_dup, 0) / t.n_grams + 0.5) AS BIGINT) AS dup_bp
+    FROM tot t LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Per-document duplicated-n-gram coverage — the bounded aggregate "
+    "form of substring-level dedup (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better'): the share of each "
+    f"document's distinct {_DUP_NGRAM_K}-word shingles that occur in >= "
+    f"{_DUP_NGRAM_MIN_DOCS} documents corpus-wide, in integer basis "
+    "points. Catches documents assembled from text duplicated elsewhere "
+    "even when no single pair crosses a near-dup threshold. Scale shape: "
+    "shingles hash to 56-bit longs map-side and every aggregate/join "
+    "keys on that uniform hash — two slim long-keyed shuffles, no "
+    "pairwise stage at any corpus size (cost O(total shingles), not "
+    "O(docs^2)).",
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        D.duplicated_shingle_coverage(
+            docs, "text", "doc_id", _DUP_NGRAM_K, _DUP_NGRAM_MIN_DOCS
+        )
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _containment_oracle() -> str:
+    bands = " , ".join(
+        f"mh{2*b}::VARCHAR || '#' || mh{2*b+1}::VARCHAR AS b{b}" for b in range(4)
+    )
+    cond = " OR ".join(f"l.b{b} = r.b{b}" for b in range(4))
+    return f"""
+    WITH {_SHINGLE_ROWS},
+    sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (SELECT doc_id, {bands} FROM sigs),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r ON l.doc_id < r.doc_id AND ({cond})
+    ),
+    shsets AS (SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           CAST(len(sa.shset) AS BIGINT) AS n_sh_a,
+           CAST(len(sb.shset) AS BIGINT) AS n_sh_b,
+           ROUND(len(list_intersect(sa.shset, sb.shset))
+                 / GREATEST(LEAST(len(sa.shset), len(sb.shset)), 1), 4)
+             AS containment
+    FROM cand
+    JOIN shsets sa ON sa.doc_id = doc_a
+    JOIN shsets sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_containment",
+    _containment_oracle(),
+    doc="Shingle CONTAINMENT over MinHash-LSH candidates — the asymmetric "
+    "complement to Jaccard: |A∩B| / min(|A|,|B|) is ~1 when a short "
+    "document is quoted inside a long one even though their Jaccard is "
+    "low (large union). The signal for quote/boilerplate-inclusion and "
+    "subset duplication in a training corpus. Identical scale shape to "
+    "dedup_minhash_lsh (band-key equi-join, one shared shingle pass, "
+    "slim band table through the self-join); only the verify metric "
+    "differs, so the 100 TB candidate-bounding story carries over "
+    "unchanged.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_containment_pairs(docs, "text", "doc_id", 3, 2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_MEDIA_CHUNK_BYTES = 64
+_MEDIA_MIN_SHARED = 2
+
+
+@register(
+    "dedup_media_chunks",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, text, LENGTH(text) AS n_bytes FROM documents
+    ),
+    idx AS (
+      SELECT media_id, text,
+             unnest(generate_series(0, n_bytes // {_MEDIA_CHUNK_BYTES} - 1)) AS chunk_index
+      FROM media WHERE n_bytes >= {_MEDIA_CHUNK_BYTES}
+    ),
+    ch AS (
+      SELECT media_id, chunk_index,
+             md5(substring(text, chunk_index * {_MEDIA_CHUNK_BYTES} + 1,
+                           {_MEDIA_CHUNK_BYTES})) AS h
+      FROM idx
+    ),
+    counts AS (SELECT media_id, COUNT(*) AS n_chunks FROM ch GROUP BY media_id),
+    p AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS n_shared
+      FROM ch a JOIN ch b
+        ON a.chunk_index = b.chunk_index AND a.h = b.h
+       AND a.media_id < b.media_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_MEDIA_MIN_SHARED}
+    )
+    SELECT media_a, media_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(ca.n_chunks AS BIGINT) AS n_chunks_a,
+           CAST(cb.n_chunks AS BIGINT) AS n_chunks_b,
+           CAST(FLOOR(10000.0 * n_shared / LEAST(ca.n_chunks, cb.n_chunks) + 0.5)
+                AS BIGINT) AS shared_bp
+    FROM p
+    JOIN counts ca ON ca.media_id = media_a
+    JOIN counts cb ON cb.media_id = media_b
+    ORDER BY media_a, media_b
+    """,
+    doc="Near-duplicate MEDIA pairs by piecewise chunk-hash matching — "
+    "dedup for opaque binary payloads (images/audio as bytes) needing no "
+    f"codec: payloads cut into aligned {_MEDIA_CHUNK_BYTES}-byte chunks, "
+    "md5 per chunk, pairs sharing >= "
+    f"{_MEDIA_MIN_SHARED} aligned chunks flagged with their shared-chunk "
+    "share in basis points. Robust to localized corruption/replacement; "
+    "the production variant swaps aligned slicing for content-defined "
+    "chunk boundaries (FastCDC/ssdeep) with the identical join shape. "
+    "Scale shape: payloads reduce map-side to slim (idx, md5) rows; the "
+    "self-join keys on (chunk_index, chunk_hash) — md5-uniform, so no "
+    "skew and no O(n^2) stage; per-bucket fan-out is bounded by the true "
+    "copy count of each chunk. Documents' text bytes stand in for media "
+    "payloads (same contract as multimodal_media_meta).",
+)
+def dedup_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
+    return M.chunk_signature_pairs(
+        media, _MEDIA_CHUNK_BYTES, _MEDIA_MIN_SHARED
+    ).orderBy("media_a", "media_b")
+
+
+_RP_DIMS = 8
+
+
+def _rp_oracle() -> str:
+    signs = S.random_projection_signs(_RP_DIMS, _DIM)
+    values = ", ".join(
+        f"({j}, {i + 1}, {signs[j][i]})"
+        for j in range(_RP_DIMS)
+        for i in range(_DIM)
+    )
+    return f"""
+    WITH qrows AS (
+      SELECT vec_id, i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {S.RP_SCALE} + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
+    ),
+    signs AS (SELECT * FROM (VALUES {values}) AS v(j, i, s)),
+    proj AS (
+      SELECT vec_id, j, CAST(SUM(qv * s) AS BIGINT) AS p
+      FROM qrows JOIN signs USING (i) GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT qa.vec_id AS query_id, pb.vec_id AS match_id,
+             CAST(SUM((qa.p - pb.p) * (qa.p - pb.p)) AS BIGINT) AS pdist
+      FROM proj qa JOIN proj pb ON qa.j = pb.j AND pb.vec_id != qa.vec_id
+      WHERE qa.vec_id < 10
+      GROUP BY 1, 2
+    )
+    SELECT query_id, match_id, pdist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY pdist, match_id) AS rnk
+      FROM d
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """
+
+
+@register(
+    "sim_random_projection_topk",
+    _rp_oracle(),
+    doc="Johnson-Lindenstrauss random-projection top-k — the dimensionality"
+    "-reduction serving path: embeddings quantize to integer micro-units "
+    f"and project through a deterministic ±1 matrix ({_RP_DIMS}×{_DIM}, "
+    "md5-parity entries, Achlioptas 2003 — no stored model, any engine "
+    "rebuilds it) to 8 integer coordinates; neighbours are scored by "
+    "integer squared L2 in projected space. Projection is map-side only "
+    "(matrix baked into the plan as literals — nothing broadcast, "
+    "nothing shuffled); scoring is the brute-force broadcast-query shape "
+    f"but each comparison is {_RP_DIMS} integer ops instead of {_DIM} "
+    "float ops — an 8× flop cut per pair, and the projected corpus "
+    "(8 longs/row) is what a downstream ANN index would ingest. Integer-"
+    "exact end to end: quantize → ±1 sums → squared diffs all in long "
+    "arithmetic, so the driver hash compare is exact cross-engine.",
+)
+def sim_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: like brute force, the per-row projection + scoring fuses
+    # onto the scan with no exchange below the window top-k.
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.random_projection_topk(emb, queries, _RP_DIMS, 5, _DIM).orderBy(
+        "query_id", "rnk"
+    )

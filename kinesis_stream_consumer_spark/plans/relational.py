@@ -404,6 +404,52 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_time_rollup",
+    """
+    SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL')  AS yr,
+           COALESCE(CAST(mo AS VARCHAR), 'ALL')  AS mo,
+           CAST(COUNT(*) AS BIGINT)              AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM (SELECT EXTRACT(year FROM ts) AS yr, EXTRACT(month FROM ts) AS mo,
+                 value
+          FROM events)
+    GROUP BY ROLLUP (yr, mo)
+    ORDER BY yr, mo
+    """,
+    doc="Time-hierarchy rollup (year → month → grand total) over the "
+    "event stream: the OLAP drill-down cube every metrics dashboard "
+    "issues. One Expand + one hash aggregate + one shuffle for all three "
+    "levels — never one scan per level.",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("yr"), F.month("ts").alias("mo"), "value"
+        )
+        .rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL(18,2) before SUM on both sides: the grand-total row
+            # sums every event, and ROUND(SUM(double)) at a rounding
+            # boundary differs by 1 ulp across partial-aggregate orders
+            # (CLAUDE.md trap; subquery_scalar_small_qty pattern). Exact:
+            # events.value carries exactly 2 decimal digits.
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce(F.col("mo").cast("string"), F.lit("ALL")).alias("mo"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("yr", "mo")
+    )
+
+
 # --- Distinct aggregates ----------------------------------------------------
 
 @register(
@@ -506,52 +552,6 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY grouping_lvl, returnflag, linestatus
         """
-    )
-
-
-@register(
-    "agg_time_rollup",
-    """
-    SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL')  AS yr,
-           COALESCE(CAST(mo AS VARCHAR), 'ALL')  AS mo,
-           CAST(COUNT(*) AS BIGINT)              AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
-    FROM (SELECT EXTRACT(year FROM ts) AS yr, EXTRACT(month FROM ts) AS mo,
-                 value
-          FROM events)
-    GROUP BY ROLLUP (yr, mo)
-    ORDER BY yr, mo
-    """,
-    doc="Time-hierarchy rollup (year → month → grand total) over the "
-    "event stream: the OLAP drill-down cube every metrics dashboard "
-    "issues. One Expand + one hash aggregate + one shuffle for all three "
-    "levels — never one scan per level.",
-)
-def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.select(
-            F.year("ts").alias("yr"), F.month("ts").alias("mo"), "value"
-        )
-        .rollup("yr", "mo")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            # DECIMAL(18,2) before SUM on both sides: the grand-total row
-            # sums every event, and ROUND(SUM(double)) at a rounding
-            # boundary differs by 1 ulp across partial-aggregate orders
-            # (CLAUDE.md trap; subquery_scalar_small_qty pattern). Exact:
-            # events.value carries exactly 2 decimal digits.
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
-            F.coalesce(F.col("mo").cast("string"), F.lit("ALL")).alias("mo"),
-            "n_events",
-            "sum_value",
-        )
-        .orderBy("yr", "mo")
     )
 
 

@@ -16,9 +16,11 @@ from tests.conftest import SF_SMOKE
 
 # Queries whose plan INTENTIONALLY contains a cross join: the brute-force
 # scorer broadcasts a tiny query set against corpus partitions (the
-# documented baseline), and IVF assigns cells by broadcast-scoring against
-# the centroid set. Everything else must be equi-driven.
-CROSS_JOIN_OK = {"sim_topk_bruteforce", "sim_ann_ivf"}
+# documented baseline), IVF assigns cells by broadcast-scoring against
+# the centroid set, and the JL random-projection scorer broadcasts the
+# projected query set (the same shape at 1/8th the per-pair flops).
+# Everything else must be equi-driven.
+CROSS_JOIN_OK = {"sim_topk_bruteforce", "sim_ann_ivf", "sim_random_projection_topk"}
 
 # State-writing queries excluded from the cheap explain pass (they create
 # tables/write state as a side effect of building the DataFrame).

@@ -222,3 +222,70 @@ def test_lexical_sparse_join_is_df_pruned(spark):
     assert max_rare_df is not None and max_rare_df <= cap
     # and the cap actually prunes: some terms exceed it and are dropped
     assert dfs.where(F.col("df") > cap).count() > 0
+
+
+def test_dup_ngram_coverage_shuffles_slim_hashes(spark):
+    """text_dup_ngram_coverage: every aggregate/join keys on the 56-bit
+    gram hash or the doc id — shuffle rows are (long, long)-ish, never
+    shingle strings or document text."""
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        text_dup_ngram_coverage,
+    )
+
+    res = text_dup_ngram_coverage(spark, SF_CORRECT)
+    rows = res.collect()
+    assert len(rows) == N_DOCS
+    assert any(r["n_dup"] > 0 for r in rows), "corpus has duplicated 5-grams"
+    s = shuffle_stats(res)
+    n_grams_total = sum(r["n_grams"] for r in rows)
+    # df-count agg (two phases) + dup-set join + two per-doc aggs: each
+    # stage bounded by total distinct grams
+    assert s["shuffle_records"] <= 8 * n_grams_total
+    per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
+    assert per_row < 80, f"gram-hash shuffle rows should be slim longs, got {per_row:.0f} B/row"
+
+
+def test_media_chunk_pairs_join_on_uniform_hash(spark):
+    """dedup_media_chunks: payloads reduce to (idx, md5) rows before any
+    join; the self-join keys on the chunk hash so per-bucket fan-out is
+    the true copy count, and no payload bytes ride a shuffle."""
+    from kinesis_stream_consumer_spark.operators.multimodal import (
+        as_media,
+        chunk_hash_rows,
+        chunk_signature_pairs,
+    )
+
+    media = as_media(_docs(spark), "doc_id", F.col("text"), "text/plain")
+    n_chunks = chunk_hash_rows(media, 64).count()
+    pairs = chunk_signature_pairs(media, 64, 2)
+    rows = pairs.collect()
+    assert rows, "chunk-identical near-dup media must exist at sf0.01"
+    s = shuffle_stats(pairs)
+    # pair agg + two count joins, all bounded by chunk rows / pair rows —
+    # never by payload bytes (64B chunks hash to 32-char md5 BEFORE the
+    # exchange; generous constant covers the small count/pair tables)
+    assert s["shuffle_records"] <= 6 * n_chunks + 10 * len(rows)
+    per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
+    assert per_row < 150, f"chunk shuffle rows should be slim, got {per_row:.0f} B/row"
+
+
+def test_random_projection_corpus_never_shuffles(spark):
+    """sim_random_projection_topk: projection is map-side (matrix is plan
+    literals); only the per-query top-k window shuffles, carrying 8-long
+    projected rows — the corpus embeddings never cross an exchange."""
+    from kinesis_stream_consumer_spark.operators.similarity import (
+        random_projection_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_corpus = emb.count()
+    queries = emb.where(F.col("vec_id") < 10)
+    res = random_projection_topk(emb, queries, 8, 5)
+    res.collect()
+    s = shuffle_stats(res)
+    # scored rows (corpus × queries) reach the window top-k exchange as
+    # slim (query_id, match_id, pdist) triples; the 64-float embeddings
+    # stay in the scan stage
+    assert s["shuffle_records"] <= 10 * n_corpus + 20
+    per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
+    assert per_row < 60, f"projected rows should be 3 longs, got {per_row:.0f} B/row"
