@@ -654,8 +654,14 @@ class Engine:
         # Size the chain shuffle to the batch: 32 near-empty partitions ×
         # two Python stages is pure scheduling overhead at micro-batch
         # sizes; a big batch still fans out to the session's full shuffle
-        # width (so this is a no-op at cluster scale).
-        n_parts = max(4, min(width, (n_records // 2000) + 1))
+        # width (so this is a no-op at cluster scale). ~500 rows per task:
+        # the exec stage is the batch's dominant CPU (task-tree parse +
+        # user fns + finalise per message, ~0.3-0.5 ms/row), so at 2000
+        # rows/task a 5k micro-batch ran on 4 of 32 cores and the slowest
+        # partition set the batch latency; 500-row tasks keep the stage
+        # wide while each task's ~150-250 ms of row work still dwarfs its
+        # warm-worker Arrow/scheduling cost (~10-20 ms).
+        n_parts = max(4, min(width, (n_records // 500) + 1))
         if cfg.sequencing_required:
             # co-locate each chain, order within partition, stream batches
             executed = (
