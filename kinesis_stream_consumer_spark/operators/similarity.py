@@ -175,6 +175,25 @@ def label_centroids(vectors: DataFrame, vec_col: str = "embedding",
 
 KMEANS_QUANT_SCALE = 1000  # milli-unit quantization: float -> long
 
+# Training-sample sizing: Lloyd iterations see ~this many points per
+# centroid, not the whole corpus. Training k-means on a bounded sample is
+# standard index practice (FAISS warns above ~256 points/centroid that
+# extra data buys nothing; 64 is comfortably above the statistical floor)
+# and is what makes the trainer corpus-size-independent: at 100 TB the
+# iterations touch n/(64k) -th of the rows, while the FINAL assignment
+# still covers every vector. The sample is a deterministic id-modulus so
+# any engine (and the SQL oracle) selects the identical training set.
+TRAIN_POINTS_PER_CENTROID = 64
+
+
+def train_sample_modulus(
+    n_rows: int, k: int, per: int = TRAIN_POINTS_PER_CENTROID
+) -> int:
+    """Modulus s such that training on ``vid % s == 0`` sees ≈ per·k
+    points: s = max(1, n // (per·k)). n comes from table stats (footer
+    metadata locally, catalog/ANALYZE at scale) — no count job."""
+    return max(1, n_rows // (per * k))
+
 
 def quantized_vector_rows(vectors: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
@@ -200,32 +219,44 @@ def kmeans_fit_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     return_model: bool = False,
+    sample_mod: int = 1,
 ):
     """Lloyd k-means over integer-quantized vectors; returns the final
     assignment (vec_id, cell_id, dist) — a TRAINED coarse quantizer for
     IVF (replacing the per-label stand-in), still fully deterministic:
 
-    - init: cells 0..k−1 are the quantized vectors with the k smallest ids
+    - train set: ids with vid % sample_mod == 0 (sample_mod=1 ⇒ full
+      corpus) — the deterministic bounded training sample; the FINAL
+      assignment always covers every vector
+    - init: cells 0..k−1 are the quantized TRAINING vectors with the k
+      smallest ids (vid < k·sample_mod, cell = vid div sample_mod)
     - assign: argmin squared-L2 (exact integer), ties to the lowest cell
     - update: per-component half-up integer mean
       floor((2·Σqx + n) / (2n)) — exact rational arithmetic
 
-    Scale shape per iteration: the corpus rides as (vid, pos, qx) rows,
-    checkpointed once; centroids are k·dim slim rows BROADCAST into a join
-    on pos (a model broadcast, like any trained quantizer); the distance
-    aggregate combines map-side to one row per (vid, cell) and the argmin
-    to one per vid. Nothing driver-side grows with the corpus — only the
-    k·dim centroid model passes through the driver between iterations,
-    exactly what an offline k-means trainer ships to executors."""
+    Scale shape per iteration: the TRAINING rows ride as (vid, pos, qx)
+    rows — n/(sample_mod)-th of the corpus, bounded by the caller via
+    train_sample_modulus; centroids are k·dim slim rows BROADCAST into a
+    join on pos (a model broadcast, like any trained quantizer); the
+    distance aggregate combines map-side to one row per (vid, cell) and
+    the argmin to one per vid. Nothing driver-side grows with the corpus —
+    only the k·dim centroid model passes through the driver between
+    iterations, exactly what an offline k-means trainer ships to
+    executors. The one full-corpus pass is the final assignment."""
     q = quantized_vector_rows(vectors, id_col, vec_col).localCheckpoint(eager=True)
+    qt = q if sample_mod <= 1 else q.where(F.col("vid") % sample_mod == 0)
     cents = (
-        q.where(F.col("vid") < k)
-        .select(F.col("vid").cast("int").alias("cell"), "pos", F.col("qx").alias("qc"))
+        qt.where(F.col("vid") < k * sample_mod)
+        .select(
+            F.expr(f"cast(vid div {sample_mod} as int)").alias("cell"),
+            "pos",
+            F.col("qx").alias("qc"),
+        )
     )
     assigned = None
     for _ in range(n_iter):
         dists = (
-            q.join(F.broadcast(cents), "pos")
+            qt.join(F.broadcast(cents), "pos")
             .groupBy("vid", "cell")
             .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
         )
@@ -235,7 +266,7 @@ def kmeans_fit_quantized(
             .select("vid", F.col("s.cell").alias("cell"), F.col("s.dist").alias("dist"))
         )
         new_cents = (
-            assigned.join(q, "vid")
+            assigned.join(qt, "vid")
             .groupBy("cell", "pos")
             .agg(
                 F.floor(
@@ -555,7 +586,8 @@ def pq_sub_rows(vectors: DataFrame, m: int = 8, dim: int = 64,
 
 def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
            dim: int = 64, id_col: str = "vec_id",
-           vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+           vec_col: str = "embedding",
+           sample_mod: int = 1) -> tuple[DataFrame, DataFrame]:
     """Train all ``m`` per-subspace codebooks in ONE dataflow and encode the
     corpus: returns (codes, codebooks) where codes = (vid, sub, code) —
     m small ints per vector, a 32× compression of a 64-float embedding —
@@ -568,17 +600,24 @@ def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
     map-side combine, argmin per (vid, sub), half-up integer centroid
     update per (sub, cell, pos). One set of stages trains all m codebooks;
     only the m·k·(dim/m) centroid model crosses the driver between
-    iterations. Deterministic: init = the k smallest vids (per subspace),
-    ties to the lowest cell; exact integer arithmetic throughout."""
+    iterations. Deterministic: init = the k smallest TRAINING vids (per
+    subspace; vid % sample_mod == 0, cell = vid div sample_mod), ties to
+    the lowest cell; exact integer arithmetic throughout. Lloyd
+    iterations train on the deterministic id-modulus sample (bounded via
+    train_sample_modulus — corpus-size-independent training cost); the
+    final ENCODE pass covers every vector."""
     q = pq_sub_rows(vectors, m, dim, id_col, vec_col).localCheckpoint(eager=True)
-    cents = q.where(F.col("vid") < k).select(
-        "sub", F.col("vid").cast("int").alias("cell"), "pos",
+    qt = q if sample_mod <= 1 else q.where(F.col("vid") % sample_mod == 0)
+    cents = qt.where(F.col("vid") < k * sample_mod).select(
+        "sub",
+        F.expr(f"cast(vid div {sample_mod} as int)").alias("cell"),
+        "pos",
         F.col("qx").alias("qc"),
     )
 
-    def _assign(c):
+    def _assign(c, rows):
         d = (
-            q.join(F.broadcast(c), ["sub", "pos"])
+            rows.join(F.broadcast(c), ["sub", "pos"])
             .groupBy("vid", "sub", "cell")
             .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
         )
@@ -590,9 +629,9 @@ def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
         )
 
     for _ in range(n_iter):
-        assigned = _assign(cents)
+        assigned = _assign(cents, qt)
         cents = (
-            assigned.join(q, ["vid", "sub"])
+            assigned.join(qt, ["vid", "sub"])
             .groupBy("sub", "cell", "pos")
             .agg(
                 F.floor(
@@ -601,7 +640,7 @@ def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
                 ).cast("long").alias("qc")
             )
         ).localCheckpoint(eager=True)  # m·k·sub_dim model rows per iteration
-    codes = _assign(cents).select("vid", "sub", F.col("cell").alias("code"))
+    codes = _assign(cents, q).select("vid", "sub", F.col("cell").alias("code"))
     return codes, cents
 
 

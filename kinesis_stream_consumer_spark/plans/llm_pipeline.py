@@ -851,6 +851,13 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MODEL_CACHE: dict = {}
 
 
+def _train_mod(sf_dir: str, k: int) -> int:
+    """Deterministic training-sample modulus from table stats (footer row
+    count locally, catalog/ANALYZE at scale) — the Spark-side twin of the
+    oracles' ``GREATEST(1, COUNT(*) // (per·k))`` CTE."""
+    return S.train_sample_modulus(_table_row_count(sf_dir, "embeddings"), k)
+
+
 def _coarse_model(spark: SparkSession, sf_dir: str, k: int | None = None,
                   n_iter: int | None = None):
     k = _KMEANS_K if k is None else k
@@ -859,7 +866,10 @@ def _coarse_model(spark: SparkSession, sf_dir: str, k: int | None = None,
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         emb = _t(spark, sf_dir, "embeddings")
-        fit, cents = S.kmeans_fit_quantized(emb, k, n_iter, return_model=True)
+        fit, cents = S.kmeans_fit_quantized(
+            emb, k, n_iter, return_model=True,
+            sample_mod=_train_mod(sf_dir, k),
+        )
         hit = (fit.localCheckpoint(eager=True), cents)
         _MODEL_CACHE[key] = hit
     return hit
@@ -870,7 +880,10 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         emb = _t(spark, sf_dir, "embeddings")
-        codes, cents = S.pq_fit(emb, _PQ_M, _PQ_K, _PQ_ITER)
+        codes, cents = S.pq_fit(
+            emb, _PQ_M, _PQ_K, _PQ_ITER,
+            sample_mod=_train_mod(sf_dir, _PQ_K),
+        )
         hit = (codes.localCheckpoint(eager=True), cents)
         _MODEL_CACHE[key] = hit
     return hit
@@ -880,29 +893,37 @@ _KMEANS_K = 8
 _KMEANS_ITER = 2
 
 
-def _kmeans_ctes(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
+def _kmeans_ctes(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER,
+                 per_cent: int | None = None) -> str:
     """The Lloyd-iteration CTE chain shared by the sim_kmeans_cells oracle
-    and the trained-IVF oracle: quantize → init from the k smallest ids →
-    n_iter × (distance, argmin-assign, half-up integer centroid update) →
-    final assignment ``fa(vid, cell, dist)``. One CTE pair per iteration,
-    generated so Spark and SQL are provably the same computation. All
-    arithmetic is integer-exact (see operators.similarity
-    .kmeans_fit_quantized), so downstream consumers hash-check a TRAINED
-    clustering, not a float coincidence."""
+    and the trained-IVF oracle: quantize → deterministic id-modulus
+    training sample (``sm.s = GREATEST(1, COUNT(*) // (per_cent·k))`` —
+    the SQL twin of operators.similarity.train_sample_modulus) → init
+    from the k smallest TRAINING ids → n_iter × (distance, argmin-assign,
+    half-up integer centroid update) over the sample → final assignment
+    ``fa(vid, cell, dist)`` over the FULL corpus. One CTE pair per
+    iteration, generated so Spark and SQL are provably the same
+    computation. All arithmetic is integer-exact (see
+    operators.similarity.kmeans_fit_quantized), so downstream consumers
+    hash-check a TRAINED clustering, not a float coincidence."""
     sc = S.KMEANS_QUANT_SCALE
+    per = S.TRAIN_POINTS_PER_CENTROID if per_cent is None else per_cent
     parts = [
         f"""q AS (
       SELECT vec_id AS vid, i - 1 AS pos,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {sc} + 0.5) AS BIGINT) AS qx
       FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
     ),
-    c0 AS (SELECT CAST(vid AS INT) AS cell, pos, qx AS qc FROM q WHERE vid < {k})"""
+    sm AS (SELECT GREATEST(1, COUNT(*) // {per * k}) AS s FROM embeddings),
+    qt AS (SELECT q.* FROM q, sm WHERE q.vid % sm.s = 0),
+    c0 AS (SELECT CAST(q.vid // sm.s AS INT) AS cell, q.pos, q.qx AS qc
+           FROM q, sm WHERE q.vid % sm.s = 0 AND q.vid < {k} * sm.s)"""
     ]
     prev = "c0"
     for it in range(1, n_iter + 1):
         parts.append(f"""d{it} AS (
       SELECT q.vid, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
-      FROM q JOIN {prev} c ON c.pos = q.pos GROUP BY q.vid, c.cell
+      FROM qt q JOIN {prev} c ON c.pos = q.pos GROUP BY q.vid, c.cell
     ),
     a{it} AS (
       SELECT vid, cell, dist FROM (
@@ -912,7 +933,7 @@ def _kmeans_ctes(k: int = _KMEANS_K, n_iter: int = _KMEANS_ITER) -> str:
     u{it} AS (
       SELECT a.cell, q.pos,
              CAST(FLOOR((2 * SUM(q.qx) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS qc
-      FROM a{it} a JOIN q USING (vid) GROUP BY a.cell, q.pos
+      FROM a{it} a JOIN qt q USING (vid) GROUP BY a.cell, q.pos
     )""")
         prev = f"u{it}"
     joined = ",\n    ".join(parts)
@@ -1041,13 +1062,16 @@ _PQ_RERANK = 40
 
 
 def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
-             p: str = "") -> str:
+             p: str = "", per_cent: int | None = None) -> str:
     """CTE chain mirroring operators.similarity.pq_fit: quantized subspace
-    rows → per-subspace Lloyd iterations (the subspace id rides as a key,
-    so ONE chain trains all m codebooks, exactly like the Spark dataflow)
-    → final code assignment ``fa(vid, sub, cell)`` and trained codebooks
+    rows → deterministic id-modulus training sample (``{p}sm``, the SQL
+    twin of train_sample_modulus) → per-subspace Lloyd iterations over
+    the sample (the subspace id rides as a key, so ONE chain trains all m
+    codebooks, exactly like the Spark dataflow) → final FULL-corpus code
+    assignment ``fa(vid, sub, cell)`` and trained codebooks
     ``u{n_iter}(sub, cell, pos, qc)``. All integer-exact."""
     sc = S.KMEANS_QUANT_SCALE
+    per = S.TRAIN_POINTS_PER_CENTROID if per_cent is None else per_cent
     sub_dim = _DIM // m
     parts = [
         f"""{p}q AS (
@@ -1056,14 +1080,16 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {sc} + 0.5) AS BIGINT) AS qx
       FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
     ),
-    {p}c0 AS (SELECT sub, CAST(vid AS INT) AS cell, pos, qx AS qc
-           FROM {p}q WHERE vid < {k})"""
+    {p}sm AS (SELECT GREATEST(1, COUNT(*) // {per * k}) AS s FROM embeddings),
+    {p}qt AS (SELECT q.* FROM {p}q q, {p}sm sm WHERE q.vid % sm.s = 0),
+    {p}c0 AS (SELECT q.sub, CAST(q.vid // sm.s AS INT) AS cell, q.pos, q.qx AS qc
+           FROM {p}q q, {p}sm sm WHERE q.vid % sm.s = 0 AND q.vid < {k} * sm.s)"""
     ]
     prev = f"{p}c0"
     for it in range(1, n_iter + 1):
         parts.append(f"""{p}d{it} AS (
       SELECT q.vid, q.sub, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
-      FROM {p}q q JOIN {prev} c ON c.sub = q.sub AND c.pos = q.pos
+      FROM {p}qt q JOIN {prev} c ON c.sub = q.sub AND c.pos = q.pos
       GROUP BY q.vid, q.sub, c.cell
     ),
     {p}a{it} AS (
@@ -1075,7 +1101,7 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
     {p}u{it} AS (
       SELECT a.sub, a.cell, q.pos,
              CAST(FLOOR((2 * SUM(q.qx) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS qc
-      FROM {p}a{it} a JOIN {p}q q ON q.vid = a.vid AND q.sub = a.sub
+      FROM {p}a{it} a JOIN {p}qt q ON q.vid = a.vid AND q.sub = a.sub
       GROUP BY a.sub, a.cell, q.pos
     )""")
         prev = f"{p}u{it}"
