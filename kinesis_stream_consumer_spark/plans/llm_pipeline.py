@@ -2143,3 +2143,78 @@ def sim_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.random_projection_topk(emb, queries, _RP_DIMS, 5, _DIM).orderBy(
         "query_id", "rnk"
     )
+
+
+def _recall_eval_oracle() -> str:
+    """Nests the brute-force and random-projection oracles as subqueries
+    (trailing ORDER BY stripped — a subquery's order is meaningless)."""
+    bf = QUERIES["sim_topk_bruteforce"].oracle.rsplit("ORDER BY", 1)[0]
+    rp = QUERIES["sim_random_projection_topk"].oracle.rsplit("ORDER BY", 1)[0]
+    return f"""
+    WITH bf AS (
+      SELECT query_id, match_id FROM (
+        {bf}
+      )
+    ),
+    rp AS (
+      SELECT query_id, match_id FROM (
+        {rp}
+      )
+    ),
+    hits AS (
+      SELECT b.query_id, COUNT(*) AS n_hits
+      FROM bf b JOIN rp r ON r.query_id = b.query_id
+                         AND r.match_id = b.match_id
+      GROUP BY b.query_id
+    ),
+    denom AS (SELECT query_id, COUNT(*) AS n_exact FROM bf GROUP BY query_id)
+    SELECT d.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(d.n_exact AS BIGINT) AS n_exact,
+           CAST(FLOOR(10000.0 * COALESCE(h.n_hits, 0) / d.n_exact + 0.5)
+                AS BIGINT) AS recall_bp
+    FROM denom d LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@register(
+    "sim_ann_recall_eval",
+    _recall_eval_oracle(),
+    doc="ANN index-quality evaluation: per-query recall@5 of the JL "
+    "random-projection index against exact brute-force cosine — the "
+    "measurement loop every production ANN deployment runs before "
+    "trusting an index (FAISS's recall-vs-nprobe curves). Composes the "
+    "two registered queries (the Spark side calls the query fns — the "
+    "projected index reuses its plan; the oracle nests their SQL), joins "
+    "the two top-5 sets on (query, match) and reports hit counts in "
+    "integer basis points. Scale shape: both sides are top-k-per-query "
+    "frames (|queries|·k rows), so the eval join/aggregate is bounded by "
+    "the query workload, never the corpus.",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = QUERIES["sim_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "match_id"
+    )
+    rp = QUERIES["sim_random_projection_topk"].fn(spark, sf_dir).select(
+        "query_id", "match_id"
+    )
+    hits = bf.join(rp, ["query_id", "match_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    denom = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        denom.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.floor(
+                10000.0 * F.coalesce("n_hits", F.lit(0)) / F.col("n_exact")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )

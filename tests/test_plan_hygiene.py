@@ -20,7 +20,12 @@ from tests.conftest import SF_SMOKE
 # the centroid set, and the JL random-projection scorer broadcasts the
 # projected query set (the same shape at 1/8th the per-pair flops).
 # Everything else must be equi-driven.
-CROSS_JOIN_OK = {"sim_topk_bruteforce", "sim_ann_ivf", "sim_random_projection_topk"}
+CROSS_JOIN_OK = {
+    "sim_topk_bruteforce",
+    "sim_ann_ivf",
+    "sim_random_projection_topk",
+    "sim_ann_recall_eval",  # composes the two broadcast scorers above
+}
 
 # State-writing queries excluded from the cheap explain pass (they create
 # tables/write state as a side effect of building the DataFrame).
