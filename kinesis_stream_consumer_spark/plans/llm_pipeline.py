@@ -524,7 +524,13 @@ def _minhash_lsh_oracle() -> str:
     "the 100 TB dedup path.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # rebalance: the pipeline CHECKPOINTS the shingle sets, so a
+    # single-row-group scan's 1-partition layout would be frozen into the
+    # checkpoint and every downstream stage (signature agg, band join,
+    # Jaccard verify) stays single-task — unlike pure-aggregate paths
+    # where the first exchange restores parallelism (A/B: 1.65s vs 1.86s
+    # median at sf0.1).
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     return D.minhash_lsh_candidate_pairs(docs, "text", "doc_id", 3, 2).orderBy(
         "doc_a", "doc_b"
     )
@@ -1957,7 +1963,10 @@ _DUP_NGRAM_MIN_DOCS = 2
     "O(docs^2)).",
 )
 def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # rebalance: the (doc, gram-hash) rows are checkpointed and re-read by
+    # three downstream aggregates — a 1-partition checkpoint would pin
+    # them all single-task (A/B 1.17s vs 1.81s median at sf0.1)
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     return (
         D.duplicated_shingle_coverage(
             docs, "text", "doc_id", _DUP_NGRAM_K, _DUP_NGRAM_MIN_DOCS
@@ -2011,7 +2020,9 @@ def _containment_oracle() -> str:
     "unchanged.",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # rebalance: checkpoints the shingle sets (same rationale as
+    # dedup_minhash_lsh; A/B 1.29s vs 2.10s median at sf0.1)
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     return D.minhash_lsh_containment_pairs(docs, "text", "doc_id", 3, 2).orderBy(
         "doc_a", "doc_b"
     )
