@@ -53,6 +53,12 @@ def main() -> None:
         "ts_profile_similarity",
         "text_boilerplate_segments",
         "sim_lexical_sparse_topk",
+        "text_dup_ngram_coverage",
+        "dedup_containment",
+        "dedup_media_chunks",
+        "sim_random_projection_topk",
+        "sim_ann_recall_eval",
+        "events_sessionize",
     ]
     sections = [HEADER]
     for name in names:
