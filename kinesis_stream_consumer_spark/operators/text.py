@@ -196,3 +196,78 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     paths prefer dedup.shingle_sets, which materializes the token array
     first (linear time — see shingles_from_tokens)."""
     return shingles_from_tokens(tokens(text), k)
+
+
+def cms_token_estimates(
+    df,
+    text_col: str,
+    width: int = 256,
+    depth: int = 4,
+    top_n: int = 20,
+):
+    """Count–Min-Sketch heavy-hitter estimation over token occurrences:
+    build a depth×width CMS (md5-salted bucket rows, counts per
+    (depth, bucket)) and report, for the exact top-``top_n`` tokens, the
+    exact count next to the sketch estimate (min over depths of the
+    token's bucket counts) and the overestimate in basis points.
+
+    The sketch is the bounded-memory path for frequency queries at scale:
+    its size is depth·width counters REGARDLESS of vocabulary, so where a
+    full token count needs a vocabulary-sized shuffle, the sketch
+    aggregate reduces to ≤ depth·width rows with map-side combine — the
+    standard streaming/heavy-hitter trade (Cormode & Muthukrishnan 2005).
+    Estimates only ever OVERcount (collisions add), which the output
+    makes visible per token. All hashing is md5 (cross-engine exact); no
+    randomness, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+
+    def bucket(d):
+        return (md5_u56_le(F.concat(F.lit(f"{d}|"), F.col("tok"))) % width).alias(
+            f"b{d}"
+        )
+
+    bkt = toks.select("tok", *[bucket(d) for d in range(depth)])
+    pairs = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("b"))
+            for d in range(depth)
+        ]
+    )
+    sketch = (
+        bkt.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    # orderBy+limit plans as TakeOrderedAndProject (distributed top-N) —
+    # a global row_number window would drag the whole vocabulary through
+    # one partition
+    top = exact.orderBy(F.col("exact_count").desc(), "tok").limit(top_n)
+    tb = top.select(
+        "tok", "exact_count", *[bucket(d) for d in range(depth)]
+    ).select(
+        "tok", "exact_count", F.explode(pairs).alias("p")
+    ).select("tok", "exact_count", F.col("p.d").alias("d"), F.col("p.b").alias("b"))
+    est = (
+        tb.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        F.floor(
+            10000.0
+            * (F.col("cms_estimate") - F.col("exact_count"))
+            / F.col("exact_count")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("overest_bp"),
+    )

@@ -2229,3 +2229,70 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_CMS_WIDTH = 32
+_CMS_DEPTH = 4
+_CMS_TOP = 20
+
+
+@register(
+    "text_heavy_hitters_cms",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    dd AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d),
+    bkt AS (
+      SELECT tok, d,
+             CAST((md5_number_upper(CAST(d AS VARCHAR) || '|' || tok) >> 8)
+                  % {_CMS_WIDTH} AS BIGINT) AS b
+      FROM toks CROSS JOIN dd
+    ),
+    sketch AS (SELECT d, b, COUNT(*) AS c FROM bkt GROUP BY 1, 2),
+    exact AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, exact_count FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY exact_count DESC, tok) AS rn
+        FROM exact) WHERE rn <= {_CMS_TOP}
+    ),
+    tb AS (
+      SELECT t.tok, t.exact_count, dd.d,
+             CAST((md5_number_upper(CAST(dd.d AS VARCHAR) || '|' || t.tok) >> 8)
+                  % {_CMS_WIDTH} AS BIGINT) AS b
+      FROM top t CROSS JOIN dd
+    ),
+    est AS (
+      SELECT tb.tok, tb.exact_count, MIN(s.c) AS cms_estimate
+      FROM tb JOIN sketch s ON s.d = tb.d AND s.b = tb.b
+      GROUP BY 1, 2
+    )
+    SELECT tok AS token,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(FLOOR(10000.0 * (cms_estimate - exact_count) / exact_count + 0.5)
+                AS BIGINT) AS overest_bp
+    FROM est
+    ORDER BY exact_count DESC, token
+    """,
+    doc="Count–Min-Sketch heavy hitters — the bounded-memory frequency "
+    f"sketch (Cormode & Muthukrishnan 2005): a {_CMS_DEPTH}×{_CMS_WIDTH} "
+    "counter array over md5-salted token buckets, estimate = min over "
+    "depths of the token's bucket counts, reported for the exact "
+    f"top-{_CMS_TOP} tokens next to their true counts with the "
+    "overestimate in basis points (CMS only ever OVERcounts — collisions "
+    "add; the output makes the error visible). The 100 TB story is the "
+    "sketch aggregate's size: depth·width counters REGARDLESS of "
+    "vocabulary, with map-side combine, where an exact vocabulary count "
+    "shuffles one row per distinct token — the trade every streaming "
+    "frequency pipeline makes. Deterministic md5 salts, integer-exact "
+    "end to end; the exact top-N side plans as TakeOrderedAndProject "
+    "(distributed top-N, no global window). Width 32 is sized DOWN to "
+    "the driver corpus's 31-token synthetic vocabulary so collisions "
+    "(the sketch's defining error mode) actually occur and get "
+    "checked; production widths are ≫ the heavy-hitter count and the "
+    "knob changes nothing structural.",
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.cms_token_estimates(
+        docs, "text", _CMS_WIDTH, _CMS_DEPTH, _CMS_TOP
+    ).orderBy(F.col("exact_count").desc(), "token")

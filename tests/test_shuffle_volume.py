@@ -289,3 +289,32 @@ def test_random_projection_corpus_never_shuffles(spark):
     assert s["shuffle_records"] <= 10 * n_corpus + 20
     per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
     assert per_row < 60, f"projected rows should be 3 longs, got {per_row:.0f} B/row"
+
+
+def test_cms_sketch_shuffle_bounded_by_sketch_size(spark):
+    """text_heavy_hitters_cms: the sketch aggregate's post-combine shuffle
+    is bounded by depth×width counters plus the (small) vocabulary rows of
+    the exact side — NEVER by token occurrences (map-side combine must
+    hold or the sketch loses its entire reason to exist)."""
+    from kinesis_stream_consumer_spark.operators.text import (
+        cms_token_estimates,
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    n_occurrences = docs.select(
+        F.explode(tokens(F.col("text"))).alias("t")
+    ).count()
+    res = cms_token_estimates(docs, "text", 32, 4, 20)
+    rows = res.collect()
+    assert len(rows) == 20
+    assert any(r["overest_bp"] > 0 for r in rows), "width 32 must collide"
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
+    s = shuffle_stats(res)
+    # sketch (≤ 4·32·partitions partials) + exact vocab + top-N + estimate
+    # join: all orders of magnitude below occurrence count
+    assert s["shuffle_records"] < n_occurrences / 10, (
+        f"sketch shuffle {s['shuffle_records']} rows vs {n_occurrences} "
+        "occurrences — map-side combine broken"
+    )
