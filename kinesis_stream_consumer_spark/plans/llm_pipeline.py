@@ -2296,3 +2296,63 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.cms_token_estimates(
         docs, "text", _CMS_WIDTH, _CMS_DEPTH, _CMS_TOP
     ).orderBy(F.col("exact_count").desc(), "token")
+
+
+def _blocked_lsh_oracle() -> str:
+    bands = " , ".join(
+        f"mh{2*b}::VARCHAR || '#' || mh{2*b+1}::VARCHAR || '#' || d.lang AS b{b}"
+        for b in range(4)
+    )
+    cond = " OR ".join(f"l.b{b} = r.b{b}" for b in range(4))
+    return f"""
+    WITH {_SHINGLE_ROWS},
+    sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT s.doc_id, d.lang, {bands}
+      FROM sigs s JOIN documents d USING (doc_id)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.lang
+      FROM banded l JOIN banded r ON l.doc_id < r.doc_id AND ({cond})
+    ),
+    shsets AS (SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b, lang,
+           ROUND(len(list_intersect(sa.shset, sb.shset))
+                 / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1), 4)
+             AS jaccard_sim
+    FROM cand
+    JOIN shsets sa ON sa.doc_id = doc_a
+    JOIN shsets sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh_blocked",
+    _blocked_lsh_oracle(),
+    doc="Language-BLOCKED MinHash-LSH near-dup pairs — the practical "
+    "production variant: the blocking key (lang) folds into every band "
+    "key, so only same-language documents can ever collide, WITHOUT the "
+    "block becoming a join bucket by itself (a 4-language corpus must "
+    "not degenerate into 4 all-pairs products — the join still keys on "
+    "the band hash, and the block only refines it). Cuts candidate "
+    "volume and removes the classic cross-language false-collision "
+    "class; identical scale shape to dedup_minhash_lsh otherwise. Each "
+    "emitted pair carries its language for downstream per-language "
+    "dedup accounting.",
+)
+def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: checkpoints the shingle sets (dedup_minhash_lsh rationale)
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.minhash_lsh_candidate_pairs(
+        docs, "text", "doc_id", 3, 2, block_col="lang"
+    )
+    lang = docs.select(F.col("doc_id").alias("doc_a"), "lang")
+    return (
+        pairs.join(lang, "doc_a")
+        .select("doc_a", "doc_b", "lang", "jaccard_sim")
+        .orderBy("doc_a", "doc_b")
+    )

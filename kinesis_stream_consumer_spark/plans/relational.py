@@ -181,47 +181,6 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "subquery_exists_late_ship",
-    """
-    SELECT o.o_orderpriority, COUNT(*) AS n_orders
-    FROM orders o
-    WHERE o.o_orderdate >= DATE '1995-01-01'
-      AND o.o_orderdate < DATE '1995-07-01'
-      AND EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
-      )
-    GROUP BY o.o_orderpriority
-    ORDER BY o.o_orderpriority
-    """,
-    doc="Correlated EXISTS subquery (TPC-H Q4 shape, adapted to the "
-    "available columns): orders in a window with at least one lineitem "
-    "shipped after the order date, counted per priority. Catalyst rewrites "
-    "the correlated EXISTS into a LEFT SEMI hash join on l_orderkey with "
-    "the date comparison as the join residual — one shuffle keyed on "
-    "orderkey, the date filter pushed into both scans; exactly the plan "
-    "you'd hand-write, derived from the declarative form.",
-)
-def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql(
-        """
-        SELECT o.o_orderpriority, COUNT(*) AS n_orders
-        FROM v_orders o
-        WHERE o.o_orderdate >= DATE '1995-01-01'
-          AND o.o_orderdate < DATE '1995-07-01'
-          AND EXISTS (
-            SELECT 1 FROM v_lineitem l
-            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
-          )
-        GROUP BY o.o_orderpriority
-        ORDER BY o.o_orderpriority
-        """
-    )
-
-
-@register(
     "subquery_scalar_small_qty",
     """
     SELECT p.p_brand,
@@ -421,6 +380,47 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "subquery_exists_late_ship",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Correlated EXISTS subquery (TPC-H Q4 shape, adapted to the "
+    "available columns): orders in a window with at least one lineitem "
+    "shipped after the order date, counted per priority. Catalyst rewrites "
+    "the correlated EXISTS into a LEFT SEMI hash join on l_orderkey with "
+    "the date comparison as the join residual — one shuffle keyed on "
+    "orderkey, the date filter pushed into both scans; exactly the plan "
+    "you'd hand-write, derived from the declarative form.",
+)
+def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM v_orders o
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1995-07-01'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
     )
 
 
