@@ -198,6 +198,31 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), k)
 
 
+def cms_bucket_rows(df, text_col: str, width: int = 256, depth: int = 4):
+    """(tok, d, b) rows — one row per token occurrence per sketch depth,
+    with b the md5-salted bucket. The pre-aggregation layout shared by the
+    batch sketch and the STREAMING sketch (a streaming groupBy(d, b) count
+    over these rows maintains the CMS incrementally across micro-batches —
+    sketches are linear, so the merged counters equal the batch sketch)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_u56_le(F.concat(F.lit(f"{d}|"), F.col("tok"))) % width).alias("b"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return toks.select("tok", F.explode(pairs).alias("p")).select(
+        "tok", F.col("p.d").alias("d"), F.col("p.b").alias("b")
+    )
+
+
 def cms_token_estimates(
     df,
     text_col: str,
@@ -231,17 +256,14 @@ def cms_token_estimates(
             f"b{d}"
         )
 
-    bkt = toks.select("tok", *[bucket(d) for d in range(depth)])
     pairs = F.array(
         *[
             F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("b"))
             for d in range(depth)
         ]
     )
-    sketch = (
-        bkt.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.d").alias("d"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    sketch = cms_bucket_rows(df, text_col, width, depth).groupBy("d", "b").agg(
+        F.count(F.lit(1)).alias("c")
     )
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     # orderBy+limit plans as TakeOrderedAndProject (distributed top-N) —

@@ -582,3 +582,54 @@ def test_streaming_incremental_corpus_dedup(spark, tmp_path):
     assert out.where(F.col("doc_id") >= 100000).count() == len(
         {t for _, t in rows[40:60]} - {t for _, t in rows[:40]}
     )
+
+
+def test_streaming_cms_sketch_matches_batch(spark, tmp_path):
+    """Incremental Count-Min-Sketch maintenance under Structured
+    Streaming: the sketch is a LINEAR aggregate (counters add), so a
+    streaming groupBy(d, bucket) count over micro-batched documents must
+    end exactly equal to the batch sketch over the same corpus — the
+    property that lets a 100 TB pipeline keep live frequency estimates
+    without ever recounting the corpus."""
+    from kinesis_stream_consumer_spark.operators.text import cms_bucket_rows
+
+    docs = _t(spark, SF_SMOKE, "documents")
+    # three micro-batches of documents
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).json(str(tmp_path / "in"))
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    sketch_stream = (
+        cms_bucket_rows(stream, "text", 32, 4)
+        .groupBy("d", "b")
+        .count()
+    )
+    q = (
+        sketch_stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_sketch")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["d"], r["b"]): r["count"]
+        for r in spark.sql("SELECT * FROM cms_sketch").collect()
+    }
+    batch = {
+        (r["d"], r["b"]): r["c"]
+        for r in cms_bucket_rows(docs, "text", 32, 4)
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert streamed == batch
+    assert len(batch) <= 4 * 32  # sketch stays sketch-sized
