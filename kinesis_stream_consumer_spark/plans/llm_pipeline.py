@@ -2356,3 +2356,95 @@ def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "lang", "jaccard_sim")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "sim_label_centroid_matrix",
+    f"""
+    WITH rows_q AS (
+      SELECT label, i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {S.KMEANS_QUANT_SCALE} + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(FLOOR((2 * SUM(qx) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS qc
+      FROM rows_q GROUP BY label, pos
+    ),
+    nrm AS (SELECT label, SUM(qc * qc) AS n2 FROM cent GROUP BY label),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(a.qc * b.qc) AS BIGINT) AS dp
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(dp / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
+             AS cosine_sim
+    FROM dots
+    JOIN nrm na ON na.label = label_a
+    JOIN nrm nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+    doc="Per-group embedding centroid similarity matrix — the corpus "
+    "analytics behind domain-mixture design: each label's integer "
+    "half-up-mean centroid (the k-means update rule reused as an "
+    "aggregate), then pairwise cosine between the k centroids. Scale "
+    "shape: the corpus reduces map-side to (label, pos) integer sums — "
+    "one slim shuffle bounded by k·dim regardless of corpus size — and "
+    "the pairwise stage touches only the k×dim centroid table (k(k−1)/2 "
+    "pairs of 64-int vectors, trivially small at any corpus scale). "
+    "Integer-exact up to the final cosine, whose sqrt/divide are "
+    "IEEE-deterministic single ops, ROUNDed identically on both sides.",
+)
+def sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x") * S.KMEANS_QUANT_SCALE + 0.5).cast("long").alias("qx"),
+    )
+    cent = rows.groupBy("label", "pos").agg(
+        F.floor(
+            (2 * F.sum("qx") + F.count(F.lit(1))) / (2 * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("qc")
+    )
+    nrm = cent.groupBy("label").agg(F.sum(F.col("qc") * F.col("qc")).alias("n2"))
+    dots = (
+        cent.alias("a")
+        .join(
+            cent.alias("b"),
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.qc") * F.col("b.qc")).cast("long").alias("dp"))
+    )
+    return (
+        dots.join(nrm.withColumnRenamed("label", "label_a"), "label_a")
+        .withColumnRenamed("n2", "na2")
+        .join(nrm.withColumnRenamed("label", "label_b"), "label_b")
+        .withColumnRenamed("n2", "nb2")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dp")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )

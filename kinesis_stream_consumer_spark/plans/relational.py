@@ -181,48 +181,6 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "subquery_scalar_small_qty",
-    """
-    SELECT p.p_brand,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 2, 2) AS DOUBLE) AS avg_halfyear_revenue
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
-      AND l.l_quantity < (
-        SELECT 0.5 * AVG(l2.l_quantity)
-        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
-      )
-    GROUP BY p.p_brand
-    ORDER BY p.p_brand
-    """,
-    doc="Correlated SCALAR subquery (TPC-H Q17 shape): lineitems whose "
-    "quantity is below half their part's average, revenue per brand. "
-    "Catalyst de-correlates to a per-partkey average aggregate joined back "
-    "on l_partkey — the subquery becomes one slim (partkey, avg) shuffle "
-    "instead of a per-row re-scan, and the brand filter broadcasts the "
-    "part side.",
-)
-def subquery_scalar_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
-    return spark.sql(
-        """
-        SELECT p.p_brand,
-               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 2, 2) AS DOUBLE) AS avg_halfyear_revenue
-        FROM v_lineitem l
-        JOIN v_part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand IN ('Brand#1', 'Brand#2')
-          AND l.l_quantity < (
-            SELECT 0.5 * AVG(l2.l_quantity)
-            FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey
-          )
-        GROUP BY p.p_brand
-        ORDER BY p.p_brand
-        """
-    )
-
-
-@register(
     "agg_time_rollup",
     """
     SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL')  AS yr,
@@ -420,6 +378,48 @@ def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "subquery_scalar_small_qty",
+    """
+    SELECT p.p_brand,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 2, 2) AS DOUBLE) AS avg_halfyear_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+      AND l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    doc="Correlated SCALAR subquery (TPC-H Q17 shape): lineitems whose "
+    "quantity is below half their part's average, revenue per brand. "
+    "Catalyst de-correlates to a per-partkey average aggregate joined back "
+    "on l_partkey — the subquery becomes one slim (partkey, avg) shuffle "
+    "instead of a per-row re-scan, and the brand filter broadcasts the "
+    "part side.",
+)
+def subquery_scalar_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 2, 2) AS DOUBLE) AS avg_halfyear_revenue
+        FROM v_lineitem l
+        JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+          AND l.l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity)
+            FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
         """
     )
 
