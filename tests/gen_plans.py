@@ -59,6 +59,9 @@ def main() -> None:
         "sim_random_projection_topk",
         "sim_ann_recall_eval",
         "events_sessionize",
+        "text_heavy_hitters_cms",
+        "dedup_minhash_lsh_blocked",
+        "sim_label_centroid_matrix",
     ]
     sections = [HEADER]
     for name in names:
