@@ -2292,7 +2292,11 @@ _CMS_TOP = 20
     "knob changes nothing structural.",
 )
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # rebalance: depth md5s per token occurrence all run BEFORE the sketch
+    # aggregate's exchange (partial combine means the map side does the
+    # hashing) — on a single-row-group scan that pins the whole hash
+    # volume to one task (A/B 2.15s vs 6.90s median at sf0.1)
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     return T.cms_token_estimates(
         docs, "text", _CMS_WIDTH, _CMS_DEPTH, _CMS_TOP
     ).orderBy(F.col("exact_count").desc(), "token")
