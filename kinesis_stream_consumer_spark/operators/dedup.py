@@ -212,6 +212,7 @@ def minhash_lsh_candidate_pairs(
     rows_per_band: int = 2,
     block_col: str | None = None,
     threshold: float | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash-LSH banding.
 
@@ -226,8 +227,13 @@ def minhash_lsh_candidate_pairs(
     band-key component rather than a block-wide join — the block never
     becomes a join bucket by itself, so a 4-language corpus does NOT
     degenerate into 4 all-pairs products. ``threshold`` keeps only pairs
-    with exact Jaccard ≥ threshold.
+    with exact metric ≥ threshold. ``measure`` selects the verify metric:
+    "jaccard" (default; |A∩B|/|A∪B| as ``jaccard_sim``) or "containment"
+    (|A∩B|/min(|A|,|B|) as ``containment`` plus both set sizes — the
+    asymmetric quote/subset-duplication signal).
     """
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure {measure!r}")
     # ONE shingle pass for the whole pipeline: the checkpointed sets feed
     # the signature aggregate AND both sides of the exact-Jaccard verify —
     # tokenization is the dominant map cost and would otherwise run twice.
@@ -257,19 +263,29 @@ def minhash_lsh_candidate_pairs(
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    # Verify each unique pair exactly once with true shingle Jaccard,
+    # Verify each unique pair exactly once with the true shingle metric,
     # reading both sides from the same checkpointed sets.
+    if measure == "jaccard":
+        metric_cols = [
+            jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias("jaccard_sim")
+        ]
+        metric_name = "jaccard_sim"
+    else:
+        metric_cols = [
+            F.size(F.col("sa.shingles")).cast("long").alias("n_sh_a"),
+            F.size(F.col("sb.shingles")).cast("long").alias("n_sh_b"),
+            containment(F.col("sa.shingles"), F.col("sb.shingles")).alias(
+                "containment"
+            ),
+        ]
+        metric_name = "containment"
     verified = (
         pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
         .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
-        .select(
-            "doc_a",
-            "doc_b",
-            jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias("jaccard_sim"),
-        )
+        .select("doc_a", "doc_b", *metric_cols)
     )
     if threshold is not None:
-        verified = verified.where(F.col("jaccard_sim") >= threshold)
+        verified = verified.where(F.col(metric_name) >= threshold)
     return verified
 
 
@@ -292,49 +308,24 @@ def minhash_lsh_containment_pairs(
     id_col: str,
     k: int = 3,
     rows_per_band: int = 2,
+    block_col: str | None = None,
     threshold: float | None = None,
 ) -> DataFrame:
     """Candidate pairs via the same MinHash-LSH banding as
     minhash_lsh_candidate_pairs, verified with exact shingle CONTAINMENT
-    instead of Jaccard. Identical scale shape (band-key equi-join, one
-    shingle pass, slim band table); only the verify metric differs.
+    instead of Jaccard — a thin wrapper over the shared pipeline
+    (``measure="containment"``), so banding fixes and the block_col
+    support apply to both metrics automatically.
 
     Candidate generation is still Jaccard-biased (MinHash collision
     probability tracks Jaccard, so an extreme needle-in-haystack quote may
     not collide); for the near-dup range LSH targets, containment re-ranks
     what banding surfaces.
     """
-    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
-    banded = minhash_band_rows(
-        minhash_signatures_from_sets(shsets), rows_per_band
-    ).localCheckpoint(eager=True)
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
-        .distinct()
+    return minhash_lsh_candidate_pairs(
+        df, text_col, id_col, k, rows_per_band, block_col, threshold,
+        measure="containment",
     )
-    verified = (
-        pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
-        .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.col("sa.shingles")).cast("long").alias("n_sh_a"),
-            F.size(F.col("sb.shingles")).cast("long").alias("n_sh_b"),
-            containment(F.col("sa.shingles"), F.col("sb.shingles")).alias(
-                "containment"
-            ),
-        )
-    )
-    if threshold is not None:
-        verified = verified.where(F.col("containment") >= threshold)
-    return verified
 
 
 def duplicated_shingle_coverage(

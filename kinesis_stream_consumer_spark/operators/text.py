@@ -198,18 +198,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), k)
 
 
-def cms_bucket_rows(df, text_col: str, width: int = 256, depth: int = 4):
-    """(tok, d, b) rows — one row per token occurrence per sketch depth,
-    with b the md5-salted bucket. The pre-aggregation layout shared by the
-    batch sketch and the STREAMING sketch (a streaming groupBy(d, b) count
-    over these rows maintains the CMS incrementally across micro-batches —
-    sketches are linear, so the merged counters equal the batch sketch)."""
-    from pyspark.sql import functions as F
-
+def _cms_bucket_pairs(width: int, depth: int):
+    """The sketch's salted bucket layout as ONE shared expression — an
+    array of (d, b) structs per token, b = md5_u56_le(f"{d}|tok") % width.
+    Build-side (cms_bucket_rows) and lookup-side (cms_token_estimates)
+    both explode this same expression, so the hash/salt format cannot
+    drift between the sketch and its probes."""
     from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
 
-    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
-    pairs = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(d).alias("d"),
@@ -218,7 +215,16 @@ def cms_bucket_rows(df, text_col: str, width: int = 256, depth: int = 4):
             for d in range(depth)
         ]
     )
-    return toks.select("tok", F.explode(pairs).alias("p")).select(
+
+
+def cms_bucket_rows(df, text_col: str, width: int = 256, depth: int = 4):
+    """(tok, d, b) rows — one row per token occurrence per sketch depth,
+    with b the md5-salted bucket. The pre-aggregation layout shared by the
+    batch sketch and the STREAMING sketch (a streaming groupBy(d, b) count
+    over these rows maintains the CMS incrementally across micro-batches —
+    sketches are linear, so the merged counters equal the batch sketch)."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    return toks.select("tok", F.explode(_cms_bucket_pairs(width, depth)).alias("p")).select(
         "tok", F.col("p.d").alias("d"), F.col("p.b").alias("b")
     )
 
@@ -244,37 +250,28 @@ def cms_token_estimates(
     Estimates only ever OVERcount (collisions add), which the output
     makes visible per token. All hashing is md5 (cross-engine exact); no
     randomness, no Python.
+
+    The exploded token frame is checkpointed ONCE and feeds both the
+    sketch aggregate and the exact-count side — tokenization is the
+    dominant map cost and must not run twice.
     """
-    from pyspark.sql import functions as F
-
-    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
-
-    toks = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
-
-    def bucket(d):
-        return (md5_u56_le(F.concat(F.lit(f"{d}|"), F.col("tok"))) % width).alias(
-            f"b{d}"
-        )
-
-    pairs = F.array(
-        *[
-            F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("b"))
-            for d in range(depth)
-        ]
-    )
-    sketch = cms_bucket_rows(df, text_col, width, depth).groupBy("d", "b").agg(
-        F.count(F.lit(1)).alias("c")
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).localCheckpoint(eager=True)
+    pairs = _cms_bucket_pairs(width, depth)
+    sketch = (
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
     # orderBy+limit plans as TakeOrderedAndProject (distributed top-N) —
     # a global row_number window would drag the whole vocabulary through
     # one partition
     top = exact.orderBy(F.col("exact_count").desc(), "tok").limit(top_n)
-    tb = top.select(
-        "tok", "exact_count", *[bucket(d) for d in range(depth)]
-    ).select(
-        "tok", "exact_count", F.explode(pairs).alias("p")
-    ).select("tok", "exact_count", F.col("p.d").alias("d"), F.col("p.b").alias("b"))
+    tb = top.select("tok", "exact_count", F.explode(pairs).alias("p")).select(
+        "tok", "exact_count", F.col("p.d").alias("d"), F.col("p.b").alias("b")
+    )
     est = (
         tb.join(F.broadcast(sketch), ["d", "b"])
         .groupBy("tok", "exact_count")

@@ -2083,6 +2083,10 @@ _MEDIA_MIN_SHARED = 2
     "payloads (same contract as multimodal_media_meta).",
 )
 def dedup_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no rebalance DESPITE the checkpointed-frame shape: the map-side work
+    # is one md5 per 64-byte chunk (~n_bytes/64 hashes/doc — tiny next to
+    # shingling), so the full-row repartition costs more than the pinned
+    # parallelism saves (A/B 1.05s vs 1.30s median at sf0.1).
     docs = _t(spark, sf_dir, "documents")
     media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
     return M.chunk_signature_pairs(
@@ -2204,8 +2208,12 @@ def _recall_eval_oracle() -> str:
     "the query workload, never the corpus.",
 )
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bf = QUERIES["sim_topk_bruteforce"].fn(spark, sf_dir).select(
-        "query_id", "match_id"
+    # checkpoint: bf feeds BOTH the hits join and the denominator — without
+    # it the full corpus×queries brute-force scoring would execute twice
+    bf = (
+        QUERIES["sim_topk_bruteforce"].fn(spark, sf_dir)
+        .select("query_id", "match_id")
+        .localCheckpoint(eager=True)
     )
     rp = QUERIES["sim_random_projection_topk"].fn(spark, sf_dir).select(
         "query_id", "match_id"

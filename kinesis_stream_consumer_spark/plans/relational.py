@@ -248,7 +248,8 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(session_n AS BIGINT) AS session_n,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(MIN(tu) // 1000000 AS BIGINT) AS start_epoch,
+           CAST((MIN(tu) - ((MIN(tu) % 1000000 + 1000000) % 1000000))
+                // 1000000 AS BIGINT) AS start_epoch,
            CAST((MAX(tu) - MIN(tu)) // 1000000 AS BIGINT) AS duration_s
     FROM s GROUP BY user_id, session_n
     ORDER BY user_id, session_n
@@ -285,7 +286,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("user_id", "session_n")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.expr("min(tu) div 1000000").alias("start_epoch"),
+            # FLOOR division, not truncation: Spark's `div` truncates
+            # toward zero while DuckDB's `//` floors — they differ for
+            # pre-1970 (negative-micros) timestamps. Subtracting the
+            # positive remainder (pmod) first makes the dividend an exact
+            # multiple, so div == floor-div on both engines for any sign.
+            F.expr(
+                "(min(tu) - pmod(min(tu), 1000000)) div 1000000"
+            ).alias("start_epoch"),
             F.expr("(max(tu) - min(tu)) div 1000000").alias("duration_s"),
         )
         .select(
