@@ -62,6 +62,7 @@ def main() -> None:
         "text_heavy_hitters_cms",
         "dedup_minhash_lsh_blocked",
         "sim_label_centroid_matrix",
+        "dedup_method_agreement",
     ]
     sections = [HEADER]
     for name in names:
