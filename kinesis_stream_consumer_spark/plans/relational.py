@@ -307,6 +307,151 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Scan-aggregate with full predicate pushdown (TPC-H q6 analogue) --------
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_micro
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_quantity < 24
+      AND CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) BETWEEN 400 AND 600
+    """,
+    doc="Forecast-revenue scan-aggregate (TPC-H q6 analogue): the pure "
+    "predicate-pushdown showcase — date range, quantity and discount "
+    "filters all reach the parquet scan (PushedFilters), no join, one "
+    "partial/final aggregate pair, answer is a single row. Money rides as "
+    "integer cents x discount basis points (micro-dollar units), so the "
+    "sum is order-independent and hash-exact cross-engine — the same "
+    "integer-money discipline as the k-means quantization.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    db = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+        )
+        .select(pc.alias("pc"), db.alias("db"))
+        .where(F.col("db").between(400, 600))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("pc") * F.col("db")).cast("long").alias("revenue_micro"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END)
+                AS BIGINT) AS promo_revenue_micro,
+           CAST(SUM(rev) AS BIGINT) AS total_revenue_micro,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                                         ELSE 0 END)
+                      / SUM(rev) + 0.5) AS BIGINT) AS promo_share_bp
+    FROM (
+      SELECT p.p_type,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+    )
+    """,
+    doc="Promotion revenue share (TPC-H q14 analogue): the filtered fact "
+    "scan broadcast-joins the part dim, discounted revenue accumulates in "
+    "exact integer micro-dollars, and the promo share lands in integer "
+    "basis points — conditional aggregation with one broadcast join, no "
+    "shuffle of the fact beyond the final single-row aggregate.",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * (10000 - F.floor(F.col("l_discount") * 10000 + 0.5).cast("long"))
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), F.col("rev")).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pa), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_type", rev.alias("rev"))
+        .agg(
+            F.sum(promo).cast("long").alias("promo_revenue_micro"),
+            F.sum("rev").cast("long").alias("total_revenue_micro"),
+        )
+        .select(
+            "promo_revenue_micro",
+            "total_revenue_micro",
+            F.floor(
+                10000.0 * F.col("promo_revenue_micro")
+                / F.col("total_revenue_micro")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("promo_share_bp"),
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue_top",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT)))
+                AS BIGINT) AS lost_revenue_micro
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue_micro DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="Returned-item revenue report (TPC-H q10 analogue): which "
+    "customers returned the most revenue. Fact filtered on returnflag, "
+    "orders join resolves the customer, customer/nation dims broadcast, "
+    "revenue in exact integer micro-dollars, distributed top-20 "
+    "(TakeOrderedAndProject — no global sort of the aggregate). "
+    "The one real shuffle is lineitem x orders on orderkey; everything "
+    "smaller broadcasts.",
+)
+def q10_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * (10000 - F.floor(F.col("l_discount") * 10000 + 0.5).cast("long"))
+    )
+    return (
+        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("long").alias("lost_revenue_micro"))
+        .orderBy(F.col("lost_revenue_micro").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 # --- Aggregation: hash agg with partial (map-side) combine -----------------
 
 @register(
