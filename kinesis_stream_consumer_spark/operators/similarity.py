@@ -552,15 +552,18 @@ def semantic_dedup(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+    # keep-min via min + min_by, NOT min(struct(...)): a struct-typed
+    # min degrades the whole aggregate from hash to sort aggregation
+    # (same class as the min(string) trap — VERDICT r4 #3); cand is
+    # unique per (vec_id, cand) pair so min_by has no tie to break and
+    # the pair (min(cand), min_by(sim, cand)) is exactly the struct min.
     return (
         matches.groupBy("vec_id", "cell_id")
-        .agg(F.min(F.struct("cand", "cosine_sim")).alias("s"))
-        .select(
-            "vec_id",
-            "cell_id",
-            F.col("s.cand").alias("dup_of"),
-            F.col("s.cosine_sim").alias("cosine_sim"),
+        .agg(
+            F.min("cand").alias("dup_of"),
+            F.min_by("cosine_sim", "cand").alias("cosine_sim"),
         )
+        .select("vec_id", "cell_id", "dup_of", "cosine_sim")
     )
 
 

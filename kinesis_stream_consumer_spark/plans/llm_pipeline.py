@@ -2036,17 +2036,26 @@ _MEDIA_MIN_SHARED = 2
     "dedup_media_chunks",
     f"""
     WITH media AS (
-      SELECT doc_id AS media_id, text, LENGTH(text) AS n_bytes FROM documents
+      -- BYTE semantics throughout (ADVICE r4): the Spark side hashes
+      -- byte slices of the binary payload, and character-based
+      -- LENGTH/substring would shift chunk counts and boundaries on any
+      -- non-ASCII document. DuckDB v1.0 cannot slice or md5 a BLOB, so
+      -- the byte slice is taken on the HEX encoding (2 chars per byte)
+      -- and joined directly — equality of hex slices IS equality of
+      -- byte slices, and the hash/slice column never reaches the output.
+      SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
     ),
     idx AS (
-      SELECT media_id, text,
+      SELECT media_id, hx,
              unnest(generate_series(0, n_bytes // {_MEDIA_CHUNK_BYTES} - 1)) AS chunk_index
       FROM media WHERE n_bytes >= {_MEDIA_CHUNK_BYTES}
     ),
     ch AS (
       SELECT media_id, chunk_index,
-             md5(substring(text, chunk_index * {_MEDIA_CHUNK_BYTES} + 1,
-                           {_MEDIA_CHUNK_BYTES})) AS h
+             substring(hx, chunk_index * {2 * _MEDIA_CHUNK_BYTES} + 1,
+                       {2 * _MEDIA_CHUNK_BYTES}) AS h
       FROM idx
     ),
     counts AS (SELECT media_id, COUNT(*) AS n_chunks FROM ch GROUP BY media_id),

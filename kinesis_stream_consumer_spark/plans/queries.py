@@ -137,6 +137,36 @@ def _table_row_count(sf_dir: str, name: str) -> int:
     return sum(pq.read_metadata(f).num_rows for f in files)
 
 
+# Row-count ceiling for a FORCED broadcast of a row-scaled table. A forced
+# hint bypasses autoBroadcastJoinThreshold entirely, so a `F.broadcast(
+# customer)` that is a win at sf0.1 (15k rows) OOMs driver/executors at the
+# 100x target (15M rows). 1M slim dim rows ~= low hundreds of MB serialized
+# — comfortably broadcastable on any executor profile worth running at
+# scale; above it, the hint is withheld and AQE picks the strategy from
+# runtime sizes (it still auto-broadcasts when the filtered side measures
+# small). Same stats-driven pattern as the corpus-scaled LSH bits.
+BROADCAST_ROW_CEILING = 1_000_000
+
+
+def _bcast_if_small(
+    df: DataFrame, sf_dir: str, table: str, max_rows: int = BROADCAST_ROW_CEILING
+) -> DataFrame:
+    """Stats-gated broadcast hint for row-scaled tables.
+
+    Emits ``F.broadcast(df)`` only when the table's parquet-footer row
+    count (the local stand-in for catalog stats) is at or below
+    ``max_rows``; otherwise returns the frame unhinted so AQE decides
+    from runtime sizes. ``table`` is the base table the frame derives
+    from — a filtered slice is gated on its parent's count (the filter's
+    selectivity is not known at plan time; the gate must be safe under
+    the worst case)."""
+    from pyspark.sql import functions as F
+
+    if _table_row_count(sf_dir, table) <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.2): scans, projection/filter, joins, aggs,
 # windows, sorts/limits, set ops, scalar fns. The reference has none of these

@@ -55,6 +55,68 @@ def test_plan_has_no_scale_killers(spark, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
 
 
+# --- forced-broadcast gating (VERDICT r4 #1) -------------------------------
+# A forced F.broadcast bypasses autoBroadcastJoinThreshold, so hinting a
+# row-scaled table (customer sf x 150k, part sf x 200k, supplier sf x 10k)
+# OOMs at the 100x target. Row-scaled hints must go through
+# plans.queries._bcast_if_small, which withholds the hint above
+# BROADCAST_ROW_CEILING and lets AQE decide from runtime sizes.
+
+# (query, ResolvedHint count when stats say "huge") — the remaining hints
+# are nation/region-derived, fixed-size at any sf.
+GATED_BROADCASTS = {
+    "q3_top_orders": 0,
+    "q5_region_revenue": 4,
+    "q10_returned_revenue_top": 1,
+    "q14_promo_revenue_share": 0,
+}
+
+
+def _n_hints(df) -> int:
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+@pytest.mark.parametrize("name", sorted(GATED_BROADCASTS))
+def test_row_scaled_broadcast_hint_is_stats_gated(spark, name, monkeypatch):
+    """With catalog stats above the ceiling, the row-scaled table's hint
+    disappears from the analyzed plan (AQE decides); locally (small stats)
+    it stays, so the sf0.1 plans are unchanged."""
+    import kinesis_stream_consumer_spark.plans.queries as Q
+
+    small = _n_hints(QUERIES[name].fn(spark, SF_SMOKE))
+    monkeypatch.setattr(Q, "_table_row_count", lambda sf_dir, t: 10**9)
+    big = _n_hints(QUERIES[name].fn(spark, SF_SMOKE))
+    assert big == GATED_BROADCASTS[name], (
+        f"{name}: expected only fixed-size hints above the ceiling, got {big}"
+    )
+    assert small > big, f"{name}: hint should be PRESENT under small stats"
+
+
+def test_no_unguarded_broadcast_of_row_scaled_tables():
+    """Registry-wide static gate: every direct F.broadcast( in plans/ must
+    hint an identifier on the fixed-size allowlist (nation/region frames);
+    anything else must route through _bcast_if_small. Catches new queries
+    that reintroduce a forced row-scaled broadcast."""
+    import re as _re
+    from pathlib import Path
+
+    import kinesis_stream_consumer_spark.plans as plans_pkg
+
+    allowed = {"na", "re", "na_asia"}
+    offenders = []
+    for path in Path(plans_pkg.__path__[0]).glob("*.py"):
+        if path.name == "queries.py":  # helper definition itself
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            for m in _re.finditer(r"F\.broadcast\(\s*([A-Za-z_]\w*)", line):
+                if m.group(1) not in allowed:
+                    offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "forced broadcast of a non-allowlisted frame in plans/ — use "
+        "_bcast_if_small for row-scaled tables:\n" + "\n".join(offenders)
+    )
+
+
 def _executed_plan_descriptions(spark, from_execution_id: int) -> list[str]:
     """Physical-plan descriptions of every SQL execution with id >
     ``from_execution_id`` — the engine runs many internal jobs per batch;
