@@ -212,6 +212,101 @@ def quantized_vector_rows(vectors: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _collect_quantized_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, sample_mod: int
+):
+    """Collect the deterministic id-modulus training sample as (vids
+    ascending, X int64 matrix). The collect is MODEL-sized: callers bound
+    it via train_sample_modulus to ≈2·per·k vectors at ANY corpus size
+    (the FAISS practice — train on a bounded sample, ship the model).
+    Raw vectors travel (one row per vector, not per component);
+    quantization floor(x·scale + 0.5) happens in numpy float64 — the
+    identical double arithmetic Spark's F.floor(double) performs."""
+    import numpy as np
+
+    ids = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    if sample_mod > 1:
+        ids = ids.where(F.col("vid") % sample_mod == 0)
+    pdf = ids.toPandas()
+    vids = pdf["vid"].to_numpy().astype(np.int64)
+    order = np.argsort(vids)
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[order]
+    X = np.floor(V * KMEANS_QUANT_SCALE + 0.5).astype(np.int64)
+    return vids[order], X
+
+
+def _lloyd_train_driver(vids, X, k: int, n_iter: int, sample_mod: int,
+                        m: int = 1) -> list[tuple]:
+    """Exact integer Lloyd over the collected training sample — numpy on
+    the driver, bit-identical to the SQL-oracle CTE chain:
+
+    - init: cells are the training vectors with the k smallest ids
+      (vid < k·sample_mod, cell = vid div sample_mod)
+    - assign: argmin squared-L2 (int64), ties to the lowest cell
+      (np.argmin returns the first index; the active-cell axis is kept
+      ascending, so first == lowest cell id)
+    - update: per-component half-up integer mean floor((2·Σqx + n)/(2n))
+      (int64 floor-div == FLOOR of the true rational; empty cells drop
+      out exactly as they vanish from the SQL groupBy)
+
+    Returns (cell, pos, qc) rows for m == 1, else (sub, cell, pos, qc)
+    with the dim axis split into ``m`` contiguous subspaces (product
+    quantization trains one codebook per subspace; each runs the
+    identical recurrence). The distributed version of these iterations
+    spent ~2 s/iteration on shuffle/job fixed costs to process what
+    numpy does in milliseconds (r5 measurement); only the model crosses
+    back, as literals."""
+    import numpy as np
+
+    mod = max(1, sample_mod)
+    dim = X.shape[1]
+    sub_dim = dim // m
+    out: list[tuple] = []
+    for sub in range(m):
+        Xs = X[:, sub * sub_dim:(sub + 1) * sub_dim]
+        init_idx = np.flatnonzero(vids < k * mod)
+        cells0 = (vids[init_idx] // mod).astype(np.int64)
+        order = np.argsort(cells0)
+        active = cells0[order]  # ascending cell ids
+        C = Xs[init_idx[order]]
+        for _ in range(n_iter):
+            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = active[np.argmin(d, axis=1)]
+            new_active, new_C = [], []
+            for c in np.unique(assign):  # sorted; empty cells drop out
+                members = Xs[assign == c]
+                n = members.shape[0]
+                s = members.sum(axis=0)
+                new_C.append((2 * s + n) // (2 * n))
+                new_active.append(c)
+            active = np.asarray(new_active, dtype=np.int64)
+            C = np.stack(new_C)
+        for cell, vec in zip(active.tolist(), C.tolist()):
+            for pos, qc in enumerate(vec):
+                row = (int(cell), int(pos), int(qc))
+                out.append((sub, *row) if m > 1 else row)
+    return out
+
+
+def _argmin_cell(dists: DataFrame, k: int, group_cols: list[str]) -> DataFrame:
+    """Distributed argmin over the per-cell distance rows via a single
+    LONG aggregate: min(dist·k + cell) is the lexicographic (dist, cell)
+    minimum because cell ∈ [0, k) — ties break to the lowest cell, and
+    the primitive buffer keeps the aggregate a HashAggregate (min over a
+    struct degrades to SortAggregate — the min(string) trap)."""
+    return (
+        dists.groupBy(*group_cols)
+        .agg(F.min(F.col("dist") * k + F.col("cell")).alias("enc"))
+        .select(
+            *group_cols,
+            F.expr(f"cast(enc % {k} as int)").alias("cell"),
+            F.expr(f"enc div {k}").alias("dist"),
+        )
+    )
+
+
 def kmeans_fit_quantized(
     vectors: DataFrame,
     k: int = 8,
@@ -223,75 +318,32 @@ def kmeans_fit_quantized(
 ):
     """Lloyd k-means over integer-quantized vectors; returns the final
     assignment (vec_id, cell_id, dist) — a TRAINED coarse quantizer for
-    IVF (replacing the per-label stand-in), still fully deterministic:
+    IVF (replacing the per-label stand-in), fully deterministic (init,
+    tie-breaks, half-up integer means — see _lloyd_train_driver).
 
-    - train set: ids with vid % sample_mod == 0 (sample_mod=1 ⇒ full
-      corpus) — the deterministic bounded training sample; the FINAL
-      assignment always covers every vector
-    - init: cells 0..k−1 are the quantized TRAINING vectors with the k
-      smallest ids (vid < k·sample_mod, cell = vid div sample_mod)
-    - assign: argmin squared-L2 (exact integer), ties to the lowest cell
-    - update: per-component half-up integer mean
-      floor((2·Σqx + n) / (2n)) — exact rational arithmetic
-
-    Scale shape per iteration: the TRAINING rows ride as (vid, pos, qx)
-    rows — n/(sample_mod)-th of the corpus, bounded by the caller via
-    train_sample_modulus; centroids are k·dim slim rows BROADCAST into a
-    join on pos (a model broadcast, like any trained quantizer); the
-    distance aggregate combines map-side to one row per (vid, cell) and
-    the argmin to one per vid. Nothing driver-side grows with the corpus —
-    only the k·dim centroid model passes through the driver between
-    iterations, exactly what an offline k-means trainer ships to
-    executors. The one full-corpus pass is the final assignment."""
-    q = quantized_vector_rows(vectors, id_col, vec_col).localCheckpoint(eager=True)
-    qt = q if sample_mod <= 1 else q.where(F.col("vid") % sample_mod == 0)
-    cents = (
-        qt.where(F.col("vid") < k * sample_mod)
-        .select(
-            F.expr(f"cast(vid div {sample_mod} as int)").alias("cell"),
-            "pos",
-            F.col("qx").alias("qc"),
-        )
-    )
-    assigned = None
-    for _ in range(n_iter):
-        dists = (
-            qt.join(F.broadcast(cents), "pos")
-            .groupBy("vid", "cell")
-            .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
-        )
-        assigned = (
-            dists.groupBy("vid")
-            .agg(F.min(F.struct("dist", "cell")).alias("s"))
-            .select("vid", F.col("s.cell").alias("cell"), F.col("s.dist").alias("dist"))
-        )
-        new_cents = (
-            assigned.join(qt, "vid")
-            .groupBy("cell", "pos")
-            .agg(
-                F.floor(
-                    (2 * F.sum("qx") + F.count(F.lit(1)))
-                    / (2 * F.count(F.lit(1)))
-                ).cast("long").alias("qc")
-            )
-        )
-        # k·dim slim rows — materialize the model between iterations so the
-        # next assignment join broadcasts data, not an unbounded lineage
-        cents = new_cents.localCheckpoint(eager=True)
-    # final assignment against the last-updated centroids
+    Scale shape: the Lloyd iterations run DRIVER-SIDE on the collected
+    deterministic id-modulus sample — bounded by the caller via
+    train_sample_modulus to ≈2·per·k vectors at ANY corpus size, i.e. a
+    model-sized collect (the FAISS practice: train small, ship the
+    model). The trained k·dim centroid table returns to the cluster as
+    literals and BROADCASTS into the one full-corpus pass, the final
+    assignment — a scan-fused broadcast join + two hash aggregates, no
+    materialization of the exploded corpus."""
+    spark = vectors.sparkSession
+    q = quantized_vector_rows(vectors, id_col, vec_col)
+    vids, X = _collect_quantized_sample(vectors, id_col, vec_col, sample_mod)
+    rows = _lloyd_train_driver(vids, X, k, n_iter, sample_mod)
+    cents = spark.createDataFrame(rows, schema="cell INT, pos INT, qc BIGINT")
+    # final assignment against the trained centroids
     dists = (
         q.join(F.broadcast(cents), "pos")
         .groupBy("vid", "cell")
         .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
     )
-    fit = (
-        dists.groupBy("vid")
-        .agg(F.min(F.struct("dist", "cell")).alias("s"))
-        .select(
-            F.col("vid").alias(id_col),
-            F.col("s.cell").alias("cell_id"),
-            F.col("s.dist").alias("dist"),
-        )
+    fit = _argmin_cell(dists, k, ["vid"]).select(
+        F.col("vid").alias(id_col),
+        F.col("cell").alias("cell_id"),
+        "dist",
     )
     if return_model:
         # (cell, pos, qc) — the trained INTEGER centroids, for callers that
@@ -596,54 +648,33 @@ def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
     m small ints per vector, a 32× compression of a 64-float embedding —
     and codebooks = (sub, cell, pos, qc).
 
-    This is the PQ half of FAISS-style IVF-PQ, Spark-first: instead of m
-    driver-looped k-means fits, the subspace id rides as a key column
-    through the SAME Lloyd pipeline the coarse quantizer uses — join on
-    (sub, pos), distance aggregate to one row per (vid, sub, cell) with
-    map-side combine, argmin per (vid, sub), half-up integer centroid
-    update per (sub, cell, pos). One set of stages trains all m codebooks;
-    only the m·k·(dim/m) centroid model crosses the driver between
-    iterations. Deterministic: init = the k smallest TRAINING vids (per
-    subspace; vid % sample_mod == 0, cell = vid div sample_mod), ties to
-    the lowest cell; exact integer arithmetic throughout. Lloyd
-    iterations train on the deterministic id-modulus sample (bounded via
-    train_sample_modulus — corpus-size-independent training cost); the
-    final ENCODE pass covers every vector."""
-    q = pq_sub_rows(vectors, m, dim, id_col, vec_col).localCheckpoint(eager=True)
-    qt = q if sample_mod <= 1 else q.where(F.col("vid") % sample_mod == 0)
-    cents = qt.where(F.col("vid") < k * sample_mod).select(
-        "sub",
-        F.expr(f"cast(vid div {sample_mod} as int)").alias("cell"),
-        "pos",
-        F.col("qx").alias("qc"),
+    This is the PQ half of FAISS-style IVF-PQ: all m codebooks train
+    DRIVER-SIDE in one numpy pass over the collected deterministic
+    id-modulus sample (bounded via train_sample_modulus to ≈2·per·k
+    vectors at ANY corpus size — a model-sized collect; see
+    _lloyd_train_driver for the exact shared recurrence), with the
+    subspace as the group key. The trained m·k·(dim/m) codebook returns
+    as literals and BROADCASTS into the one full-corpus pass, the ENCODE:
+    a scan-fused broadcast join on (sub, pos), distance aggregate with
+    map-side combine to one row per (vid, sub, cell), and a primitive
+    long-encoded argmin per (vid, sub) (HashAggregate — see
+    _argmin_cell). Deterministic and integer-exact throughout; ties to
+    the lowest cell."""
+    spark = vectors.sparkSession
+    q = pq_sub_rows(vectors, m, dim, id_col, vec_col)
+    vids, X = _collect_quantized_sample(vectors, id_col, vec_col, sample_mod)
+    rows = _lloyd_train_driver(vids, X, k, n_iter, sample_mod, m=m)
+    cents = spark.createDataFrame(
+        rows, schema="sub INT, cell INT, pos INT, qc BIGINT"
     )
-
-    def _assign(c, rows):
-        d = (
-            rows.join(F.broadcast(c), ["sub", "pos"])
-            .groupBy("vid", "sub", "cell")
-            .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
-        )
-        return (
-            d.groupBy("vid", "sub")
-            .agg(F.min(F.struct("dist", "cell")).alias("s"))
-            .select("vid", "sub", F.col("s.cell").alias("cell"),
-                    F.col("s.dist").alias("dist"))
-        )
-
-    for _ in range(n_iter):
-        assigned = _assign(cents, qt)
-        cents = (
-            assigned.join(qt, ["vid", "sub"])
-            .groupBy("sub", "cell", "pos")
-            .agg(
-                F.floor(
-                    (2 * F.sum("qx") + F.count(F.lit(1)))
-                    / (2 * F.count(F.lit(1)))
-                ).cast("long").alias("qc")
-            )
-        ).localCheckpoint(eager=True)  # m·k·sub_dim model rows per iteration
-    codes = _assign(cents, q).select("vid", "sub", F.col("cell").alias("code"))
+    d = (
+        q.join(F.broadcast(cents), ["sub", "pos"])
+        .groupBy("vid", "sub", "cell")
+        .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
+    )
+    codes = _argmin_cell(d, k, ["vid", "sub"]).select(
+        "vid", "sub", F.col("cell").alias("code")
+    )
     return codes, cents
 
 

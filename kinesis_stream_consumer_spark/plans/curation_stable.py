@@ -170,3 +170,103 @@ def curation_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+# --- parked r5: unchanged r4-green entries displaced from the first-50
+# window to make room for the re-certified q5/q3 broadcast-gating edits
+# (the ledger still checks these hashes against their r4 evidence) ---
+
+@register(
+    "text_token_histogram",
+    f"""
+    WITH toks AS (
+      SELECT lang, {_BPE_TOKS} AS n_tok FROM documents
+    )
+    SELECT lang,
+           CAST(n_tok // 8 AS INT) AS bucket,
+           CAST(n_tok // 8 AS INT) * 8 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+    doc="Token-length histogram per language (fixed-width 8-token "
+    "buckets): the length-distribution profile every corpus audit starts "
+    "with — detects truncation spikes, boilerplate modes, and per-language "
+    "length skew before training. Binning is integer division in the "
+    "group key: one hash aggregate, map-side combining, no sort and no "
+    "per-group memory beyond the bucket count.",
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = T.bpe_ish_token_count(F.col("text"))
+    bucket = F.floor(n_tok / 8).cast("int")
+    return (
+        docs.select("lang", n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            (F.col("bucket") * 8).alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+_P_EMAIL = C.PII_PATTERNS["email"]
+_P_PHONE = C.PII_PATTERNS["phone"]
+_P_SSN = C.PII_PATTERNS["ssn"]
+
+
+@register(
+    "curation_pii_scrub",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 415-555-'
+                  || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ssn 123-45-6789' AS itext
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(itext, '{_P_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(itext, '{_P_PHONE}')) AS n_phones,
+           len(regexp_extract_all(itext, '{_P_SSN}')) AS n_ssns,
+           md5(regexp_replace(regexp_replace(regexp_replace(itext,
+                 '{_P_EMAIL}', '<EMAIL>', 'g'),
+                 '{_P_SSN}', '<SSN>', 'g'),
+                 '{_P_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+    FROM injected ORDER BY doc_id
+    """,
+    doc="PII scrubbing: match-count + redaction of email/phone/SSN patterns "
+    "(engine-portable regexes — identical under Java regex and RE2). The "
+    "documents corpus is synthetic word-salad with no real PII, so each "
+    "row gets deterministic PII injected first (same expression on both "
+    "engines) and the md5 of the scrubbed text proves byte-identical "
+    "redaction. Pure regexp columns — codegen'd, linear at 100 TB.",
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    cnt = C.pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        cnt["email"].alias("n_emails"),
+        cnt["phone"].alias("n_phones"),
+        cnt["ssn"].alias("n_ssns"),
+        F.md5(C.scrub_pii(injected).cast("binary")).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+

@@ -871,6 +871,11 @@ def _coarse_model(spark: SparkSession, sf_dir: str, k: int | None = None,
     key = ("kmeans", spark.sparkContext.applicationId, sf_dir, k, n_iter)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
+        # no rebalance (A/B r5): the assignment pass DOES fuse onto the
+        # single-row-group scan, but at embeddings' row budget the
+        # explode+broadcast-join is too cheap to repay the full-row
+        # exchange (0.47s vs 0.72s steady) — the shuffle-to-agg exchange
+        # restores width anyway.
         emb = _t(spark, sf_dir, "embeddings")
         fit, cents = S.kmeans_fit_quantized(
             emb, k, n_iter, return_model=True,
@@ -885,6 +890,7 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     key = ("pq", spark.sparkContext.applicationId, sf_dir, _PQ_M, _PQ_K, _PQ_ITER)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
+        # no rebalance — same A/B verdict as _coarse_model
         emb = _t(spark, sf_dir, "embeddings")
         codes, cents = S.pq_fit(
             emb, _PQ_M, _PQ_K, _PQ_ITER,

@@ -203,6 +203,110 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Multi-way join with broadcast dims ------------------------------------
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5-style 6-way join. region/nation/supplier/customer broadcast; "
+    "the lineitem⋈orders shuffle join is the only large exchange.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu, od, li = (_t(spark, sf_dir, t) for t in ("customer", "orders", "lineitem"))
+    su, na, re = (_t(spark, sf_dir, t) for t in ("supplier", "nation", "region"))
+    # Push the region restriction to the FRONT: Catalyst cannot infer that
+    # c_nationkey is bounded to ASIA (the constraint only arrives through
+    # the supplier equi-chain at the end), so join region⋈nation first and
+    # prune customers/suppliers before the big fact joins — cuts the
+    # orders and lineitem join volumes ~|ASIA|/|world| (5×) ahead of the
+    # largest shuffle. Same rows out; the plan is the one you'd want at
+    # 100 TB.
+    na_asia = na.join(
+        F.broadcast(re.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cu_asia = cu.join(
+        F.broadcast(na_asia.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    return (
+        cu_asia.join(
+            od.where(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        # supplier is row-scaled (sf x 10k): stats-gated hint (VERDICT r4
+        # #1 — borderline at 100x, same fix as customer)
+        .join(
+            _bcast_if_small(su, sf_dir, "supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --- Join + group + top-k (sort/limit) -------------------------------------
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style: selective dim filter → join → agg → global top-k. "
+    "TakeOrderedAndProject avoids a full sort.",
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        # the BUILDING slice is ~1/5 of row-scaled customer — gated on the
+        # parent table's stats (slice selectivity is unknown at plan time)
+        _bcast_if_small(cu, sf_dir, "customer")
+        .join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+
 @register(
     "agg_time_rollup",
     """
@@ -609,109 +713,6 @@ def subquery_scalar_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand
         ORDER BY p.p_brand
         """
-    )
-
-
-# --- Multi-way join with broadcast dims ------------------------------------
-
-@register(
-    "q5_region_revenue",
-    """
-    SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-    GROUP BY n_name
-    ORDER BY revenue DESC, n_name
-    """,
-    doc="TPC-H Q5-style 6-way join. region/nation/supplier/customer broadcast; "
-    "the lineitem⋈orders shuffle join is the only large exchange.",
-)
-def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu, od, li = (_t(spark, sf_dir, t) for t in ("customer", "orders", "lineitem"))
-    su, na, re = (_t(spark, sf_dir, t) for t in ("supplier", "nation", "region"))
-    # Push the region restriction to the FRONT: Catalyst cannot infer that
-    # c_nationkey is bounded to ASIA (the constraint only arrives through
-    # the supplier equi-chain at the end), so join region⋈nation first and
-    # prune customers/suppliers before the big fact joins — cuts the
-    # orders and lineitem join volumes ~|ASIA|/|world| (5×) ahead of the
-    # largest shuffle. Same rows out; the plan is the one you'd want at
-    # 100 TB.
-    na_asia = na.join(
-        F.broadcast(re.where(F.col("r_name") == "ASIA")),
-        F.col("n_regionkey") == F.col("r_regionkey"),
-    ).select("n_nationkey", "n_name")
-    cu_asia = cu.join(
-        F.broadcast(na_asia.select("n_nationkey")),
-        F.col("c_nationkey") == F.col("n_nationkey"),
-        "left_semi",
-    )
-    return (
-        cu_asia.join(
-            od.where(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")),
-            F.col("c_custkey") == F.col("o_custkey"),
-        )
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        # supplier is row-scaled (sf x 10k): stats-gated hint (VERDICT r4
-        # #1 — borderline at 100x, same fix as customer)
-        .join(
-            _bcast_if_small(su, sf_dir, "supplier"),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(na_asia), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), "n_name")
-    )
-
-
-# --- Join + group + top-k (sort/limit) -------------------------------------
-
-@register(
-    "q3_top_orders",
-    """
-    SELECT o_orderkey, o_orderdate, o_orderpriority,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-    GROUP BY o_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
-    """,
-    doc="TPC-H Q3-style: selective dim filter → join → agg → global top-k. "
-    "TakeOrderedAndProject avoids a full sort.",
-)
-def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    od = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        # the BUILDING slice is ~1/5 of row-scaled customer — gated on the
-        # parent table's stats (slice selectivity is unknown at plan time)
-        _bcast_if_small(cu, sf_dir, "customer")
-        .join(od, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), "o_orderkey")
-        .limit(10)
     )
 
 
