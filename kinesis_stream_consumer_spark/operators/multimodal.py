@@ -106,6 +106,52 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def perceptual_signature(media: DataFrame, segments: int = 32) -> DataFrame:
+    """(media_id, sig) — a pHash-SHAPED perceptual signature over the raw
+    payload bytes: the stream splits into ``segments`` equal spans, bit b
+    is 1 iff span b's byte-value sum exceeds the payload's mean span sum
+    (a real pHash applies the same above-median rule to DCT coefficients
+    of the DECODED image; byte-span sums are the codec-free deterministic
+    stand-in — same signature algebra, same downstream banding). Small
+    local edits perturb a few spans, so true near-dups land within a few
+    bits of each other — unlike the avalanche sha256 feature digest,
+    this is locality-sensitive by construction. Arrow-batched
+    mapInPandas; exact integer arithmetic (numpy int64), so the SQL
+    oracle reproduces bits exactly."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for p in pdf["payload"]:
+                buf = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = buf.shape[0]
+                if n == 0:
+                    sigs.append(0)
+                    continue
+                seg = (np.arange(n, dtype=np.int64) * segments) // n
+                sums = np.bincount(
+                    seg, weights=buf, minlength=segments
+                ).astype(np.int64)
+                total = int(sums.sum())
+                bits = ((sums * segments) > total).astype(np.int64)
+                shifted = bits << np.arange(segments, dtype=np.int64)
+                sigs.append(int(shifted.sum()))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "sig": sigs}
+            )
+
+    return media.mapInPandas(run, PHASH_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

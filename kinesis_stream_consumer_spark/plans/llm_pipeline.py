@@ -42,31 +42,6 @@ _EN_STOP = "('the','and','of','to','in','is','that','for','with','as')"
 # --- Text analysis ----------------------------------------------------------
 
 @register(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           LENGTH(text)                                            AS n_chars,
-           len({_TOKS})                                            AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]')) AS n_bpe_tokens
-    FROM documents
-    ORDER BY doc_id
-    """,
-    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
-    "(letters/digits/punct as separate pieces). Pure regexp column "
-    "expressions — codegen'd, scales linearly.",
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.length(t).alias("n_chars"),
-        T.token_count(t).alias("n_tokens"),
-        T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
-
-
-@register(
     "text_quality",
     f"""
     WITH feats AS (
@@ -201,51 +176,6 @@ def _langid_oracle() -> str:
 
 
 @register(
-    "text_langid",
-    _langid_oracle(),
-    doc="Language ID via stopword-hit heuristic over fixed per-language word "
-    "sets; deterministic tie-break (en>es>de>fr), 'und' when no hits.",
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # two-step: materialize the lowered token array once, then the 4
-    # per-language hit counts reference the column instead of re-splitting
-    toked = docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        T.tokens(F.lower(F.col("text"))).alias("_lt"),
-    )
-    return toked.select(
-        "doc_id",
-        "labeled_lang",
-        T.lang_id_from_tokens(F.col("_lt")).alias("predicted_lang"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "text_fingerprint",
-    """
-    WITH pos AS (
-      SELECT doc_id, text,
-             unnest(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS i
-      FROM documents
-    )
-    SELECT doc_id, MIN(md5(substr(text, i, 5))) AS fingerprint
-    FROM pos GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="Document fingerprinting: min-of-md5 over character 5-grams "
-    "(winnowing-style). Shift-robust unlike a plain content hash; an O(len) "
-    "expression per document.",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.char_ngram_min_fingerprint(F.col("text"), 5).alias("fingerprint"),
-    ).orderBy("doc_id")
-
-
-@register(
     "text_tfidf_topk",
     f"""
     WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -362,77 +292,75 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_bigram_logprob",
-    f"""
-    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-    big AS (
-      SELECT doc_id, concat(toks[i], ' ', toks[i+1]) AS gram
-      FROM (SELECT doc_id, toks,
-                   unnest(generate_series(1, len(toks) - 1)) AS i
-            FROM tok)
+    "text_rank_correlation",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\w\s]')) AS n_tok
+      FROM documents
     ),
-    bf AS (SELECT doc_id, gram, COUNT(*) AS bf FROM big GROUP BY 1, 2),
-    bm AS (SELECT gram, COUNT(*) AS c12 FROM big GROUP BY 1),
-    lm AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1),
-    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM lm)
-    SELECT bf.doc_id,
-           ROUND(SUM(bf.bf * LN(CAST(0.75 AS DOUBLE) * (bm.c12 / l1.cnt)
-                   + CAST(0.25 AS DOUBLE) * ((l2.cnt + 1.0) / (tot.total + tot.vocab))))
-                 / SUM(bf.bf), 4) AS mean_bigram_logprob,
-           CAST(SUM(bf.bf) AS BIGINT) AS n_bigrams
-    FROM bf
-    JOIN bm USING (gram)
-    JOIN lm l1 ON l1.term = split_part(bf.gram, ' ', 1)
-    JOIN lm l2 ON l2.term = split_part(bf.gram, ' ', 2)
-    CROSS JOIN tot
-    GROUP BY bf.doc_id
-    ORDER BY bf.doc_id
+    r AS (
+      SELECT lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_tok, doc_id) AS rb
+      FROM s
+    ),
+    g AS (
+      SELECT lang, COUNT(*) AS n, SUM((ra - rb) * (ra - rb)) AS sum_d2
+      FROM r GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(sum_d2 AS BIGINT) AS sum_d2,
+           CAST((2 * 10000 * (n * (n * n - 1) - 6 * sum_d2)
+                 + n * (n * n - 1) + 40000 * n * (n * n - 1))
+                // (2 * n * (n * n - 1)) - 20000 AS BIGINT) AS spearman_bp
+    FROM g WHERE n > 1 ORDER BY lang
     """,
-    doc="Bigram-LM fluency score with Jelinek-Mercer interpolation "
-    "(0.75·p(w2|w1) + 0.25·add-one-unigram): the n-gram step up from "
-    "text_unigram_logprob toward a KenLM-style perplexity gate. The "
-    "bigram and unigram models are slim keyed count tables (checkpointed "
-    "once, map-side combined); scoring is three hash joins on "
-    "high-cardinality gram/term keys; the two-value normalizer crosses "
-    "the driver as literals like every trained-model scalar. Linear at "
-    "100 TB — no window functions, no Python.",
+    doc="Spearman rank correlation between two per-document quality "
+    "signals (character length vs sub-word token count), per language — "
+    "the signal-agreement audit run before trusting any single quality "
+    "filter: rho near 1 means the signals rank the corpus identically, "
+    "near 0 means one of them is noise. Ranks come from two window "
+    "sorts with deterministic doc_id tie-breaks; rho = 1 - 6*sum(d^2) / "
+    "(n(n^2-1)) lands in half-up integer basis points via a "
+    "positivity-shifted integer division (a raw negative numerator "
+    "would floor in DuckDB but truncate in Spark). Scale shape: ONE "
+    "shuffle on lang serves both rank windows (same partitioning, two "
+    "in-partition sorts) and the per-language aggregate co-locates on "
+    "the same exchange; signal extraction is codegen'd regex on the "
+    "scan, linear at 100 TB.",
 )
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     docs = _t(spark, sf_dir, "documents")
-    grams = T.repetition_gram_rows(docs, "text", "doc_id")
-    toks = grams.where(F.col("kind") == 0).select("doc", F.col("gram").alias("term"))
-    big = grams.where(F.col("kind") == 1).select("doc", "gram")
-    bf = big.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("bf"))
-    bm = big.groupBy("gram").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(
-        eager=True
+    s = docs.select(
+        "doc_id", "lang", "n_chars",
+        T.bpe_ish_token_count(F.col("text")).alias("n_tok"),
     )
-    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
-        eager=True
-    )
-    tot = lm.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")).first()
-    denom = float(tot["total"] + tot["vocab"])
-    l1 = lm.select(F.col("term").alias("w1"), F.col("cnt").alias("c1"))
-    l2 = lm.select(F.col("term").alias("w2"), F.col("cnt").alias("c2"))
-    scored = (
-        bf.withColumn("w1", F.split("gram", " ")[0])
-        .withColumn("w2", F.split("gram", " ")[1])
-        .join(bm, "gram")
-        .join(l1, "w1")
-        .join(l2, "w2")
-    )
-    p = 0.75 * (F.col("c12") / F.col("c1")) + 0.25 * (
-        (F.col("c2") + 1.0) / denom
+    ra = F.row_number().over(W.partitionBy("lang").orderBy("n_chars", "doc_id"))
+    rb = F.row_number().over(W.partitionBy("lang").orderBy("n_tok", "doc_id"))
+    r = s.select("lang", ra.alias("ra"), rb.alias("rb"))
+    g = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .alias("sum_d2"),
     )
     return (
-        scored.groupBy(F.col("doc").alias("doc_id"))
-        .agg(
-            F.round(F.sum(F.col("bf") * F.log(p)) / F.sum("bf"), 4).alias(
-                "mean_bigram_logprob"
-            ),
-            F.sum("bf").cast("long").alias("n_bigrams"),
+        g.where(F.col("n") > 1)
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("sum_d2").cast("long").alias("sum_d2"),
+            F.expr(
+                "cast((2 * 10000 * (n * (n * n - 1) - 6 * sum_d2)"
+                " + n * (n * n - 1) + 40000 * n * (n * n - 1))"
+                " div (2 * n * (n * n - 1)) - 20000 as bigint)"
+            ).alias("spearman_bp"),
         )
-        .orderBy("doc_id")
+        .orderBy("lang")
     )
 
 
@@ -461,27 +389,6 @@ def _minhash_cols_sql() -> str:
         f"MIN(CAST(((md5_number_upper(shingle) >> 8) * {a} + {b}) "
         f"% {D.MINHASH_P} AS BIGINT)) AS mh{i}"
         for i, (a, b) in enumerate(D.MINHASH_PERMS)
-    )
-
-
-@register(
-    "dedup_minhash_signature",
-    f"""
-    WITH {_SHINGLE_ROWS}
-    SELECT doc_id,
-             {_minhash_cols_sql()}
-    FROM sh GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="MinHash signatures: per fixed salt ('permutation'), the minimum md5 "
-    "over the doc's distinct 3-word shingles. Map-side only — signatures "
-    "computed without any shuffle.",
-)
-def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        D.minhash_signatures(docs, "text", "doc_id", 3)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -662,6 +569,87 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_graph_pagerank",
+    f"""
+    WITH pairs AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    pr0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    it1 AS (
+      SELECT e.d AS node,
+             CAST(150000 + (17 * SUM(p.pr // g.deg)) // 20 AS BIGINT) AS pr
+      FROM edges e
+      JOIN pr0 p ON p.node = e.s
+      JOIN deg g ON g.s = e.s
+      GROUP BY e.d
+    ),
+    it2 AS (
+      SELECT e.d AS node,
+             CAST(150000 + (17 * SUM(p.pr // g.deg)) // 20 AS BIGINT) AS pr
+      FROM edges e
+      JOIN it1 p ON p.node = e.s
+      JOIN deg g ON g.s = e.s
+      GROUP BY e.d
+    )
+    SELECT it2.node AS doc_id, it2.pr AS pagerank_micro,
+           CAST(g.deg AS BIGINT) AS n_links
+    FROM it2 JOIN deg g ON g.s = it2.node
+    ORDER BY doc_id
+    """,
+    doc="Graph centrality over the near-duplicate pair graph: 2-round "
+    "PageRank (damping 0.85) on the undirected MinHash-LSH candidate "
+    "graph — ranks TEMPLATE HUBS (docs sharing boilerplate with many "
+    "others) that pair-wise dedup under-reports: a hub's pairs each look "
+    "mild but its centrality is extreme, which is the signal for "
+    "template/spam removal. Exact integer arithmetic end-to-end: "
+    "micro-unit ranks, per-edge contribution pr div deg (integer), "
+    "0.85·x as (17·x) div 20, so both engines reach bit-identical "
+    "fixpoints (a float PageRank would drift by summation order). "
+    "Scale shape: the textbook distributed power iteration — slim "
+    "CHECKPOINTED edge list (shingle pipeline runs once), per round one "
+    "equi-join of state with edges plus one destination-keyed aggregate "
+    "shuffle; all joins on node ids, every node has degree >= 1 so no "
+    "dangling-mass special case.",
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.minhash_lsh_candidate_pairs(docs, "text", "doc_id", 3, 2)
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .localCheckpoint(eager=True)  # slim (s, d) — shingles run ONCE
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("s").alias("node"), F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(2):
+        pr = (
+            edges.join(pr, edges["s"] == pr["node"])
+            .join(deg, "s")
+            .groupBy("d")
+            .agg(
+                F.expr("cast(150000 + (17 * sum(pr div deg)) div 20 as bigint)")
+                .alias("pr")
+            )
+            .select(F.col("d").alias("node"), "pr")
+        )
+    return (
+        pr.join(deg, pr["node"] == deg["s"])
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("pr").alias("pagerank_micro"),
+            F.col("deg").cast("long").alias("n_links"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dedup_levenshtein",
     f"""
     WITH cand AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]})
@@ -728,24 +716,6 @@ def _simhash_oracle() -> str:
     SELECT doc_id, {fp} AS simhash
     FROM sh GROUP BY doc_id ORDER BY doc_id
     """
-
-
-@register(
-    "dedup_simhash",
-    _simhash_oracle(),
-    doc="32-bit SimHash over 3-word shingles: bit b = sign of the ±1 votes of "
-    "bit b of md5(shingle). Near-dups differ in few bits (Hamming); computed "
-    "arithmetically from md5 hex digits so the identical computation runs in "
-    "the DuckDB oracle.",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        D.simhash32_df(docs, "text", "doc_id", 3)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id")
-    )
-
 
 def _ngram_jaccard_oracle() -> str:
     # band keys fold the language into every band hash — same plan as the
@@ -2107,6 +2077,105 @@ def dedup_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.chunk_signature_pairs(
         media, _MEDIA_CHUNK_BYTES, _MEDIA_MIN_SHARED
     ).orderBy("media_a", "media_b")
+
+
+_PHASH_SEGMENTS = 32
+_PHASH_MAX_HAMMING = 3  # <= bands-1, so banding has GUARANTEED recall
+
+
+@register(
+    "multimodal_phash_neardup",
+    f"""
+    WITH media AS (
+      -- the synthetic corpus is pure ASCII (octet_length == length for
+      -- every row — same documented basis as multimodal_audio_chunks),
+      -- so ord(char) == byte value and VARCHAR positions == byte offsets
+      SELECT doc_id AS media_id, text AS payload, length(text) AS n_bytes
+      FROM documents
+    ),
+    pos AS (
+      SELECT media_id, n_bytes,
+             unnest(generate_series(1, CAST(n_bytes AS INT))) AS p
+      FROM media
+    ),
+    bv AS (
+      SELECT pos.media_id,
+             ((p - 1) * {_PHASH_SEGMENTS}) // pos.n_bytes AS seg,
+             ord(substring(m.payload, CAST(p AS INT), 1)) AS v
+      FROM pos JOIN media m ON m.media_id = pos.media_id
+    ),
+    segsum AS (SELECT media_id, seg, SUM(v) AS s FROM bv GROUP BY 1, 2),
+    tot AS (SELECT media_id, SUM(s) AS total FROM segsum GROUP BY 1),
+    sigs AS (
+      SELECT s.media_id,
+             CAST(SUM(CASE WHEN s.s * {_PHASH_SEGMENTS} > t.total
+                           THEN CAST(1 AS BIGINT) << CAST(s.seg AS INT)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM segsum s JOIN tot t ON t.media_id = s.media_id
+      GROUP BY s.media_id
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_PHASH_MAX_HAMMING}
+    ORDER BY media_a, media_b
+    """,
+    doc="Perceptual near-duplicate MEDIA pairs, pHash-shaped: each payload "
+    f"reduces to a {_PHASH_SEGMENTS}-bit signature (byte-span sums vs the "
+    "payload mean — the codec-free stand-in for pHash's DCT-vs-median "
+    "bits; a real decoder slots into the same Arrow-batched mapInPandas "
+    f"seam), and pairs within Hamming distance {_PHASH_MAX_HAMMING} are "
+    "near-dups. The Spark plan NEVER compares all pairs: signatures band "
+    "into 4 x 8-bit tables and only band-collisions pay the exact "
+    f"Hamming check — with threshold {_PHASH_MAX_HAMMING} <= bands-1 the "
+    "pigeonhole guarantees a clean band for every true pair, so banding "
+    "loses nothing vs the oracle's declarative all-pairs filter. One "
+    "shuffle on band keys (uniform), signature extraction is one "
+    "map-side Arrow pass over the rebalanced scan, checkpointed so the "
+    "Python stage runs once, not once per self-join side.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance + checkpoint: heavy Python (per-byte numpy) fuses onto the
+    # scan AND the result feeds both sides of a self-join (the two
+    # CLAUDE.md rebalance criteria at once)
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
+    sigs = M.perceptual_signature(media, _PHASH_SEGMENTS).localCheckpoint(
+        eager=True
+    )
+    bands = sigs.select(
+        "media_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(sig >> {8 * b}) & 255").alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("t"),
+    ).select("media_id", "sig", F.col("t.band").alias("band"), F.col("t.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .where(hamming <= _PHASH_MAX_HAMMING)
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("media_a", "media_b")
+    )
 
 
 _RP_DIMS = 8

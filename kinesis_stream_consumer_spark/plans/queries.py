@@ -189,3 +189,4 @@ from kinesis_stream_consumer_spark.plans import streaming_windows  # noqa: E402,
 # LAST on purpose: certified-stable entries parked past the driver's
 # 50-row window (see plans/curation_stable.py's module docstring).
 from kinesis_stream_consumer_spark.plans import curation_stable  # noqa: E402,F401
+from kinesis_stream_consumer_spark.plans import stable  # noqa: E402,F401

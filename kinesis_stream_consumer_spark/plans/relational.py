@@ -306,6 +306,261 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Ordered funnel analysis (event-sequence conversion) --------------------
+
+@register(
+    "events_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN tu END)
+                OVER (PARTITION BY user_id) AS t_view
+      FROM e
+    ),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND tu > t_view THEN tu END)
+                OVER (PARTITION BY user_id) AS t_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tu > t_click THEN tu END)
+                OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2
+    ),
+    u AS (
+      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_click_after_view,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_after_click,
+           CAST((2 * 10000 * COUNT(t_purchase) + COUNT(t_view))
+                // (2 * COUNT(t_view)) AS BIGINT) AS conversion_bp
+    FROM u
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase): each step "
+    "must STRICTLY FOLLOW the previous user's step in event time, not "
+    "merely co-occur — the sequential-pattern query behind every product "
+    "funnel dashboard. Steps resolve as chained whole-partition window "
+    "minima (first view, first click after it, first purchase after "
+    "that); conversion lands in half-up integer basis points. Scale "
+    "shape: ONE shuffle on user_id serves all three window passes (same "
+    "partitioning, no ORDER BY so no sort) and the per-user rollup "
+    "co-locates on the same exchange; the final global aggregate is one "
+    "row. Timestamps ride as integer epoch-micros throughout.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tu")
+    )
+    s1 = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("tu"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("tu") > F.col("t_view")),
+                F.col("tu"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("tu") > F.col("t_click")),
+                F.col("tu"),
+            )
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    ).select(
+        "n_users",
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.expr(
+            "(2 * 10000 * n_purchase_after_click + n_view) div (2 * n_view)"
+        ).alias("conversion_bp"),
+    )
+
+
+# --- Time-decayed aggregation (recency-weighted rollup) ---------------------
+
+@register(
+    "agg_time_decay",
+    """
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+    t AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v6,
+             CAST((m - epoch_us(ts)) // 604800000000 AS BIGINT) AS wk
+      FROM events, mx
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v6) AS BIGINT) AS raw_micro,
+           CAST(SUM(CASE WHEN wk >= 63 THEN 0
+                         ELSE v6 // (CAST(1 AS BIGINT) << wk) END)
+                AS BIGINT) AS decayed_micro
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Recency-weighted (half-life-decayed) per-user value rollup: each "
+    "event's value decays by 2^-(age in whole weeks), the standard "
+    "recency weighting for engagement/LTV scores. The decay is EXACT "
+    "integer arithmetic — micro-unit value right-shifted by the week "
+    "count (halving = shift) — so the sum is order-independent and "
+    "hash-identical cross-engine, where a float pow()-based decay would "
+    "drift by summation order and ulp differences. The reference "
+    "timestamp is a scalar aggregate pulled through the driver and "
+    "embedded as a literal (the k-means-model pattern — no "
+    "broadcast-nested-loop from a one-row cross join). Scale shape: one "
+    "groupBy shuffle on user_id with map-side partial aggregation; the "
+    "scalar max is a column-pruned scan aggregate.",
+)
+def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    v6 = F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+    wk = ((F.lit(mx) - F.unix_micros("ts")) / F.lit(604800000000)).cast("long")
+    # ages are non-negative so cast-truncation == floor here; the shift
+    # guard mirrors the oracle (wk >= 63 would overflow the long shift)
+    term = F.when(F.col("wk") >= 63, F.lit(0)).otherwise(
+        F.expr("v6 div shiftleft(cast(1 as bigint), cast(wk as int))")
+    )
+    return (
+        ev.select("user_id", v6.alias("v6"), wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v6").cast("long").alias("raw_micro"),
+            F.sum(term).cast("long").alias("decayed_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Interval-overlap join (banded, never all-pairs) ------------------------
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+    m AS (
+      SELECT *, CASE WHEN LAG(tu) OVER w IS NULL
+                       OR tu - LAG(tu) OVER w > 28800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sn
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sn, MIN(tu) AS st, MAX(tu) AS en, COUNT(*) AS n
+      FROM s GROUP BY user_id, sn
+    ),
+    big AS (SELECT * FROM sess WHERE n >= 8)
+    SELECT a.user_id AS user_a, CAST(a.sn AS BIGINT) AS session_a,
+           b.user_id AS user_b, CAST(b.sn AS BIGINT) AS session_b,
+           CAST((LEAST(a.en, b.en) - GREATEST(a.st, b.st)) // 1000000
+                AS BIGINT) AS overlap_s
+    FROM big a JOIN big b
+      ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+    ORDER BY user_a, session_a, user_b, session_b
+    """,
+    doc="Interval-overlap join: which users' heavy activity sessions "
+    "(gap-sessionized at 8h, >= 8 events) overlap IN TIME across users — "
+    "the co-occurrence primitive behind concurrency analysis, abuse-ring "
+    "detection and shared-incident correlation. A pure inequality join "
+    "(st_a <= en_b AND st_b <= en_a) has no equi key, so the naive plan "
+    "is a banned nested-loop cross product; the Spark plan BANDS it: "
+    "each interval explodes into the day buckets it covers, candidates "
+    "equi-join on the bucket, the exact overlap predicate filters, and "
+    "DISTINCT collapses multi-bucket collisions — candidates are bounded "
+    "by per-bucket occupancy, never |intervals|^2 (the same "
+    "bucket-banding answer as the LSH dedups; the oracle states the "
+    "equivalent inequality join declaratively). Session build reuses the "
+    "events_sessionize shape (one user_id shuffle, both window passes + "
+    "rollup), and the slim interval table is checkpointed so the "
+    "pipeline runs once, not once per self-join side.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    BUCKET = 86_400_000_000  # 1 day in micros
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tu")
+    )
+    w = W.partitionBy("user_id").orderBy("tu", "event_id")
+    gap = F.col("tu") - F.lag("tu").over(w)
+    s = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("tu").over(w).isNull() | (gap > 28_800_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sn",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    big = (
+        s.groupBy("user_id", "sn")
+        .agg(
+            F.min("tu").alias("st"),
+            F.max("tu").alias("en"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 8)
+        .localCheckpoint(eager=True)  # slim (user, sn, st, en) intervals
+    )
+    banded = big.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {BUCKET}"), F.expr(f"en div {BUCKET}")
+            )
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.st") <= F.col("b.en"))
+            & (F.col("b.st") <= F.col("a.en")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sn").cast("long").alias("session_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sn").cast("long").alias("session_b"),
+            F.expr(
+                "(least(a.en, b.en) - greatest(a.st, b.st)) div 1000000"
+            ).alias("overlap_s"),
+        )
+        .distinct()
+        .orderBy("user_a", "session_a", "user_b", "session_b")
+    )
+
 
 @register(
     "agg_time_rollup",

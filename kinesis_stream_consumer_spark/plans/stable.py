@@ -1,0 +1,212 @@
+"""Certified-stable parked entries (any category), registered LAST.
+
+Same mechanism as plans/curation_stable.py: the driver's CORRECTNESS file
+records only the FIRST 50 registered queries per round, so unchanged
+entries with green prior-round evidence are parked here — importing this
+module last in plans/queries.py moves them past the window, freeing
+first-50 slots for new or rewritten queries that need fresh driver
+evidence. The certification ledger (tests/test_certification_ledger.py)
+machine-checks that nothing here drifts from its certified hash while out
+of the window — edit a query in this file and the gate forces it back
+inside. Moving a block here verbatim does NOT change its certification
+hash (the hash covers fn source + oracle text, both unchanged).
+
+Parked r5: text_token_stats, text_langid, text_fingerprint,
+text_bigram_logprob, dedup_minhash_signature, dedup_simhash (all r4-green)
+— displaced by the six new r5 operators (events_funnel, agg_time_decay,
+join_interval_overlap, text_rank_correlation, dedup_graph_pagerank,
+multimodal_phash_neardup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_consumer_spark.operators import dedup as D
+from kinesis_stream_consumer_spark.operators import text as T
+from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+    _SHINGLE_ROWS,
+    _TOKS,
+    _langid_oracle,
+    _minhash_cols_sql,
+    _simhash_oracle,
+)
+from kinesis_stream_consumer_spark.plans.queries import _t, register
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           LENGTH(text)                                            AS n_chars,
+           len({_TOKS})                                            AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]')) AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(letters/digits/punct as separate pieces). Pure regexp column "
+    "expressions — codegen'd, scales linearly.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+@register(
+    "text_langid",
+    _langid_oracle(),
+    doc="Language ID via stopword-hit heuristic over fixed per-language word "
+    "sets; deterministic tie-break (en>es>de>fr), 'und' when no hits.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # two-step: materialize the lowered token array once, then the 4
+    # per-language hit counts reference the column instead of re-splitting
+    toked = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.tokens(F.lower(F.col("text"))).alias("_lt"),
+    )
+    return toked.select(
+        "doc_id",
+        "labeled_lang",
+        T.lang_id_from_tokens(F.col("_lt")).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+@register(
+    "text_fingerprint",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS i
+      FROM documents
+    )
+    SELECT doc_id, MIN(md5(substr(text, i, 5))) AS fingerprint
+    FROM pos GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: min-of-md5 over character 5-grams "
+    "(winnowing-style). Shift-robust unlike a plain content hash; an O(len) "
+    "expression per document.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_ngram_min_fingerprint(F.col("text"), 5).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    big AS (
+      SELECT doc_id, concat(toks[i], ' ', toks[i+1]) AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM tok)
+    ),
+    bf AS (SELECT doc_id, gram, COUNT(*) AS bf FROM big GROUP BY 1, 2),
+    bm AS (SELECT gram, COUNT(*) AS c12 FROM big GROUP BY 1),
+    lm AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM lm)
+    SELECT bf.doc_id,
+           ROUND(SUM(bf.bf * LN(CAST(0.75 AS DOUBLE) * (bm.c12 / l1.cnt)
+                   + CAST(0.25 AS DOUBLE) * ((l2.cnt + 1.0) / (tot.total + tot.vocab))))
+                 / SUM(bf.bf), 4) AS mean_bigram_logprob,
+           CAST(SUM(bf.bf) AS BIGINT) AS n_bigrams
+    FROM bf
+    JOIN bm USING (gram)
+    JOIN lm l1 ON l1.term = split_part(bf.gram, ' ', 1)
+    JOIN lm l2 ON l2.term = split_part(bf.gram, ' ', 2)
+    CROSS JOIN tot
+    GROUP BY bf.doc_id
+    ORDER BY bf.doc_id
+    """,
+    doc="Bigram-LM fluency score with Jelinek-Mercer interpolation "
+    "(0.75·p(w2|w1) + 0.25·add-one-unigram): the n-gram step up from "
+    "text_unigram_logprob toward a KenLM-style perplexity gate. The "
+    "bigram and unigram models are slim keyed count tables (checkpointed "
+    "once, map-side combined); scoring is three hash joins on "
+    "high-cardinality gram/term keys; the two-value normalizer crosses "
+    "the driver as literals like every trained-model scalar. Linear at "
+    "100 TB — no window functions, no Python.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = T.repetition_gram_rows(docs, "text", "doc_id")
+    toks = grams.where(F.col("kind") == 0).select("doc", F.col("gram").alias("term"))
+    big = grams.where(F.col("kind") == 1).select("doc", "gram")
+    bf = big.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("bf"))
+    bm = big.groupBy("gram").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(
+        eager=True
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    tot = lm.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")).first()
+    denom = float(tot["total"] + tot["vocab"])
+    l1 = lm.select(F.col("term").alias("w1"), F.col("cnt").alias("c1"))
+    l2 = lm.select(F.col("term").alias("w2"), F.col("cnt").alias("c2"))
+    scored = (
+        bf.withColumn("w1", F.split("gram", " ")[0])
+        .withColumn("w2", F.split("gram", " ")[1])
+        .join(bm, "gram")
+        .join(l1, "w1")
+        .join(l2, "w2")
+    )
+    p = 0.75 * (F.col("c12") / F.col("c1")) + 0.25 * (
+        (F.col("c2") + 1.0) / denom
+    )
+    return (
+        scored.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.round(F.sum(F.col("bf") * F.log(p)) / F.sum("bf"), 4).alias(
+                "mean_bigram_logprob"
+            ),
+            F.sum("bf").cast("long").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+@register(
+    "dedup_minhash_signature",
+    f"""
+    WITH {_SHINGLE_ROWS}
+    SELECT doc_id,
+             {_minhash_cols_sql()}
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="MinHash signatures: per fixed salt ('permutation'), the minimum md5 "
+    "over the doc's distinct 3-word shingles. Map-side only — signatures "
+    "computed without any shuffle.",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        D.minhash_signatures(docs, "text", "doc_id", 3)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="32-bit SimHash over 3-word shingles: bit b = sign of the ±1 votes of "
+    "bit b of md5(shingle). Near-dups differ in few bits (Hamming); computed "
+    "arithmetically from md5 hex digits so the identical computation runs in "
+    "the DuckDB oracle.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        D.simhash32_df(docs, "text", "doc_id", 3)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
