@@ -318,3 +318,129 @@ def test_cms_sketch_shuffle_bounded_by_sketch_size(spark):
         f"sketch shuffle {s['shuffle_records']} rows vs {n_occurrences} "
         "occurrences — map-side combine broken"
     )
+
+
+def test_interval_overlap_is_banded_not_all_pairs(spark):
+    """join_interval_overlap's candidate stage is the day-bucket band
+    join, never the |intervals|^2 product: candidate rows (pre-DISTINCT
+    bucket collisions) must sit strictly below C(n_intervals, 2), and
+    the exact result must be non-empty (banding keeps real overlaps —
+    with bucket >= max interval span every true overlap shares a
+    bucket)."""
+    from pyspark.sql.window import Window as W
+
+    from kinesis_stream_consumer_spark.plans.relational import (
+        join_interval_overlap,
+    )
+
+    res = join_interval_overlap(spark, SF_CORRECT)
+    n_pairs = res.count()
+    assert n_pairs > 0
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tu")
+    )
+    w = W.partitionBy("user_id").orderBy("tu", "event_id")
+    s = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("tu").over(w).isNull()
+            | ((F.col("tu") - F.lag("tu").over(w)) > 28_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sn", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    big = (
+        s.groupBy("user_id", "sn")
+        .agg(F.min("tu").alias("st"), F.max("tu").alias("en"),
+             F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 8)
+    )
+    n_intervals = big.count()
+    banded = big.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr("st div 86400000000"),
+                             F.expr("en div 86400000000"))),
+    )
+    n_cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .count()
+    )
+    all_pairs = n_intervals * (n_intervals - 1) // 2
+    assert 0 < n_cand < all_pairs, (
+        f"bucket candidates {n_cand} not below all-pairs {all_pairs}"
+    )
+
+
+def test_phash_neardup_pairs_come_from_band_collisions(spark):
+    """multimodal_phash_neardup compares band-collision candidates only;
+    with Hamming threshold <= bands-1 the pigeonhole guarantees banding
+    loses nothing, so the banded result must EQUAL the all-pairs filter
+    (checked on the sf0.01 corpus) while the candidate count stays far
+    below C(n, 2)."""
+    from kinesis_stream_consumer_spark.operators import multimodal as M
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        _PHASH_MAX_HAMMING,
+        _PHASH_SEGMENTS,
+        multimodal_phash_neardup,
+    )
+
+    banded_rows = {
+        tuple(r)
+        for r in multimodal_phash_neardup(spark, SF_CORRECT).collect()
+    }
+    assert banded_rows  # non-empty on the sf0.01 corpus (real near-dups)
+
+    docs = _docs(spark)
+    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
+    sigs = M.perceptual_signature(media, _PHASH_SEGMENTS).localCheckpoint(
+        eager=True
+    )
+    n = sigs.count()
+    exact = {
+        tuple(r)
+        for r in (
+            sigs.alias("a")
+            .join(sigs.alias("b"), F.col("a.media_id") < F.col("b.media_id"))
+            .select(
+                F.col("a.media_id").alias("media_a"),
+                F.col("b.media_id").alias("media_b"),
+                F.bit_count(
+                    F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+                ).cast("long").alias("hamming"),
+            )
+            .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
+            .collect()
+        )
+    }
+    assert banded_rows == exact  # pigeonhole: banding is lossless
+
+    bands = sigs.select(
+        "media_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(f"(sig >> {8 * b}) & 255").alias("bkey"),
+                )
+                for b in range(4)
+            ])
+        ).alias("t"),
+    ).select("media_id", "t.band", "t.bkey")
+    n_cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .count()
+    )
+    assert n_cand < n * (n - 1) // 2, "banding should prune the pair space"
