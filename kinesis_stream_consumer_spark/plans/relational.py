@@ -306,6 +306,208 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q7_nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev) AS BIGINT) AS revenue_micro
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="Bilateral trade volume (TPC-H q7 analogue): revenue shipped "
+    "between two nations in either direction, by year. The two-row "
+    "nation slices broadcast and PRUNE supplier/customer before the "
+    "fact joins (Catalyst can't infer the nation restriction through "
+    "the equi-chain, so the filters sit on the dimension scans "
+    "explicitly — the q5 lesson); supplier/customer hints are "
+    "stats-gated; the disjunctive nation-pair predicate evaluates on "
+    "the joined slim rows. Money in exact integer micro-dollars.",
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    pair = na.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * (10000 - F.floor(F.col("l_discount") * 10000 + 0.5).cast("long"))
+    )
+    n1 = pair.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = pair.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            _bcast_if_small(
+                su.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")),
+                sf_dir,
+                "supplier",
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            _bcast_if_small(
+                cu.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")),
+                sf_dir,
+                "customer",
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_micro"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS BIGINT) AS profit_micro
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT))
+             - CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) * 1000 AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    doc="Product-line profit by supplier nation and order year (TPC-H q9 "
+    "analogue; the testdata ships no partsupp table, so supply cost is a "
+    "deterministic 10%%-of-retail proxy: retail cents x quantity x 1000 "
+    "micro). The '%%red%%' part slice drives the plan: the filtered part "
+    "dim is stats-gate-broadcast into the fact scan FIRST (cutting "
+    "lineitem before the orders join), supplier->nation resolves via "
+    "broadcast, and profit accumulates in exact signed integer "
+    "micro-dollars (order-independent, hash-stable).",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    amount = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * (10000 - F.floor(F.col("l_discount") * 10000 + 0.5).cast("long"))
+        - F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+        * F.col("l_quantity").cast("long")
+        * 1000
+    )
+    return (
+        li.join(_bcast_if_small(pa, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            _bcast_if_small(su, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("long").alias("profit_micro"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (10000 - CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)))
+                AS BIGINT) AS revenue_micro
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="Disjunctive-predicate revenue (TPC-H q19 analogue): an "
+    "OR-of-ANDs mixing dimension (brand, size) and fact (quantity) "
+    "predicates — the optimizer stress case. Catalyst splits the "
+    "disjunction: the derivable single-side conjuncts (brand/size union "
+    "on part, quantity range union on lineitem) push to the SCANS while "
+    "the cross-table residual evaluates after the stats-gated broadcast "
+    "join — so neither table is read in full even though no single "
+    "conjunct spans the whole filter. Integer micro-dollar money.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    rev = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * (10000 - F.floor(F.col("l_discount") * 10000 + 0.5).cast("long"))
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(_bcast_if_small(pa, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("long").alias("revenue_micro"),
+        )
+    )
+
+
 # --- Ordered funnel analysis (event-sequence conversion) --------------------
 
 @register(

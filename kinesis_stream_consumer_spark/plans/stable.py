@@ -24,15 +24,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_stream_consumer_spark.operators import dedup as D
+from kinesis_stream_consumer_spark.operators import multimodal as M
 from kinesis_stream_consumer_spark.operators import text as T
 from kinesis_stream_consumer_spark.plans.llm_pipeline import (
     _SHINGLE_ROWS,
     _TOKS,
     _langid_oracle,
     _minhash_cols_sql,
+    _ngram_jaccard_oracle,
     _simhash_oracle,
 )
-from kinesis_stream_consumer_spark.plans.queries import _t, register
+from kinesis_stream_consumer_spark.plans.queries import (
+    _t,
+    _table_row_count,
+    register,
+)
 
 @register(
     "text_token_stats",
@@ -210,3 +216,101 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc", "doc_id")
         .orderBy("doc_id")
     )
+
+# --- parked r5 (second batch): displaced by the q7/q9/q19 closers ---
+
+@register(
+    "text_tfidf_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN((1.0 + n.n) / (1.0 + d.df)), 4) AS tfidf
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    doc="TF-IDF keyword extraction: top-3 terms per document by "
+    "tf·ln((1+N)/(1+df)) (smoothed idf). Tokenize once; term counts are "
+    "one (doc, term) shuffle with map-side combine; document frequency is "
+    "a second slim shuffle keyed on term; N comes from table stats "
+    "(footer row count), not a count() job. The tf⋈df join is keyed on "
+    "term — at 100 TB the vocab table shards across executors instead of "
+    "broadcasting an unbounded dictionary.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _table_row_count(sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((1.0 + n_docs) / (1.0 + F.col("df"))), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _ngram_jaccard_oracle(),
+    doc="N-gram Jaccard near-dup pairs, language-blocked THROUGH the "
+    "MinHash-LSH band join: the language is an extra component of every "
+    "band key, so only same-language docs with a colliding signature band "
+    "become candidates, then exact shingle Jaccard ≥ 0.2 verifies. The "
+    "language never forms a join bucket by itself — a 4-language corpus "
+    "does not degenerate into 4 all-pairs products (the 100 TB fix for "
+    "naive blocked Jaccard).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidate_pairs(
+        docs, "text", "doc_id", 3, 2, block_col="lang", threshold=0.2
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, 'text/plain' AS mime,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id, mime,
+           unnest(generate_series(0, GREATEST(n_bytes // 1024 - 1, 0), 10)) AS frame_index
+    FROM media ORDER BY media_id, frame_index
+    """,
+    doc="Video frame-sampling plumbing: each media row fans out to its "
+    "sampled frame indices via sequence+explode — distributed fan-out, "
+    "nothing collected to the driver. Frame count faked from byte length "
+    "(no decoder); the explode/partition shape is the scale-relevant part.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
+    return M.frame_sample_plan(media, 10).orderBy("media_id", "frame_index")
