@@ -328,17 +328,16 @@ _WINNOW_MIN_SHARED = 5
                                               {_WINNOW_K})) >> 24) AS BIGINT) AS hv
       FROM g JOIN documents d ON d.doc_id = g.doc_id
     ),
-    wins AS (
-      SELECT doc_id, p, hv,
-             unnest(generate_series(CAST(GREATEST(1, p - {_WINNOW_W - 1}) AS INT),
-                                    CAST(LEAST(p, ng - {_WINNOW_W - 1}) AS INT))) AS j
+    sel AS (
+      SELECT doc_id, ng, p,
+             MIN(hv * 1048576 + (1048575 - p))
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN CURRENT ROW
+                              AND {_WINNOW_W - 1} FOLLOWING) AS enc
       FROM h
     ),
-    sel AS (
-      SELECT doc_id, j, MIN(hv * 1048576 + (1048575 - p)) AS enc
-      FROM wins GROUP BY 1, 2
-    ),
-    fp AS (SELECT DISTINCT doc_id, enc // 1048576 AS hv FROM sel),
+    fp AS (SELECT DISTINCT doc_id, enc // 1048576 AS hv FROM sel
+           WHERE p <= ng - {_WINNOW_W - 1}),
     df AS (SELECT hv, COUNT(*) AS n_docs FROM fp GROUP BY 1),
     kept AS (SELECT fp.* FROM fp JOIN df USING (hv)
              WHERE df.n_docs <= {_WINNOW_DF})

@@ -11,11 +11,15 @@ of the window — edit a query in this file and the gate forces it back
 inside. Moving a block here verbatim does NOT change its certification
 hash (the hash covers fn source + oracle text, both unchanged).
 
-Parked r5: text_token_stats, text_langid, text_fingerprint,
-text_bigram_logprob, dedup_minhash_signature, dedup_simhash (all r4-green)
-— displaced by the six new r5 operators (events_funnel, agg_time_decay,
-join_interval_overlap, text_rank_correlation, dedup_graph_pagerank,
-multimodal_phash_neardup).
+Parked r5 (three batches, all r4-green and unchanged): text_token_stats,
+text_langid, text_fingerprint, text_bigram_logprob,
+dedup_minhash_signature, dedup_simhash; text_tfidf_topk,
+dedup_ngram_jaccard, multimodal_frame_sample; dedup_exact,
+multimodal_media_meta, multimodal_audio_chunks — displaced by the twelve
+new r5 operators (events_funnel, agg_time_decay, join_interval_overlap,
+text_rank_correlation, dedup_graph_pagerank, multimodal_phash_neardup,
+q7/q9/q19 closers, text_winnowing_pairs, window_distribution_ranks,
+agg_corr_covar).
 """
 
 from __future__ import annotations

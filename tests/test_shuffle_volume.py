@@ -444,3 +444,35 @@ def test_phash_neardup_pairs_come_from_band_collisions(spark):
         .count()
     )
     assert n_cand < n * (n - 1) // 2, "banding should prune the pair space"
+
+
+def test_winnowing_pair_stage_is_df_capped(spark):
+    """text_winnowing_pairs' inverted-index join is bounded by the
+    stop-fingerprint cap: every surviving posting list has <= _WINNOW_DF
+    docs, so candidate pair volume is sum(C(df,2)) <= C(_WINNOW_DF,2) per
+    hash — strictly below the all-pairs product."""
+    from kinesis_stream_consumer_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        _WINNOW_DF,
+        _WINNOW_K,
+        _WINNOW_W,
+        text_winnowing_pairs,
+    )
+
+    assert text_winnowing_pairs(spark, SF_CORRECT).count() > 0
+
+    fp = winnowing_fingerprints(_docs(spark), "text", "doc_id",
+                                k=_WINNOW_K, w=_WINNOW_W)
+    dfreq = fp.groupBy("hv").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = dfreq.where(F.col("n_docs") <= _WINNOW_DF)
+    n_cand = int(
+        kept.agg(
+            F.sum(F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+        ).first()[0]
+    )
+    all_pairs = N_DOCS * (N_DOCS - 1) // 2
+    assert 0 < n_cand < all_pairs, (
+        f"candidate volume {n_cand} not bounded below all-pairs {all_pairs}"
+    )
