@@ -153,3 +153,52 @@ def test_connected_components_matches_union_find(spark, graphs):
         for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_winnowing_guarantee_shared_substring_shared_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. §2): two documents
+    sharing any substring of length >= k + w - 1 MUST share at least one
+    selected fingerprint — checked against a pure-Python reference
+    implementation of rightmost-min-per-window selection on constructed
+    near-dups and on the disjoint-text negative case."""
+    import hashlib
+
+    from kinesis_stream_consumer_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 5, 4
+
+    def py_hash40(gram: str) -> int:
+        d = hashlib.md5(gram.encode()).hexdigest()
+        le = "".join(d[p - 1 : p + 1] for p in (15, 13, 11, 9, 7))
+        return int(le, 16)
+
+    def py_winnow(text: str) -> set[int]:
+        n = len(text)
+        hs = [py_hash40(text[p : p + k]) for p in range(n - k + 1)]
+        out = set()
+        for j in range(len(hs) - w + 1):
+            window = hs[j : j + w]
+            m = min(window)
+            # rightmost minimal
+            out.add(window[len(window) - 1 - window[::-1].index(m)])
+        return out
+
+    shared = "SHAREDSEGMENTXYZ123"  # len 19 >= k + w - 1 = 8
+    docs = [
+        (0, "aaaa bbbb cccc " + shared + " dddd eeee"),
+        (1, "ffff gggg " + shared + " hhhh iiii jjjj kkkk"),
+        (2, "llll mmmm nnnn oooo pppp qqqq rrrr ssss"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {}
+    for r in winnowing_fingerprints(df, "text", "doc_id", k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["hv"])
+    # Spark matches the reference implementation exactly
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == py_winnow(text), doc_id
+    # the guarantee: near-dups share, the disjoint doc shares nothing
+    assert got[0] & got[1], "shared substring must yield a shared fingerprint"
+    assert not (got[0] & got[2])
+    assert not (got[1] & got[2])
