@@ -466,3 +466,69 @@ def connected_components(
             f"max_iter — results would be incorrect, not approximate"
         )
     return labels.select("node", F.col("lab").alias("component_id"))
+
+
+def minhash_lsh_incremental_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    new_col: str,
+    k: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Increment-vs-corpus LSH: near-dup candidates where at least one
+    side is a NEW document — the production dedup shape, where a daily
+    increment is checked against a (much larger) existing corpus without
+    ever re-pairing the corpus against itself.
+
+    ``new_col`` is a boolean column marking increment rows. Output:
+    (new_doc, match_doc, match_is_new, jaccard_sim) — one row per
+    candidate the new document collides with (match_doc may itself be
+    new: within-increment duplicates surface symmetrically, one row per
+    direction, so each new doc carries its full candidate list).
+
+    Scale shape: identical banding to minhash_lsh_candidate_pairs, but
+    the band join is INCREMENT-DRIVEN — one side of the equi-join is
+    only the new docs' band rows, so join fan-out is bounded by
+    increment x bucket occupancy, never corpus x corpus. In production
+    the corpus side's (band, band_key) rows and shingle sets come from
+    the signature store written at ingest (they are recomputed here
+    because the driver corpus is synthetic); the verify stage reads only
+    the matched pairs' sets — the 'fetch the candidates' lookup."""
+    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
+    flags = df.select(
+        F.col(id_col).alias("doc"), F.col(new_col).alias("_is_new")
+    )
+    banded = (
+        minhash_band_rows(minhash_signatures_from_sets(shsets), rows_per_band)
+        .join(flags, "doc")
+        .localCheckpoint(eager=True)  # slim (doc, band, band_key, flag)
+    )
+    new_bands = banded.where(F.col("_is_new"))
+    pairs = (
+        banded.alias("l")
+        .join(
+            new_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc") != F.col("r.doc")),
+        )
+        .select(
+            F.col("r.doc").alias("new_doc"),
+            F.col("l.doc").alias("match_doc"),
+            F.col("l._is_new").cast("int").alias("match_is_new"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.join(shsets.alias("sa"), F.col("new_doc") == F.col("sa.doc"))
+        .join(shsets.alias("sb"), F.col("match_doc") == F.col("sb.doc"))
+        .select(
+            "new_doc",
+            "match_doc",
+            "match_is_new",
+            jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias(
+                "jaccard_sim"
+            ),
+        )
+    )

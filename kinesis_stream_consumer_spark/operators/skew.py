@@ -94,3 +94,29 @@ def salted_agg(
             for name, (_, comb) in specs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-mitigated shuffle equi-join for LOW-CARDINALITY / hot keys.
+
+    A shuffle join on a 5-value key parks every row on <= 5 reducers no
+    matter how wide the cluster is; AQE's skew splitting can split a hot
+    PARTITION but not a single hot KEY's sort group. Salting fixes it at
+    plan level: fact rows take a deterministic hash salt in [0, n_salts),
+    the (small, but not broadcast-worthy) dim replicates across ALL
+    salts, and the join keys on (key, salt) — the hot key now spreads
+    over n_salts sort groups. Row-for-row identical to the unsalted
+    join; dim-side cost is |dim| x n_salts rows, which is the explicit
+    trade. Deterministic salt (hash of all fact columns, not rand()) so
+    retried tasks salt identically."""
+    f = with_salt(fact, n_salts)
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    return f.join(d.hint("merge"), [key, "_salt"]).drop("_salt")

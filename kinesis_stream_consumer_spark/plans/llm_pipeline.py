@@ -454,6 +454,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_lsh_oracle() -> str:
+    bands = " , ".join(
+        f"mh{2*b}::VARCHAR || '#' || mh{2*b+1}::VARCHAR AS b{b}" for b in range(4)
+    )
+    cond = " OR ".join(f"l.b{b} = r.b{b}" for b in range(4))
+    return f"""
+    WITH {_SHINGLE_ROWS},
+    sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (SELECT doc_id, {bands} FROM sigs),
+    cand AS (
+      SELECT DISTINCT r.doc_id AS new_doc, l.doc_id AS match_doc,
+             CAST(l.doc_id % 10 = 0 AS INT) AS match_is_new
+      FROM banded l JOIN banded r
+        ON l.doc_id != r.doc_id AND ({cond})
+      WHERE r.doc_id % 10 = 0
+    ),
+    shsets AS (SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id)
+    SELECT new_doc, match_doc, match_is_new,
+           ROUND(len(list_intersect(sa.shset, sb.shset))
+                 / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1), 4)
+             AS jaccard_sim
+    FROM cand
+    JOIN shsets sa ON sa.doc_id = new_doc
+    JOIN shsets sb ON sb.doc_id = match_doc
+    ORDER BY new_doc, match_doc
+    """
+
+
+@register(
+    "dedup_incremental_lsh",
+    _incremental_lsh_oracle(),
+    doc="Increment-vs-corpus near-dup check — the PRODUCTION dedup shape: "
+    "a new batch (docs with doc_id % 10 == 0 stand in for today's "
+    "increment) is checked against the existing corpus WITHOUT ever "
+    "re-pairing the corpus against itself. The band equi-join is "
+    "increment-driven (one side holds only new docs' band rows), so join "
+    "fan-out is bounded by increment x bucket occupancy — at 100 TB the "
+    "corpus side's signatures come from the store written at ingest and "
+    "the whole check costs O(increment), not O(corpus). Output: each new "
+    "doc's candidate list with exact Jaccard and a flag telling corpus "
+    "dups from within-increment dups (which surface symmetrically, one "
+    "row per direction).",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: shingle sets are checkpointed (criterion 2)
+    docs = _t(spark, sf_dir, "documents", rebalance=True).withColumn(
+        "_is_new", (F.col("doc_id") % 10) == 0
+    )
+    return D.minhash_lsh_incremental_pairs(
+        docs, "text", "doc_id", "_is_new", 3, 2
+    ).orderBy("new_doc", "match_doc")
+
+
 @register(
     "dedup_cluster_components",
     f"""
@@ -1380,28 +1436,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Multimodal columns -----------------------------------------------------
 
-@register(
-    "multimodal_features",
-    """
-    SELECT doc_id AS media_id,
-           'text/plain' AS mime,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
-           CAST(16 AS BIGINT) AS feature_dim,
-           substr(sha256(text || '|dim=16'), 1, 16) AS feature_sig
-    FROM documents ORDER BY media_id
-    """,
-    doc="Arrow-batched feature extraction over binary payloads via "
-    "mapInPandas — the decode step is a deterministic fake (sha256 of "
-    "payload+dim; a real codec slots into the same batch loop). The batch "
-    "shape, schema and partitioning are the real, tested contract.",
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
-    return M.extract_features(media, 16).orderBy("media_id")
-
-
-
 # --- Composed training-data prep pipeline -----------------------------------
 
 @register(
@@ -2226,77 +2260,6 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
-
-
-_CMS_WIDTH = 32
-_CMS_DEPTH = 4
-_CMS_TOP = 20
-
-
-@register(
-    "text_heavy_hitters_cms",
-    f"""
-    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
-    dd AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d),
-    bkt AS (
-      SELECT tok, d,
-             CAST((md5_number_upper(CAST(d AS VARCHAR) || '|' || tok) >> 8)
-                  % {_CMS_WIDTH} AS BIGINT) AS b
-      FROM toks CROSS JOIN dd
-    ),
-    sketch AS (SELECT d, b, COUNT(*) AS c FROM bkt GROUP BY 1, 2),
-    exact AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
-    top AS (
-      SELECT tok, exact_count FROM (
-        SELECT *, ROW_NUMBER() OVER (ORDER BY exact_count DESC, tok) AS rn
-        FROM exact) WHERE rn <= {_CMS_TOP}
-    ),
-    tb AS (
-      SELECT t.tok, t.exact_count, dd.d,
-             CAST((md5_number_upper(CAST(dd.d AS VARCHAR) || '|' || t.tok) >> 8)
-                  % {_CMS_WIDTH} AS BIGINT) AS b
-      FROM top t CROSS JOIN dd
-    ),
-    est AS (
-      SELECT tb.tok, tb.exact_count, MIN(s.c) AS cms_estimate
-      FROM tb JOIN sketch s ON s.d = tb.d AND s.b = tb.b
-      GROUP BY 1, 2
-    )
-    SELECT tok AS token,
-           CAST(exact_count AS BIGINT) AS exact_count,
-           CAST(cms_estimate AS BIGINT) AS cms_estimate,
-           CAST(FLOOR(10000.0 * (cms_estimate - exact_count) / exact_count + 0.5)
-                AS BIGINT) AS overest_bp
-    FROM est
-    ORDER BY exact_count DESC, token
-    """,
-    doc="Count–Min-Sketch heavy hitters — the bounded-memory frequency "
-    f"sketch (Cormode & Muthukrishnan 2005): a {_CMS_DEPTH}×{_CMS_WIDTH} "
-    "counter array over md5-salted token buckets, estimate = min over "
-    "depths of the token's bucket counts, reported for the exact "
-    f"top-{_CMS_TOP} tokens next to their true counts with the "
-    "overestimate in basis points (CMS only ever OVERcounts — collisions "
-    "add; the output makes the error visible). The 100 TB story is the "
-    "sketch aggregate's size: depth·width counters REGARDLESS of "
-    "vocabulary, with map-side combine, where an exact vocabulary count "
-    "shuffles one row per distinct token — the trade every streaming "
-    "frequency pipeline makes. Deterministic md5 salts, integer-exact "
-    "end to end; the exact top-N side plans as TakeOrderedAndProject "
-    "(distributed top-N, no global window). Width 32 is sized DOWN to "
-    "the driver corpus's 31-token synthetic vocabulary so collisions "
-    "(the sketch's defining error mode) actually occur and get "
-    "checked; production widths are ≫ the heavy-hitter count and the "
-    "knob changes nothing structural.",
-)
-def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rebalance: depth md5s per token occurrence all run BEFORE the sketch
-    # aggregate's exchange (partial combine means the map side does the
-    # hashing) — on a single-row-group scan that pins the whole hash
-    # volume to one task (A/B 2.15s vs 6.90s median at sf0.1)
-    docs = _t(spark, sf_dir, "documents", rebalance=True)
-    return T.cms_token_estimates(
-        docs, "text", _CMS_WIDTH, _CMS_DEPTH, _CMS_TOP
-    ).orderBy(F.col("exact_count").desc(), "token")
 
 
 def _blocked_lsh_oracle() -> str:

@@ -509,6 +509,57 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+      SELECT event_type, LENGTH(event_type) AS type_weight
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(d.type_weight) AS BIGINT) AS total_weight,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)
+                    * d.type_weight) AS BIGINT) AS weighted_cents
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="Salted SHUFFLE join on a hot 5-value key: a sort-merge join on "
+    "event_type parks the whole fact on <= 5 reducers regardless of "
+    "cluster width, and AQE's skew splitting cannot split a single hot "
+    "key's sort group — so the fact takes a deterministic hash salt, "
+    "the dim replicates across all 16 salts, and the join keys on "
+    "(event_type, salt), spreading each hot key over 16 sort groups "
+    "(operators/skew.salted_join; the dim carries a MERGE hint so the "
+    "demo exercises the shuffle path a broadcast would sidestep — at "
+    "real scale the dim side may be too big or non-broadcastable). "
+    "Row-for-row identical to the unsalted join the oracle runs; "
+    "weighted sum in exact integer cents.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=16)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("type_weight").cast("long").alias("total_weight"),
+            F.sum(cents * F.col("type_weight")).cast("long").alias(
+                "weighted_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "window_distribution_ranks",
     """
     WITH r AS (
