@@ -130,3 +130,72 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "curation_length_filter",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_BPE_TOKS} AS n_tok FROM documents
+    ),
+    r AS (
+      SELECT lang, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_tok, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM s
+    ),
+    kept AS (SELECT * FROM r WHERE 20 * rnk > n AND 20 * rnk <= 19 * n)
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST((2 * 10000 * COUNT(*) + MAX(n)) // (2 * MAX(n))
+                AS BIGINT) AS kept_bp,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok_kept,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    doc="Adaptive per-language length filtering — the standard curation "
+    "gate that drops each language's shortest and longest 5% of "
+    "documents by token count, with thresholds DERIVED from that "
+    "language's own distribution rather than one global cutoff (a "
+    "fixed cutoff tuned on English over-prunes languages with different "
+    "tokenization density). The percentile band is EXACT rank "
+    "arithmetic (keep iff 20*rank > n and 20*rank <= 19*n, ties broken "
+    "by doc_id) — no approx-percentile sketch whose error bounds differ "
+    "cross-engine. Reports the kept fraction (half-up bp) and the "
+    "induced per-language token bounds. Scale shape: ONE shuffle on "
+    "lang serves the rank window, the partition count and the rollup; "
+    "token counting is codegen'd regex on the scan.",
+)
+def curation_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "lang", T.bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    r = s.select(
+        "lang",
+        "n_tok",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("n_tok", "doc_id"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    kept = r.where(
+        (20 * F.col("rnk") > F.col("n")) & (20 * F.col("rnk") <= 19 * F.col("n"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.expr(
+                "cast((2 * 10000 * count(*) + max(n)) div (2 * max(n)) as bigint)"
+            ).alias("kept_bp"),
+            F.min("n_tok").cast("long").alias("min_tok_kept"),
+            F.max("n_tok").cast("long").alias("max_tok_kept"),
+        )
+        .orderBy("lang")
+    )

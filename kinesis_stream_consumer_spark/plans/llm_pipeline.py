@@ -1574,79 +1574,6 @@ def _llm_prep_v2_oracle() -> str:
     """
 
 
-@register(
-    "llm_prep_pipeline_v2",
-    _llm_prep_v2_oracle(),
-    doc="The FULL composed curation chain — what a production pretraining "
-    "prep job actually runs, built entirely from this repo's certified "
-    "operators: quality score ≥ 0.5, Gopher repetition filter, unigram-LM "
-    "fluency gate, language filter, transitive near-dup clusters reduced "
-    "to their best-quality canonical member, exact-dedup keep-first, then "
-    "per-source token accounting. Both sides compose the SAME certified "
-    "fragments (the Spark side calls the registered query fns, the oracle "
-    "splices their SQL bodies), so parity is inherited stage by stage. "
-    "Plan shape: each stage is shuffles already proven slim by the "
-    "standalone gates; the final census combines map-side.",
-)
-def llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    q = QUERIES["text_quality"].fn(spark, sf_dir).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
-    rep = QUERIES["text_repetition"].fn(spark, sf_dir).select(
-        "doc_id", "is_repetitive"
-    )
-    flu = QUERIES["text_unigram_logprob"].fn(spark, sf_dir).select(
-        "doc_id", "mean_logprob"
-    )
-    members = QUERIES["dedup_cluster_components"].fn(spark, sf_dir)
-    canon = (
-        members.join(q, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("component_id").orderBy(
-                    F.col("quality_score").desc(), "doc_id"
-                )
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("component_id", F.col("doc_id").alias("canonical"))
-    )
-    nodecanon = members.join(canon, "component_id").select(
-        F.col("doc_id").alias("nc_doc"), "canonical"
-    )
-    kept = (
-        docs.select("doc_id", "source", "lang", "text")
-        .join(q, "doc_id")
-        .join(rep, "doc_id")
-        .join(flu, "doc_id")
-        .join(nodecanon, F.col("doc_id") == F.col("nc_doc"), "left")
-        .where(
-            (F.col("lang") == "en")
-            & (F.col("quality_score") >= 0.5)
-            & (~F.col("is_repetitive"))
-            & (F.col("mean_logprob") >= _V2_FLUENCY_MIN)
-            & (F.col("nc_doc").isNull() | (F.col("canonical") == F.col("doc_id")))
-        )
-    )
-    w = Window.partitionBy(D.exact_digest(F.col("text"))).orderBy("doc_id")
-    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    q_units = F.floor(F.col("quality_score") * 10000.0 + F.lit(0.5)).cast("long")
-    return (
-        deduped.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            (
-                F.floor(F.sum(q_units) / F.count(F.lit(1)) + F.lit(0.5)) / 10000.0
-            ).alias("avg_quality"),
-        )
-        .orderBy("source")
-    )
-
 
 _BOILER_SEG_WORDS = 5
 _BOILER_SUPPORT = 2
