@@ -842,7 +842,11 @@ def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
     v6 = F.floor(F.col("value") * 1000000 + 0.5).cast("long")
-    wk = ((F.lit(mx) - F.unix_micros("ts")) / F.lit(604800000000)).cast("long")
+    # integer div, NOT double-divide-then-cast: a double quotient within
+    # half an ulp below a whole week would round UP and disagree with the
+    # oracle's exact // at the boundary (ages are non-negative so div ==
+    # floor on both engines)
+    wk = F.expr(f"({mx}L - unix_micros(ts)) div 604800000000L")
     # ages are non-negative so cast-truncation == floor here; the shift
     # guard mirrors the oracle (wk >= 63 would overflow the long shift)
     term = F.when(F.col("wk") >= 63, F.lit(0)).otherwise(
