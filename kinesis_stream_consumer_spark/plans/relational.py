@@ -864,6 +864,70 @@ def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_retention_cohorts",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    f AS (SELECT user_id, MIN(wk) AS fw FROM a GROUP BY user_id),
+    cs AS (SELECT fw, COUNT(*) AS cohort_size FROM f GROUP BY fw),
+    m AS (
+      SELECT f.fw AS cohort_week, a.wk - f.fw AS week_offset,
+             COUNT(*) AS n_active
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(m.cohort_week AS BIGINT) AS cohort_week,
+           CAST(m.week_offset AS BIGINT) AS week_offset,
+           CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           CAST((2 * 10000 * m.n_active + cs.cohort_size)
+                // (2 * cs.cohort_size) AS BIGINT) AS retained_bp
+    FROM m JOIN cs ON cs.fw = m.cohort_week
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Cohort retention matrix — THE product-analytics workload: users "
+    "grouped by first-active week (cohort), each later week reporting "
+    "what fraction of the cohort came back. Weeks are integer "
+    "epoch-micro divisions (no calendar/timezone rendering to disagree "
+    "on), retention in half-up integer basis points. Scale shape: the "
+    "distinct (user, week) reduction, the first-week aggregate and the "
+    "cohort join all key on user_id — ONE shuffle family reused across "
+    "stages — and the output matrix aggregate keys on (cohort, offset), "
+    "bounded by weeks², not users. No window functions needed.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
+    ).distinct()
+    f = a.groupBy("user_id").agg(F.min("wk").alias("fw"))
+    cs = f.groupBy("fw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    m = (
+        a.join(f, "user_id")
+        .groupBy(
+            F.col("fw").alias("cohort_week"),
+            (F.col("wk") - F.col("fw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        m.join(cs, m["cohort_week"] == cs["fw"])
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.expr(
+                "cast((2 * 10000 * n_active + cohort_size)"
+                " div (2 * cohort_size) as bigint)"
+            ).alias("retained_bp"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # --- Interval-overlap join (banded, never all-pairs) ------------------------
 
 @register(

@@ -32,6 +32,8 @@ from kinesis_stream_consumer_spark.operators import multimodal as M
 from kinesis_stream_consumer_spark.operators import text as T
 from kinesis_stream_consumer_spark.plans.llm_pipeline import (
     _SHINGLE_ROWS,
+    _containment_oracle,
+    _minhash_lsh_oracle,
     _V2_FLUENCY_MIN,
     _llm_prep_v2_oracle,
     _TOKS,
@@ -575,4 +577,171 @@ def llm_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
         .orderBy("source")
+    )
+
+# --- parked r5 (sixth batch): displaced by events_retention_cohorts ---
+
+def _method_agreement_oracle() -> str:
+    mh = _minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]
+    ct = _containment_oracle().rsplit("ORDER BY", 1)[0]
+    lv = QUERIES["dedup_levenshtein"].oracle.rsplit("ORDER BY", 1)[0]
+    return f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({mh})
+                WHERE jaccard_sim >= CAST(0.5 AS DOUBLE)),
+    ct AS (SELECT doc_a, doc_b FROM ({ct})
+           WHERE containment >= CAST(0.8 AS DOUBLE)),
+    lv AS (SELECT doc_a, doc_b FROM ({lv})),
+    ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM documents a JOIN documents b
+             ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+    allp AS (
+      SELECT 'minhash' AS m, doc_a, doc_b FROM mh
+      UNION ALL SELECT 'containment', doc_a, doc_b FROM ct
+      UNION ALL SELECT 'levenshtein', doc_a, doc_b FROM lv
+      UNION ALL SELECT 'exact', doc_a, doc_b FROM ex
+    ),
+    methods AS (SELECT unnest(['containment','exact','levenshtein','minhash']) AS m),
+    counts AS (
+      SELECT me.m, COALESCE(c.n, 0) AS n
+      FROM methods me LEFT JOIN (SELECT m, COUNT(*) AS n FROM allp GROUP BY m) c
+        USING (m)
+    ),
+    common AS (
+      SELECT x.m AS method_a, y.m AS method_b, COUNT(*) AS n_common
+      FROM allp x JOIN allp y
+        ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b AND x.m < y.m
+      GROUP BY 1, 2
+    ),
+    combos AS (
+      SELECT a.m AS method_a, b.m AS method_b, a.n AS n_a, b.n AS n_b
+      FROM counts a JOIN counts b ON a.m < b.m
+    )
+    SELECT method_a, method_b,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST(CASE WHEN n_a + n_b - COALESCE(c.n_common, 0) = 0 THEN 0
+                ELSE FLOOR(10000.0 * COALESCE(c.n_common, 0)
+                           / (n_a + n_b - COALESCE(c.n_common, 0)) + 0.5)
+                END AS BIGINT) AS agree_bp
+    FROM combos LEFT JOIN common c USING (method_a, method_b)
+    ORDER BY method_a, method_b
+    """
+
+
+@register(
+    "dedup_method_agreement",
+    _method_agreement_oracle(),
+    doc="Dedup-method agreement census — the evaluation loop behind "
+    "choosing a dedup stack: the pair sets of four signals (exact digest, "
+    "MinHash-Jaccard ≥ 0.5, containment ≥ 0.8, Levenshtein ratio ≤ 0.2 — "
+    "all over the SAME LSH candidates) are compared pairwise, reporting "
+    "per-method pair counts, the intersection, and Jaccard agreement of "
+    "the pair SETS in basis points. High exact∩minhash with low "
+    "exact∩containment quantifies exactly what each extra signal buys. "
+    "Scale shape: each method's pair frame is near-dup-sized (LSH-bounded, "
+    "not corpus-sized); the census unions them tagged and self-joins on "
+    "the pair key — work bounded by total near-dup pairs. The union is "
+    "checkpointed once so the count and intersection stages share one "
+    "materialization of the four underlying pipelines.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mh = (
+        QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir)
+        .where(F.col("jaccard_sim") >= 0.5)
+        .select(F.lit("minhash").alias("m"), "doc_a", "doc_b")
+    )
+    ct = (
+        QUERIES["dedup_containment"].fn(spark, sf_dir)
+        .where(F.col("containment") >= 0.8)
+        .select(F.lit("containment").alias("m"), "doc_a", "doc_b")
+    )
+    lv = QUERIES["dedup_levenshtein"].fn(spark, sf_dir).select(
+        F.lit("levenshtein").alias("m"), "doc_a", "doc_b"
+    )
+    dig = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("dg"))
+    ex = (
+        dig.alias("a")
+        .join(
+            dig.alias("b"),
+            (F.col("a.dg") == F.col("b.dg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.lit("exact").alias("m"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    allp = mh.unionByName(ct).unionByName(lv).unionByName(ex).localCheckpoint(
+        eager=True
+    )
+    from itertools import combinations
+
+    names = ["containment", "exact", "levenshtein", "minhash"]
+    methods = spark.sql(
+        "SELECT explode(array({})) AS m".format(
+            ", ".join(f"'{n}'" for n in names)
+        )
+    )
+    counts = methods.join(
+        allp.groupBy("m").agg(F.count(F.lit(1)).alias("n")), "m", "left"
+    ).select("m", F.coalesce("n", F.lit(0)).alias("n"))
+    common = (
+        allp.alias("x")
+        .join(
+            allp.alias("y"),
+            (F.col("x.doc_a") == F.col("y.doc_a"))
+            & (F.col("x.doc_b") == F.col("y.doc_b"))
+            & (F.col("x.m") < F.col("y.m")),
+        )
+        .groupBy(
+            F.col("x.m").alias("method_a"), F.col("y.m").alias("method_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # combo pairs as LITERAL rows + two equi-joins: a `a.m < b.m` theta
+    # self-join of the 4-row counts frame would plan as a
+    # BroadcastNestedLoopJoin (banned by the hygiene gate even when the
+    # inputs are constant-sized — the method set IS a compile-time
+    # constant, so enumerate it at plan-build time instead)
+    combo_rows = ", ".join(
+        f"('{a}', '{b}')" for a, b in combinations(names, 2)
+    )
+    combos = (
+        spark.sql(
+            f"SELECT * FROM VALUES {combo_rows} AS t(method_a, method_b)"
+        )
+        .join(
+            counts.select(
+                F.col("m").alias("method_a"), F.col("n").alias("n_a")
+            ),
+            "method_a",
+        )
+        .join(
+            counts.select(
+                F.col("m").alias("method_b"), F.col("n").alias("n_b")
+            ),
+            "method_b",
+        )
+    )
+    un = F.col("n_a") + F.col("n_b") - F.coalesce("n_common", F.lit(0))
+    return (
+        combos.join(common, ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.when(un == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    10000.0 * F.coalesce("n_common", F.lit(0)) / un + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("agree_bp"),
+        )
+        .orderBy("method_a", "method_b")
     )
