@@ -393,6 +393,60 @@ def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH {_SHINGLE_ROWS},
+    first_seen AS (SELECT shingle, MIN(doc_id) AS fs FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.fs = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((2 * 10000 * SUM(CASE WHEN f.fs = sh.doc_id THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS novelty_bp
+    FROM sh JOIN first_seen f ON f.shingle = sh.shingle
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+    doc="N-gram novelty scoring: what fraction of each document's "
+    "distinct word 3-shingles appears HERE FIRST (by ingestion order = "
+    "doc_id) — the dataset-growth audit that tells marginal new content "
+    "from recombinations of what the corpus already holds (a document "
+    "full of previously-seen shingles adds little even when no single "
+    "near-dup partner exists, which is exactly the case pairwise dedup "
+    "misses). Novelty in half-up integer basis points. Scale shape: the "
+    "first-seen table is one shingle-keyed hash aggregate (min combines "
+    "map-side), the join back is on the same uniform shingle key, and "
+    "the per-doc rollup co-locates on doc_id — all slim keyed rows, "
+    "never text.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: shingle construction is the dominant map cost and the
+    # rows feed two stages (first-seen agg + join back) — criterion 1
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    sh = D.shingle_rows(docs, "text", "doc_id", 3).localCheckpoint(eager=True)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc").alias("fs"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("fs") == F.col("doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "cast((2 * 10000 * n_novel + n_shingles)"
+                " div (2 * n_shingles) as bigint)"
+            ).alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- Deduplication ----------------------------------------------------------
 
 def _minhash_cols_sql() -> str:
@@ -1006,84 +1060,76 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_ann_ivf",
+    "sim_maxsim_topk",
     f"""
-    WITH {_kmeans_ctes()},
-    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
-    cent AS (
-      SELECT a.cell AS cell_id, q.pos + 1 AS i,
-             AVG(q.qx) / {S.KMEANS_QUANT_SCALE}.0 AS c
-      FROM fa a JOIN q USING (vid)
-      GROUP BY a.cell, q.pos
+    WITH sr AS (
+      SELECT vec_id AS vid, CAST((i - 1) // 8 AS INT) AS sub,
+             (i - 1) % 8 AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {S.KMEANS_QUANT_SCALE}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
     ),
-    cnorm AS (SELECT cell_id, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cell_id),
-    vnorm AS (
-      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vn
-      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
-    ),
-    csims AS (
-      SELECT e.vec_id, ct.cell_id,
-             SUM(CAST(e.embedding[ct.i] AS DOUBLE) * ct.c) AS dp
-      FROM embeddings e CROSS JOIN cent ct
-      GROUP BY e.vec_id, ct.cell_id
-    ),
-    assigned AS (
-      SELECT vec_id, cell_id FROM (
-        SELECT s.vec_id, s.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                                  ORDER BY s.dp / (v.vn * c.cn) DESC, s.cell_id) AS arnk
-        FROM csims s JOIN vnorm v USING (vec_id) JOIN cnorm c USING (cell_id)
-      ) WHERE arnk = 1
-    ),
-    cand AS (
-      SELECT qq.vec_id AS query_id, m.vec_id AS match_id, qq.cell_id
-      FROM assigned qq JOIN assigned m
-        ON qq.cell_id = m.cell_id AND qq.vec_id != m.vec_id
-      WHERE qq.vec_id < 10
-    ),
+    qs AS (SELECT * FROM sr WHERE vid < 10),
     dots AS (
-      SELECT c.query_id, c.match_id, c.cell_id,
-             SUM(CAST(eq.embedding[d.i] AS DOUBLE)
-                 * CAST(em.embedding[d.i] AS DOUBLE)) AS dp
-      FROM cand c
-      JOIN embeddings eq ON eq.vec_id = c.query_id
-      JOIN embeddings em ON em.vec_id = c.match_id
-      CROSS JOIN dims d
-      GROUP BY 1, 2, 3
-    )
-    SELECT query_id, match_id, cell_id, cosine_sim, rnk FROM (
-      SELECT d.query_id, d.match_id, d.cell_id,
-             ROUND(d.dp / (vq.vn * vm.vn), 4) AS cosine_sim,
-             ROW_NUMBER() OVER (PARTITION BY d.query_id
-                                ORDER BY ROUND(d.dp / (vq.vn * vm.vn), 4) DESC,
-                                         d.match_id) AS rnk
-      FROM dots d JOIN vnorm vq ON vq.vec_id = d.query_id
-                  JOIN vnorm vm ON vm.vec_id = d.match_id
-    ) WHERE rnk <= 5
-    ORDER BY query_id, rnk
+      SELECT q.vid AS query_id, q.sub AS q_sub, d.vid AS doc_id, d.sub AS d_sub,
+             SUM(q.qx * d.qx) AS dp
+      FROM qs q JOIN sr d ON d.pos = q.pos AND d.vid != q.vid
+      GROUP BY 1, 2, 3, 4
+    ),
+    mx AS (SELECT query_id, q_sub, doc_id, MAX(dp) AS m FROM dots GROUP BY 1, 2, 3),
+    sc AS (SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS maxsim
+           FROM mx GROUP BY 1, 2)
+    SELECT query_id, doc_id AS match_id, maxsim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, doc_id) AS rnk
+      FROM sc)
+    WHERE rnk <= 5 ORDER BY query_id, rnk
     """,
-    doc="IVF approximate NN over a TRAINED coarse quantizer: cells come "
-    "from the integer-quantized Lloyd k-means fit (sim_kmeans_cells), "
-    "dequantized to float centroids; queries are scored only against their "
-    "own cell — corpus⋈query becomes an equi-join on cell_id. The 100 TB "
-    "scale path for similarity search: the k·dim centroid model broadcasts, "
-    "the corpus never cross-joins. The whole pipeline (integer k-means → "
-    "centroid means → cosine argmax assignment → within-cell top-k) is "
-    "deterministic, so the DuckDB oracle reproduces it end-to-end and the "
-    "driver value-hashes the full result; recall-vs-brute-force is "
-    "additionally asserted in tests/test_similarity.py.",
+    doc="Late-interaction (ColBERT-style MaxSim) top-k: each vector splits "
+    "into 8 sub-vectors (token-embedding stand-ins) and "
+    "score(q, d) = sum over q's sub-vectors of the MAX dot product "
+    "against any of d's sub-vectors — the multi-vector retrieval scoring "
+    "that single-vector cosine cannot express (a query facet matches its "
+    "best-aligned doc facet independently). Exact integer milli-unit "
+    "dots, so the max/sum cascade is hash-stable cross-engine. Scale "
+    "shape: the query sub-vectors BROADCAST (|q|·m·dim slim rows), the "
+    "corpus rides once as quantized sub-rows, and the max-plus-sum "
+    "cascade is three map-side-combining hash aggregates keyed by "
+    "(query, q_sub, doc[, d_sub]) — no vector ever shuffles. The "
+    "production path would restrict doc candidates via the IVF cells "
+    "first (same composition as sim_ivfpq_topk); the dense form is the "
+    "recall ceiling it gets measured against.",
 )
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     emb = _t(spark, sf_dir, "embeddings")
-    # k·dim rows — checkpoint the trained model once so the two
-    # ivf_assign broadcasts don't re-run the Lloyd iterations (the fit
-    # itself comes from the session model cache).
-    fit, _ = _coarse_model(spark, sf_dir)
-    centroids = S.kmeans_centroids_quantized(
-        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, fit=fit
-    ).localCheckpoint(eager=True)
-    queries = emb.where(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
+    sr = S.pq_sub_rows(emb, 8, _DIM)
+    qs = S.pq_sub_rows(emb.where(F.col("vec_id") < 10), 8, _DIM).select(
+        F.col("vid").alias("query_id"),
+        F.col("sub").alias("q_sub"),
+        F.col("pos").alias("q_pos"),
+        F.col("qx").alias("qq"),
+    )
+    dots = (
+        sr.join(
+            F.broadcast(qs),
+            (F.col("pos") == F.col("q_pos")) & (F.col("vid") != F.col("query_id")),
+        )
+        .groupBy("query_id", "q_sub", F.col("vid").alias("doc_id"), F.col("sub").alias("d_sub"))
+        .agg(F.sum(F.col("qx") * F.col("qq")).alias("dp"))
+    )
+    mx = dots.groupBy("query_id", "q_sub", "doc_id").agg(F.max("dp").alias("m"))
+    sc = mx.groupBy("query_id", "doc_id").agg(
+        F.sum("m").cast("long").alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), "doc_id")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", F.col("doc_id").alias("match_id"), "maxsim", "rnk")
+        .orderBy("query_id", "rnk")
+    )
 
 
 _PQ_M = 8
@@ -2186,156 +2232,4 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bp"),
         )
         .orderBy("query_id")
-    )
-
-
-def _blocked_lsh_oracle() -> str:
-    bands = " , ".join(
-        f"mh{2*b}::VARCHAR || '#' || mh{2*b+1}::VARCHAR || '#' || d.lang AS b{b}"
-        for b in range(4)
-    )
-    cond = " OR ".join(f"l.b{b} = r.b{b}" for b in range(4))
-    return f"""
-    WITH {_SHINGLE_ROWS},
-    sigs AS (
-      SELECT doc_id, {_minhash_cols_sql()}
-      FROM sh GROUP BY doc_id
-    ),
-    banded AS (
-      SELECT s.doc_id, d.lang, {bands}
-      FROM sigs s JOIN documents d USING (doc_id)
-    ),
-    cand AS (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.lang
-      FROM banded l JOIN banded r ON l.doc_id < r.doc_id AND ({cond})
-    ),
-    shsets AS (SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id)
-    SELECT doc_a, doc_b, lang,
-           ROUND(len(list_intersect(sa.shset, sb.shset))
-                 / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1), 4)
-             AS jaccard_sim
-    FROM cand
-    JOIN shsets sa ON sa.doc_id = doc_a
-    JOIN shsets sb ON sb.doc_id = doc_b
-    ORDER BY doc_a, doc_b
-    """
-
-
-@register(
-    "dedup_minhash_lsh_blocked",
-    _blocked_lsh_oracle(),
-    doc="Language-BLOCKED MinHash-LSH near-dup pairs — the practical "
-    "production variant: the blocking key (lang) folds into every band "
-    "key, so only same-language documents can ever collide, WITHOUT the "
-    "block becoming a join bucket by itself (a 4-language corpus must "
-    "not degenerate into 4 all-pairs products — the join still keys on "
-    "the band hash, and the block only refines it). Cuts candidate "
-    "volume and removes the classic cross-language false-collision "
-    "class; identical scale shape to dedup_minhash_lsh otherwise. Each "
-    "emitted pair carries its language for downstream per-language "
-    "dedup accounting.",
-)
-def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rebalance: checkpoints the shingle sets (dedup_minhash_lsh rationale)
-    docs = _t(spark, sf_dir, "documents", rebalance=True)
-    pairs = D.minhash_lsh_candidate_pairs(
-        docs, "text", "doc_id", 3, 2, block_col="lang"
-    )
-    lang = docs.select(F.col("doc_id").alias("doc_a"), "lang")
-    return (
-        pairs.join(lang, "doc_a")
-        .select("doc_a", "doc_b", "lang", "jaccard_sim")
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "sim_label_centroid_matrix",
-    f"""
-    WITH rows_q AS (
-      SELECT label, i - 1 AS pos,
-             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {S.KMEANS_QUANT_SCALE} + 0.5)
-                  AS BIGINT) AS qx
-      FROM embeddings
-      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
-    ),
-    cent AS (
-      SELECT label, pos,
-             CAST(FLOOR((2 * SUM(qx) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS qc
-      FROM rows_q GROUP BY label, pos
-    ),
-    nrm AS (SELECT label, SUM(qc * qc) AS n2 FROM cent GROUP BY label),
-    dots AS (
-      SELECT a.label AS label_a, b.label AS label_b,
-             CAST(SUM(a.qc * b.qc) AS BIGINT) AS dp
-      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
-      GROUP BY 1, 2
-    )
-    SELECT label_a, label_b,
-           ROUND(dp / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
-             AS cosine_sim
-    FROM dots
-    JOIN nrm na ON na.label = label_a
-    JOIN nrm nb ON nb.label = label_b
-    ORDER BY label_a, label_b
-    """,
-    doc="Per-group embedding centroid similarity matrix — the corpus "
-    "analytics behind domain-mixture design: each label's integer "
-    "half-up-mean centroid (the k-means update rule reused as an "
-    "aggregate), then pairwise cosine between the k centroids. Scale "
-    "shape: the corpus reduces map-side to (label, pos) integer sums — "
-    "one slim shuffle bounded by k·dim regardless of corpus size — and "
-    "the pairwise stage touches only the k×dim centroid table (k(k−1)/2 "
-    "pairs of 64-int vectors, trivially small at any corpus scale). "
-    "Integer-exact up to the final cosine, whose sqrt/divide are "
-    "IEEE-deterministic single ops, ROUNDed identically on both sides.",
-)
-def sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    rows = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
-    ).select(
-        "label",
-        "pos",
-        F.floor(F.col("x") * S.KMEANS_QUANT_SCALE + 0.5).cast("long").alias("qx"),
-    )
-    cent = rows.groupBy("label", "pos").agg(
-        F.floor(
-            (2 * F.sum("qx") + F.count(F.lit(1))) / (2 * F.count(F.lit(1)))
-        )
-        .cast("long")
-        .alias("qc")
-    )
-    nrm = cent.groupBy("label").agg(F.sum(F.col("qc") * F.col("qc")).alias("n2"))
-    dots = (
-        cent.alias("a")
-        .join(
-            cent.alias("b"),
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.label") < F.col("b.label")),
-        )
-        .groupBy(
-            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
-        )
-        .agg(F.sum(F.col("a.qc") * F.col("b.qc")).cast("long").alias("dp"))
-    )
-    return (
-        dots.join(nrm.withColumnRenamed("label", "label_a"), "label_a")
-        .withColumnRenamed("n2", "na2")
-        .join(nrm.withColumnRenamed("label", "label_b"), "label_b")
-        .withColumnRenamed("n2", "nb2")
-        .select(
-            "label_a",
-            "label_b",
-            F.round(
-                F.col("dp")
-                / (
-                    F.sqrt(F.col("na2").cast("double"))
-                    * F.sqrt(F.col("nb2").cast("double"))
-                ),
-                4,
-            ).alias("cosine_sim"),
-        )
-        .orderBy("label_a", "label_b")
     )

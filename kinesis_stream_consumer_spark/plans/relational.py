@@ -928,6 +928,78 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS scc
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+           CAST(d.c AS BIGINT) AS n_events,
+           ROUND((CAST(s.n AS DOUBLE) * d.c - s.sc)
+                 / sqrt(CAST(s.n AS DOUBLE))
+                 / sqrt(CAST(s.n * s.scc - s.sc * s.sc AS DOUBLE)
+                        / CAST(s.n - 1 AS DOUBLE)), 4) AS zscore
+    FROM d JOIN s ON s.event_type = d.event_type
+    WHERE s.n > 1 AND s.n * s.scc > s.sc * s.sc
+    ORDER BY d.event_type, day
+    """,
+    doc="Daily volume anomaly detection per event type: each day's event "
+    "count scored as a z-score against that type's own daily "
+    "distribution — the ops-monitoring query behind every traffic-spike "
+    "alert. The moments (n, sum, sum-of-squares) are EXACT integer "
+    "aggregates, so the z-score doubles are bit-identical cross-engine "
+    "before the final correctly-rounded IEEE divisions (z = (n*c - S) / "
+    "(sqrt(n) * sqrt((n*SS - S^2)/(n-1)))); zero-variance types drop "
+    "out explicitly. Scale shape: one (type, day) hash aggregate with "
+    "map-side combine, one type-keyed moment rollup, one slim join — "
+    "output bounded by types x days, not events.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = d.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    return (
+        d.join(s, d["event_type"] == s["et"])
+        .where(
+            (F.col("n") > 1)
+            & (F.col("n") * F.col("scc") > F.col("sc") * F.col("sc"))
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            F.col("c").cast("long").alias("n_events"),
+            F.round(
+                (F.col("n").cast("double") * F.col("c") - F.col("sc"))
+                / F.sqrt(F.col("n").cast("double"))
+                / F.sqrt(
+                    (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc"))
+                    .cast("double")
+                    / (F.col("n") - 1).cast("double")
+                ),
+                4,
+            ).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 # --- Interval-overlap join (banded, never all-pairs) ------------------------
 
 @register(

@@ -29,10 +29,16 @@ from pyspark.sql import functions as F
 
 from kinesis_stream_consumer_spark.operators import dedup as D
 from kinesis_stream_consumer_spark.operators import multimodal as M
+from kinesis_stream_consumer_spark.operators import similarity as S
 from kinesis_stream_consumer_spark.operators import text as T
 from kinesis_stream_consumer_spark.plans.llm_pipeline import (
     _SHINGLE_ROWS,
+    _DIM,
+    _KMEANS_ITER,
+    _KMEANS_K,
     _containment_oracle,
+    _coarse_model,
+    _kmeans_ctes,
     _minhash_lsh_oracle,
     _V2_FLUENCY_MIN,
     _llm_prep_v2_oracle,
@@ -744,4 +750,239 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("agree_bp"),
         )
         .orderBy("method_a", "method_b")
+    )
+
+# --- parked r5 (seventh batch): displaced by sim_maxsim_topk +
+# text_ngram_novelty + events_anomaly_zscore ---
+
+@register(
+    "sim_ann_ivf",
+    f"""
+    WITH {_kmeans_ctes()},
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    cent AS (
+      SELECT a.cell AS cell_id, q.pos + 1 AS i,
+             AVG(q.qx) / {S.KMEANS_QUANT_SCALE}.0 AS c
+      FROM fa a JOIN q USING (vid)
+      GROUP BY a.cell, q.pos
+    ),
+    cnorm AS (SELECT cell_id, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cell_id),
+    vnorm AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vn
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
+    ),
+    csims AS (
+      SELECT e.vec_id, ct.cell_id,
+             SUM(CAST(e.embedding[ct.i] AS DOUBLE) * ct.c) AS dp
+      FROM embeddings e CROSS JOIN cent ct
+      GROUP BY e.vec_id, ct.cell_id
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT s.vec_id, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.dp / (v.vn * c.cn) DESC, s.cell_id) AS arnk
+        FROM csims s JOIN vnorm v USING (vec_id) JOIN cnorm c USING (cell_id)
+      ) WHERE arnk = 1
+    ),
+    cand AS (
+      SELECT qq.vec_id AS query_id, m.vec_id AS match_id, qq.cell_id
+      FROM assigned qq JOIN assigned m
+        ON qq.cell_id = m.cell_id AND qq.vec_id != m.vec_id
+      WHERE qq.vec_id < 10
+    ),
+    dots AS (
+      SELECT c.query_id, c.match_id, c.cell_id,
+             SUM(CAST(eq.embedding[d.i] AS DOUBLE)
+                 * CAST(em.embedding[d.i] AS DOUBLE)) AS dp
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings em ON em.vec_id = c.match_id
+      CROSS JOIN dims d
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, match_id, cell_id, cosine_sim, rnk FROM (
+      SELECT d.query_id, d.match_id, d.cell_id,
+             ROUND(d.dp / (vq.vn * vm.vn), 4) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY ROUND(d.dp / (vq.vn * vm.vn), 4) DESC,
+                                         d.match_id) AS rnk
+      FROM dots d JOIN vnorm vq ON vq.vec_id = d.query_id
+                  JOIN vnorm vm ON vm.vec_id = d.match_id
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="IVF approximate NN over a TRAINED coarse quantizer: cells come "
+    "from the integer-quantized Lloyd k-means fit (sim_kmeans_cells), "
+    "dequantized to float centroids; queries are scored only against their "
+    "own cell — corpus⋈query becomes an equi-join on cell_id. The 100 TB "
+    "scale path for similarity search: the k·dim centroid model broadcasts, "
+    "the corpus never cross-joins. The whole pipeline (integer k-means → "
+    "centroid means → cosine argmax assignment → within-cell top-k) is "
+    "deterministic, so the DuckDB oracle reproduces it end-to-end and the "
+    "driver value-hashes the full result; recall-vs-brute-force is "
+    "additionally asserted in tests/test_similarity.py.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # k·dim rows — checkpoint the trained model once so the two
+    # ivf_assign broadcasts don't re-run the Lloyd iterations (the fit
+    # itself comes from the session model cache).
+    fit, _ = _coarse_model(spark, sf_dir)
+    centroids = S.kmeans_centroids_quantized(
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, fit=fit
+    ).localCheckpoint(eager=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rnk")
+
+
+def _blocked_lsh_oracle() -> str:
+    bands = " , ".join(
+        f"mh{2*b}::VARCHAR || '#' || mh{2*b+1}::VARCHAR || '#' || d.lang AS b{b}"
+        for b in range(4)
+    )
+    cond = " OR ".join(f"l.b{b} = r.b{b}" for b in range(4))
+    return f"""
+    WITH {_SHINGLE_ROWS},
+    sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT s.doc_id, d.lang, {bands}
+      FROM sigs s JOIN documents d USING (doc_id)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.lang
+      FROM banded l JOIN banded r ON l.doc_id < r.doc_id AND ({cond})
+    ),
+    shsets AS (SELECT doc_id, list(DISTINCT shingle) AS shset FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b, lang,
+           ROUND(len(list_intersect(sa.shset, sb.shset))
+                 / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1), 4)
+             AS jaccard_sim
+    FROM cand
+    JOIN shsets sa ON sa.doc_id = doc_a
+    JOIN shsets sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh_blocked",
+    _blocked_lsh_oracle(),
+    doc="Language-BLOCKED MinHash-LSH near-dup pairs — the practical "
+    "production variant: the blocking key (lang) folds into every band "
+    "key, so only same-language documents can ever collide, WITHOUT the "
+    "block becoming a join bucket by itself (a 4-language corpus must "
+    "not degenerate into 4 all-pairs products — the join still keys on "
+    "the band hash, and the block only refines it). Cuts candidate "
+    "volume and removes the classic cross-language false-collision "
+    "class; identical scale shape to dedup_minhash_lsh otherwise. Each "
+    "emitted pair carries its language for downstream per-language "
+    "dedup accounting.",
+)
+def dedup_minhash_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: checkpoints the shingle sets (dedup_minhash_lsh rationale)
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.minhash_lsh_candidate_pairs(
+        docs, "text", "doc_id", 3, 2, block_col="lang"
+    )
+    lang = docs.select(F.col("doc_id").alias("doc_a"), "lang")
+    return (
+        pairs.join(lang, "doc_a")
+        .select("doc_a", "doc_b", "lang", "jaccard_sim")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "sim_label_centroid_matrix",
+    f"""
+    WITH rows_q AS (
+      SELECT label, i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {S.KMEANS_QUANT_SCALE} + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(FLOOR((2 * SUM(qx) + COUNT(*)) / (2.0 * COUNT(*))) AS BIGINT) AS qc
+      FROM rows_q GROUP BY label, pos
+    ),
+    nrm AS (SELECT label, SUM(qc * qc) AS n2 FROM cent GROUP BY label),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(a.qc * b.qc) AS BIGINT) AS dp
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(dp / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
+             AS cosine_sim
+    FROM dots
+    JOIN nrm na ON na.label = label_a
+    JOIN nrm nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+    doc="Per-group embedding centroid similarity matrix — the corpus "
+    "analytics behind domain-mixture design: each label's integer "
+    "half-up-mean centroid (the k-means update rule reused as an "
+    "aggregate), then pairwise cosine between the k centroids. Scale "
+    "shape: the corpus reduces map-side to (label, pos) integer sums — "
+    "one slim shuffle bounded by k·dim regardless of corpus size — and "
+    "the pairwise stage touches only the k×dim centroid table (k(k−1)/2 "
+    "pairs of 64-int vectors, trivially small at any corpus scale). "
+    "Integer-exact up to the final cosine, whose sqrt/divide are "
+    "IEEE-deterministic single ops, ROUNDed identically on both sides.",
+)
+def sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x") * S.KMEANS_QUANT_SCALE + 0.5).cast("long").alias("qx"),
+    )
+    cent = rows.groupBy("label", "pos").agg(
+        F.floor(
+            (2 * F.sum("qx") + F.count(F.lit(1))) / (2 * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("qc")
+    )
+    nrm = cent.groupBy("label").agg(F.sum(F.col("qc") * F.col("qc")).alias("n2"))
+    dots = (
+        cent.alias("a")
+        .join(
+            cent.alias("b"),
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.qc") * F.col("b.qc")).cast("long").alias("dp"))
+    )
+    return (
+        dots.join(nrm.withColumnRenamed("label", "label_a"), "label_a")
+        .withColumnRenamed("n2", "na2")
+        .join(nrm.withColumnRenamed("label", "label_b"), "label_b")
+        .withColumnRenamed("n2", "nb2")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dp")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+        .orderBy("label_a", "label_b")
     )

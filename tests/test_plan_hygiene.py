@@ -102,8 +102,10 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
 
     import kinesis_stream_consumer_spark.plans as plans_pkg
 
-    # all nation/region-derived frames — fixed 25/5 rows at any sf
-    allowed = {"na", "re", "na_asia", "n1", "n2"}
+    # nation/region-derived frames (fixed 25/5 rows at any sf) plus the
+    # MaxSim query sub-vector set (bounded by the query workload, not the
+    # corpus — the same class as the query-set broadcasts in operators/)
+    allowed = {"na", "re", "na_asia", "n1", "n2", "qs"}
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
         if path.name == "queries.py":  # helper definition itself
