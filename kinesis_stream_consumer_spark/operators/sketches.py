@@ -1,0 +1,170 @@
+"""Bounded-memory sketch operators: HyperLogLog cardinality and
+fixed-width-histogram quantiles.
+
+Together with the Count-Min sketch (operators/text.cms_token_estimates)
+these complete the classic streaming-sketch trio — frequency (CMS),
+cardinality (HLL), distribution (histogram) — each trading exactness for
+an aggregate whose size is a CONSTANT independent of the data, which is
+the only shape that survives 100 TB: the sketch pass is one map-side-
+combined groupBy whose shuffle carries registers/bins, not values.
+
+Everything is integer-exact and md5-deterministic so a DuckDB oracle
+reproduces the results bit-for-bit (no floating log/pow, no randomness,
+no Python in the hot path — pure JVM column expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
+
+# --- HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) -----------------
+
+# Register-count exponent: m = 2**HLL_P registers per group. 32 registers
+# keeps the raw estimator (valid for n > 2.5·m) in range at the driver's
+# sf0.01 cardinalities (~150 distinct per group); production uses p=14
+# (16384 registers, ~0.8% error) — nothing structural changes, the sketch
+# stays m rows per group.
+HLL_P = 5
+HLL_M = 1 << HLL_P
+# rho cap: registers saturate at RMAX so the harmonic sum becomes the
+# EXACT integer  S = Σ 2^(RMAX - rho)  with no floating 2^-rho terms.
+# P(rho > 20) = 2^-20 per value — statistically invisible, and both
+# engines apply the identical cap so parity is unconditional.
+HLL_RMAX = 20
+# bias constant alpha_m for m=32, in parts-per-million (integer so the
+# estimate arithmetic is exact and cross-engine stable)
+HLL_ALPHA_PPM = 697000
+# 56-bit md5 hash splits into HLL_P bucket bits + rank bits; rho is the
+# 1-based position of the first set bit in the rank field.
+_RANK_BITS = 56 - HLL_P
+# half-up numerator 2·alpha_m·m²·2^RMAX (≈1.5e15, well inside long range)
+_HLL_NUM2 = 2 * HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_RMAX)
+
+
+def hll_registers(df: DataFrame, group_col: str, value: Column) -> DataFrame:
+    """(g, bucket, r) HLL registers: r = max rho per md5 bucket.
+
+    The register aggregate is the scale story: max() combines map-side, so
+    the shuffle carries at most m rows per group no matter how many values
+    stream through — where COUNT(DISTINCT) shuffles every distinct value.
+    Registers are also MERGEABLE (elementwise max), which is what makes
+    the sketch compose across partitions / micro-batches / days for free
+    (pinned by test_hll_register_merge_linearity).
+    """
+    h = md5_u56_le(value)
+    w = F.shiftright(h, HLL_P)
+    # length(bin(w)) == bit-length of w; bin() strips leading zeros in
+    # both Spark and DuckDB, and the w=0 edge case lands above the RMAX
+    # cap on both engines identically.
+    rho = F.least(
+        F.lit(_RANK_BITS + 1) - F.length(F.bin(w)), F.lit(HLL_RMAX)
+    ).cast("long")
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            (h % HLL_M).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """(g, hll_estimate) from a register frame, integer-exact half-up:
+
+        estimate = alpha_m · m² / Z,   Z = Σ_buckets 2^-rho
+
+    computed as the scaled integer S = Σ 2^(RMAX-rho) with empty registers
+    contributing rho=0 (the 2^RMAX term), then ONE integer division —
+    `div`, not floor(double), so the quotient can't pick up a ulp at an
+    integer boundary.
+    """
+    return (
+        registers.groupBy("g")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RMAX} - r AS INT))"
+                )
+            ).alias("s_ne"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .select(
+            "g",
+            (
+                F.col("s_ne")
+                + (F.lit(HLL_M) - F.col("nb")) * F.lit(1 << HLL_RMAX)
+            ).alias("s"),
+        )
+        .select(
+            "g",
+            F.expr(
+                f"CAST(({_HLL_NUM2} + s * 1000000) div (2 * s * 1000000) "
+                "AS BIGINT)"
+            ).alias("hll_estimate"),
+        )
+    )
+
+
+def hll_oracle_cte(source_sql: str, group_expr: str, value_expr: str) -> str:
+    """DuckDB CTE block (names hll_*) computing the identical estimate.
+
+    ``source_sql`` is a FROM-able relation; ``value_expr`` must be a
+    VARCHAR expression (md5 hashes its bytes on both engines). The final
+    CTE ``hll_est`` yields (g, hll_estimate).
+    """
+    return f"""
+    hll_h AS (
+      SELECT {group_expr} AS g,
+             CAST(md5_number_upper({value_expr}) >> 8 AS BIGINT) AS h
+      FROM {source_sql}
+    ),
+    hll_rb AS (
+      SELECT g, h % {HLL_M} AS bucket,
+             LEAST({_RANK_BITS + 1}
+                     - length(bin(CAST(h >> {HLL_P} AS BIGINT))),
+                   {HLL_RMAX}) AS rho
+      FROM hll_h
+    ),
+    hll_reg AS (
+      SELECT g, bucket, MAX(rho) AS r FROM hll_rb GROUP BY 1, 2
+    ),
+    hll_s AS (
+      SELECT g,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_RMAX} - r AS INT))
+                  AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * {1 << HLL_RMAX} AS s
+      FROM hll_reg GROUP BY 1
+    ),
+    hll_est AS (
+      SELECT g,
+             ({_HLL_NUM2} + s * 1000000) // (2 * s * 1000000)
+               AS hll_estimate
+      FROM hll_s
+    )"""
+
+
+# --- Fixed-width histogram quantiles --------------------------------------
+
+
+def histogram_bins(values: DataFrame, cents_col: str, width: int) -> DataFrame:
+    """(bin, cnt) fixed-width histogram over an integer column.
+
+    One map-side-combined groupBy whose row count is bounded by the VALUE
+    DOMAIN (range/width bins), not the data size — the histogram is the
+    distribution sketch: at 100 TB the shuffle still carries ~hundreds of
+    bins. Quantile recovery from the bins is driver-free (window cumsum
+    over the bin frame + one aggregate, see the agg_histogram_quantiles
+    query).
+    """
+    # integer `div`, not double-divide-then-cast: a double quotient can
+    # misround exactly at a bin boundary (the agg_time_decay lesson)
+    return (
+        values.select(F.expr(f"{cents_col} div {width}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

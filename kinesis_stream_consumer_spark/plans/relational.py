@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_stream_consumer_spark.operators import similarity as S
+from kinesis_stream_consumer_spark.operators import sketches as SK
 from kinesis_stream_consumer_spark.plans.queries import (
     _bcast_if_small,
+    _scan_meta,
     _t,
     register,
 )
@@ -1105,172 +1107,193 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Sketch aggregates: HyperLogLog cardinality, histogram quantiles -------
+
+_BP_SHIFT = 100_000  # positivity shift for signed half-up bp divisions
+
+
 @register(
-    "agg_time_rollup",
-    """
-    SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL')  AS yr,
-           COALESCE(CAST(mo AS VARCHAR), 'ALL')  AS mo,
-           CAST(COUNT(*) AS BIGINT)              AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
-    FROM (SELECT EXTRACT(year FROM ts) AS yr, EXTRACT(month FROM ts) AS mo,
-                 value
-          FROM events)
-    GROUP BY ROLLUP (yr, mo)
-    ORDER BY yr, mo
+    "agg_hll_distinct",
+    f"""
+    WITH {SK.hll_oracle_cte("events", "event_type",
+                            "CAST(user_id AS VARCHAR)")},
+    ex AS (
+      SELECT event_type AS g, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT e.g AS event_type,
+           CAST(e.hll_estimate AS BIGINT) AS hll_estimate,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST((2*10000*(e.hll_estimate - ex.exact_distinct)
+                   + ex.exact_distinct
+                   + 2*ex.exact_distinct*{_BP_SHIFT})
+                // (2*ex.exact_distinct) - {_BP_SHIFT}
+                AS BIGINT) AS err_bp
+    FROM hll_est e JOIN ex USING (g)
+    ORDER BY event_type
     """,
-    doc="Time-hierarchy rollup (year → month → grand total) over the "
-    "event stream: the OLAP drill-down cube every metrics dashboard "
-    "issues. One Expand + one hash aggregate + one shuffle for all three "
-    "levels — never one scan per level.",
+    doc="HyperLogLog distinct-user estimate per event type (Flajolet et "
+    "al. 2007), next to the exact COUNT(DISTINCT) with the signed error "
+    "in basis points. The sketch pass shuffles at most m=32 register "
+    "rows per group REGARDLESS of how many events stream through "
+    "(max() combines map-side; registers are mergeable by elementwise "
+    "max, so the same sketch composes across partitions, micro-batches "
+    "or days) — where the exact side shuffles every distinct user. "
+    "Everything is integer-exact: md5 bucketing, rho from the binary "
+    "bit-length, and the harmonic mean as one scaled-integer division — "
+    "no floating log/pow, so the DuckDB oracle matches bit-for-bit. "
+    "The exact side rides along as the error baseline (CMS-estimate "
+    "pattern); production keeps only the register frame. 32 registers "
+    "suit the driver corpus's ~150-distinct groups; production p=14 "
+    "(16384 registers, ~0.8 percent error) changes nothing structural.",
 )
-def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    reg = SK.hll_registers(ev, "event_type", F.col("user_id").cast("string"))
+    est = SK.hll_estimate(reg).withColumnRenamed("g", "event_type")
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    err = F.expr(
+        f"CAST((2*10000*(hll_estimate - exact_distinct) + exact_distinct"
+        f" + 2*exact_distinct*{_BP_SHIFT}) div (2*exact_distinct)"
+        f" - {_BP_SHIFT} AS BIGINT)"
+    )
     return (
-        ev.select(
-            F.year("ts").alias("yr"), F.month("ts").alias("mo"), "value"
-        )
-        .rollup("yr", "mo")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            # DECIMAL(18,2) before SUM on both sides: the grand-total row
-            # sums every event, and ROUND(SUM(double)) at a rounding
-            # boundary differs by 1 ulp across partial-aggregate orders
-            # (CLAUDE.md trap; subquery_scalar_small_qty pattern). Exact:
-            # events.value carries exactly 2 decimal digits.
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
-        )
+        est.join(ex, "event_type")
         .select(
-            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
-            F.coalesce(F.col("mo").cast("string"), F.lit("ALL")).alias("mo"),
-            "n_events",
-            "sum_value",
+            "event_type",
+            "hll_estimate",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            err.alias("err_bp"),
         )
-        .orderBy("yr", "mo")
+        .orderBy("event_type")
     )
 
 
-# --- Batch sessionization (gap-based session windows) ----------------------
+_HIST_W = 100_000  # $1,000 histogram bins, in integer cents
+_HIST_QS = (50, 90, 99)
+
 
 @register(
-    "events_sessionize",
-    """
-    WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+    "agg_histogram_quantiles",
+    f"""
+    WITH v AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
     ),
-    m AS (
-      SELECT *, CASE WHEN LAG(tu) OVER w IS NULL
-                       OR tu - LAG(tu) OVER w > 1800000000
-                     THEN 1 ELSE 0 END AS is_new
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ks AS (
+      SELECT q, (n.n * q + 99) // 100 AS k
+      FROM (VALUES (50), (90), (99)) AS t(q), n
     ),
-    s AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_n
-      FROM m
+    hist AS (
+      SELECT cents // {_HIST_W} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1
+    ),
+    hc AS (
+      SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist
+    ),
+    est AS (
+      SELECT ks.q AS quantile_pct,
+             MIN(CASE WHEN hc.cum >= ks.k AND hc.cum - hc.cnt < ks.k
+                      THEN hc.bin * {_HIST_W}
+                           + ({_HIST_W} * (ks.k - (hc.cum - hc.cnt)))
+                             // hc.cnt
+                 END) AS est_cents
+      FROM ks CROSS JOIN hc GROUP BY 1
+    ),
+    dv AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1),
+    dc AS (SELECT cents, SUM(c) OVER (ORDER BY cents) AS cumv FROM dv),
+    ex AS (
+      SELECT ks.q AS quantile_pct,
+             MIN(CASE WHEN dc.cumv >= ks.k THEN dc.cents END) AS exact_cents
+      FROM ks CROSS JOIN dc GROUP BY 1
     )
-    SELECT user_id,
-           CAST(session_n AS BIGINT) AS session_n,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST((MIN(tu) - ((MIN(tu) % 1000000 + 1000000) % 1000000))
-                // 1000000 AS BIGINT) AS start_epoch,
-           CAST((MAX(tu) - MIN(tu)) // 1000000 AS BIGINT) AS duration_s
-    FROM s GROUP BY user_id, session_n
-    ORDER BY user_id, session_n
+    SELECT est.quantile_pct,
+           CAST(est.est_cents AS BIGINT) AS est_cents,
+           CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+           CAST((2*10000*(est.est_cents - ex.exact_cents)
+                   + ex.exact_cents + 2*ex.exact_cents*{_BP_SHIFT})
+                // (2*ex.exact_cents) - {_BP_SHIFT} AS BIGINT) AS err_bp
+    FROM est JOIN ex USING (quantile_pct)
+    ORDER BY quantile_pct
     """,
-    doc="Batch sessionization: per-user events split into sessions at "
-    ">30-minute gaps (LAG gap flag -> running-sum session number -> "
-    "per-session rollup) — the batch twin of streaming_session_window, "
-    "so session analytics backfills compute on the same engine that "
-    "serves them live. Timestamps ride as integer epoch-micros and every "
-    "output is integer arithmetic (no timestamp rendering or float "
-    "drift cross-engine). Scale shape: ONE shuffle on user_id serves "
-    "both window passes (same window spec fuses into one sort) AND the "
-    "final (user_id, session_n) aggregate — hash partitioning on a "
-    "subset of the group keys already co-locates the groups, so the "
-    "only other exchange in the plan is the presentation ORDER BY.",
+    doc="Histogram-sketch quantiles (p50/p90/p99 of order value): a "
+    f"fixed-width {_HIST_W}-cent histogram — the distribution sketch "
+    "completing the CMS/HLL trio — recovers each quantile by cumulative "
+    "bin counts + integer within-bin interpolation, reported next to the "
+    "exact rank-k value with the signed error in basis points. Scale "
+    "shape: the sketch side is ONE map-side-combined groupBy whose "
+    "shuffle is bounded by the VALUE DOMAIN (range/width bins, ~500 "
+    "here), then windows/aggregates over the bin frame only; the exact "
+    "side (the error baseline, as in the CMS/HLL entries) pays the "
+    "inherent global rank sort over distinct values — the cost gap the "
+    "sketch exists to avoid. Rank k = ceil(n·q/100) with n from parquet "
+    "footer stats (no job, the _scan_meta pattern); every step is "
+    "integer `div` arithmetic, exact on both engines.",
 )
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("tu")
+    n = _scan_meta(f"{sf_dir}/orders.parquet")[0]
+    ks = {q: (n * q + 99) // 100 for q in _HIST_QS}
+    od = _t(spark, sf_dir, "orders")
+    v = od.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
     )
-    w = W.partitionBy("user_id").orderBy("tu", "event_id")
-    gap = F.col("tu") - F.lag("tu").over(w)
-    m = e.withColumn(
-        "is_new",
-        F.when(F.lag("tu").over(w).isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    hist = SK.histogram_bins(v, "cents", _HIST_W)
+    cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    hc = hist.withColumn("cum", F.sum("cnt").over(cum_w))
+    est_wide = hc.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
+                    F.col("bin") * _HIST_W
+                    + F.expr(f"({_HIST_W} * ({k} - (cum - cnt))) div cnt"),
+                )
+            ).alias(f"e{q}")
+            for q, k in ks.items()
+        ]
     )
-    s = m.withColumn(
-        "session_n",
-        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    est = est_wide.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{q}, e{q}" for q in _HIST_QS)
+            + ") AS (quantile_pct, est_cents)"
+        )
+    )
+    dv = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cumv_w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dc = dv.withColumn("cumv", F.sum("c").over(cumv_w))
+    ex_wide = dc.agg(
+        *[
+            F.min(F.when(F.col("cumv") >= k, F.col("cents"))).alias(f"x{q}")
+            for q, k in ks.items()
+        ]
+    )
+    ex = ex_wide.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{q}, x{q}" for q in _HIST_QS)
+            + ") AS (quantile_pct, exact_cents)"
+        )
+    )
+    err = F.expr(
+        f"CAST((2*10000*(est_cents - exact_cents) + exact_cents"
+        f" + 2*exact_cents*{_BP_SHIFT}) div (2*exact_cents)"
+        f" - {_BP_SHIFT} AS BIGINT)"
     )
     return (
-        s.groupBy("user_id", "session_n")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            # FLOOR division, not truncation: Spark's `div` truncates
-            # toward zero while DuckDB's `//` floors — they differ for
-            # pre-1970 (negative-micros) timestamps. Subtracting the
-            # positive remainder (pmod) first makes the dividend an exact
-            # multiple, so div == floor-div on both engines for any sign.
-            F.expr(
-                "(min(tu) - pmod(min(tu), 1000000)) div 1000000"
-            ).alias("start_epoch"),
-            F.expr("(max(tu) - min(tu)) div 1000000").alias("duration_s"),
-        )
+        est.join(ex, "quantile_pct")
         .select(
-            "user_id",
-            F.col("session_n").cast("long").alias("session_n"),
-            F.col("n_events").cast("long").alias("n_events"),
-            "start_epoch",
-            "duration_s",
+            F.col("quantile_pct").cast("long").alias("quantile_pct"),
+            F.col("est_cents").cast("long").alias("est_cents"),
+            F.col("exact_cents").cast("long").alias("exact_cents"),
+            err.alias("err_bp"),
         )
-        .orderBy("user_id", "session_n")
-    )
-
-
-# --- Scan-aggregate with full predicate pushdown (TPC-H q6 analogue) --------
-
-@register(
-    "q6_forecast_revenue",
-    """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-                    * CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT))
-                AS BIGINT) AS revenue_micro
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate <  TIMESTAMP '1997-01-01'
-      AND l_quantity < 24
-      AND CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) BETWEEN 400 AND 600
-    """,
-    doc="Forecast-revenue scan-aggregate (TPC-H q6 analogue): the pure "
-    "predicate-pushdown showcase — date range, quantity and discount "
-    "filters all reach the parquet scan (PushedFilters), no join, one "
-    "partial/final aggregate pair, answer is a single row. Money rides as "
-    "integer cents x discount basis points (micro-dollar units), so the "
-    "sum is order-independent and hash-exact cross-engine — the same "
-    "integer-money discipline as the k-means quantization.",
-)
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    db = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_quantity") < 24)
-        )
-        .select(pc.alias("pc"), db.alias("db"))
-        .where(F.col("db").between(400, 600))
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("pc") * F.col("db")).cast("long").alias("revenue_micro"),
-        )
+        .orderBy("quantile_pct")
     )
 
 

@@ -986,3 +986,175 @@ def sim_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# --- parked r5 (eighth batch): displaced by the sketch suite (agg_hll_distinct,
+# agg_histogram_quantiles, text_collocations_lift) ---
+
+@register(
+    "agg_time_rollup",
+    """
+    SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL')  AS yr,
+           COALESCE(CAST(mo AS VARCHAR), 'ALL')  AS mo,
+           CAST(COUNT(*) AS BIGINT)              AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM (SELECT EXTRACT(year FROM ts) AS yr, EXTRACT(month FROM ts) AS mo,
+                 value
+          FROM events)
+    GROUP BY ROLLUP (yr, mo)
+    ORDER BY yr, mo
+    """,
+    doc="Time-hierarchy rollup (year → month → grand total) over the "
+    "event stream: the OLAP drill-down cube every metrics dashboard "
+    "issues. One Expand + one hash aggregate + one shuffle for all three "
+    "levels — never one scan per level.",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("yr"), F.month("ts").alias("mo"), "value"
+        )
+        .rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL(18,2) before SUM on both sides: the grand-total row
+            # sums every event, and ROUND(SUM(double)) at a rounding
+            # boundary differs by 1 ulp across partial-aggregate orders
+            # (CLAUDE.md trap; subquery_scalar_small_qty pattern). Exact:
+            # events.value carries exactly 2 decimal digits.
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce(F.col("mo").cast("string"), F.lit("ALL")).alias("mo"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+# --- Batch sessionization (gap-based session windows) ----------------------
+
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN LAG(tu) OVER w IS NULL
+                       OR tu - LAG(tu) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_n
+      FROM m
+    )
+    SELECT user_id,
+           CAST(session_n AS BIGINT) AS session_n,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((MIN(tu) - ((MIN(tu) % 1000000 + 1000000) % 1000000))
+                // 1000000 AS BIGINT) AS start_epoch,
+           CAST((MAX(tu) - MIN(tu)) // 1000000 AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_n
+    ORDER BY user_id, session_n
+    """,
+    doc="Batch sessionization: per-user events split into sessions at "
+    ">30-minute gaps (LAG gap flag -> running-sum session number -> "
+    "per-session rollup) — the batch twin of streaming_session_window, "
+    "so session analytics backfills compute on the same engine that "
+    "serves them live. Timestamps ride as integer epoch-micros and every "
+    "output is integer arithmetic (no timestamp rendering or float "
+    "drift cross-engine). Scale shape: ONE shuffle on user_id serves "
+    "both window passes (same window spec fuses into one sort) AND the "
+    "final (user_id, session_n) aggregate — hash partitioning on a "
+    "subset of the group keys already co-locates the groups, so the "
+    "only other exchange in the plan is the presentation ORDER BY.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tu")
+    )
+    w = W.partitionBy("user_id").orderBy("tu", "event_id")
+    gap = F.col("tu") - F.lag("tu").over(w)
+    m = e.withColumn(
+        "is_new",
+        F.when(F.lag("tu").over(w).isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    s = m.withColumn(
+        "session_n",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        s.groupBy("user_id", "session_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # FLOOR division, not truncation: Spark's `div` truncates
+            # toward zero while DuckDB's `//` floors — they differ for
+            # pre-1970 (negative-micros) timestamps. Subtracting the
+            # positive remainder (pmod) first makes the dividend an exact
+            # multiple, so div == floor-div on both engines for any sign.
+            F.expr(
+                "(min(tu) - pmod(min(tu), 1000000)) div 1000000"
+            ).alias("start_epoch"),
+            F.expr("(max(tu) - min(tu)) div 1000000").alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            F.col("session_n").cast("long").alias("session_n"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "start_epoch",
+            "duration_s",
+        )
+        .orderBy("user_id", "session_n")
+    )
+
+
+# --- Scan-aggregate with full predicate pushdown (TPC-H q6 analogue) --------
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_micro
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_quantity < 24
+      AND CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) BETWEEN 400 AND 600
+    """,
+    doc="Forecast-revenue scan-aggregate (TPC-H q6 analogue): the pure "
+    "predicate-pushdown showcase — date range, quantity and discount "
+    "filters all reach the parquet scan (PushedFilters), no join, one "
+    "partial/final aggregate pair, answer is a single row. Money rides as "
+    "integer cents x discount basis points (micro-dollar units), so the "
+    "sum is order-independent and hash-exact cross-engine — the same "
+    "integer-money discipline as the k-means quantization.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    db = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+        )
+        .select(pc.alias("pc"), db.alias("db"))
+        .where(F.col("db").between(400, 600))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("pc") * F.col("db")).cast("long").alias("revenue_micro"),
+        )
+    )

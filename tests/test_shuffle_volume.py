@@ -476,3 +476,65 @@ def test_winnowing_pair_stage_is_df_capped(spark):
     assert 0 < n_cand < all_pairs, (
         f"candidate volume {n_cand} not bounded below all-pairs {all_pairs}"
     )
+
+
+def test_hll_register_shuffle_bounded_by_m_not_values(spark):
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_groups = ev.select("event_type").distinct().count()
+    reg = SK.hll_registers(ev, "event_type", F.col("user_id").cast("string"))
+    reg.collect()
+    s = shuffle_stats(reg)
+    # max() combines map-side: the shuffle carries at most
+    # m registers × groups × map-partitions — never one row per event
+    n_parts = ev.rdd.getNumPartitions()
+    bound = SK.HLL_M * n_groups * max(n_parts, 1)
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_events / 10
+
+
+def test_histogram_shuffle_bounded_by_bins_not_rows(spark):
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    od = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    n_orders = od.count()
+    v = od.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    hist = SK.histogram_bins(v, "cents", 100_000)
+    n_bins = hist.count()
+    hist.collect()
+    s = shuffle_stats(hist)
+    n_parts = od.rdd.getNumPartitions()
+    # count() combines map-side: shuffle ≤ bins × map-partitions, and the
+    # bin count itself is bounded by the value DOMAIN (range/width), not n
+    assert s["shuffle_records"] <= n_bins * max(n_parts, 1)
+    assert s["shuffle_records"] < n_orders / 10
+
+
+def test_hll_registers_merge_linearly(spark):
+    """Register mergeability — the property that makes HLL distributable:
+    sketching two halves separately and max-merging the registers gives
+    EXACTLY the registers of sketching the whole (so partial sketches
+    compose across partitions / micro-batches / days)."""
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    val = F.col("user_id").cast("string")
+    whole = SK.hll_registers(ev, "event_type", val)
+    lo = SK.hll_registers(ev.where(F.col("event_id") % 2 == 0), "event_type", val)
+    hi = SK.hll_registers(ev.where(F.col("event_id") % 2 == 1), "event_type", val)
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+    # and therefore the estimates agree too
+    ea = sorted(map(tuple, SK.hll_estimate(whole).collect()))
+    eb = sorted(map(tuple, SK.hll_estimate(merged).collect()))
+    assert ea == eb
