@@ -600,6 +600,7 @@ class Engine:
         _mark("ingest_checkpoint_and_stats")
 
         seqd = sequence_messages(msgs, cfg)
+        _mark("seq_plan")
         identity = F.coalesce(
             F.nullif(F.col("id"), F.lit("")),
             F.concat_ws(
@@ -659,6 +660,7 @@ class Engine:
         # With no processAll defs, execution and finalise-merge fuse into
         # ONE Python stage emitting _FINAL_SCHEMA (see _exec_fn) — a small
         # micro-batch crosses Arrow once, not twice.
+        _mark("revive_plan")
         fused = not self.all_defs
         exec_schema = _FINAL_SCHEMA if fused else _EXEC_SCHEMA
         # Size the chain shuffle to the batch: 32 near-empty partitions ×
@@ -711,6 +713,7 @@ class Engine:
         # complete before the state save runs (the save is in phase 3,
         # after the counters), so the revive-join's parquet is never
         # overwritten under a live lineage.
+        _mark("exec_udf_plan")
         if fused:
             finalised = executed.localCheckpoint(eager=False)
         else:
