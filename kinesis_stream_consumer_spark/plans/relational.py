@@ -1107,6 +1107,76 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Event-type Markov transition matrix -----------------------------------
+
+@register(
+    "events_markov_transitions",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+      FROM tr GROUP BY 1
+    )
+    SELECT tr.from_type, tr.to_type, tr.n,
+           CAST((2*10000*tr.n + tot.n_out) // (2*tot.n_out)
+                AS BIGINT) AS share_bp
+    FROM tr JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: LAG pairs each event with its predecessor (ordered by "
+    "ts, event_id within user), transition counts roll up per "
+    "(from, to), and each row carries its outgoing-probability share in "
+    "half-up basis points — the user-journey model behind funnel design "
+    "and next-event prediction baselines. Scale shape: ONE user_id "
+    "shuffle feeds the LAG window (the sessionize pattern), transition "
+    "counts combine map-side into an event-type-vocabulary-bounded "
+    "frame (|types|² rows at most), and the outgoing-total join runs "
+    "over that tiny frame — at 100 TB the only data-scaled exchange is "
+    "the per-user window partition.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return (
+        tr.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                "CAST((2*10000*n + n_out) div (2*n_out) AS BIGINT)"
+            ).alias("share_bp"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 # --- Sketch aggregates: HyperLogLog cardinality, histogram quantiles -------
 
 _BP_SHIFT = 100_000  # positivity shift for signed half-up bp divisions

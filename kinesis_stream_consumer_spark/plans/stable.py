@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_stream_consumer_spark.operators import curation as C
 from kinesis_stream_consumer_spark.operators import dedup as D
 from kinesis_stream_consumer_spark.operators import multimodal as M
 from kinesis_stream_consumer_spark.operators import similarity as S
@@ -48,6 +49,7 @@ from kinesis_stream_consumer_spark.plans.llm_pipeline import (
     _ngram_jaccard_oracle,
     _simhash_oracle,
 )
+from kinesis_stream_consumer_spark.plans.curation import _HB
 from kinesis_stream_consumer_spark.plans.queries import (
     QUERIES,
     _t,
@@ -1157,4 +1159,111 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.sum(F.col("pc") * F.col("db")).cast("long").alias("revenue_micro"),
         )
+    )
+
+
+# --- parked r5 (ninth batch): displaced by curation_bloom_novelty +
+# events_markov_transitions ---
+
+@register(
+    "curation_contamination",
+    f"""
+    WITH {_SHINGLE_ROWS},
+    hb AS (
+      SELECT doc_id, {_HB.format(col='doc_id')} AS _hb FROM documents
+    ),
+    rows0 AS (
+      SELECT sh.doc_id, shingle, _hb FROM sh JOIN hb USING (doc_id)
+    ),
+    informative AS (
+      SELECT shingle FROM rows0 GROUP BY shingle HAVING COUNT(*) <= 100
+    ),
+    rows1 AS (
+      SELECT rows0.doc_id, rows0.shingle, rows0._hb
+      FROM rows0 JOIN informative USING (shingle)
+    ),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM rows1 WHERE _hb < 500
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id, rows1.shingle
+      FROM rows1 JOIN eval_sh USING (shingle)
+      WHERE _hb >= 500
+    )
+    SELECT doc_id, COUNT(*) AS n_shared_shingles
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Train/eval contamination check: train docs sharing any informative "
+    "3-shingle with the (deterministic 5%) eval slice. Shingles with "
+    "document frequency > 100 are dropped first — boilerplate is "
+    "uninformative AND the skew killer for the shingle equi-join; the "
+    "match is then an equi-join on a bounded-fanout key. The standard "
+    "pre-training hygiene pass at 100 TB.",
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: shingle materialization dominates and fuses onto the scan
+    # stage (measured +19% without it at sf0.1/local[32]).
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    return (
+        C.ngram_contamination(docs, "text", "doc_id", 500, 3, 100)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_WEIGHTS = {"src0": 4, "src1": 2}  # every other source: weight 1
+
+
+@register(
+    "curation_mixture_sample",
+    f"""
+    WITH hb AS (
+      SELECT doc_id, source, {_HB.format(col='doc_id')} AS _hb FROM documents
+    ),
+    counts AS (
+      SELECT source, COUNT(*) AS n,
+             CASE WHEN source = 'src0' THEN 4
+                  WHEN source = 'src1' THEN 2
+                  ELSE 1 END AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS n_total, SUM(w) AS sumw FROM counts),
+    tgt AS (
+      SELECT source, n,
+             LEAST(n, CAST(FLOOR(w / sumw * (n_total // 5) + 0.5) AS INT))
+               AS target
+      FROM counts CROSS JOIN tot
+    ),
+    th AS (
+      SELECT source, target,
+             LEAST({C.HASH_BUCKETS},
+                   CAST(CEIL({C.HASH_BUCKETS} * (CAST(1.5 AS DOUBLE) * target / n
+                          + CAST(32 AS DOUBLE) / n)) AS INT)) AS thresh
+      FROM tgt
+    ),
+    r AS (
+      SELECT hb.doc_id, hb.source, th.target,
+             ROW_NUMBER() OVER (PARTITION BY hb.source
+                                ORDER BY _hb, hb.doc_id) AS rnk
+      FROM hb JOIN th USING (source)
+      WHERE _hb < th.thresh
+    )
+    SELECT doc_id, source FROM r WHERE rnk <= target
+    ORDER BY source, doc_id
+    """,
+    doc="Domain-mixture sampling: 20%-of-corpus sample whose composition "
+    "follows integer mixture weights (src0 4×, src1 2×, rest 1×), each "
+    "source capped at its own size — the 'upsample wiki, downsample crawl' "
+    "pretraining-mix primitive. Deterministic smallest-hash-first "
+    "selection; targets are a model-sized (source, target, thresh) table "
+    "computed from a count-only aggregate and broadcast back; the "
+    "stratified two-phase prefilter keeps the rank window off the full "
+    "corpus. Integer weights make the normalizer exact cross-engine.",
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        C.mixture_sample(docs, "source", "doc_id", _MIX_WEIGHTS)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
     )
