@@ -73,18 +73,21 @@ def hll_registers(df: DataFrame, group_col: str, value: Column) -> DataFrame:
     )
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
-    """(g, hll_estimate) from a register frame, integer-exact half-up:
+def hll_estimate_grouped(registers: DataFrame, group_cols) -> DataFrame:
+    """(*group_cols, hll_estimate) from a register frame with column ``r``,
+    integer-exact half-up:
 
         estimate = alpha_m · m² / Z,   Z = Σ_buckets 2^-rho
 
     computed as the scaled integer S = Σ 2^(RMAX-rho) with empty registers
     contributing rho=0 (the 2^RMAX term), then ONE integer division —
     `div`, not floor(double), so the quotient can't pick up a ulp at an
-    integer boundary.
+    integer boundary. Works for any grouping — per-key sketches, or pair
+    keys over max-merged registers (the set-algebra path).
     """
+    cols = list(group_cols)
     return (
-        registers.groupBy("g")
+        registers.groupBy(*cols)
         .agg(
             F.sum(
                 F.expr(
@@ -94,20 +97,25 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("nb"),
         )
         .select(
-            "g",
+            *cols,
             (
                 F.col("s_ne")
                 + (F.lit(HLL_M) - F.col("nb")) * F.lit(1 << HLL_RMAX)
             ).alias("s"),
         )
         .select(
-            "g",
+            *cols,
             F.expr(
                 f"CAST(({_HLL_NUM2} + s * 1000000) div (2 * s * 1000000) "
                 "AS BIGINT)"
             ).alias("hll_estimate"),
         )
     )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """(g, hll_estimate) — the single-key form of hll_estimate_grouped."""
+    return hll_estimate_grouped(registers, ["g"])
 
 
 def hll_oracle_cte(source_sql: str, group_expr: str, value_expr: str) -> str:
@@ -168,3 +176,17 @@ def histogram_bins(values: DataFrame, cents_col: str, width: int) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# SQL fragments for oracles that work with merged registers directly:
+# the per-group scaled harmonic sum (aggregate context, register col r)
+# and the estimate from a named S column — identical arithmetic to
+# hll_estimate_grouped.
+HLL_S_AGG_SQL = (
+    f"CAST(SUM(CAST(1 AS BIGINT) << CAST({HLL_RMAX} - r AS INT)) AS BIGINT)"
+    f" + ({HLL_M} - COUNT(*)) * {1 << HLL_RMAX}"
+)
+
+
+def hll_est_sql(s_col: str) -> str:
+    return f"(({_HLL_NUM2} + {s_col} * 1000000) // (2 * {s_col} * 1000000))"

@@ -1626,97 +1626,6 @@ _BOILER_SUPPORT = 2
 
 
 @register(
-    "text_boilerplate_segments",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    segs AS (
-      SELECT doc_id,
-             array_to_string(
-               t[(i*{_BOILER_SEG_WORDS}+1):(i*{_BOILER_SEG_WORDS}+{_BOILER_SEG_WORDS})],
-               ' ') AS seg
-      FROM (SELECT doc_id, t,
-                   unnest(generate_series(0, len(t)//{_BOILER_SEG_WORDS} - 1)) AS i
-            FROM toks)
-    ),
-    boiler AS (
-      SELECT seg FROM segs GROUP BY seg
-      HAVING COUNT(DISTINCT doc_id) >= {_BOILER_SUPPORT}
-    ),
-    per_doc AS (
-      SELECT s.doc_id, COUNT(*) AS n_boiler
-      FROM segs s JOIN boiler b ON s.seg = b.seg
-      GROUP BY s.doc_id
-    )
-    SELECT t.doc_id,
-           CAST(len(t.t)//{_BOILER_SEG_WORDS} AS BIGINT) AS n_segs,
-           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
-           CAST(CASE WHEN len(t.t)//{_BOILER_SEG_WORDS} = 0 THEN 0
-                ELSE FLOOR(10000.0 * COALESCE(p.n_boiler, 0)
-                           / (len(t.t)//{_BOILER_SEG_WORDS}) + 0.5)
-                END AS BIGINT) AS boiler_bp
-    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
-    ORDER BY t.doc_id
-    """,
-    doc="C4-style boilerplate-line removal stats: the corpus is cut into "
-    f"non-overlapping {_BOILER_SEG_WORDS}-word segments (the 'line' unit "
-    "of a corpus with no newline structure), a segment is boilerplate "
-    f"when it appears in >= {_BOILER_SUPPORT} distinct documents "
-    "(C4 removes lines shared across documents; support is the knob), "
-    "and each document reports its segment count, boilerplate-segment "
-    "count, and boilerplate share in integer basis points (FLOOR(x+0.5) "
-    "on a deterministic double — no ROUND-tie ambiguity cross-engine). "
-    "Scale shape: tokens materialize once; segments ride as slim "
-    "(seg, doc) rows into a two-phase distinct-count aggregate keyed on "
-    "the segment; the boiler set joins back on the same key (AQE "
-    "broadcasts it when small, shuffle-joins when boilerplate is "
-    "corpus-sized); per-doc totals come from array arithmetic, not a "
-    "second scan. The short-doc guard matters: Spark's sequence(0,-1) "
-    "DESCENDS where DuckDB's generate_series is empty, so segs are "
-    "gated on size >= the segment width.",
-)
-def text_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _BOILER_SEG_WORDS
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    seg_arr = F.expr(
-        f"CASE WHEN size(t) >= {w} THEN "
-        f"transform(sequence(0, size(t) div {w} - 1), "
-        f"i -> concat_ws(' ', slice(t, i*{w}+1, {w}))) "
-        "ELSE array() END"
-    )
-    segs = toks.select("doc_id", F.explode(seg_arr).alias("seg"))
-    boiler = (
-        segs.groupBy("seg")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= _BOILER_SUPPORT)
-        .select("seg")
-    )
-    per_doc = segs.join(boiler, "seg").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_boiler")
-    )
-    return (
-        toks.select("doc_id", F.expr(f"size(t) div {w}").cast("long").alias("n_segs"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_segs",
-            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
-            F.when(F.col("n_segs") == 0, F.lit(0).cast("long"))
-            .otherwise(
-                F.floor(
-                    10000.0 * F.coalesce("n_boiler", F.lit(0)) / F.col("n_segs")
-                    + F.lit(0.5)
-                ).cast("long")
-            )
-            .alias("boiler_bp"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
     "sim_lexical_sparse_topk",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1815,53 +1724,6 @@ def sim_lexical_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUP_NGRAM_K = 5
 _DUP_NGRAM_MIN_DOCS = 2
-
-
-@register(
-    "text_dup_ngram_coverage",
-    f"""
-    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    pos AS (SELECT doc_id, toks,
-                   unnest(generate_series(1, GREATEST(len(toks)-{_DUP_NGRAM_K - 1}, 1))) AS i
-            FROM tok),
-    sh AS (SELECT DISTINCT doc_id,
-                  concat_ws(' ', {", ".join(f"toks[i+{j}]" for j in range(5)).replace("toks[i+0]", "toks[i]")}) AS shingle
-           FROM pos),
-    g AS (SELECT doc_id, CAST((md5_number_upper(shingle) >> 8) AS BIGINT) AS g FROM sh),
-    dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) >= {_DUP_NGRAM_MIN_DOCS}),
-    per AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN dup USING (g) GROUP BY doc_id),
-    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
-    SELECT t.doc_id,
-           CAST(t.n_grams AS BIGINT) AS n_grams,
-           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
-           CAST(FLOOR(10000.0 * COALESCE(p.n_dup, 0) / t.n_grams + 0.5) AS BIGINT) AS dup_bp
-    FROM tot t LEFT JOIN per p USING (doc_id)
-    ORDER BY doc_id
-    """,
-    doc="Per-document duplicated-n-gram coverage — the bounded aggregate "
-    "form of substring-level dedup (Lee et al. 2022, 'Deduplicating "
-    "Training Data Makes Language Models Better'): the share of each "
-    f"document's distinct {_DUP_NGRAM_K}-word shingles that occur in >= "
-    f"{_DUP_NGRAM_MIN_DOCS} documents corpus-wide, in integer basis "
-    "points. Catches documents assembled from text duplicated elsewhere "
-    "even when no single pair crosses a near-dup threshold. Scale shape: "
-    "shingles hash to 56-bit longs map-side and every aggregate/join "
-    "keys on that uniform hash — two slim long-keyed shuffles, no "
-    "pairwise stage at any corpus size (cost O(total shingles), not "
-    "O(docs^2)).",
-)
-def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rebalance: the (doc, gram-hash) rows are checkpointed and re-read by
-    # three downstream aggregates — a 1-partition checkpoint would pin
-    # them all single-task (A/B 1.17s vs 1.81s median at sf0.1)
-    docs = _t(spark, sf_dir, "documents", rebalance=True)
-    return (
-        D.duplicated_shingle_coverage(
-            docs, "text", "doc_id", _DUP_NGRAM_K, _DUP_NGRAM_MIN_DOCS
-        )
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id")
-    )
 
 
 def _containment_oracle() -> str:

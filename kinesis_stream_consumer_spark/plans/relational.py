@@ -1177,6 +1177,306 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HLL set algebra: audience overlap from merged registers ----------------
+
+@register(
+    "agg_hll_overlap",
+    f"""
+    WITH {SK.hll_oracle_cte("orders", "EXTRACT(year FROM o_orderdate)",
+                            "CAST(o_custkey AS VARCHAR)")},
+    yrs AS (SELECT DISTINCT g FROM hll_reg),
+    pr AS (
+      SELECT a.g AS year_a, b.g AS year_b
+      FROM yrs a JOIN yrs b ON a.g < b.g
+    ),
+    mm AS (
+      SELECT pr.year_a, pr.year_b, r.bucket, MAX(r.r) AS r
+      FROM pr JOIN hll_reg r ON r.g = pr.year_a OR r.g = pr.year_b
+      GROUP BY 1, 2, 3
+    ),
+    us AS (
+      SELECT year_a, year_b, {SK.HLL_S_AGG_SQL} AS s
+      FROM mm GROUP BY 1, 2
+    ),
+    ue AS (
+      SELECT year_a, year_b, {SK.hll_est_sql('s')} AS est_union FROM us
+    ),
+    xd AS (
+      SELECT DISTINCT EXTRACT(year FROM o_orderdate) AS yr, o_custkey AS c
+      FROM orders
+    ),
+    xi AS (
+      SELECT a.yr AS year_a, b.yr AS year_b, COUNT(*) AS x
+      FROM xd a JOIN xd b ON a.c = b.c AND a.yr < b.yr
+      GROUP BY 1, 2
+    )
+    SELECT CAST(pr.year_a AS BIGINT) AS year_a,
+           CAST(pr.year_b AS BIGINT) AS year_b,
+           CAST(ea.hll_estimate AS BIGINT) AS est_a,
+           CAST(eb.hll_estimate AS BIGINT) AS est_b,
+           CAST(ue.est_union AS BIGINT) AS est_union,
+           CAST(ea.hll_estimate + eb.hll_estimate - ue.est_union
+                AS BIGINT) AS est_intersection,
+           CAST(COALESCE(xi.x, 0) AS BIGINT) AS exact_intersection
+    FROM pr
+    JOIN hll_est ea ON ea.g = pr.year_a
+    JOIN hll_est eb ON eb.g = pr.year_b
+    JOIN ue USING (year_a, year_b)
+    LEFT JOIN xi USING (year_a, year_b)
+    ORDER BY year_a, year_b
+    """,
+    doc="HLL set algebra — repeat-customer audience overlap between order "
+    "years: per-year registers max-MERGE into per-pair union sketches, "
+    "|A∪B| comes from the merged estimate and |A∩B| by inclusion-"
+    "exclusion, reported next to the exact distinct-join intersection. "
+    "This is why mergeable sketches matter at 100 TB: every pairwise "
+    "audience question is answered from the SAME m-row-per-group "
+    "register frame — one scan of the fact table total — where the exact "
+    "path pays a distinct + self-join per question over row-scaled keys "
+    "(the baseline alongside, fan-out bounded by years² per key). "
+    "Register merging is pure column max over a years·m-row frame; all "
+    "estimate arithmetic is the integer-exact HLL formula, so the DuckDB "
+    "oracle matches bit-for-bit. The inclusion-exclusion estimate "
+    "inherits BOTH sketches' error (visible against exact_intersection; "
+    "production uses p=14 registers for ~1% overlap error).",
+)
+def agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.year("o_orderdate").alias("yr"), F.col("o_custkey").alias("c")
+    )
+    # registers: ≤ years×m rows; eager checkpoint — three consumers below
+    # (per-year estimates + two pair-merge joins) must not rescan orders
+    reg = SK.hll_registers(base, "yr", F.col("c").cast("string")).localCheckpoint(
+        eager=True
+    )
+    years = sorted(r["g"] for r in reg.select("g").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for a in years for b in years if a < b], "year_a int, year_b int"
+    )
+    ra = pairs.join(reg, F.col("g") == F.col("year_a")).select(
+        "year_a", "year_b", "bucket", "r"
+    )
+    rb = pairs.join(reg, F.col("g") == F.col("year_b")).select(
+        "year_a", "year_b", "bucket", "r"
+    )
+    mm = (
+        ra.unionByName(rb)
+        .groupBy("year_a", "year_b", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    ue = SK.hll_estimate_grouped(mm, ["year_a", "year_b"]).withColumnRenamed(
+        "hll_estimate", "est_union"
+    )
+    est = SK.hll_estimate(reg)
+    ea = est.select(F.col("g").alias("year_a"), F.col("hll_estimate").alias("est_a"))
+    eb = est.select(F.col("g").alias("year_b"), F.col("hll_estimate").alias("est_b"))
+    xd = base.distinct()
+    xi = (
+        xd.alias("a")
+        .join(xd.alias("b"), F.col("a.c") == F.col("b.c"))
+        .where(F.col("a.yr") < F.col("b.yr"))
+        .groupBy(
+            F.col("a.yr").alias("year_a"), F.col("b.yr").alias("year_b")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return (
+        pairs.join(ea, "year_a")
+        .join(eb, "year_b")
+        .join(ue, ["year_a", "year_b"])
+        .join(xi, ["year_a", "year_b"], "left")
+        .select(
+            F.col("year_a").cast("long").alias("year_a"),
+            F.col("year_b").cast("long").alias("year_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias(
+                "exact_intersection"
+            ),
+        )
+        .orderBy("year_a", "year_b")
+    )
+
+
+
+# --- RFM segmentation from histogram-sketch thresholds ----------------------
+
+_RFM_W_M = 10_000        # $100 monetary histogram bins (cents)
+_RFM_SHIFT_M = 10 ** 9   # positivity shift before binning: Spark `div`
+#                          truncates, DuckDB `//` floors — they differ on
+#                          negative dividends, so monetary sums are shifted
+#                          into positive space before the bin division
+#                          (the signed-division rule from CLAUDE.md)
+_RFM_QS = (20, 40, 60, 80)
+_DAY_US = 86_400_000_000
+
+
+def _rfm_user_sql() -> str:
+    return f"""
+    nowv AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+    u AS (
+      SELECT user_id,
+             CAST((nowv.now_us - MAX(epoch_us(ts))) // {_DAY_US}
+                  AS BIGINT) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mon
+      FROM events, nowv GROUP BY user_id, nowv.now_us
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    ks AS (
+      SELECT q, (n.n * q + 99) // 100 AS k
+      FROM (VALUES (20), (40), (60), (80)) AS t(q), n
+    )"""
+
+
+def _rfm_thresh_sql(name: str, expr: str, width: int) -> str:
+    """CTE chain computing the four quintile thresholds of ``expr`` over u
+    via the fixed-width histogram (bin cumsum + within-bin interpolation —
+    the agg_histogram_quantiles recovery)."""
+    return f"""
+    {name}h AS (
+      SELECT ({expr}) // {width} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM u GROUP BY 1
+    ),
+    {name}c AS (
+      SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM {name}h
+    ),
+    {name}t AS (
+      SELECT ks.q,
+             MIN(CASE WHEN c.cum >= ks.k AND c.cum - c.cnt < ks.k
+                      THEN c.bin * {width}
+                           + ({width} * (ks.k - (c.cum - c.cnt))) // c.cnt
+                 END) AS t
+      FROM ks CROSS JOIN {name}c c GROUP BY 1
+    )"""
+
+
+@register(
+    "events_rfm_segments",
+    f"""
+    WITH {_rfm_user_sql()},
+    {_rfm_thresh_sql("r", "rec", 1)},
+    {_rfm_thresh_sql("f", "freq", 1)},
+    {_rfm_thresh_sql("m", f"mon + {_RFM_SHIFT_M}", _RFM_W_M)},
+    sc AS (
+      SELECT user_id, mon,
+             5 - ((rec > (SELECT t FROM rt WHERE q = 20))::INT
+                + (rec > (SELECT t FROM rt WHERE q = 40))::INT
+                + (rec > (SELECT t FROM rt WHERE q = 60))::INT
+                + (rec > (SELECT t FROM rt WHERE q = 80))::INT) AS r_score,
+             1 + ((freq > (SELECT t FROM ft WHERE q = 20))::INT
+                + (freq > (SELECT t FROM ft WHERE q = 40))::INT
+                + (freq > (SELECT t FROM ft WHERE q = 60))::INT
+                + (freq > (SELECT t FROM ft WHERE q = 80))::INT) AS f_score,
+             1 + ((mon + {_RFM_SHIFT_M} > (SELECT t FROM mt WHERE q = 20))::INT
+                + (mon + {_RFM_SHIFT_M} > (SELECT t FROM mt WHERE q = 40))::INT
+                + (mon + {_RFM_SHIFT_M} > (SELECT t FROM mt WHERE q = 60))::INT
+                + (mon + {_RFM_SHIFT_M} > (SELECT t FROM mt WHERE q = 80))::INT)
+               AS m_score
+      FROM u
+    )
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+             AS segment_code,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(mon) AS BIGINT) AS sum_monetary_cents
+    FROM sc GROUP BY 1 ORDER BY segment_code
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quintiles) — the classic lifecycle-marketing rollup, built the "
+    "sketch-first way: quintile thresholds come from the fixed-width "
+    "HISTOGRAM of each metric (domain-bounded bins, map-side combine — "
+    "the agg_histogram_quantiles recovery), collected as 12 scalar "
+    "literals (the k-means-model pattern), and every user is then "
+    "scored MAP-SIDE against those literals — no global rank sort over "
+    "the row-scaled user frame, which is what a naive ntile(5) would "
+    "cost at 100 TB. One user_id shuffle builds the RFM frame (eagerly "
+    "checkpointed: the three histogram jobs and the final rollup must "
+    "not re-aggregate events), one tiny shuffle per histogram, one "
+    "segment rollup. Monetary sums are positivity-shifted before bin "
+    "division (Spark div truncates / DuckDB floors on negatives); all "
+    "arithmetic integer-exact.",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    now_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    u = (
+        ev.select("user_id", F.unix_micros("ts").alias("tu"), cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(f"({now_us} - max(tu)) div {_DAY_US}").alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("mon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = u.count()
+    ks = {q: (n * q + 99) // 100 for q in _RFM_QS}
+    cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    def thresholds(expr: str, width: int) -> dict[int, int]:
+        hist = (
+            u.select(F.expr(f"({expr}) div {width}").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(cum_w))
+        )
+        row = hist.agg(
+            *[
+                F.min(
+                    F.when(
+                        (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
+                        F.col("bin") * width
+                        + F.expr(f"({width} * ({k} - (cum - cnt))) div cnt"),
+                    )
+                ).alias(f"t{q}")
+                for q, k in ks.items()
+            ]
+        ).collect()[0]
+        return {q: row[f"t{q}"] for q in _RFM_QS}
+
+    rt = thresholds("rec", 1)
+    ft = thresholds("freq", 1)
+    mt = thresholds(f"mon + {_RFM_SHIFT_M}", _RFM_W_M)
+    r_score = 5 - sum(
+        (F.col("rec") > rt[q]).cast("int") for q in _RFM_QS
+    )
+    f_score = 1 + sum(
+        (F.col("freq") > ft[q]).cast("int") for q in _RFM_QS
+    )
+    m_score = 1 + sum(
+        ((F.col("mon") + _RFM_SHIFT_M) > mt[q]).cast("int") for q in _RFM_QS
+    )
+    return (
+        u.select(
+            (r_score * 100 + f_score * 10 + m_score)
+            .cast("long")
+            .alias("segment_code"),
+            "mon",
+        )
+        .groupBy("segment_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("mon").cast("long").alias("sum_monetary_cents"),
+        )
+        .select(
+            "segment_code",
+            F.col("n_users").cast("long").alias("n_users"),
+            "sum_monetary_cents",
+        )
+        .orderBy("segment_code")
+    )
+
+
+
 # --- Sketch aggregates: HyperLogLog cardinality, histogram quantiles -------
 
 _BP_SHIFT = 100_000  # positivity shift for signed half-up bp divisions

@@ -538,3 +538,31 @@ def test_hll_registers_merge_linearly(spark):
     ea = sorted(map(tuple, SK.hll_estimate(whole).collect()))
     eb = sorted(map(tuple, SK.hll_estimate(merged).collect()))
     assert ea == eb
+
+
+def test_bloom_bits_shuffle_bounded_by_filter_size(spark):
+    from kinesis_stream_consumer_spark.operators import dedup as D
+    from kinesis_stream_consumer_spark.plans.curation import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    docs = _docs(spark)
+    dg = docs.select("doc_id", D.exact_digest(F.col("text")).alias("dg"))
+    ref = dg.where(F.col("doc_id") % 2 == 0)
+    js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+    pos = (
+        D.md5_u56_le(
+            F.concat(F.col("j").cast("string"), F.lit("|"), F.col("dg"))
+        )
+        % _BLOOM_M
+    ).alias("pos")
+    bits = ref.select(F.explode(js).alias("j"), "dg").select(pos).distinct()
+    n_bits = bits.count()
+    bits.collect()
+    s = shuffle_stats(bits)
+    n_parts = docs.rdd.getNumPartitions()
+    # partial distinct combines map-side: the shuffle is bounded by the
+    # FILTER SIZE (m positions) × map partitions, never by n_ref × k
+    assert n_bits <= _BLOOM_M
+    assert s["shuffle_records"] <= _BLOOM_M * max(n_parts, 1)
