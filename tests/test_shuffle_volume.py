@@ -170,7 +170,7 @@ def test_boilerplate_segments_shuffles_are_slim(spark):
     """text_boilerplate_segments: the distinct-count aggregate and the
     join back ride (seg, doc) rows — bounded by segment count, and no
     shuffle row ever carries document text (segments are 5 words)."""
-    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+    from kinesis_stream_consumer_spark.plans.stable import (
         text_boilerplate_segments,
     )
 
@@ -228,7 +228,7 @@ def test_dup_ngram_coverage_shuffles_slim_hashes(spark):
     """text_dup_ngram_coverage: every aggregate/join keys on the 56-bit
     gram hash or the doc id — shuffle rows are (long, long)-ish, never
     shingle strings or document text."""
-    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+    from kinesis_stream_consumer_spark.plans.stable import (
         text_dup_ngram_coverage,
     )
 

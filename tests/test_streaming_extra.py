@@ -633,3 +633,63 @@ def test_streaming_cms_sketch_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) <= 4 * 32  # sketch stays sketch-sized
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Incremental HyperLogLog maintenance under Structured Streaming:
+    registers are a MAX-MERGEABLE aggregate, so a streaming
+    groupBy(g, bucket).max(rho) over micro-batched events must end
+    register-for-register equal to the batch sketch over the same rows —
+    live distinct-user estimates without ever re-scanning history (the
+    streaming twin of test_hll_registers_merge_linearly)."""
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    ev = _t(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).json(str(tmp_path / "in"))
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, uid string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    # same per-row register prep as hll_registers, aggregated by the
+    # streaming engine across micro-batches
+    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
+
+    h = md5_u56_le(F.col("uid"))
+    rho = F.least(
+        F.lit(56 - SK.HLL_P + 1) - F.length(F.bin(F.shiftright(h, SK.HLL_P))),
+        F.lit(SK.HLL_RMAX),
+    ).cast("long")
+    reg_stream = (
+        stream.select(
+            F.col("event_type").alias("g"),
+            (h % SK.HLL_M).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    q = (
+        reg_stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_reg")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["g"], r["bucket"]): r["r"]
+        for r in spark.sql("SELECT * FROM hll_reg").collect()
+    }
+    batch = {
+        (r["g"], r["bucket"]): r["r"]
+        for r in SK.hll_registers(ev, "event_type", F.col("uid")).collect()
+    }
+    assert streamed == batch
+    assert len(batch) <= 5 * SK.HLL_M  # registers stay register-sized
