@@ -63,6 +63,14 @@ def main() -> None:
         "dedup_minhash_lsh_blocked",
         "sim_label_centroid_matrix",
         "dedup_method_agreement",
+        # r5 sketch suite + analytics closers
+        "agg_hll_distinct",
+        "agg_histogram_quantiles",
+        "agg_hll_overlap",
+        "curation_bloom_novelty",
+        "text_collocations_lift",
+        "events_markov_transitions",
+        "events_rfm_segments",
     ]
     sections = [HEADER]
     for name in names:
