@@ -202,3 +202,41 @@ def test_winnowing_guarantee_shared_substring_shared_fingerprint(spark):
     assert got[0] & got[1], "shared substring must yield a shared fingerprint"
     assert not (got[0] & got[2])
     assert not (got[1] & got[2])
+
+
+def test_histogram_quantile_recovery_error_is_bounded_by_bin_width():
+    """Pure-arithmetic pin of the histogram quantile recovery used by
+    agg_histogram_quantiles / events_rfm_segments: for ANY data and bin
+    width, the interpolated estimate differs from the exact rank-k value
+    by at most one bin width (the sketch's whole error contract), and the
+    integer formula never divides by zero or misses a rank."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                 max_size=300),
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=100),
+    )
+    def check(values, width, q):
+        n = len(values)
+        k = (n * q + 99) // 100
+        sv = sorted(values)
+        exact = sv[k - 1]
+        # histogram recovery, mirroring the SQL: bin counts, cumulative,
+        # within-bin integer interpolation
+        from collections import Counter
+
+        hist = sorted(Counter(v // width for v in values).items())
+        cum = 0
+        est = None
+        for b, cnt in hist:
+            if cum < k <= cum + cnt:
+                est = b * width + (width * (k - cum)) // cnt
+                break
+            cum += cnt
+        assert est is not None, "every rank must land in exactly one bin"
+        assert abs(est - exact) <= width
+
+    check()
