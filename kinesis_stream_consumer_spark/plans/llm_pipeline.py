@@ -1625,103 +1625,6 @@ _BOILER_SEG_WORDS = 5
 _BOILER_SUPPORT = 2
 
 
-@register(
-    "sim_lexical_sparse_topk",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    bi AS (
-      SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
-      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM t)
-    ),
-    tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bi GROUP BY 1, 2),
-    nn AS (SELECT COUNT(*) AS n FROM t),
-    rare AS (
-      SELECT s.bg, (SELECT n FROM nn) // s.df AS w
-      FROM (SELECT bg, COUNT(*) AS df FROM tf GROUP BY bg) s
-      WHERE s.df <= LEAST(GREATEST(2, (SELECT n FROM nn) // 20), 32)
-    ),
-    post AS (SELECT f.doc_id, f.bg, f.tf, r.w FROM tf f JOIN rare r USING (bg)),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(SUM(a.tf * b.tf * a.w * a.w) AS BIGINT) AS sim
-      FROM post a JOIN post b ON a.bg = b.bg AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, sim, rnk FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
-                                   ORDER BY sim DESC, doc_b) AS rnk
-      FROM pairs)
-    WHERE rnk <= 3
-    ORDER BY doc_a, rnk
-    """,
-    doc="Sparse lexical similarity join — the inverted-index complement to "
-    "the dense-embedding ANN ops: docs become bigram TF vectors, terms "
-    "with document frequency above N/20 are PRUNED (common terms add "
-    "little weight but quadratic join volume — the df cap is the scale "
-    "knob: per-term postings stay <= cap so the postings self-join is "
-    "bounded, the same candidate-bounding contract as the LSH bands), "
-    "and surviving postings self-join on the term to accumulate "
-    "tf_a*tf_b*w^2 per pair, top-3 neighbours per doc. The cap is "
-    "ABSOLUTE above a floor (min(max(2, N/20), 32)): a term in hundreds "
-    "of documents is common regardless of corpus size, and a relative-"
-    "only cap would let per-term join volume grow as (N/20)^2 — with the "
-    "absolute cap the pair stage is O(#terms * cap^2), linear in the "
-    "vocabulary. The idf surrogate "
-    "w = N div df is INTEGER (log-free: JVM and DuckDB libm may differ "
-    "by 1 ulp on transcendental idf; integer weights make every partial "
-    "sum exact cross-engine). N comes from footer/table stats, not a "
-    "count job; postings are checkpointed once so the self-join reads "
-    "them instead of re-aggregating both sides.",
-)
-def sim_lexical_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    n = _table_row_count(sf_dir, "documents")
-    cap = min(max(2, n // 20), 32)
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    bg_arr = F.expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
-        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
-        "ELSE array() END"
-    )
-    tf = (
-        toks.select("doc_id", F.explode(bg_arr).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    rare = (
-        tf.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= cap)
-        .select("bg", F.expr(f"{n} div df").alias("w"))
-    )
-    post = tf.join(rare, "bg").localCheckpoint(eager=True)
-    pairs = (
-        post.alias("a")
-        .join(
-            post.alias("b"),
-            (F.col("a.bg") == F.col("b.bg"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
-            F.sum(
-                F.col("a.tf") * F.col("b.tf") * F.col("a.w") * F.col("a.w")
-            ).cast("long").alias("sim")
-        )
-    )
-    w_ = Window.partitionBy("doc_a").orderBy(F.col("sim").desc(), "doc_b")
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w_))
-        .where(F.col("rnk") <= 3)
-        .select("doc_a", "doc_b", "sim", "rnk")
-        .orderBy("doc_a", "rnk")
-    )
-
-
 _DUP_NGRAM_K = 5
 _DUP_NGRAM_MIN_DOCS = 2
 

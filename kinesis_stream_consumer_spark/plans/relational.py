@@ -1477,6 +1477,100 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- Market-basket affinity (association-rule lift) -------------------------
+
+_BASKET_MIN_SUPPORT = 3
+_BASKET_TOP = 20
+
+
+@register(
+    "agg_basket_affinity",
+    f"""
+    WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM bi),
+    pr AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM bi a JOIN bi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    ),
+    bf AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1
+    )
+    SELECT pr.part_a, pr.part_b, pr.pair_count,
+           fa.c AS baskets_a, fb.c AS baskets_b,
+           CAST((2*10000*pr.pair_count*nb.n + fa.c*fb.c)
+                // (2*fa.c*fb.c) AS BIGINT) AS lift_bp
+    FROM pr
+    JOIN bf fa ON fa.l_partkey = pr.part_a
+    JOIN bf fb ON fb.l_partkey = pr.part_b
+    CROSS JOIN nb
+    ORDER BY lift_bp DESC, part_a, part_b
+    LIMIT {_BASKET_TOP}
+    """,
+    doc="Market-basket affinity (Agrawal association rules): parts "
+    "co-ordered in the same order, ranked by lift "
+    "P(ab)/(P(a)P(b)) = c_ab*n_baskets/(c_a*c_b) in half-up basis "
+    f"points, with a support floor of {_BASKET_MIN_SUPPORT} baskets — "
+    "the collocations shape transplanted from token adjacency to basket "
+    "co-membership. Scale shape: the basket-item frame is ONE distinct "
+    "shuffle of slim (orderkey, partkey) longs, eagerly checkpointed "
+    "(three consumers: both sides of the pair join, part frequencies, "
+    "the basket count); the within-basket self-join keys on orderkey so "
+    "per-basket fan-out is items-per-order squared (bounded by basket "
+    "size, NEVER catalog-squared); pair counts combine map-side; the "
+    "part-frequency joins are UNHINTED (part vocabulary is row-scaled — "
+    "AQE broadcasts locally, shuffles at scale); top-k is "
+    "TakeOrderedAndProject. n_baskets rides as a driver literal (the "
+    "sanctioned scalar-model pattern); all arithmetic exact int64 "
+    "(2e4 * c_ab * n ~ 1.5e11 at sf0.1).",
+)
+def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bi = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_baskets = bi.select("l_orderkey").distinct().count()
+    a = bi.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = bi.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pr = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= _BASKET_MIN_SUPPORT)
+    )
+    bf = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    fa = bf.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("baskets_a"))
+    fb = bf.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("baskets_b"))
+    lift = F.expr(
+        f"CAST((2*10000*pair_count*{n_baskets} + baskets_a*baskets_b)"
+        " div (2*baskets_a*baskets_b) AS BIGINT)"
+    )
+    return (
+        pr.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            "baskets_a",
+            "baskets_b",
+            lift.alias("lift_bp"),
+        )
+        .orderBy(F.col("lift_bp").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+
 # --- Sketch aggregates: HyperLogLog cardinality, histogram quantiles -------
 
 _BP_SHIFT = 100_000  # positivity shift for signed half-up bp divisions
