@@ -191,7 +191,7 @@ def test_lexical_sparse_join_is_df_pruned(spark):
     the df cap — every surviving term has <= max(2, N/20) postings, so
     per-term join fan-out is capped (the inverted-index analogue of the
     LSH candidate bound), and no common term floods the pair stage."""
-    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+    from kinesis_stream_consumer_spark.plans.stable import (
         sim_lexical_sparse_topk,
     )
     from kinesis_stream_consumer_spark.plans.queries import _table_row_count
