@@ -629,67 +629,6 @@ def _components_ctes() -> str:
 
 
 @register(
-    "dedup_cluster_keep_best",
-    f"""
-    WITH RECURSIVE {_components_ctes()},
-    q AS (
-      SELECT doc_id, quality_score
-      FROM ({QUERIES["text_quality"].oracle.rsplit("ORDER BY", 1)[0]})
-    ),
-    j AS (
-      SELECT c.component_id, c.node AS doc_id, q.quality_score
-      FROM comp c JOIN q ON q.doc_id = c.node
-    )
-    SELECT CAST(component_id AS BIGINT) AS component_id,
-           doc_id AS kept_doc_id,
-           quality_score AS best_quality,
-           CAST(n_members AS BIGINT) AS n_members
-    FROM (
-      SELECT *,
-             ROW_NUMBER() OVER (PARTITION BY component_id
-                                ORDER BY quality_score DESC, doc_id) AS rn,
-             COUNT(*) OVER (PARTITION BY component_id) AS n_members
-      FROM j)
-    WHERE rn = 1
-    ORDER BY component_id
-    """,
-    doc="The dedup DECISION: for every transitive duplicate cluster, keep "
-    "the highest-quality member (tie → smallest id) and record the group "
-    "size — what a real pipeline writes out after near-dup detection "
-    "(pairs → components → one survivor per group, chosen by the quality "
-    "model rather than arbitrary first-seen). Composes three certified "
-    "operators: LSH pair graph, fixpoint components, quality scoring; "
-    "the window runs over cluster members only (≪ corpus).",
-)
-def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_candidate_pairs(
-        docs, "text", "doc_id", 3, 2, threshold=0.8
-    )
-    comps = D.connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "component_id"
-    )
-    quality = docs.select("doc_id", T.quality_score(F.col("text")).alias("q"))
-    j = comps.join(quality, "doc_id")
-    w = Window.partitionBy("component_id").orderBy(F.col("q").desc(), "doc_id")
-    wc = Window.partitionBy("component_id")
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(wc))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("component_id").cast("long").alias("component_id"),
-            F.col("doc_id").alias("kept_doc_id"),
-            F.col("q").alias("best_quality"),
-            F.col("n_members").cast("long").alias("n_members"),
-        )
-        .orderBy("component_id")
-    )
-
-
-@register(
     "dedup_graph_pagerank",
     f"""
     WITH pairs AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]}),

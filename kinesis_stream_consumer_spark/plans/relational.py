@@ -1477,6 +1477,140 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- TPC-H q8 analogue: national market share ------------------------------
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_9"
+_Q8_PTYPE = "PROMO"
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH rev AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+             ns.n_name AS supp_nation,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT))
+               AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_PTYPE}'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev
+                         ELSE 0 END) AS BIGINT) AS nation_revenue_micro,
+           CAST(SUM(rev) AS BIGINT) AS total_revenue_micro,
+           CAST((2*10000*SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                                  THEN rev ELSE 0 END)
+                   + SUM(rev)) // (2*SUM(rev)) AS BIGINT) AS share_bp
+    FROM rev GROUP BY yr ORDER BY yr
+    """,
+    doc="National market share (TPC-H q8 analogue) — the full star-join "
+    f"orchestration closer: {_Q8_NATION}'s share of {_Q8_PTYPE}-part "
+    f"revenue sold into {_Q8_REGION}-region customers, by order year. "
+    "Eight tables join in one plan: the fact scans carry pushed "
+    "date/type/region filters, every dimension reaches the fact through "
+    "a STATS-GATED broadcast (_bcast_if_small — the fixed-size dims hint "
+    "broadcast, the row-scaled part/supplier/customer sides stay "
+    "unhinted so AQE chooses at scale; the r4 q10 lesson), and the only "
+    "row-scaled exchange is the orders-orderkey shuffle joining the two "
+    "facts. Revenue accumulates in exact integer micro-dollars "
+    "(cents x (10000 - discount bp), the q14 convention) and the share "
+    "uses half-up integer division, not a float multiply, so the "
+    "single-row-per-year aggregate is hash-exact cross-engine.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr"))
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == _Q8_PTYPE)
+        .select("p_partkey")
+    )
+    na = _t(spark, sf_dir, "nation")
+    rg = _t(spark, sf_dir, "region").where(F.col("r_name") == _Q8_REGION)
+    # region-filtered customer keys: nation/region are fixed-size (25/5
+    # rows -> gated hint fires); customer itself is row-scaled -> unhinted
+    cu = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _bcast_if_small(
+                na.join(
+                    _bcast_if_small(rg, sf_dir, "region"),
+                    na.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey"),
+                sf_dir,
+                "nation",
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    su = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _bcast_if_small(
+                na.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                ),
+                sf_dir,
+                "nation",
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    db = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    rev = (
+        li.join(_bcast_if_small(pt, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_bcast_if_small(su, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_bcast_if_small(cu, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("yr", "supp_nation", (pc * (10000 - db)).alias("rev"))
+    )
+    target = F.when(F.col("supp_nation") == _Q8_NATION, F.col("rev")).otherwise(
+        F.lit(0)
+    )
+    return (
+        rev.groupBy("yr")
+        .agg(
+            F.sum(target).cast("long").alias("nation_revenue_micro"),
+            F.sum("rev").cast("long").alias("total_revenue_micro"),
+        )
+        .select(
+            F.col("yr").cast("long").alias("yr"),
+            "nation_revenue_micro",
+            "total_revenue_micro",
+            F.expr(
+                "CAST((2*10000*nation_revenue_micro + total_revenue_micro)"
+                " div (2*total_revenue_micro) AS BIGINT)"
+            ).alias("share_bp"),
+        )
+        .orderBy("yr")
+    )
+
+
+
 # --- Market-basket affinity (association-rule lift) -------------------------
 
 _BASKET_MIN_SUPPORT = 3
