@@ -44,7 +44,29 @@ HEADLINE = [
 ]
 
 
+def wait_for_quiet_box(threshold: float = 1.0, cap_sec: float = 120.0) -> tuple[float, bool]:
+    """Block until 1-min loadavg < threshold, or cap_sec elapses.
+
+    Back-to-back runs after pytest/another bench inflate timings up to 50%
+    (r5: recorded 958 msg/s streaming vs 2108 on a quiet box — the official
+    record inverted the round's real result). The gate lives HERE so any
+    invoker records reality. Returns (loadavg_at_start_of_timing,
+    load_contaminated) for stamping into the JSON.
+    """
+    deadline = time.monotonic() + cap_sec
+    load = os.getloadavg()[0]
+    while load >= threshold and time.monotonic() < deadline:
+        print(f"bench: waiting for load < {threshold} (now {load:.2f})", file=sys.stderr)
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return load, load >= threshold
+
+
 def main() -> None:
+    # Cool-down gate BEFORE the JVM starts, so the measured load is
+    # residual external load, not our own session spin-up.
+    loadavg, load_contaminated = wait_for_quiet_box()
+
     from kinesis_stream_consumer_spark.plans import QUERIES
     from kinesis_stream_consumer_spark.session import get_spark
 
@@ -199,6 +221,8 @@ def main() -> None:
         "queries": timings,
         "index_timing": index_timing,
         "sf": sf_val,
+        "loadavg": round(loadavg, 2),
+        "load_contaminated": load_contaminated,
         "engine": {
             "messages": n_msgs,
             "sec": engine_sec,
