@@ -749,12 +749,74 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
     )
 
 
+def ivfpq_build_index(
+    vectors: DataFrame,
+    coarse: tuple[DataFrame, DataFrame] | None = None,
+    pq: tuple[DataFrame, DataFrame] | None = None,
+    coarse_k: int = 8, m: int = 8, k: int = 16, n_iter: int = 2,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, list, list]:
+    """One-time IVF-PQ index build: join the PQ codes with the coarse cell
+    assignments into the CELL-KEYED inverted lists (how FAISS stores them
+    — probing is then a lookup, never a corpus shuffle) and pull both
+    trained model tables driver-side as rows. Returns
+    (inv, coarse_cent_rows, pq_cent_rows) where inv = (vid, sub, code,
+    cell_id), checkpointed so query batches reread it without replanning
+    the training lineage.
+
+    The two collects are MODEL-sized (coarse_k·dim and m·k·(dim/m) rows —
+    ~1.5k rows total at the defaults) regardless of corpus size: the
+    k-means-model pattern (pull the model through the driver, embed as
+    literals). At 100 TB the inv frame is the thing you'd persist
+    partitioned by cell_id; here localCheckpoint is its in-session stand-in.
+    """
+    fit, coarse_cents = coarse if coarse is not None else kmeans_fit_quantized(
+        vectors, coarse_k, n_iter, id_col, vec_col, return_model=True
+    )
+    codes, pq_cents = pq if pq is not None else pq_fit(
+        vectors, m, k, n_iter, dim, id_col, vec_col
+    )
+    inv = codes.join(
+        fit.select(F.col(id_col).alias("vid"), "cell_id"), "vid"
+    ).localCheckpoint(eager=True)
+    return inv, coarse_cents.collect(), pq_cents.collect()
+
+
+def _centroid_array_sql(rows, dim: int) -> str:
+    """SQL literal ``array(named_struct('cell', c, 'qc', array(...)), ...)``
+    from collected (cell, pos, qc) model rows — the broadcast-free form of
+    a tiny trained model: distances to it evaluate ROW-WISE via
+    higher-order functions, no explode/groupBy/window exchanges. Built as
+    one SQL string (parsed JVM-side) rather than per-element lit() columns
+    — py4j expression-tree construction dominates otherwise."""
+    cells: dict[int, list[int]] = {}
+    for r in rows:
+        cells.setdefault(r.cell, [0] * dim)[r.pos] = r.qc
+    return "array(" + ",".join(
+        f"named_struct('cell',{c},'qc',array({','.join(map(str, v))}))"
+        for c, v in sorted(cells.items())
+    ) + ")"
+
+
+def _pq_codebook_array_sql(rows, sub_dim: int) -> str:
+    """Same literal-model form for the PQ codebooks: one entry per
+    (sub, cell) with its sub_dim-component centroid."""
+    cells: dict[tuple[int, int], list[int]] = {}
+    for r in rows:
+        cells.setdefault((r.sub, r.cell), [0] * sub_dim)[r.pos] = r.qc
+    return "array(" + ",".join(
+        f"named_struct('sub',{s},'cell',{c},'qc',array({','.join(map(str, v))}))"
+        for (s, c), v in sorted(cells.items())
+    ) + ")"
+
+
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
                nprobe: int = 3, m: int = 8, k: int = 16, n_iter: int = 2,
                topk: int = 5, rerank: int = 40, dim: int = 64,
                id_col: str = "vec_id", vec_col: str = "embedding",
                coarse: tuple[DataFrame, DataFrame] | None = None,
-               pq: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
+               pq: tuple[DataFrame, DataFrame] | None = None,
+               index: tuple[DataFrame, list, list] | None = None) -> DataFrame:
     """IVF-PQ: the composed FAISS-style billion-scale index. The coarse
     quantizer (trained integer k-means) partitions the corpus into cells
     — the inverted lists; a query probes its ``nprobe`` nearest cells by
@@ -762,56 +824,64 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
     cells' PQ codes with the asymmetric distance table, and finally
     re-ranks the ADC shortlist with the exact quantized L2 (the refine
     step). Returns (query_id, match_id, qdist, rnk), integer-exact
-    end-to-end.
+    end-to-end. Pass ``index`` from :func:`ivfpq_build_index` to reuse a
+    built index across query batches (the plans layer caches it).
 
-    100 TB shape: the corpus is touched as (a) slim coarse assignments
-    (vid, cell) — the inverted-list index, (b) slim PQ codes (vid, sub,
-    code) read ONLY for candidate vids (the candidate pair set joins the
-    code table before any distance work — the inverted-list scan), and
-    (c) full vectors only for the |queries|·rerank shortlist. Both
-    trained models (coarse centroids, PQ codebooks) broadcast; every
-    aggregate combines map-side. Fraction of corpus scanned ≈
+    100 TB shape: the corpus is touched as (a) the CELL-KEYED inverted
+    lists (vid, sub, code, cell_id) — probed by a broadcast join on
+    cell_id, i.e. partition pruning when the lists are persisted
+    partitioned by cell, with NO corpus shuffle on the query path — and
+    (b) full vectors only for the |queries|·rerank shortlist. Both
+    trained models are literal arrays evaluated row-wise against each
+    query (model-sized, driver-held), so the probe selection and the ADC
+    distance table cost ZERO exchanges; the only full shuffles carry
+    (query, vid) partial sums. Fraction of corpus scanned ≈
     nprobe/coarse_k, the IVF contract."""
-    fit, coarse_cents = coarse if coarse is not None else kmeans_fit_quantized(
-        vectors, coarse_k, n_iter, id_col, vec_col, return_model=True
+    if index is None:
+        index = ivfpq_build_index(
+            vectors, coarse, pq, coarse_k, m, k, n_iter, dim, id_col, vec_col
+        )
+    inv, coarse_rows, pq_rows = index
+    sub_dim = dim // m
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * KMEANS_QUANT_SCALE + 0.5).cast("long"),
+        ).alias("qvec"),
     )
-    coarse = fit.select(F.col(id_col).alias("vid"), "cell_id").localCheckpoint(
-        eager=True
-    )
-    qrows = quantized_vector_rows(queries, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    # probe: exact quantized L2 to the trained integer centroids
-    qdists = (
-        qrows.join(F.broadcast(coarse_cents), "pos")
-        .groupBy("vid", "cell")
-        .agg(F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("dist"))
-    )
-    wprobe = Window.partitionBy("vid").orderBy("dist", "cell")
-    probes = (
-        qdists.withColumn("prnk", F.row_number().over(wprobe))
-        .where(F.col("prnk") <= nprobe)
-        .select(F.col("vid").alias("query_id"), F.col("cell").alias("cell_id"))
-    )
-    cand = (
-        coarse.join(F.broadcast(probes), "cell_id")
-        .where(F.col("vid") != F.col("query_id"))
-        .select("query_id", "vid")
-    )
-    # PQ codebooks + codes; ADC restricted to the candidate inverted lists
-    codes, pq_cents = pq if pq is not None else pq_fit(
-        vectors, m, k, n_iter, dim, id_col, vec_col
-    )
-    qsub = pq_sub_rows(queries, m, dim, id_col, vec_col).select(
-        F.col("vid").alias("query_id"), "sub", "pos", F.col("qx").alias("qq")
-    )
-    dtable = (
-        qsub.join(F.broadcast(pq_cents), ["sub", "pos"])
-        .groupBy("query_id", "sub", "cell")
-        .agg(F.sum((F.col("qq") - F.col("qc")) * (F.col("qq") - F.col("qc"))).alias("d"))
+    # probe: exact quantized L2 to every coarse centroid, computed as ONE
+    # row-wise HOF over the literal model — sort, keep nprobe. (dist, cell)
+    # ordering matches the previous window ORDER BY dist, cell.
+    coarse_lit = _centroid_array_sql(coarse_rows, dim)
+    probes = qvecs.select(
+        "query_id",
+        F.explode(F.slice(F.array_sort(F.expr(f"""
+            transform({coarse_lit}, c -> named_struct(
+              'dist', aggregate(zip_with(qvec, c.qc, (a, b) -> (a-b)*(a-b)),
+                                0L, (acc, x) -> acc + x),
+              'cell', c.cell))""")), 1, nprobe)).alias("p"),
+    ).select("query_id", F.col("p.cell").alias("cell_id"))
+    # ADC distance table: per (query, sub, cell) squared-L2 over the
+    # subspace slice, again row-wise against the literal codebooks.
+    pq_lit = _pq_codebook_array_sql(pq_rows, sub_dim)
+    dtable = qvecs.select(
+        "query_id",
+        F.explode(F.expr(f"""
+            transform({pq_lit}, c -> named_struct(
+              'sub', c.sub, 'cell', c.cell,
+              'd', aggregate(zip_with(slice(qvec, c.sub*{sub_dim}+1, {sub_dim}),
+                                      c.qc, (a, b) -> (a-b)*(a-b)),
+                             0L, (acc, x) -> acc + x)))""")).alias("e"),
+    ).select(
+        "query_id",
+        F.col("e.sub").alias("sub"),
+        F.col("e.cell").alias("cell"),
+        F.col("e.d").alias("d"),
     )
     scored = (
-        cand.join(codes, "vid")
+        inv.join(F.broadcast(probes), "cell_id")
+        .where(F.col("vid") != F.col("query_id"))
         .withColumnRenamed("code", "cell")
         .join(F.broadcast(dtable), ["query_id", "sub", "cell"])
         .groupBy("query_id", "vid")
@@ -824,8 +894,8 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
         .select("query_id", "vid")
     )
     vrows = quantized_vector_rows(vectors, id_col, vec_col)
-    qfull = qrows.select(
-        F.col("vid").alias("query_id"), "pos", F.col("qx").alias("qq")
+    qfull = qvecs.select(
+        "query_id", F.posexplode("qvec").alias("pos", "qq")
     )
     exact = (
         F.broadcast(pairs)

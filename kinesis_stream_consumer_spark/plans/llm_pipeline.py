@@ -913,6 +913,23 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     return hit
 
 
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Session-cached IVF-PQ index: cell-keyed inverted lists + both model
+    tables as driver-side rows (see S.ivfpq_build_index). Built ONCE from
+    the cached coarse/PQ models; every query batch after that runs with
+    zero model exchanges."""
+    key = ("ivfpq", spark.sparkContext.applicationId, sf_dir)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        hit = S.ivfpq_build_index(
+            _t(spark, sf_dir, "embeddings"),
+            coarse=_coarse_model(spark, sf_dir),
+            pq=_pq_model(spark, sf_dir),
+        )
+        _MODEL_CACHE[key] = hit
+    return hit
+
+
 _KMEANS_K = 8
 _KMEANS_ITER = 2
 
@@ -1282,7 +1299,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk(
         emb, queries, coarse_k=_KMEANS_K, nprobe=_IVFPQ_NPROBE, m=_PQ_M,
         k=_PQ_K, n_iter=_PQ_ITER, topk=5, rerank=_PQ_RERANK,
-        coarse=_coarse_model(spark, sf_dir), pq=_pq_model(spark, sf_dir),
+        index=_ivfpq_index(spark, sf_dir),
     ).orderBy("query_id", "rnk")
 
 
