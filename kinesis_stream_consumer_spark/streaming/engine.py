@@ -163,6 +163,38 @@ class Engine:
         # (custom save seams and compaction invalidate it). The frame is
         # lazy over already-checkpointed inputs, so caching costs no job.
         self._saved_state_cache: Optional[Tuple[frozenset, DataFrame]] = None
+        # Per-batch driver overhead: Column trees are stateless and config-
+        # determined, so build them ONCE — re-constructing them every
+        # micro-batch is pure py4j round-trip cost (~0.2-0.3 s/batch
+        # measured r6 at 5k rows). chain/sort columns are additionally
+        # MATERIALIZED into the phase-1 checkpoint so the big sort-key
+        # encode forest never appears in the per-batch exec plan Catalyst
+        # has to re-optimize (see sequencing.chain_columns).
+        from kinesis_stream_consumer_spark.streaming.sequencing import (
+            chain_columns,
+        )
+
+        self._shard_or_event_col = (
+            F.concat(F.lit("E|"), F.col("event_id"))
+            if config.batch_keyed_on_event_id
+            else F.concat(F.lit("S|"), F.col("shard_id"))
+        )
+        identity_col = F.coalesce(
+            F.nullif(F.col("id"), F.lit("")),
+            F.concat_ws(
+                "|",
+                F.col("event_id"),
+                F.col("data_md5"),
+                F.coalesce(F.col("event_sub_seq_no").cast("string"), F.lit("")),
+            ),
+        )
+        # identity (I1-I3 resolution output) and shardOrEventID are pure
+        # row functions of phase-1 columns — materialize them in the same
+        # checkpoint so the exec plan consumes them as data.
+        self._phase1_cols = [c.alias(n) for n, c in chain_columns(config)] + [
+            identity_col.alias("identity"),
+            self._shard_or_event_col.alias("shardOrEventID"),
+        ]
 
     # --- phase 2a: processOne via per-chain ordered applyInPandas ----------
 
@@ -551,19 +583,21 @@ class Engine:
         # instead of two (~0.2-0.3 s/micro-batch of fixed cost, more on
         # cold batches). The checkpoint is still complete before anything
         # downstream (exec, sinks, state save) touches the frame.
-        tagged = ing.tagged.drop("msg_json", "parsed_ok").localCheckpoint(
-            eager=False
+        # chain_key/sort_key materialize HERE (inside the checkpoint): the
+        # sort-key encode forest is the most expensive expression in the
+        # lifecycle and this keeps it out of the per-batch exec plan —
+        # Catalyst replans that tree every micro-batch, and the encode work
+        # itself fuses onto the already-CPU-bound decode stage.
+        tagged = (
+            ing.tagged.drop("msg_json", "parsed_ok")
+            .select("*", *self._phase1_cols)
+            .localCheckpoint(eager=False)
         )
         msgs = tagged.where(F.col("reason_unusable").isNull()).drop(
             "reason_unusable"
         )
         unusable = tagged.where(F.col("reason_unusable").isNotNull())
 
-        shard_or_event = (
-            F.concat(F.lit("E|"), F.col("event_id"))
-            if cfg.batch_keyed_on_event_id
-            else F.concat(F.lit("S|"), F.col("shard_id"))
-        )
         # ONE stats job for batch-key resolution (I4) + batch counters — a
         # slim scan of the checkpointed batch, not a recompute of ingest.
         # Per shard key it returns (record deliveries, unusable rows), so
@@ -580,7 +614,7 @@ class Engine:
         stats_key = F.when(
             F.col("reason_unusable").isNotNull(),
             F.concat(F.lit("S|"), F.col("shard_id")),
-        ).otherwise(shard_or_event)
+        ).otherwise(F.col("shardOrEventID"))
         is_delivery_head = (
             F.col("event_sub_seq_no").isNull() | (F.col("event_sub_seq_no") == 0)
         )
@@ -601,18 +635,11 @@ class Engine:
 
         seqd = sequence_messages(msgs, cfg)
         _mark("seq_plan")
-        identity = F.coalesce(
-            F.nullif(F.col("id"), F.lit("")),
-            F.concat_ws(
-                "|",
-                F.col("event_id"),
-                F.col("data_md5"),
-                F.coalesce(F.col("event_sub_seq_no").cast("string"), F.lit("")),
-            ),
-        )
-        seqd = seqd.withColumn("identity", identity).withColumn(
-            "shardOrEventID", shard_or_event
-        )
+        # sort_key is consumed by the window ORDER BY above and nothing
+        # else — drop it before the exec stage so the chain shuffle and
+        # Arrow transfer don't carry the ~70-byte encoded string per row.
+        # identity/shardOrEventID are already phase-1 data.
+        seqd = seqd.drop("sort_key")
 
         # T1 load + T2 revive: broadcast the (small) prior-state slice into
         # the messages — one partition-pruned scan per batch, like the

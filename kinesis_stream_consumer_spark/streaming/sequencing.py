@@ -79,31 +79,49 @@ def sort_key(parts: Column) -> Column:
     return F.array_join(F.transform(parts, encode_part), "\x01", "")
 
 
+def chain_columns(config: EngineConfig) -> list:
+    """(name, Column) pairs for chain_key / sort_key — the per-row half of
+    sequencing, with NO window dependency. The engine materializes these
+    inside the phase-1 ingest checkpoint: the sort_key encode forest (regex
+    classification × canonical when-trees) is by far the largest expression
+    Catalyst would otherwise re-optimize in the per-batch exec plan
+    (~60% of that plan's planning time, measured r6), and evaluating it in
+    the ingest stage keeps the row work fused onto the already-CPU-bound
+    decode pass instead of the window sort."""
+    if not config.sequencing_required:
+        return [
+            ("chain_key", F.coalesce(F.col("id"), F.col("event_id"))),
+            ("sort_key", F.lit("")),
+        ]
+    chain = F.col("key") if config.sequencing_per_key else F.col("shard_id")
+    return [("chain_key", chain), ("sort_key", sort_key(F.col("seq_no_parts")))]
+
+
 def sequence_messages(messages: DataFrame, config: EngineConfig) -> DataFrame:
     """Assign chain_key / seq_index / prev/next links (Q3/Q4/Q5).
 
     Adds: chain_key, sort_key, seq_index, prev_event_id, next_event_id,
     is_first. Chains are window partitions → all chains order and link in
     one shuffle; at scale, per-key mode keeps partitions small (the
-    reference's own recommendation for parallelism).
+    reference's own recommendation for parallelism). If chain_key /
+    sort_key are already present (the engine precomputes them in its
+    phase-1 checkpoint via :func:`chain_columns`) they are used as-is.
+    Flat single-select projections — chained withColumn nests a Project
+    per call and the per-micro-batch analyzer cost is real.
     """
+    if "chain_key" not in messages.columns:
+        messages = messages.select(
+            "*", *[c.alias(n) for n, c in chain_columns(config)]
+        )
     if not config.sequencing_required:
         # Q5: every message is a chain of one — all firsts, full parallelism
-        return (
-            messages.withColumn(
-                "chain_key",
-                F.coalesce(F.col("id"), F.col("event_id")),
-            )
-            .withColumn("sort_key", F.lit(""))
-            .withColumn("seq_index", F.lit(1))
-            .withColumn("prev_event_id", F.lit(None).cast("string"))
-            .withColumn("next_event_id", F.lit(None).cast("string"))
-            .withColumn("is_first", F.lit(True))
+        return messages.select(
+            "*",
+            F.lit(1).alias("seq_index"),
+            F.lit(None).cast("string").alias("prev_event_id"),
+            F.lit(None).cast("string").alias("next_event_id"),
+            F.lit(True).alias("is_first"),
         )
-    chain = F.col("key") if config.sequencing_per_key else F.col("shard_id")
-    with_key = messages.withColumn("chain_key", chain).withColumn(
-        "sort_key", sort_key(F.col("seq_no_parts"))
-    )
     # tie-break on the event seq/sub-seq like the reference comparator's
     # eventSeqNo fallback (test/sequencing-per-shard.test.js:218-468)
     w = Window.partitionBy("chain_key").orderBy(
@@ -111,9 +129,11 @@ def sequence_messages(messages: DataFrame, config: EngineConfig) -> DataFrame:
         F.lpad("event_seq_no", 64, "0"),
         F.coalesce("event_sub_seq_no", F.lit(-1)),
     )
-    return (
-        with_key.withColumn("seq_index", F.row_number().over(w))
-        .withColumn("prev_event_id", F.lag("event_id").over(w))
-        .withColumn("next_event_id", F.lead("event_id").over(w))
-        .withColumn("is_first", F.col("prev_event_id").isNull())
+    prev = F.lag("event_id").over(w)
+    return messages.select(
+        "*",
+        F.row_number().over(w).alias("seq_index"),
+        prev.alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        prev.isNull().alias("is_first"),
     )
