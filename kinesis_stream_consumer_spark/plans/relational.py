@@ -511,6 +511,180 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    """
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, c.cost_cents
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ) c
+    JOIN part p     ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+      AND r.r_name = 'EUROPE'
+      AND c.cost_cents = (
+        SELECT MIN(CAST(FLOOR(l2.l_extendedprice * 100 + 0.5) AS BIGINT))
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+    doc="Min-cost supplier (TPC-H q2 analogue): for every LARGE mid-size "
+    "part, the European supplier(s) offering it at the minimum historical "
+    "unit price (cost = min line cents — exact integer money; the schema "
+    "has no partsupp, so lineitem is the observed price book). The oracle "
+    "keeps q2's correlated scalar subquery; the Spark plan is its "
+    "DECORRELATED form — one (part, supplier) min aggregate, a per-part "
+    "min re-aggregate, and an equi-join back on (part, cost) — which is "
+    "exactly what a decorrelation rewrite produces and the scale shape: "
+    "the fact table aggregates ONCE (partial min map-side), the filtered "
+    "part list and the per-part minima broadcast, and no correlated "
+    "per-row probe ever exists physically.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    pa_f = pa.where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey")
+    su_eur = (
+        su.join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(re.where(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cost = (
+        li.join(
+            _bcast_if_small(pa_f, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            _bcast_if_small(su_eur, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("p_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+        .agg(F.min(cents).alias("cost_cents"))
+    )
+    minc = cost.groupBy(F.col("p_partkey").alias("_mpk")).agg(
+        F.min("cost_cents").alias("_min_cost")
+    )
+    return (
+        cost.join(
+            _bcast_if_small(minc, sf_dir, "part"),
+            (F.col("p_partkey") == F.col("_mpk"))
+            & (F.col("cost_cents") == F.col("_min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost_cents")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Order-priority checking (TPC-H q4 analogue): count orders per "
+    "priority that had at least one line shipped more than 60 days after "
+    "the order date (the schema has no commit/receipt dates; late "
+    "shipment is the q4 'late line' predicate). The EXISTS compiles to a "
+    "LEFT SEMI join with a mixed equi + range condition — the semi join "
+    "deduplicates multi-line matches WITHOUT a distinct shuffle, the "
+    "quarter filter pushes to the orders scan, and at 100 TB both sides "
+    "shuffle once on orderkey (or broadcast when the filtered order "
+    "slice is small).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od_q = od.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        od_q.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY 1
+    )
+    GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="Customer order-count distribution (TPC-H q13 analogue): how many "
+    "customers placed 0, 1, 2, ... qualifying orders — the canonical "
+    "outer-join-with-nulls histogram and TPC-H's classic skew case. The "
+    "oracle keeps q13's literal LEFT OUTER JOIN + COUNT(o_orderkey); the "
+    "Spark plan is the AGGREGATE-BEFORE-JOIN rewrite: orders pre-aggregate "
+    "to one (custkey, count) row — partial counts combine map-side, so a "
+    "mega-customer's millions of orders collapse BEFORE any join shuffle — "
+    "then a left join + coalesce(cnt, 0) recovers the zero-order "
+    "customers, and the final histogram groups ~one row per customer. "
+    "At 100 TB this is the difference between shuffling the orders table "
+    "and shuffling one row per customer.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    ocnt = (
+        od.where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    return (
+        cu.select("c_custkey")
+        .join(ocnt, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(F.coalesce(F.col("_cnt"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
     "join_salted_skew",
     """
     WITH dim AS (
