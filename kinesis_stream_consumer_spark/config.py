@@ -50,6 +50,15 @@ class EngineConfig:
     key_property_names: Sequence[str] = field(default_factory=tuple)
     seq_no_property_names: Sequence[str] = field(default_factory=tuple)
 
+    # Optional per-shard HyperLogLog distinct-message sketch maintained in
+    # the state table (kind='sketch', one register row per md5 bucket) and
+    # max-merged at every save. Register max-merge is IDEMPOTENT, so the
+    # sketch is exact-composable under the engine's at-least-once replay —
+    # a bounded-memory duplicate-rate signal the reference's per-batch
+    # DynamoDB item could never accumulate. Default off: costs one extra
+    # register aggregate inside the save job per batch.
+    track_distinct_sketch: bool = False
+
     batch_state_table_name: str = "StreamConsumerBatchState"
     dead_record_queue_name: str = "DeadRecordQueue"
     dead_message_queue_name: str = "DeadMessageQueue"

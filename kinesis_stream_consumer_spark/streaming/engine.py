@@ -647,17 +647,20 @@ class Engine:
         # (reference persisting.loadBatchStateFromDynamoDB default,
         # kinesis-processing.js:291): a custom fn returns the prior slice
         # (already filtered to live message/rejected states).
+        prior_all = None
         if cfg.load_batch_state is not None:
             prior = cfg.load_batch_state(self, shards or None)
         else:
             cache = self._saved_state_cache
             if cache is not None and shards and shards <= cache[0]:
-                prior = cache[1].where(
+                prior_all = cache[1].where(
                     F.col("shardOrEventID").isin(list(shards))
                 )
             else:
-                prior = self.state.load(cfg.stream_consumer_id, shards or None)
-            prior = prior.where(F.col("kind").isin("message", "rejected"))
+                prior_all = self.state.load(
+                    cfg.stream_consumer_id, shards or None
+                )
+            prior = prior_all.where(F.col("kind").isin("message", "rejected"))
         # Mismatched-prior-state tolerance: prior state only revives when its
         # content digest matches the current message — same id but different
         # content means the state is stale and the message executes fresh
@@ -831,6 +834,8 @@ class Engine:
             "tasks_json",
             F.col("reason_rejected").alias("reason"),
             F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(None).cast("long").alias("sketch_bucket"),
+            F.lit(None).cast("long").alias("sketch_r"),
         )
         unusable_states = unusable.select(
             F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
@@ -849,12 +854,73 @@ class Engine:
             F.lit(None).cast("string").alias("tasks_json"),
             F.col("reason_unusable").alias("reason"),
             F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(None).cast("long").alias("sketch_bucket"),
+            F.lit(None).cast("long").alias("sketch_r"),
         )
         default_saved = False
         if n_messages or n_unusable:
             # T4 seam: saveBatchState (default parquet MERGE upsert,
             # kinesis-processing.js:295 saveBatchStateToDynamoDB)
             states = msg_states.unionByName(unusable_states)
+            if cfg.track_distinct_sketch and cfg.save_batch_state is None:
+                # Per-shard HLL distinct-MESSAGE sketch: this batch's
+                # registers over the checkpointed identities, max-merged
+                # with the prior registers for the touched shards (the
+                # save below REPLACES those partitions, so the merge must
+                # happen pre-save). Register max-merge is idempotent —
+                # replaying a failed batch re-merges the same maxima, so
+                # the sketch stays exact-composable under at-least-once
+                # delivery, unlike any additive counter.
+                from kinesis_stream_consumer_spark.operators.sketches import (
+                    hll_registers,
+                )
+
+                batch_regs = hll_registers(
+                    msgs.select("shardOrEventID", "identity"),
+                    "shardOrEventID",
+                    F.col("identity"),
+                )
+                if prior_all is not None:
+                    prior_regs = prior_all.where(
+                        F.col("kind") == "sketch"
+                    ).select(
+                        F.col("shardOrEventID").alias("g"),
+                        F.col("sketch_bucket").alias("bucket"),
+                        F.col("sketch_r").alias("r"),
+                    )
+                    # eager checkpoint: the merge reads the very parquet
+                    # partitions the save below replaces (the same hazard
+                    # the finalised checkpoint exists for); the frame is
+                    # register-sized (m × shards rows), so this is a tiny
+                    # job, not a data pass.
+                    batch_regs = (
+                        batch_regs.unionByName(prior_regs)
+                        .groupBy("g", "bucket")
+                        .agg(F.max("r").alias("r"))
+                        .localCheckpoint(eager=True)
+                    )
+                nul = F.lit(None).cast("string")
+                sketch_states = batch_regs.select(
+                    F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
+                    F.col("g").alias("shardOrEventID"),
+                    F.lit("sketch").alias("kind"),
+                    F.concat(F.lit("HLL|"), F.col("bucket")).alias("identity"),
+                    nul.alias("id"),
+                    nul.alias("key"),
+                    nul.alias("seqNo"),
+                    nul.alias("event_id"),
+                    nul.alias("event_seq_no"),
+                    F.lit(None).cast("long").alias("event_sub_seq_no"),
+                    nul.alias("msg_md5"),
+                    nul.alias("rec_md5"),
+                    nul.alias("data_md5"),
+                    nul.alias("tasks_json"),
+                    nul.alias("reason"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.col("bucket").cast("long").alias("sketch_bucket"),
+                    F.col("r").cast("long").alias("sketch_r"),
+                )
+                states = states.unionByName(sketch_states)
             if cfg.save_batch_state is not None:
                 cfg.save_batch_state(states, self)
                 self._saved_state_cache = None  # unknown destination

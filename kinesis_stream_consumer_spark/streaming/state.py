@@ -41,6 +41,11 @@ STATE_SCHEMA = T.StructType(
         T.StructField("tasks_json", T.StringType()),
         T.StructField("reason", T.StringType()),
         T.StructField("batch_id", T.LongType()),
+        # kind='sketch' rows only (EngineConfig.track_distinct_sketch): one
+        # HLL register per (consumer, shard, bucket), max-merged each save.
+        # NULL on message/rejected/unusable rows.
+        T.StructField("sketch_bucket", T.LongType()),
+        T.StructField("sketch_r", T.LongType()),
     ]
 )
 
@@ -133,6 +138,9 @@ class StateStore:
                 F.col("tasks_json").isNotNull()
                 & F.col("tasks_json").rlike(self._NON_FINAL_RE)
             )
+            # sketch registers are CUMULATIVE (max-merged across every
+            # batch since consumer start) — never age them out
+            | (F.col("kind") == "sketch")
         ).select(*[f.name for f in STATE_SCHEMA.fields])
         keep = keep.localCheckpoint(eager=True)
         dropped = total - keep.count()
