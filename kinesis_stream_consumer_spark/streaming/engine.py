@@ -117,6 +117,11 @@ class BatchResult:
     rejected_to_dmq: int
     discarded_to_drq: int
     incomplete: int
+    # exec-stage width this batch ran at: min(session shuffle width,
+    # ~rows/500) — the scale-soak test pins that a big batch reaches full
+    # cluster width (the "sizing is a no-op at scale" claim, engine.py
+    # phase-2 sizing comment)
+    exec_partitions: int = 0
 
 
 class Engine:
@@ -537,11 +542,13 @@ class Engine:
         _last = _time.perf_counter()
 
         def _mark(label: str) -> None:
+            # always collected (a handful of perf_counter calls per batch);
+            # exposed as self.last_section_times for the scale-soak test,
+            # printed to stderr only under SPARK_GRAFT_ENGINE_TIMING=1
             nonlocal _last
-            if _timing:
-                now = _time.perf_counter()
-                _marks.append((label, now - _last))
-                _last = now
+            now = _time.perf_counter()
+            _marks.append((label, now - _last))
+            _last = now
 
         cfg = self.config
         deadline = (
@@ -961,7 +968,9 @@ class Engine:
             rejected_to_dmq=n_rejected,
             discarded_to_drq=n_unusable,
             incomplete=n_incomplete,
+            exec_partitions=n_parts,
         )
+        self.last_section_times = dict(_marks)
         # F3 hook: postFinaliseBatch
         if cfg.post_finalise_batch is not None:
             cfg.post_finalise_batch(result, self)
