@@ -27,6 +27,19 @@ from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
 # sf0.01 cardinalities (~150 distinct per group); production uses p=14
 # (16384 registers, ~0.8% error) — nothing structural changes, the sketch
 # stays m rows per group.
+#
+# KNOWN BIAS (ADVICE r5, documented limitation): this is the RAW
+# Flajolet-Fusy-Gandouet-Meunier estimator with no small-range
+# (linear-counting) correction, so groups with fewer than ~2.5·m distinct
+# values are systematically OVER-estimated. Oracle parity is unaffected —
+# both engines share the formula bit-for-bit — and every register/merge
+# property holds regardless. If small groups matter, apply the standard
+# branch when empty registers are plentiful: V = # empty registers > 0 ⇒
+# estimate = m·ln(m/V), which for m=32 is a 32-entry integer lookup table
+# on V (the only float step is the table build). Deliberately not wired
+# into the queries: the driver-gated outputs would then exercise two
+# estimator branches while the 100 TB-relevant path (big groups) is the
+# raw one these tests pin.
 HLL_P = 5
 HLL_M = 1 << HLL_P
 # rho cap: registers saturate at RMAX so the harmonic sum becomes the

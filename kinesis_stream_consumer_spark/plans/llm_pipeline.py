@@ -2024,6 +2024,15 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_tokens = tk.agg(F.sum(F.size("t"))).collect()[0][0]
+    # int64 overflow guard (ADVICE r5): the lift numerator is
+    # 2·10⁴·pair_count·n_tokens with pair_count ≤ n_tokens, so it stays
+    # inside int64 iff 2·10⁴·n_tokens² < 2⁶³. Fail loudly past that —
+    # the fix at larger corpora is the documented DECIMAL/log-space form,
+    # not a silent wrap.
+    assert n_tokens <= 21_000_000, (
+        f"text_collocations_lift: {n_tokens} tokens would overflow the "
+        "int64 basis-point lift — switch to DECIMAL or log-space PMI"
+    )
     pairs = (
         tk.where(F.size("t") >= 2)
         .select(

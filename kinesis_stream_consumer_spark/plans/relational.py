@@ -1592,7 +1592,16 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    n = u.count()
+    n, min_mon = u.agg(F.count(F.lit(1)), F.min("mon")).collect()[0]
+    # signed-division guard (ADVICE r5): the positivity shift must actually
+    # reach positive space — a user below -$10M would make Spark `div`
+    # (truncate) and DuckDB `//` (floor) disagree on its histogram bin.
+    # Fail loudly instead; the fix is a data-derived shift.
+    assert min_mon + _RFM_SHIFT_M >= 0, (
+        f"events_rfm_segments: min user monetary {min_mon} cents exceeds "
+        f"the -{_RFM_SHIFT_M} positivity envelope — derive the shift from "
+        "min(mon) instead of the fixed constant"
+    )
     ks = {q: (n * q + 99) // 100 for q in _RFM_QS}
     cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
 
@@ -1842,6 +1851,13 @@ def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_baskets = bi.select("l_orderkey").distinct().count()
+    # int64 overflow guard (ADVICE r5): numerator 2·10⁴·pair_count·n with
+    # pair_count ≤ n stays in int64 iff 2·10⁴·n² < 2⁶³ — fail loudly
+    # instead of wrapping at larger scale factors.
+    assert n_baskets <= 21_000_000, (
+        f"agg_basket_affinity: {n_baskets} baskets would overflow the "
+        "int64 basis-point lift — switch to DECIMAL or log-space lift"
+    )
     a = bi.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
