@@ -191,3 +191,70 @@ def curation_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Deterministic round-robin source interleave (curriculum ordering) ------
+
+_ILV_TOP = 60
+
+
+@register(
+    "curation_interleave",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ),
+    s AS (
+      SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT)
+               AS src_idx,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT CAST((r.rn - 1) * s.n_src + s.src_idx AS BIGINT) AS pos,
+           r.doc_id, r.source
+    FROM r JOIN s USING (source)
+    ORDER BY pos LIMIT {_ILV_TOP}
+    """,
+    doc="Deterministic round-robin interleave across sources — the "
+    "curriculum/mixing order a training pipeline feeds shards in (one "
+    "doc from every source, then the next from every source, ...). "
+    "Within-source order is a seeded md5 shuffle; the GLOBAL position is "
+    "computed ARITHMETICALLY as (rn-1)·n_sources + src_idx instead of a "
+    "global row_number — per-source windows shuffle on source only, the "
+    "source index rides a tiny broadcast dim, and no single-partition "
+    "global sort ever exists (the scale trap of naive interleaves). "
+    "n_sources is a driver scalar bounded by #sources.",
+)
+def curation_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    srcs = sorted(
+        row["source"] for row in docs.select("source").distinct().collect()
+    )
+    n_src = len(srcs)
+    sidx = spark.createDataFrame(
+        [(s, i + 1) for i, s in enumerate(srcs)], "source STRING, src_idx LONG"
+    )
+    return (
+        r.join(F.broadcast(sidx), "source")
+        .select(
+            ((F.col("rn") - 1) * n_src + F.col("src_idx"))
+            .cast("long")
+            .alias("pos"),
+            "doc_id",
+            "source",
+        )
+        .orderBy("pos")
+        .limit(_ILV_TOP)
+    )

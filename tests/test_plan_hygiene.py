@@ -105,7 +105,11 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
     # nation/region-derived frames (fixed 25/5 rows at any sf) plus the
     # MaxSim query sub-vector set (bounded by the query workload, not the
     # corpus — the same class as the query-set broadcasts in operators/)
-    allowed = {"na", "re", "na_asia", "n1", "n2", "qs"}
+    # sidx: curation_interleave's literal source-index frame (bounded by
+    # #sources, created from a driver list — never row-scaled)
+    # idf: text_bm25_topk's per-term document-frequency frame — at most
+    # len(_BM25_TERMS) rows (fixed query workload), never corpus-scaled
+    allowed = {"na", "re", "na_asia", "n1", "n2", "qs", "sidx", "idf"}
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
         if path.name == "queries.py":  # helper definition itself
