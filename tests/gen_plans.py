@@ -71,6 +71,17 @@ def main() -> None:
         "text_collocations_lift",
         "events_markov_transitions",
         "events_rfm_segments",
+        # r6 TPC-H closers + text/curation additions
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q13_customer_distribution",
+        "q16_supplier_variety",
+        "q18_large_orders",
+        "q22_global_sales_opportunity",
+        "text_bm25_topk",
+        "text_ttr_hapax",
+        "curation_interleave",
+        "engine_hll_distinct_sketch",
     ]
     sections = [HEADER]
     for name in names:
