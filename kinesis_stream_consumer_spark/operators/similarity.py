@@ -678,68 +678,81 @@ def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
     return codes, cents
 
 
-def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
-                k: int = 16, n_iter: int = 2, topk: int = 5, dim: int = 64,
-                rerank: int = 0, id_col: str = "vec_id",
-                vec_col: str = "embedding",
-                pq: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes, with optional exact
-    re-ranking of the ADC shortlist (FAISS's refine step): for each query,
-    the exact squared-L2 to every codebook centroid forms a per-(query,
-    sub, cell) distance table; a vector's approximate distance is the SUM
-    of m table lookups selected by its codes. With ``rerank=R > 0`` the
-    ADC top-R shortlist is re-scored with the EXACT (quantized, integer)
-    squared-L2 and the final top-k ranked by it — recovering most of the
-    recall PQ's 32× compression gives up. Returns (query_id, match_id,
-    qdist, rnk) when re-ranking, else (query_id, match_id, adc_dist, rnk);
-    integer-exact either way.
+def pack_pq_codes(codes: DataFrame) -> DataFrame:
+    """(vid, carr): the m per-sub codes packed into ONE small-int array per
+    vector — FAISS's storage layout for PQ codes. The ADC scan then reads
+    one row per vector and computes the whole approximate distance as m
+    array lookups ROW-WISE, with zero joins and zero aggregates on the
+    scoring path. One (vid, sub, code) shuffle at pack time, amortized
+    across query batches when the caller checkpoints the packed frame."""
+    return codes.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("carr")
+    )
 
-    The 100 TB shape (how FAISS scans billions): the corpus rides as slim
-    (vid, sub, code) rows — never the vectors; the distance table is
-    |queries|·m·k rows and BROADCASTS; the lookup is a broadcast hash
-    join; partial sums combine map-side into one row per (query, vid).
-    The only full-corpus shuffle carries (query, vid, partial sum). The
-    re-rank touches |queries|·R candidate pairs — the broadcast pair set
-    semi-joins the corpus scan, i.e. the 'fetch the shortlist's full
-    vectors' lookup, never an all-pairs pass."""
-    vrows = pq_sub_rows(vectors, m, dim, id_col, vec_col)
-    codes, cents = pq if pq is not None else pq_fit(
-        vectors, m, k, n_iter, dim, id_col, vec_col
+
+def quantized_vector_arrays(vectors: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(vid, qarr array<long>): the packed twin of quantized_vector_rows —
+    same milli-unit quantization, kept as one array per vector so exact
+    distances evaluate as a single zip_with aggregate instead of a
+    per-component explode + groupBy."""
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * KMEANS_QUANT_SCALE + 0.5).cast("long"),
+        ).alias("qarr"),
     )
-    qsub = pq_sub_rows(queries, m, dim, id_col, vec_col).select(
-        F.col("vid").alias("query_id"), "sub", "pos", F.col("qx").alias("qq")
-    )
-    dtable = (
-        qsub.join(F.broadcast(cents), ["sub", "pos"])
-        .groupBy("query_id", "sub", "cell")
-        .agg(F.sum((F.col("qq") - F.col("qc")) * (F.col("qq") - F.col("qc"))).alias("d"))
-    )
-    scored = (
-        codes.withColumnRenamed("code", "cell")
-        .join(F.broadcast(dtable), ["sub", "cell"])
-        .where(F.col("vid") != F.col("query_id"))
-        .groupBy("query_id", "vid")
-        .agg(F.sum("d").alias("adc_dist"))
-    )
-    if not rerank:
-        w = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= topk)
-            .select("query_id", F.col("vid").alias("match_id"), "adc_dist", "rnk")
-        )
-    ws = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
-    pairs = (
-        scored.withColumn("arnk", F.row_number().over(ws))
-        .where(F.col("arnk") <= rerank)
-        .select("query_id", "vid")
-    )
+
+
+def _adc_tables_driver(qrows, cent_rows, m: int, k: int, sub_dim: int):
+    """Per-query ADC distance tables computed DRIVER-SIDE in exact integer
+    math: dt[sub·k + cell] = Σ_pos (qx − qc)², from the collected quantized
+    query vectors (|Q| rows — bounded by the query workload, the same class
+    as the broadcast query sets) and the trained codebook rows
+    (≤ m·k·sub_dim — model-sized). Pure-Python ints reproduce the Spark and
+    DuckDB integer aggregates bit-exactly, so shipping the tables back as
+    literals changes no result. Codebook cells that dropped empty leave a
+    0 entry no code can reference (codes argmin only over existing cells)."""
+    cb: dict[tuple[int, int], list[int]] = {}
+    for r in cent_rows:
+        cb.setdefault((r.sub, r.cell), [0] * sub_dim)[r.pos] = r.qc
+    out = {}
+    for q in qrows:
+        qv = q.qvec
+        dt = [0] * (m * k)
+        for (s, c), qc in cb.items():
+            base = s * sub_dim
+            dt[s * k + c] = sum(
+                (qv[base + p] - qc[p]) ** 2 for p in range(sub_dim)
+            )
+        out[int(q.query_id)] = dt
+    return out
+
+
+def _exact_rerank(pairs: DataFrame, vectors: DataFrame, qvecs: DataFrame,
+                  topk: int, id_col: str, vec_col: str) -> DataFrame:
+    """FAISS's refine step: fetch the shortlist's full quantized vectors
+    via a broadcast pair-set join (|Q|·rerank rows against one corpus
+    scan) and re-score each pair with the exact integer squared-L2 as ONE
+    zip_with aggregate — the corpus is scanned once, never exploded
+    per-component, and nothing row-scaled shuffles."""
+    vq = quantized_vector_arrays(vectors, id_col, vec_col)
     exact = (
-        F.broadcast(pairs)
-        .join(vrows, "vid")
-        .join(F.broadcast(qsub), ["query_id", "sub", "pos"])
-        .groupBy("query_id", "vid")
-        .agg(F.sum((F.col("qx") - F.col("qq")) * (F.col("qx") - F.col("qq"))).alias("qdist"))
+        vq.join(F.broadcast(pairs), "vid")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "vid",
+            F.aggregate(
+                F.zip_with("qarr", "qvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy("qdist", "vid")
     return (
@@ -749,20 +762,104 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
     )
 
 
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
+                k: int = 16, n_iter: int = 2, topk: int = 5, dim: int = 64,
+                rerank: int = 0, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                pq: tuple | None = None,
+                packed: DataFrame | None = None,
+                qrows: list | None = None) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes, with optional exact
+    re-ranking of the ADC shortlist (FAISS's refine step): for each query,
+    the exact squared-L2 to every codebook centroid forms a per-query
+    distance table of m·k entries; a vector's approximate distance is the
+    SUM of m table lookups selected by its codes. With ``rerank=R > 0``
+    the ADC top-R shortlist is re-scored with the EXACT (quantized,
+    integer) squared-L2 and the final top-k ranked by it. Returns
+    (query_id, match_id, qdist, rnk) when re-ranking, else (query_id,
+    match_id, adc_dist, rnk); integer-exact either way.
+
+    The 100 TB shape (how FAISS scans billions): the corpus rides as ONE
+    packed (vid, carr) row per vector — m small ints, never the vectors;
+    the per-query distance tables are computed driver-side from the
+    model-sized codebook and the bounded query workload and ship as ONE
+    literal array (m·k·|Q| ints), so the whole scoring pass — m lookups +
+    sum per (vector, query) — runs inside whole-stage codegen with ZERO
+    joins, ZERO aggregates, and no exchange before the per-query top-k
+    (WindowGroupLimit prunes map-side). The re-rank touches |queries|·R
+    candidate pairs via a broadcast pair-set lookup, never an all-pairs
+    pass. Pass ``packed`` (from :func:`pack_pq_codes`, checkpointed) to
+    amortize the one pack shuffle across query batches; pass ``pq`` as a
+    3-tuple (codes, cents, cent_rows) and/or precollected ``qrows`` to
+    skip the per-call model/query collect jobs (the plans layer caches
+    both — the model rows originate driver-side in pq_fit anyway)."""
+    if pq is None:
+        pq = pq_fit(vectors, m, k, n_iter, dim, id_col, vec_col)
+    codes, cents = pq[0], pq[1]
+    cent_rows = pq[2] if len(pq) > 2 else cents.collect()
+    if packed is None:
+        packed = pack_pq_codes(codes)
+    sub_dim = dim // m
+    if qrows is None:
+        qrows = quantized_vector_arrays(queries, id_col, vec_col).select(
+            F.col("vid").alias("query_id"), F.col("qarr").alias("qvec")
+        ).collect()
+    # rerank joins the query vectors as a LOCAL relation — no second
+    # corpus scan rides the plan for the query side
+    qvecs = vectors.sparkSession.createDataFrame(
+        [(int(q.query_id), list(q.qvec)) for q in qrows],
+        schema="query_id BIGINT, qvec ARRAY<BIGINT>",
+    )
+    dts = _adc_tables_driver(qrows, cent_rows, m, k, sub_dim)
+    qlit = "array(" + ",".join(
+        f"named_struct('query_id',CAST({qid} AS BIGINT),"
+        f"'dt',array({','.join(f'{d}L' for d in dt)}))"
+        for qid, dt in sorted(dts.items())
+    ) + ")"
+    adc = "+".join(f"q.dt[{s * k} + carr[{s}]]" for s in range(m))
+    scored = (
+        packed.select(
+            "vid",
+            F.explode(F.expr(
+                f"transform({qlit}, q -> named_struct("
+                f"'query_id', q.query_id, 'adc_dist', {adc}))"
+            )).alias("e"),
+        )
+        .select("vid", F.col("e.query_id").alias("query_id"),
+                F.col("e.adc_dist").alias("adc_dist"))
+        .where(F.col("vid") != F.col("query_id"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
+    if not rerank:
+        return (
+            scored.withColumn("rnk", F.row_number().over(ws))
+            .where(F.col("rnk") <= topk)
+            .select("query_id", F.col("vid").alias("match_id"), "adc_dist", "rnk")
+        )
+    pairs = (
+        scored.withColumn("arnk", F.row_number().over(ws))
+        .where(F.col("arnk") <= rerank)
+        .select("query_id", "vid")
+    )
+    return _exact_rerank(pairs, vectors, qvecs, topk, id_col, vec_col)
+
+
 def ivfpq_build_index(
     vectors: DataFrame,
-    coarse: tuple[DataFrame, DataFrame] | None = None,
-    pq: tuple[DataFrame, DataFrame] | None = None,
+    coarse: tuple | None = None,
+    pq: tuple | None = None,
     coarse_k: int = 8, m: int = 8, k: int = 16, n_iter: int = 2,
     dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+    packed: DataFrame | None = None,
 ) -> tuple[DataFrame, list, list]:
     """One-time IVF-PQ index build: join the PQ codes with the coarse cell
     assignments into the CELL-KEYED inverted lists (how FAISS stores them
     — probing is then a lookup, never a corpus shuffle) and pull both
     trained model tables driver-side as rows. Returns
-    (inv, coarse_cent_rows, pq_cent_rows) where inv = (vid, sub, code,
-    cell_id), checkpointed so query batches reread it without replanning
-    the training lineage.
+    (inv, coarse_cent_rows, pq_cent_rows) where inv = (vid, carr,
+    cell_id) — the m codes PACKED into one small array per vector —
+    checkpointed so query batches reread it without replanning the
+    training lineage.
 
     The two collects are MODEL-sized (coarse_k·dim and m·k·(dim/m) rows —
     ~1.5k rows total at the defaults) regardless of corpus size: the
@@ -770,44 +867,24 @@ def ivfpq_build_index(
     literals). At 100 TB the inv frame is the thing you'd persist
     partitioned by cell_id; here localCheckpoint is its in-session stand-in.
     """
-    fit, coarse_cents = coarse if coarse is not None else kmeans_fit_quantized(
-        vectors, coarse_k, n_iter, id_col, vec_col, return_model=True
-    )
-    codes, pq_cents = pq if pq is not None else pq_fit(
-        vectors, m, k, n_iter, dim, id_col, vec_col
-    )
-    inv = codes.join(
+    if coarse is None:
+        coarse = kmeans_fit_quantized(
+            vectors, coarse_k, n_iter, id_col, vec_col, return_model=True
+        )
+    if pq is None:
+        pq = pq_fit(vectors, m, k, n_iter, dim, id_col, vec_col)
+    # accept (frame, cents[, cent_rows]) — reuse rows already held
+    # driver-side instead of re-collecting the model
+    fit = coarse[0]
+    coarse_rows = coarse[2] if len(coarse) > 2 else coarse[1].collect()
+    codes = pq[0]
+    pq_rows = pq[2] if len(pq) > 2 else pq[1].collect()
+    if packed is None:
+        packed = pack_pq_codes(codes)
+    inv = packed.join(
         fit.select(F.col(id_col).alias("vid"), "cell_id"), "vid"
     ).localCheckpoint(eager=True)
-    return inv, coarse_cents.collect(), pq_cents.collect()
-
-
-def _centroid_array_sql(rows, dim: int) -> str:
-    """SQL literal ``array(named_struct('cell', c, 'qc', array(...)), ...)``
-    from collected (cell, pos, qc) model rows — the broadcast-free form of
-    a tiny trained model: distances to it evaluate ROW-WISE via
-    higher-order functions, no explode/groupBy/window exchanges. Built as
-    one SQL string (parsed JVM-side) rather than per-element lit() columns
-    — py4j expression-tree construction dominates otherwise."""
-    cells: dict[int, list[int]] = {}
-    for r in rows:
-        cells.setdefault(r.cell, [0] * dim)[r.pos] = r.qc
-    return "array(" + ",".join(
-        f"named_struct('cell',{c},'qc',array({','.join(map(str, v))}))"
-        for c, v in sorted(cells.items())
-    ) + ")"
-
-
-def _pq_codebook_array_sql(rows, sub_dim: int) -> str:
-    """Same literal-model form for the PQ codebooks: one entry per
-    (sub, cell) with its sub_dim-component centroid."""
-    cells: dict[tuple[int, int], list[int]] = {}
-    for r in rows:
-        cells.setdefault((r.sub, r.cell), [0] * sub_dim)[r.pos] = r.qc
-    return "array(" + ",".join(
-        f"named_struct('sub',{s},'cell',{c},'qc',array({','.join(map(str, v))}))"
-        for (s, c), v in sorted(cells.items())
-    ) + ")"
+    return inv, coarse_rows, pq_rows
 
 
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
@@ -815,8 +892,9 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
                topk: int = 5, rerank: int = 40, dim: int = 64,
                id_col: str = "vec_id", vec_col: str = "embedding",
                coarse: tuple[DataFrame, DataFrame] | None = None,
-               pq: tuple[DataFrame, DataFrame] | None = None,
-               index: tuple[DataFrame, list, list] | None = None) -> DataFrame:
+               pq: tuple | None = None,
+               index: tuple[DataFrame, list, list] | None = None,
+               qrows: list | None = None) -> DataFrame:
     """IVF-PQ: the composed FAISS-style billion-scale index. The coarse
     quantizer (trained integer k-means) partitions the corpus into cells
     — the inverted lists; a query probes its ``nprobe`` nearest cells by
@@ -828,64 +906,65 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
     built index across query batches (the plans layer caches it).
 
     100 TB shape: the corpus is touched as (a) the CELL-KEYED inverted
-    lists (vid, sub, code, cell_id) — probed by a broadcast join on
-    cell_id, i.e. partition pruning when the lists are persisted
-    partitioned by cell, with NO corpus shuffle on the query path — and
-    (b) full vectors only for the |queries|·rerank shortlist. Both
-    trained models are literal arrays evaluated row-wise against each
-    query (model-sized, driver-held), so the probe selection and the ADC
-    distance table cost ZERO exchanges; the only full shuffles carry
-    (query, vid) partial sums. Fraction of corpus scanned ≈
-    nprobe/coarse_k, the IVF contract."""
+    lists (vid, carr, cell_id) — one packed-code row per vector, probed
+    by a broadcast join on cell_id, i.e. partition pruning when the lists
+    are persisted partitioned by cell, with NO corpus shuffle on the
+    query path — and (b) full vectors only for the |queries|·rerank
+    shortlist. Probe selection AND the ADC distance tables are computed
+    driver-side in exact integer math from the two model-sized trained
+    tables plus the bounded query workload, and ride the tiny probe
+    broadcast; scoring is then m array lookups per candidate row inside
+    whole-stage codegen — zero joins on keys wider than cell_id, zero
+    aggregates, no exchange before the per-query top-k (WindowGroupLimit
+    prunes map-side). Fraction of corpus scanned ≈ nprobe/coarse_k, the
+    IVF contract."""
     if index is None:
         index = ivfpq_build_index(
             vectors, coarse, pq, coarse_k, m, k, n_iter, dim, id_col, vec_col
         )
     inv, coarse_rows, pq_rows = index
     sub_dim = dim // m
-    qvecs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(
-            _as_double(F.col(vec_col)),
-            lambda x: F.floor(x * KMEANS_QUANT_SCALE + 0.5).cast("long"),
-        ).alias("qvec"),
+    if qrows is None:
+        qrows = quantized_vector_arrays(queries, id_col, vec_col).select(
+            F.col("vid").alias("query_id"), F.col("qarr").alias("qvec")
+        ).collect()
+    qvecs = vectors.sparkSession.createDataFrame(
+        [(int(q.query_id), list(q.qvec)) for q in qrows],
+        schema="query_id BIGINT, qvec ARRAY<BIGINT>",
     )
-    # probe: exact quantized L2 to every coarse centroid, computed as ONE
-    # row-wise HOF over the literal model — sort, keep nprobe. (dist, cell)
-    # ordering matches the previous window ORDER BY dist, cell.
-    coarse_lit = _centroid_array_sql(coarse_rows, dim)
-    probes = qvecs.select(
-        "query_id",
-        F.explode(F.slice(F.array_sort(F.expr(f"""
-            transform({coarse_lit}, c -> named_struct(
-              'dist', aggregate(zip_with(qvec, c.qc, (a, b) -> (a-b)*(a-b)),
-                                0L, (acc, x) -> acc + x),
-              'cell', c.cell))""")), 1, nprobe)).alias("p"),
-    ).select("query_id", F.col("p.cell").alias("cell_id"))
-    # ADC distance table: per (query, sub, cell) squared-L2 over the
-    # subspace slice, again row-wise against the literal codebooks.
-    pq_lit = _pq_codebook_array_sql(pq_rows, sub_dim)
-    dtable = qvecs.select(
-        "query_id",
-        F.explode(F.expr(f"""
-            transform({pq_lit}, c -> named_struct(
-              'sub', c.sub, 'cell', c.cell,
-              'd', aggregate(zip_with(slice(qvec, c.sub*{sub_dim}+1, {sub_dim}),
-                                      c.qc, (a, b) -> (a-b)*(a-b)),
-                             0L, (acc, x) -> acc + x)))""")).alias("e"),
-    ).select(
-        "query_id",
-        F.col("e.sub").alias("sub"),
-        F.col("e.cell").alias("cell"),
-        F.col("e.d").alias("d"),
+    # driver-side exact integer math on the collected (bounded) query set:
+    # probe cells by quantized L2 to the coarse centroids, ties (dist,
+    # cell) — identical ordering to the SQL window ORDER BY dist, cell —
+    # and the per-query ADC table dt[sub·k + cell] = Σ_pos (qx − qc)².
+    cc: dict[int, list[int]] = {}
+    for r in coarse_rows:
+        cc.setdefault(r.cell, [0] * dim)[r.pos] = r.qc
+    cb: dict[tuple[int, int], list[int]] = {}
+    for r in pq_rows:
+        cb.setdefault((r.sub, r.cell), [0] * sub_dim)[r.pos] = r.qc
+    probe_rows = []
+    for q in qrows:
+        qv = q.qvec
+        dt = [0] * (m * k)
+        for (s, c), qc in cb.items():
+            base = s * sub_dim
+            dt[s * k + c] = sum(
+                (qv[base + p] - qc[p]) ** 2 for p in range(sub_dim)
+            )
+        near = sorted(
+            (sum((qv[p] - v[p]) ** 2 for p in range(dim)), cell)
+            for cell, v in cc.items()
+        )
+        for _, cell in near[:nprobe]:
+            probe_rows.append((int(q.query_id), int(cell), dt))
+    probes = vectors.sparkSession.createDataFrame(
+        probe_rows, schema="query_id BIGINT, cell_id INT, dt ARRAY<BIGINT>"
     )
+    adc = "+".join(f"dt[{s * k} + carr[{s}]]" for s in range(m))
     scored = (
         inv.join(F.broadcast(probes), "cell_id")
         .where(F.col("vid") != F.col("query_id"))
-        .withColumnRenamed("code", "cell")
-        .join(F.broadcast(dtable), ["query_id", "sub", "cell"])
-        .groupBy("query_id", "vid")
-        .agg(F.sum("d").alias("adc_dist"))
+        .select("query_id", "vid", F.expr(adc).alias("adc_dist"))
     )
     ws = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
     pairs = (
@@ -893,23 +972,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, coarse_k: int = 8,
         .where(F.col("arnk") <= rerank)
         .select("query_id", "vid")
     )
-    vrows = quantized_vector_rows(vectors, id_col, vec_col)
-    qfull = qvecs.select(
-        "query_id", F.posexplode("qvec").alias("pos", "qq")
-    )
-    exact = (
-        F.broadcast(pairs)
-        .join(vrows, "vid")
-        .join(F.broadcast(qfull), ["query_id", "pos"])
-        .groupBy("query_id", "vid")
-        .agg(F.sum((F.col("qx") - F.col("qq")) * (F.col("qx") - F.col("qq"))).alias("qdist"))
-    )
-    w = Window.partitionBy("query_id").orderBy("qdist", "vid")
-    return (
-        exact.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= topk)
-        .select("query_id", F.col("vid").alias("match_id"), "qdist", "rnk")
-    )
+    return _exact_rerank(pairs, vectors, qvecs, topk, id_col, vec_col)
 
 
 # --- Johnson-Lindenstrauss random projection --------------------------------

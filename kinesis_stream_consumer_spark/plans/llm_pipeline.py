@@ -913,6 +913,58 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     return hit
 
 
+def _pq_model_rows(spark: SparkSession, sf_dir: str):
+    """Session-cached collected PQ codebook rows — the codebook originates
+    DRIVER-SIDE in pq_fit, so serving paths should never pay a collect
+    job per query batch to get it back."""
+    key = ("pq_rows", spark.sparkContext.applicationId, sf_dir)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        hit = _pq_model(spark, sf_dir)[1].collect()
+        _MODEL_CACHE[key] = hit
+    return hit
+
+
+def _coarse_model_rows(spark: SparkSession, sf_dir: str):
+    """Session-cached collected coarse-centroid rows (same rationale)."""
+    key = ("kmeans_rows", spark.sparkContext.applicationId, sf_dir)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        hit = _coarse_model(spark, sf_dir)[1].collect()
+        _MODEL_CACHE[key] = hit
+    return hit
+
+
+def _sim_qrows(spark: SparkSession, sf_dir: str):
+    """Session-cached quantized query vectors for the fixed ANN query
+    workload (vec_id < 10): one collect job per session, reused by every
+    ADC/IVF-PQ query batch."""
+    key = ("sim_qrows", spark.sparkContext.applicationId, sf_dir)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        hit = S.quantized_vector_arrays(
+            emb.where(F.col("vec_id") < 10)
+        ).select(
+            F.col("vid").alias("query_id"), F.col("qarr").alias("qvec")
+        ).collect()
+        _MODEL_CACHE[key] = hit
+    return hit
+
+
+def _packed_codes(spark: SparkSession, sf_dir: str):
+    """Session-cached packed PQ codes (vid, carr) — the one pack shuffle
+    runs once per session; every ADC query batch after that scans the
+    checkpointed packed frame directly."""
+    key = ("pq_packed", spark.sparkContext.applicationId, sf_dir)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        codes, _ = _pq_model(spark, sf_dir)
+        hit = S.pack_pq_codes(codes).localCheckpoint(eager=True)
+        _MODEL_CACHE[key] = hit
+    return hit
+
+
 def _ivfpq_index(spark: SparkSession, sf_dir: str):
     """Session-cached IVF-PQ index: cell-keyed inverted lists + both model
     tables as driver-side rows (see S.ivfpq_build_index). Built ONCE from
@@ -923,8 +975,10 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     if hit is None:
         hit = S.ivfpq_build_index(
             _t(spark, sf_dir, "embeddings"),
-            coarse=_coarse_model(spark, sf_dir),
-            pq=_pq_model(spark, sf_dir),
+            coarse=(*_coarse_model(spark, sf_dir),
+                    _coarse_model_rows(spark, sf_dir)),
+            pq=(*_pq_model(spark, sf_dir), _pq_model_rows(spark, sf_dir)),
+            packed=_packed_codes(spark, sf_dir),
         )
         _MODEL_CACHE[key] = hit
     return hit
@@ -1198,10 +1252,12 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER,
     "16-centroid codebooks trained in ONE Lloyd dataflow (the subspace id "
     "rides as a key — no per-subspace driver loop), corpus encoded to 8 "
     "small ints per vector (32× compression of a 64-float embedding). "
-    "Query = exact distance table to every centroid (|q|·m·k slim rows, "
-    "BROADCAST) + m table lookups per vector via broadcast hash join on "
-    "(sub, code); partial sums combine map-side so the only shuffle "
-    "carries (query, vid, partial). The ADC top-40 shortlist is then "
+    "Codes ride PACKED — one (vid, carr) row per vector, FAISS's layout. "
+    "Query = per-query ADC tables computed driver-side in exact integer "
+    "math (model-sized codebook × bounded query set) and shipped as ONE "
+    "literal array; scoring is m array lookups + sum per (vector, query) "
+    "inside whole-stage codegen — zero joins, zero aggregates, no "
+    "exchange before the WindowGroupLimit top-k. The ADC top-40 is then "
     "re-ranked with the EXACT quantized squared-L2 (FAISS's refine step — "
     "a broadcast pair-set lookup of the shortlist's vectors, recovering "
     "recall@5 from ~0.28 to ~0.76 on worst-case random vectors). The "
@@ -1214,7 +1270,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     return S.pq_adc_topk(
         emb, queries, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, topk=5,
-        rerank=_PQ_RERANK, pq=_pq_model(spark, sf_dir),
+        rerank=_PQ_RERANK,
+        pq=(*_pq_model(spark, sf_dir), _pq_model_rows(spark, sf_dir)),
+        packed=_packed_codes(spark, sf_dir),
+        qrows=_sim_qrows(spark, sf_dir),
     ).orderBy("query_id", "rnk")
 
 
@@ -1283,15 +1342,17 @@ _IVFPQ_NPROBE = 3
     ORDER BY query_id, rnk
     """,
     doc="IVF-PQ — the composed FAISS index, end to end: trained integer "
-    "k-means coarse cells are the inverted lists; each query probes its "
-    f"{_IVFPQ_NPROBE} nearest cells by exact quantized L2 to the coarse "
-    "centroids, scans ONLY those cells' PQ codes with the broadcast ADC "
-    "distance table (the candidate pair set joins the code table before "
-    "any distance work — a true inverted-list scan touching "
-    f"≈nprobe/k = {_IVFPQ_NPROBE}/{_KMEANS_K} of the corpus), and "
-    "re-ranks the ADC top-40 with exact quantized L2. Both trained "
-    "models broadcast; every aggregate combines map-side; integer-exact "
-    "end-to-end so the oracle re-derives the identical index and result.",
+    "k-means coarse cells are the inverted lists, stored cell-keyed with "
+    "PACKED codes (vid, carr, cell_id — built once, session-cached); "
+    "probe selection AND the per-query ADC tables are computed "
+    "driver-side in exact integer math from the two model-sized trained "
+    "tables plus the 10-query workload and ride a tiny broadcast joined "
+    "on cell_id — a true inverted-list scan touching "
+    f"≈nprobe/k = {_IVFPQ_NPROBE}/{_KMEANS_K} of the corpus with zero "
+    "exchanges before the WindowGroupLimit shortlist — then the ADC "
+    "top-40 re-ranks with exact quantized L2 over packed vectors. "
+    "Integer-exact end-to-end so the oracle re-derives the identical "
+    "index and result.",
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -1300,6 +1361,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, coarse_k=_KMEANS_K, nprobe=_IVFPQ_NPROBE, m=_PQ_M,
         k=_PQ_K, n_iter=_PQ_ITER, topk=5, rerank=_PQ_RERANK,
         index=_ivfpq_index(spark, sf_dir),
+        qrows=_sim_qrows(spark, sf_dir),
     ).orderBy("query_id", "rnk")
 
 
