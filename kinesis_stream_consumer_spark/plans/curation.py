@@ -258,3 +258,109 @@ def curation_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .limit(_ILV_TOP)
     )
+
+
+# --- Token-budget mixture apportionment (largest remainder) -----------------
+
+_BUDGET_TOKENS = 50_000
+
+
+@register(
+    "curation_token_budget_mix",
+    f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(1 + CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 5
+                  AS BIGINT) AS w,
+             CAST(SUM({_BPE_TOKS}) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY 1
+    ),
+    sh AS (
+      SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS w_tot FROM avail
+    ),
+    fl AS (
+      SELECT *,
+             CAST(({_BUDGET_TOKENS}*w) // w_tot AS BIGINT) AS floor_alloc,
+             CAST(({_BUDGET_TOKENS}*w) % w_tot AS BIGINT) AS rem
+      FROM sh
+    ),
+    rk AS (
+      SELECT *,
+             CAST({_BUDGET_TOKENS} - SUM(floor_alloc) OVER () AS BIGINT)
+               AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank
+      FROM fl
+    )
+    SELECT source, w, avail_tokens,
+           CAST(floor_alloc + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST(LEAST(floor_alloc
+                        + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END,
+                      avail_tokens) AS BIGINT) AS capped_tokens,
+           CAST(GREATEST(floor_alloc
+                           + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+                           - avail_tokens, 0) AS BIGINT) AS shortfall_tokens
+    FROM rk ORDER BY source
+    """,
+    doc="Token-budget apportionment across sources by largest-remainder "
+    "(Hamilton) method — the planning query behind 'fill a 50k-token "
+    "training budget at these mixture weights': integer weights derived "
+    "from the source id, exact floor quotas, and the leftover "
+    "B − Σfloor distributed to the largest remainders (ties to source "
+    "name), so allocations sum EXACTLY to the budget with no float "
+    "drift — then capped at per-source availability with the shortfall "
+    "made visible (feed it to mixture_sample's strict mode). Per-doc "
+    "token counts are the BPE-ish regex count computed map-side (no "
+    "explode); everything after the one source groupBy runs on a "
+    "#sources-bounded frame, where the unpartitioned windows are safe "
+    "at any corpus size.",
+)
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    avail = (
+        docs.select(
+            "source",
+            F.size(
+                F.expr(r"regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]', 0)")
+            ).cast("long").alias("toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("toks").cast("long").alias("avail_tokens"))
+        .withColumn(
+            "w",
+            (1 + F.regexp_extract("source", "[0-9]+", 0).cast("long") % 5)
+            .cast("long"),
+        )
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    fl = (
+        avail.withColumn("w_tot", F.sum("w").over(wall).cast("long"))
+        .withColumn(
+            "floor_alloc",
+            F.expr(f"({_BUDGET_TOKENS}*w) div w_tot"),
+        )
+        .withColumn("rem", F.expr(f"({_BUDGET_TOKENS}*w) % w_tot"))
+    )
+    rk = fl.withColumn(
+        "leftover",
+        (F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc").over(wall)).cast("long"),
+    ).withColumn(
+        "rrank",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), "source")),
+    )
+    bonus = F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
+    return rk.select(
+        "source",
+        "w",
+        "avail_tokens",
+        (F.col("floor_alloc") + bonus).cast("long").alias("alloc_tokens"),
+        F.least(
+            (F.col("floor_alloc") + bonus).cast("long"), F.col("avail_tokens")
+        ).alias("capped_tokens"),
+        F.greatest(
+            (F.col("floor_alloc") + bonus - F.col("avail_tokens")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("shortfall_tokens"),
+    ).orderBy("source")

@@ -1008,6 +1008,78 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Second-order behavior paths: event-type trigrams ------------------------
+
+_TRI_TOP = 15
+
+
+@register(
+    "events_path_trigrams",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events
+    ),
+    tri AS (
+      SELECT t1 || '>' || t2 || '>' || t3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM tri)
+    SELECT path, n,
+           CAST((2*10000*n + tot.n_tot) // (2*tot.n_tot) AS BIGINT)
+             AS share_bp
+    FROM tri, tot
+    ORDER BY n DESC, path LIMIT {_TRI_TOP}
+    """,
+    doc="Second-order behavior paths: the corpus-wide top event-type "
+    "TRIGRAMS over per-user streams (ts, event_id ordering) with their "
+    "share of all trigrams in half-up basis points — the step up from "
+    "the first-order Markov matrix that surfaces whole journeys "
+    "(browse>cart>buy vs browse>cart>abandon) rather than single hops. "
+    "Scale shape: the same ONE user_id window shuffle as "
+    "sessionize/markov computes both LEADs; trigram counts combine "
+    "map-side into a |types|³-bounded frame, which is checkpointed and "
+    "its total pulled through the driver as a scalar literal "
+    "(the k-means-model pattern) so the share needs no one-row "
+    "cross join; TakeOrderedAndProject caps the output.",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    tri = (
+        seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # |types|^3-bounded
+    )
+    n_tot = tri.agg(F.sum("n")).collect()[0][0]
+    return (
+        tri.select(
+            "path",
+            "n",
+            F.expr(f"(2*10000*n + {n_tot}) div (2*{n_tot})").alias("share_bp"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_TRI_TOP)
+    )
+
+
 # --- Event-type Markov transition matrix -----------------------------------
 
 @register(

@@ -2035,3 +2035,220 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- Parked r6 (late): certified r5 text blocks displaced by the r6
+# window additions (script shares, source-lift classifier, path trigrams,
+# token-budget mix, basket-affinity guard re-entry). Hashes held —
+# ledger-checked. _WINNOW_* constants travel with their only user.
+
+@register(
+    "text_rank_correlation",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\w\s]')) AS n_tok
+      FROM documents
+    ),
+    r AS (
+      SELECT lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_tok, doc_id) AS rb
+      FROM s
+    ),
+    g AS (
+      SELECT lang, COUNT(*) AS n, SUM((ra - rb) * (ra - rb)) AS sum_d2
+      FROM r GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(sum_d2 AS BIGINT) AS sum_d2,
+           CAST((2 * 10000 * (n * (n * n - 1) - 6 * sum_d2)
+                 + n * (n * n - 1) + 40000 * n * (n * n - 1))
+                // (2 * n * (n * n - 1)) - 20000 AS BIGINT) AS spearman_bp
+    FROM g WHERE n > 1 ORDER BY lang
+    """,
+    doc="Spearman rank correlation between two per-document quality "
+    "signals (character length vs sub-word token count), per language — "
+    "the signal-agreement audit run before trusting any single quality "
+    "filter: rho near 1 means the signals rank the corpus identically, "
+    "near 0 means one of them is noise. Ranks come from two window "
+    "sorts with deterministic doc_id tie-breaks; rho = 1 - 6*sum(d^2) / "
+    "(n(n^2-1)) lands in half-up integer basis points via a "
+    "positivity-shifted integer division (a raw negative numerator "
+    "would floor in DuckDB but truncate in Spark). Scale shape: ONE "
+    "shuffle on lang serves both rank windows (same partitioning, two "
+    "in-partition sorts) and the per-language aggregate co-locates on "
+    "the same exchange; signal extraction is codegen'd regex on the "
+    "scan, linear at 100 TB.",
+)
+def text_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "lang", "n_chars",
+        T.bpe_ish_token_count(F.col("text")).alias("n_tok"),
+    )
+    ra = F.row_number().over(W.partitionBy("lang").orderBy("n_chars", "doc_id"))
+    rb = F.row_number().over(W.partitionBy("lang").orderBy("n_tok", "doc_id"))
+    r = s.select("lang", ra.alias("ra"), rb.alias("rb"))
+    g = r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .alias("sum_d2"),
+    )
+    return (
+        g.where(F.col("n") > 1)
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("sum_d2").cast("long").alias("sum_d2"),
+            F.expr(
+                "cast((2 * 10000 * (n * (n * n - 1) - 6 * sum_d2)"
+                " + n * (n * n - 1) + 40000 * n * (n * n - 1))"
+                " div (2 * n * (n * n - 1)) - 20000 as bigint)"
+            ).alias("spearman_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+_WINNOW_K = 20  # char-gram length
+_WINNOW_W = 4   # winnowing window (guarantee: one fingerprint per w grams)
+_WINNOW_DF = 3  # drop fingerprints present in more docs (stop-fingerprints)
+_WINNOW_MIN_SHARED = 5
+
+
+@register(
+    "text_winnowing_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, LENGTH(text) - {_WINNOW_K - 1} AS ng,
+             unnest(generate_series(1, CAST(LENGTH(text) - {_WINNOW_K - 1} AS INT))) AS p
+      FROM documents WHERE LENGTH(text) >= {_WINNOW_K + 3}
+    ),
+    h AS (
+      SELECT d.doc_id, g.ng, g.p,
+             CAST((md5_number_upper(substring(d.text, CAST(g.p AS INT),
+                                              {_WINNOW_K})) >> 24) AS BIGINT) AS hv
+      FROM g JOIN documents d ON d.doc_id = g.doc_id
+    ),
+    sel AS (
+      SELECT doc_id, ng, p,
+             MIN(hv * 1048576 + (1048575 - p))
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN CURRENT ROW
+                              AND {_WINNOW_W - 1} FOLLOWING) AS enc
+      FROM h
+    ),
+    fp AS (SELECT DISTINCT doc_id, enc // 1048576 AS hv FROM sel
+           WHERE p <= ng - {_WINNOW_W - 1}),
+    df AS (SELECT hv, COUNT(*) AS n_docs FROM fp GROUP BY 1),
+    kept AS (SELECT fp.* FROM fp JOIN df USING (hv)
+             WHERE df.n_docs <= {_WINNOW_DF})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.hv = b.hv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the "
+    "MOSS algorithm): every window of "
+    f"{_WINNOW_W} consecutive {_WINNOW_K}-char-gram hashes contributes "
+    "its RIGHTMOST MINIMAL hash, guaranteeing any shared substring of "
+    f"length >= {_WINNOW_K + _WINNOW_W - 1} yields a shared fingerprint "
+    "— positional-robust exact-substring detection that shingle Jaccard "
+    "and MinHash only approximate. The rightmost-min rule runs as ONE "
+    "primitive long HashAggregate per window (hash*2^20 + (2^20-1-pos): "
+    "min picks the smallest hash then the largest position — the 40-bit "
+    "md5 slice exists precisely so the pack fits a long). "
+    f"Fingerprints in > {_WINNOW_DF} docs drop as stop-fingerprints "
+    "(boilerplate — MOSS does the same), bounding every posting list, "
+    "and pairs sharing >= "
+    f"{_WINNOW_MIN_SHARED} survive. Scale shape: selection is "
+    "map-heavy (explode x w) into a (doc, window) hash aggregate; the "
+    "pair stage is an inverted-index equi-join with an absolute "
+    "df cap — never all-pairs. Doc length must stay under 2^20 chars "
+    "for the pack (assert in operator).",
+)
+def text_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: per-character md5 hashing is heavy CPU fused onto the
+    # scan with no exchange before it (criterion 1)
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    fp = T.winnowing_fingerprints(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
+    )
+    dfreq = fp.groupBy("hv").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = fp.join(
+        dfreq.where(F.col("n_docs") <= _WINNOW_DF).select("hv"), "hv"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH {_SHINGLE_ROWS},
+    first_seen AS (SELECT shingle, MIN(doc_id) AS fs FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.fs = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((2 * 10000 * SUM(CASE WHEN f.fs = sh.doc_id THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS novelty_bp
+    FROM sh JOIN first_seen f ON f.shingle = sh.shingle
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+    doc="N-gram novelty scoring: what fraction of each document's "
+    "distinct word 3-shingles appears HERE FIRST (by ingestion order = "
+    "doc_id) — the dataset-growth audit that tells marginal new content "
+    "from recombinations of what the corpus already holds (a document "
+    "full of previously-seen shingles adds little even when no single "
+    "near-dup partner exists, which is exactly the case pairwise dedup "
+    "misses). Novelty in half-up integer basis points. Scale shape: the "
+    "first-seen table is one shingle-keyed hash aggregate (min combines "
+    "map-side), the join back is on the same uniform shingle key, and "
+    "the per-doc rollup co-locates on doc_id — all slim keyed rows, "
+    "never text.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: shingle construction is the dominant map cost and the
+    # rows feed two stages (first-seen agg + join back) — criterion 1
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    sh = D.shingle_rows(docs, "text", "doc_id", 3).localCheckpoint(eager=True)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc").alias("fs"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("fs") == F.col("doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "cast((2 * 10000 * n_novel + n_shingles)"
+                " div (2 * n_shingles) as bigint)"
+            ).alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -82,6 +82,10 @@ def main() -> None:
         "text_ttr_hapax",
         "curation_interleave",
         "engine_hll_distinct_sketch",
+        "text_script_shares",
+        "text_source_lift_classifier",
+        "events_path_trigrams",
+        "curation_token_budget_mix",
     ]
     sections = [HEADER]
     for name in names:

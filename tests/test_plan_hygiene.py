@@ -109,7 +109,9 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
     # #sources, created from a driver list — never row-scaled)
     # idf: text_bm25_topk's per-term document-frequency frame — at most
     # len(_BM25_TERMS) rows (fixed query workload), never corpus-scaled
-    allowed = {"na", "re", "na_asia", "n1", "n2", "qs", "sidx", "idf"}
+    # stot: text_source_lift_classifier's per-source token totals — a
+    # local relation rebuilt from the #sources-bounded collected rows
+    allowed = {"na", "re", "na_asia", "n1", "n2", "qs", "sidx", "idf", "stot"}
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
         if path.name == "queries.py":  # helper definition itself

@@ -454,7 +454,7 @@ def test_winnowing_pair_stage_is_df_capped(spark):
     from kinesis_stream_consumer_spark.operators.text import (
         winnowing_fingerprints,
     )
-    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+    from kinesis_stream_consumer_spark.plans.stable import (
         _WINNOW_DF,
         _WINNOW_K,
         _WINNOW_W,
