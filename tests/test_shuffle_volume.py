@@ -566,3 +566,22 @@ def test_bloom_bits_shuffle_bounded_by_filter_size(spark):
     # FILTER SIZE (m positions) × map partitions, never by n_ref × k
     assert n_bits <= _BLOOM_M
     assert s["shuffle_records"] <= _BLOOM_M * max(n_parts, 1)
+
+
+def test_source_lift_classifier_shuffles_keyed_counts_only(spark):
+    """text_source_lift_classifier's exchanges carry (key, count/score)
+    rows — token explosions collapse in partial aggregates before every
+    shuffle, and document text never rides an exchange."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    out = QUERIES["text_source_lift_classifier"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    # the two token explodes (seed + eval) really fanned out...
+    assert s["generated_rows"] > 20 * N_DOCS
+    # ...but every exchange carries keyed aggregates, bounded by
+    # distinct (tok, source) + (doc, tok) + (doc, source) keys — far
+    # below the raw occurrence volume
+    assert s["shuffle_records"] < s["generated_rows"]
+    per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
+    assert per_row < 120, f"lift rows should be slim, got {per_row:.0f} B"
