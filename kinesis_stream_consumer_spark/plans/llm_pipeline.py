@@ -417,87 +417,6 @@ def _components_ctes() -> str:
 
 
 @register(
-    "dedup_graph_pagerank",
-    f"""
-    WITH pairs AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]}),
-    edges AS (
-      SELECT doc_a AS s, doc_b AS d FROM pairs
-      UNION ALL
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
-    pr0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
-    it1 AS (
-      SELECT e.d AS node,
-             CAST(150000 + (17 * SUM(p.pr // g.deg)) // 20 AS BIGINT) AS pr
-      FROM edges e
-      JOIN pr0 p ON p.node = e.s
-      JOIN deg g ON g.s = e.s
-      GROUP BY e.d
-    ),
-    it2 AS (
-      SELECT e.d AS node,
-             CAST(150000 + (17 * SUM(p.pr // g.deg)) // 20 AS BIGINT) AS pr
-      FROM edges e
-      JOIN it1 p ON p.node = e.s
-      JOIN deg g ON g.s = e.s
-      GROUP BY e.d
-    )
-    SELECT it2.node AS doc_id, it2.pr AS pagerank_micro,
-           CAST(g.deg AS BIGINT) AS n_links
-    FROM it2 JOIN deg g ON g.s = it2.node
-    ORDER BY doc_id
-    """,
-    doc="Graph centrality over the near-duplicate pair graph: 2-round "
-    "PageRank (damping 0.85) on the undirected MinHash-LSH candidate "
-    "graph — ranks TEMPLATE HUBS (docs sharing boilerplate with many "
-    "others) that pair-wise dedup under-reports: a hub's pairs each look "
-    "mild but its centrality is extreme, which is the signal for "
-    "template/spam removal. Exact integer arithmetic end-to-end: "
-    "micro-unit ranks, per-edge contribution pr div deg (integer), "
-    "0.85·x as (17·x) div 20, so both engines reach bit-identical "
-    "fixpoints (a float PageRank would drift by summation order). "
-    "Scale shape: the textbook distributed power iteration — slim "
-    "CHECKPOINTED edge list (shingle pipeline runs once), per round one "
-    "equi-join of state with edges plus one destination-keyed aggregate "
-    "shuffle; all joins on node ids, every node has degree >= 1 so no "
-    "dangling-mass special case.",
-)
-def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents", rebalance=True)
-    pairs = D.minhash_lsh_candidate_pairs(docs, "text", "doc_id", 3, 2)
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
-        )
-        .localCheckpoint(eager=True)  # slim (s, d) — shingles run ONCE
-    )
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    pr = deg.select(F.col("s").alias("node"), F.lit(1000000).cast("long").alias("pr"))
-    for _ in range(2):
-        pr = (
-            edges.join(pr, edges["s"] == pr["node"])
-            .join(deg, "s")
-            .groupBy("d")
-            .agg(
-                F.expr("cast(150000 + (17 * sum(pr div deg)) div 20 as bigint)")
-                .alias("pr")
-            )
-            .select(F.col("d").alias("node"), "pr")
-        )
-    return (
-        pr.join(deg, pr["node"] == deg["s"])
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("pr").alias("pagerank_micro"),
-            F.col("deg").cast("long").alias("n_links"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
     "dedup_levenshtein",
     f"""
     WITH cand AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]})
@@ -2276,4 +2195,165 @@ def text_source_lift_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- IVF-PQ recall-vs-nprobe tuning sweep ------------------------------------
+
+_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def _nprobe_sweep_oracle() -> str:
+    """One SQL over the shared trained-index CTEs: rank every coarse cell
+    per query (prnk), expand candidates per nprobe via a values join, ADC
+    top-5 per (nprobe, query), recall against the exhaustive probe
+    (nprobe = coarse_k, which IS the full PQ scan)."""
+    np_list = ", ".join(str(p) for p in _SWEEP_NPROBES)
+    return f"""
+    WITH {_kmeans_ctes()},
+    {_pq_ctes(p='p')},
+    dq AS (
+      SELECT q.vid, c.cell, SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
+      FROM q JOIN u{_KMEANS_ITER} c ON c.pos = q.pos
+      WHERE q.vid < 10
+      GROUP BY q.vid, c.cell
+    ),
+    probes AS (
+      SELECT vid AS query_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vid
+                                ORDER BY dist, cell) AS prnk
+      FROM dq
+    ),
+    dt AS (
+      SELECT q.vid AS query_id, q.sub, c.cell,
+             SUM((q.qx - c.qc) * (q.qx - c.qc)) AS d
+      FROM pq q JOIN pu{_PQ_ITER} c ON c.sub = q.sub AND c.pos = q.pos
+      WHERE q.vid < 10
+      GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT p.query_id, f.vid, p.prnk
+      FROM probes p JOIN fa f ON f.cell = p.cell
+      WHERE f.vid != p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vid, c.prnk, SUM(dt.d) AS adc_dist
+      FROM cand c
+      JOIN pfa f ON f.vid = c.vid
+      JOIN dt ON dt.query_id = c.query_id AND dt.sub = f.sub
+             AND dt.cell = f.cell
+      GROUP BY 1, 2, 3
+    ),
+    swe AS (
+      SELECT s.*, nv.np FROM scored s,
+            (SELECT unnest([{np_list}]) AS np) nv
+      WHERE s.prnk <= nv.np
+    ),
+    top AS (
+      SELECT np, query_id, vid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
+                                     ORDER BY adc_dist, vid) AS rnk
+        FROM swe)
+      WHERE rnk <= 5
+    ),
+    base AS (SELECT query_id, vid FROM top WHERE np = {_KMEANS_K}),
+    hits AS (
+      SELECT t.np, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM top t JOIN base b ON b.query_id = t.query_id AND b.vid = t.vid
+      GROUP BY 1
+    ),
+    den AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_top FROM top GROUP BY 1)
+    SELECT CAST(d.np AS BIGINT) AS nprobe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           d.n_top,
+           CAST((2*10000*COALESCE(h.n_hits, 0) + d.n_top) // (2*d.n_top)
+                AS BIGINT) AS recall_bp
+    FROM den d LEFT JOIN hits h ON h.np = d.np
+    ORDER BY nprobe
+    """
+
+
+@register(
+    "sim_nprobe_recall_sweep",
+    _nprobe_sweep_oracle(),
+    doc="The recall-vs-nprobe tuning curve every IVF deployment measures "
+    "before choosing its probe budget (FAISS's standard operating "
+    f"curve): ADC top-5 at nprobe ∈ {_SWEEP_NPROBES} against the "
+    f"exhaustive probe (nprobe = {_KMEANS_K} = every cell, i.e. the "
+    "full PQ scan) as ground truth, micro-averaged recall in half-up "
+    "basis points. ONE pass computes all sweep points: the cached "
+    "cell-keyed index joins a probe table carrying each cell's per-query "
+    "probe RANK, candidates expand across the nprobe values by a "
+    "rank<=np values-join, and one (np, query) WindowGroupLimit ranks "
+    "every sweep point's shortlist — the baseline is just the np=8 "
+    "slice, so nothing runs twice. Offline-evaluation shape: the "
+    "exhaustive baseline necessarily scans every list once; the "
+    "per-(np, query) frames after the top-5 are workload-bounded "
+    "(4·|Q|·5 rows, checkpointed before the self-join).",
+)
+def sim_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    inv, coarse_rows, pq_rows = _ivfpq_index(spark, sf_dir)
+    qrows = _sim_qrows(spark, sf_dir)
+    m, k, dim = _PQ_M, _PQ_K, _DIM
+    sub_dim = dim // m
+    cc: dict = {}
+    for r in coarse_rows:
+        cc.setdefault(r.cell, [0] * dim)[r.pos] = r.qc
+    cb: dict = {}
+    for r in pq_rows:
+        cb.setdefault((r.sub, r.cell), [0] * sub_dim)[r.pos] = r.qc
+    probe_rows = []
+    for q in qrows:
+        qv = q.qvec
+        dt = [0] * (m * k)
+        for (s, c), qc in cb.items():
+            base = s * sub_dim
+            dt[s * k + c] = sum(
+                (qv[base + p] - qc[p]) ** 2 for p in range(sub_dim)
+            )
+        near = sorted(
+            (sum((qv[p] - v[p]) ** 2 for p in range(dim)), cell)
+            for cell, v in cc.items()
+        )
+        for prnk, (_, cell) in enumerate(near, start=1):
+            probe_rows.append((int(q.query_id), int(cell), prnk, dt))
+    probes = spark.createDataFrame(
+        probe_rows,
+        schema="query_id BIGINT, cell_id INT, prnk INT, dt ARRAY<BIGINT>",
+    )  # tiny local relation — stats make it the broadcast side unhinted
+    adc = "+".join(f"dt[{s * k} + carr[{s}]]" for s in range(m))
+    scored = (
+        inv.join(probes, "cell_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", "prnk", F.expr(adc).alias("adc_dist"))
+    )
+    swe = scored.withColumn(
+        "np", F.explode(F.array(*[F.lit(p) for p in _SWEEP_NPROBES]))
+    ).where(F.col("prnk") <= F.col("np"))
+    w = W.partitionBy("np", "query_id").orderBy("adc_dist", "vid")
+    top = (
+        swe.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("np", "query_id", "vid")
+        .localCheckpoint(eager=True)  # 4·|Q|·5 rows feed base AND hits
+    )
+    base = top.where(F.col("np") == _KMEANS_K).select("query_id", "vid")
+    hits = top.join(base, ["query_id", "vid"]).groupBy("np").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    den = top.groupBy("np").agg(F.count(F.lit(1)).cast("long").alias("n_top"))
+    return (
+        den.join(hits, "np", "left")
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "n_top",
+            F.expr(
+                "cast((2*10000*coalesce(n_hits, 0) + n_top)"
+                " div (2*n_top) as bigint)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("nprobe")
     )

@@ -2252,3 +2252,87 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Parked r6 (late): certified r5 pagerank displaced by the
+# nprobe recall sweep. Hash held — ledger-checked.
+
+@register(
+    "dedup_graph_pagerank",
+    f"""
+    WITH pairs AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    pr0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    it1 AS (
+      SELECT e.d AS node,
+             CAST(150000 + (17 * SUM(p.pr // g.deg)) // 20 AS BIGINT) AS pr
+      FROM edges e
+      JOIN pr0 p ON p.node = e.s
+      JOIN deg g ON g.s = e.s
+      GROUP BY e.d
+    ),
+    it2 AS (
+      SELECT e.d AS node,
+             CAST(150000 + (17 * SUM(p.pr // g.deg)) // 20 AS BIGINT) AS pr
+      FROM edges e
+      JOIN it1 p ON p.node = e.s
+      JOIN deg g ON g.s = e.s
+      GROUP BY e.d
+    )
+    SELECT it2.node AS doc_id, it2.pr AS pagerank_micro,
+           CAST(g.deg AS BIGINT) AS n_links
+    FROM it2 JOIN deg g ON g.s = it2.node
+    ORDER BY doc_id
+    """,
+    doc="Graph centrality over the near-duplicate pair graph: 2-round "
+    "PageRank (damping 0.85) on the undirected MinHash-LSH candidate "
+    "graph — ranks TEMPLATE HUBS (docs sharing boilerplate with many "
+    "others) that pair-wise dedup under-reports: a hub's pairs each look "
+    "mild but its centrality is extreme, which is the signal for "
+    "template/spam removal. Exact integer arithmetic end-to-end: "
+    "micro-unit ranks, per-edge contribution pr div deg (integer), "
+    "0.85·x as (17·x) div 20, so both engines reach bit-identical "
+    "fixpoints (a float PageRank would drift by summation order). "
+    "Scale shape: the textbook distributed power iteration — slim "
+    "CHECKPOINTED edge list (shingle pipeline runs once), per round one "
+    "equi-join of state with edges plus one destination-keyed aggregate "
+    "shuffle; all joins on node ids, every node has degree >= 1 so no "
+    "dangling-mass special case.",
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.minhash_lsh_candidate_pairs(docs, "text", "doc_id", 3, 2)
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .localCheckpoint(eager=True)  # slim (s, d) — shingles run ONCE
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("s").alias("node"), F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(2):
+        pr = (
+            edges.join(pr, edges["s"] == pr["node"])
+            .join(deg, "s")
+            .groupBy("d")
+            .agg(
+                F.expr("cast(150000 + (17 * sum(pr div deg)) div 20 as bigint)")
+                .alias("pr")
+            )
+            .select(F.col("d").alias("node"), "pr")
+        )
+    return (
+        pr.join(deg, pr["node"] == deg["s"])
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("pr").alias("pagerank_micro"),
+            F.col("deg").cast("long").alias("n_links"),
+        )
+        .orderBy("doc_id")
+    )
