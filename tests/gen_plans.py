@@ -86,6 +86,7 @@ def main() -> None:
         "text_source_lift_classifier",
         "events_path_trigrams",
         "curation_token_budget_mix",
+        "sim_nprobe_recall_sweep",
     ]
     sections = [HEADER]
     for name in names:
