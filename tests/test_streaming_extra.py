@@ -693,3 +693,94 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) <= 5 * SK.HLL_M  # registers stay register-sized
+
+
+def test_streaming_bloom_filter_matches_batch(spark, tmp_path):
+    """Incremental Bloom-filter maintenance under Structured Streaming:
+    the filter is a BIT-SET — a union-mergeable aggregate — so a streaming
+    distinct over micro-batched reference docs' probe positions must end
+    bit-for-bit equal to the batch filter, and probing candidates against
+    the streamed filter must reproduce the batch query's bloom_hit column
+    exactly. Completes the streaming twin set for the sketch family
+    (CMS counter-linearity, HLL register max-merge, Bloom bit union):
+    yesterday's filter + today's micro-batches without re-scanning
+    history, state = m bits regardless of corpus size."""
+    from kinesis_stream_consumer_spark.operators import dedup as D
+    from kinesis_stream_consumer_spark.plans.curation import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    docs = _t(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    dg = docs.select("doc_id", D.exact_digest(F.col("text")).alias("dg"))
+    ref = dg.where(F.col("doc_id") % 2 == 0)
+    for i in range(3):
+        ref.where(F.col("doc_id") % 6 == 2 * i).coalesce(1).write.mode(
+            "append"
+        ).json(str(tmp_path / "in"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, dg string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+    pos = (
+        D.md5_u56_le(
+            F.concat(F.col("j").cast("string"), F.lit("|"), F.col("dg"))
+        )
+        % _BLOOM_M
+    ).alias("pos")
+    bit_stream = (
+        stream.select(F.explode(js).alias("j"), "dg")
+        .select(pos)
+        .groupBy("pos")
+        .count()  # streaming distinct-by-key: the maintained bit set
+    )
+    q = (
+        bit_stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bloom_bits")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_bits = {
+        r["pos"] for r in spark.sql("SELECT pos FROM bloom_bits").collect()
+    }
+    batch_bits = {
+        r["pos"]
+        for r in ref.select(F.explode(js).alias("j"), "dg")
+        .select(pos)
+        .distinct()
+        .collect()
+    }
+    assert streamed_bits == batch_bits            # bit-for-bit equal
+    assert len(batch_bits) <= _BLOOM_M            # state stays m bits
+    # probing candidates against the STREAMED filter reproduces the batch
+    # query's bloom_hit column
+    cand = dg.where(F.col("doc_id") % 2 == 1)
+    probe = cand.select("doc_id", F.explode(js).alias("j"), "dg").select(
+        "doc_id", pos
+    )
+    hits = {
+        r["doc_id"]
+        for r in probe.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("pos").isin(*streamed_bits).cast("int")
+            ).alias("n_set")
+        )
+        .where(F.col("n_set") == _BLOOM_K)
+        .collect()
+    }
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    batch_hits = {
+        r["doc_id"]
+        for r in QUERIES["curation_bloom_novelty"]
+        .fn(spark, SF_SMOKE)
+        .where(F.col("bloom_hit"))
+        .collect()
+    }
+    assert hits == batch_hits
