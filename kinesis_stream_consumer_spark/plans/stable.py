@@ -34,6 +34,7 @@ from kinesis_stream_consumer_spark.operators import similarity as S
 from kinesis_stream_consumer_spark.operators import text as T
 from kinesis_stream_consumer_spark.plans.llm_pipeline import (
     _components_ctes,
+    _incremental_lsh_oracle,
     _BOILER_SEG_WORDS,
     _BOILER_SUPPORT,
     _DUP_NGRAM_K,
@@ -2335,4 +2336,105 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("deg").cast("long").alias("n_links"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- Parked r6 (late): certified r5 incremental-LSH + MaxSim displaced
+# by tokenizer fertility + filter funnel. Hashes held — ledger-checked.
+
+@register(
+    "dedup_incremental_lsh",
+    _incremental_lsh_oracle(),
+    doc="Increment-vs-corpus near-dup check — the PRODUCTION dedup shape: "
+    "a new batch (docs with doc_id % 10 == 0 stand in for today's "
+    "increment) is checked against the existing corpus WITHOUT ever "
+    "re-pairing the corpus against itself. The band equi-join is "
+    "increment-driven (one side holds only new docs' band rows), so join "
+    "fan-out is bounded by increment x bucket occupancy — at 100 TB the "
+    "corpus side's signatures come from the store written at ingest and "
+    "the whole check costs O(increment), not O(corpus). Output: each new "
+    "doc's candidate list with exact Jaccard and a flag telling corpus "
+    "dups from within-increment dups (which surface symmetrically, one "
+    "row per direction).",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: shingle sets are checkpointed (criterion 2)
+    docs = _t(spark, sf_dir, "documents", rebalance=True).withColumn(
+        "_is_new", (F.col("doc_id") % 10) == 0
+    )
+    return D.minhash_lsh_incremental_pairs(
+        docs, "text", "doc_id", "_is_new", 3, 2
+    ).orderBy("new_doc", "match_doc")
+
+
+@register(
+    "sim_maxsim_topk",
+    f"""
+    WITH sr AS (
+      SELECT vec_id AS vid, CAST((i - 1) // 8 AS INT) AS sub,
+             (i - 1) % 8 AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {S.KMEANS_QUANT_SCALE}
+                        + 0.5) AS BIGINT) AS qx
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) d
+    ),
+    qs AS (SELECT * FROM sr WHERE vid < 10),
+    dots AS (
+      SELECT q.vid AS query_id, q.sub AS q_sub, d.vid AS doc_id, d.sub AS d_sub,
+             SUM(q.qx * d.qx) AS dp
+      FROM qs q JOIN sr d ON d.pos = q.pos AND d.vid != q.vid
+      GROUP BY 1, 2, 3, 4
+    ),
+    mx AS (SELECT query_id, q_sub, doc_id, MAX(dp) AS m FROM dots GROUP BY 1, 2, 3),
+    sc AS (SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS maxsim
+           FROM mx GROUP BY 1, 2)
+    SELECT query_id, doc_id AS match_id, maxsim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, doc_id) AS rnk
+      FROM sc)
+    WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    doc="Late-interaction (ColBERT-style MaxSim) top-k: each vector splits "
+    "into 8 sub-vectors (token-embedding stand-ins) and "
+    "score(q, d) = sum over q's sub-vectors of the MAX dot product "
+    "against any of d's sub-vectors — the multi-vector retrieval scoring "
+    "that single-vector cosine cannot express (a query facet matches its "
+    "best-aligned doc facet independently). Exact integer milli-unit "
+    "dots, so the max/sum cascade is hash-stable cross-engine. Scale "
+    "shape: the query sub-vectors BROADCAST (|q|·m·dim slim rows), the "
+    "corpus rides once as quantized sub-rows, and the max-plus-sum "
+    "cascade is three map-side-combining hash aggregates keyed by "
+    "(query, q_sub, doc[, d_sub]) — no vector ever shuffles. The "
+    "production path would restrict doc candidates via the IVF cells "
+    "first (same composition as sim_ivfpq_topk); the dense form is the "
+    "recall ceiling it gets measured against.",
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sr = S.pq_sub_rows(emb, 8, _DIM)
+    qs = S.pq_sub_rows(emb.where(F.col("vec_id") < 10), 8, _DIM).select(
+        F.col("vid").alias("query_id"),
+        F.col("sub").alias("q_sub"),
+        F.col("pos").alias("q_pos"),
+        F.col("qx").alias("qq"),
+    )
+    dots = (
+        sr.join(
+            F.broadcast(qs),
+            (F.col("pos") == F.col("q_pos")) & (F.col("vid") != F.col("query_id")),
+        )
+        .groupBy("query_id", "q_sub", F.col("vid").alias("doc_id"), F.col("sub").alias("d_sub"))
+        .agg(F.sum(F.col("qx") * F.col("qq")).alias("dp"))
+    )
+    mx = dots.groupBy("query_id", "q_sub", "doc_id").agg(F.max("dp").alias("m"))
+    sc = mx.groupBy("query_id", "doc_id").agg(
+        F.sum("m").cast("long").alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), "doc_id")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", F.col("doc_id").alias("match_id"), "maxsim", "rnk")
+        .orderBy("query_id", "rnk")
     )
