@@ -87,6 +87,8 @@ def main() -> None:
         "events_path_trigrams",
         "curation_token_budget_mix",
         "sim_nprobe_recall_sweep",
+        "text_tokenizer_fertility",
+        "curation_filter_funnel",
     ]
     sections = [HEADER]
     for name in names:
