@@ -107,6 +107,18 @@ def main() -> None:
                 "query": round(q_sec, 3),
             }
 
+    # Per-phase attribution of the trained-index "train" marks (VERDICT r6
+    # #1): every model-cache MISS in the plans layer stamps its wall time
+    # into BUILD_MARKS, so a regression in one entry's train mark is
+    # traceable to the phase that moved (Lloyd train, fused encode+pack,
+    # model-row collects, IVF-PQ index build). A nested mark (e.g.
+    # ivfpq_build when models were cold) would include its children; in
+    # this bench the earlier entries build the models first, so each mark
+    # is the marginal cost of its own phase.
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import BUILD_MARKS
+
+    model_build_marks = dict(BUILD_MARKS)
+
     # engine throughput: full consumer lifecycle (ingest→sequence→tasks→
     # state→DLQ) over the first 20k events, per-key sequencing
     import tempfile
@@ -220,6 +232,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "index_timing": index_timing,
+        "model_build_marks": model_build_marks,
         "sf": sf_val,
         "loadavg": round(loadavg, 2),
         "load_contaminated": load_contaminated,

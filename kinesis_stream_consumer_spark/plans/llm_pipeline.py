@@ -550,6 +550,24 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # way (training is deterministic) — this only removes repeated work.
 _MODEL_CACHE: dict = {}
 
+# Wall-clock of each model-cache MISS (train/build/collect), keyed by the
+# cache kind — bench.py reads these to attribute a trained-index entry's
+# first-invocation cost to its build phases (VERDICT r6 #1: the r6 pack
+# shuffle hid inside sim_pq_adc_topk's train mark with no way to see it).
+BUILD_MARKS: dict[str, float] = {}
+
+
+def _mark(kind: str, t0: float) -> None:
+    import time
+
+    BUILD_MARKS[kind] = round(time.perf_counter() - t0, 3)
+
+
+def _now() -> float:
+    import time
+
+    return time.perf_counter()
+
 
 def _train_mod(sf_dir: str, k: int) -> int:
     """Deterministic training-sample modulus from table stats (footer row
@@ -571,26 +589,36 @@ def _coarse_model(spark: SparkSession, sf_dir: str, k: int | None = None,
         # exchange (0.47s vs 0.72s steady) — the shuffle-to-agg exchange
         # restores width anyway.
         emb = _t(spark, sf_dir, "embeddings")
+        t0 = _now()
         fit, cents = S.kmeans_fit_quantized(
             emb, k, n_iter, return_model=True,
             sample_mod=_train_mod(sf_dir, k),
         )
         hit = (fit.localCheckpoint(eager=True), cents)
+        _mark("kmeans_train", t0)
         _MODEL_CACHE[key] = hit
     return hit
 
 
 def _pq_model(spark: SparkSession, sf_dir: str):
+    """Session-cached PQ model: (packed_codes, codebooks). The corpus is
+    encoded PACKED in one fused dataflow (pq_fit(pack=True) — the
+    per-(vid, sub) argmin and the pack shuffle collapse into a single
+    vid-keyed HashAggregate), so the one checkpoint here IS the serving
+    layout; there is no intermediate (vid, sub, code) frame and no
+    separate pack phase to charge anywhere (VERDICT r6 #1)."""
     key = ("pq", spark.sparkContext.applicationId, sf_dir, _PQ_M, _PQ_K, _PQ_ITER)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         # no rebalance — same A/B verdict as _coarse_model
         emb = _t(spark, sf_dir, "embeddings")
-        codes, cents = S.pq_fit(
+        t0 = _now()
+        packed, cents = S.pq_fit(
             emb, _PQ_M, _PQ_K, _PQ_ITER,
-            sample_mod=_train_mod(sf_dir, _PQ_K),
+            sample_mod=_train_mod(sf_dir, _PQ_K), pack=True,
         )
-        hit = (codes.localCheckpoint(eager=True), cents)
+        hit = (packed.localCheckpoint(eager=True), cents)
+        _mark("pq_train_encode_pack", t0)
         _MODEL_CACHE[key] = hit
     return hit
 
@@ -602,7 +630,9 @@ def _pq_model_rows(spark: SparkSession, sf_dir: str):
     key = ("pq_rows", spark.sparkContext.applicationId, sf_dir)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
+        t0 = _now()
         hit = _pq_model(spark, sf_dir)[1].collect()
+        _mark("pq_rows_collect", t0)
         _MODEL_CACHE[key] = hit
     return hit
 
@@ -612,7 +642,9 @@ def _coarse_model_rows(spark: SparkSession, sf_dir: str):
     key = ("kmeans_rows", spark.sparkContext.applicationId, sf_dir)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
+        t0 = _now()
         hit = _coarse_model(spark, sf_dir)[1].collect()
+        _mark("kmeans_rows_collect", t0)
         _MODEL_CACHE[key] = hit
     return hit
 
@@ -625,26 +657,22 @@ def _sim_qrows(spark: SparkSession, sf_dir: str):
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         emb = _t(spark, sf_dir, "embeddings")
+        t0 = _now()
         hit = S.quantized_vector_arrays(
             emb.where(F.col("vec_id") < 10)
         ).select(
             F.col("vid").alias("query_id"), F.col("qarr").alias("qvec")
         ).collect()
+        _mark("qrows_collect", t0)
         _MODEL_CACHE[key] = hit
     return hit
 
 
 def _packed_codes(spark: SparkSession, sf_dir: str):
-    """Session-cached packed PQ codes (vid, carr) — the one pack shuffle
-    runs once per session; every ADC query batch after that scans the
-    checkpointed packed frame directly."""
-    key = ("pq_packed", spark.sparkContext.applicationId, sf_dir)
-    hit = _MODEL_CACHE.get(key)
-    if hit is None:
-        codes, _ = _pq_model(spark, sf_dir)
-        hit = S.pack_pq_codes(codes).localCheckpoint(eager=True)
-        _MODEL_CACHE[key] = hit
-    return hit
+    """Packed PQ codes (vid, carr): since the r7 fused encode+pack the
+    model cache's code frame IS the packed layout — this is a view onto
+    _pq_model, kept as the named seam every ADC/IVF-PQ call site uses."""
+    return _pq_model(spark, sf_dir)[0]
 
 
 def _ivfpq_index(spark: SparkSession, sf_dir: str):
@@ -655,6 +683,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     key = ("ivfpq", spark.sparkContext.applicationId, sf_dir)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
+        t0 = _now()
         hit = S.ivfpq_build_index(
             _t(spark, sf_dir, "embeddings"),
             coarse=(*_coarse_model(spark, sf_dir),
@@ -662,6 +691,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
             pq=(*_pq_model(spark, sf_dir), _pq_model_rows(spark, sf_dir)),
             packed=_packed_codes(spark, sf_dir),
         )
+        _mark("ivfpq_build", t0)
         _MODEL_CACHE[key] = hit
     return hit
 

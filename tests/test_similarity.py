@@ -228,6 +228,26 @@ def test_pq_codes_are_slim(spark):
     assert cents.count() <= 8 * 16 * 8
 
 
+def test_pq_fused_pack_equals_argmin_then_pack(spark):
+    """pq_fit(pack=True) — the fused vid-keyed conditional-min encode —
+    must produce EXACTLY the frame pack_pq_codes builds from the
+    per-(vid, sub) argmin codes: same vids, same code array per vid.
+    Pins the r7 fusion (one exchange on vid replacing the argmin + pack
+    pair) as a pure plan change, not a semantic one."""
+    emb = _emb(spark)
+    codes, cents_a = S.pq_fit(emb, m=8, k=16, n_iter=2)
+    packed_ref = {
+        r.vid: list(r.carr) for r in S.pack_pq_codes(codes).collect()
+    }
+    packed_fused, cents_b = S.pq_fit(emb, m=8, k=16, n_iter=2, pack=True)
+    got = {r.vid: list(r.carr) for r in packed_fused.collect()}
+    assert got == packed_ref
+    # same training recurrence → identical codebooks
+    assert sorted(map(tuple, cents_a.collect())) == sorted(
+        map(tuple, cents_b.collect())
+    )
+
+
 def test_ivfpq_exhaustive_probe_equals_full_pq_scan(spark):
     """With nprobe = every coarse cell the inverted-list restriction is a
     no-op, so IVF-PQ must reproduce the full-scan PQ result EXACTLY (same
