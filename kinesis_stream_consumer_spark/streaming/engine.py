@@ -45,7 +45,6 @@ from kinesis_stream_consumer_spark.streaming.dlq import (
     dead_record_envelopes,
 )
 from kinesis_stream_consumer_spark.streaming.ingest import ingest
-from kinesis_stream_consumer_spark.streaming.sequencing import sequence_messages
 from kinesis_stream_consumer_spark.streaming.state import STATE_SCHEMA, StateStore
 from kinesis_stream_consumer_spark.streaming.tasks import TaskDef
 
@@ -277,7 +276,15 @@ class Engine:
         ) -> Iterator[pd.DataFrame]:
             blocked: Dict[str, bool] = {}
             last_identity: Dict[str, str] = {}
+            # seq_index: per-chain running position in the sorted chain —
+            # exactly the row_number the r6 sequencing window assigned
+            # (duplicate deliveries are numbered before being dropped,
+            # matching window numbering over all rows). Carried across
+            # Arrow batches like `blocked`; chains never span partitions
+            # (the exec shuffle hash-partitions on chain_key).
+            seq_no: Dict[str, int] = {}
             for pdf in batches:
+                out_seq: List[int] = []
                 out_tasks: List[str] = []
                 out_ff: List[bool] = []
                 out_rej: List[bool] = []
@@ -292,6 +299,9 @@ class Engine:
                     pdf["prior_tasks_json"].tolist(),
                     pdf["data_str"].tolist(),
                 ):
+                    nxt = seq_no.get(chain, 0) + 1
+                    seq_no[chain] = nxt
+                    out_seq.append(nxt)
                     # D1 within-batch dedup: duplicate deliveries share an
                     # identity and sort adjacently in their chain (same sort
                     # key) — process the first, drop the rest. Zero extra
@@ -348,7 +358,8 @@ class Engine:
                         blocked[chain] = True
                     out_tasks.append(tasks_json)
                     out_ff.append(fully_fin)
-                out = pdf[_PASS_COLS].copy()
+                out = pdf[[c for c in _PASS_COLS if c != "seq_index"]].copy()
+                out["seq_index"] = pd.array(out_seq, dtype="int32")
                 out["tasks_json"] = out_tasks
                 if fused_finalise:
                     out["fully_finalised"] = out_ff
@@ -640,13 +651,28 @@ class Engine:
         n_unusable = int(sum(r["n_unus"] for r in stat_rows))
         _mark("ingest_checkpoint_and_stats")
 
-        seqd = sequence_messages(msgs, cfg)
+        # Q3/Q4 sequencing WITHOUT a whole-batch window: ordering is
+        # established in-partition at the exec shuffle below (repartition
+        # on chain_key + sortWithinPartitions on the same comparator keys
+        # the sequencing window orders by), and seq_index materializes
+        # INSIDE the exec stage — a per-chain running counter on the same
+        # pass that executes the chain. The sequence_messages window the
+        # engine used through r6 cost a second full exchange on chain_key
+        # per micro-batch plus a Window node Catalyst replanned every
+        # batch, to compute prev/next/is_first links the engine never
+        # reads. (sequence_messages itself remains the query-surface
+        # operator — stream-parity queries and fixture tests pin it.)
+        # sort_key rides only as far as the in-partition sort (dropped
+        # before the Arrow transfer); the exec exchange carrying it is
+        # strictly cheaper than the extra window exchange it replaces.
+        if cfg.sequencing_required:
+            seqd = msgs
+        else:
+            # Q5: every message is its own chain of one
+            seqd = msgs.select(
+                "*", F.lit(1).alias("seq_index")
+            ).drop("sort_key")
         _mark("seq_plan")
-        # sort_key is consumed by the window ORDER BY above and nothing
-        # else — drop it before the exec stage so the chain shuffle and
-        # Arrow transfer don't carry the ~70-byte encoded string per row.
-        # identity/shardOrEventID are already phase-1 data.
-        seqd = seqd.drop("sort_key")
 
         # T1 load + T2 revive: broadcast the (small) prior-state slice into
         # the messages — one partition-pruned scan per batch, like the
@@ -714,10 +740,20 @@ class Engine:
         # the extra width below ~500 rows/task, so the floor stays.
         n_parts = max(4, min(width, (n_records // 500) + 1))
         if cfg.sequencing_required:
-            # co-locate each chain, order within partition, stream batches
+            # co-locate each chain, order within partition (the same
+            # comparator the sequencing window uses: sort_key, then the
+            # reference's eventSeqNo/eventSubSeqNo tie-break), stream
+            # batches; the exec fn assigns seq_index as it walks the
+            # sorted chain
             executed = (
                 revived.repartition(n_parts, "chain_key")
-                .sortWithinPartitions("chain_key", "seq_index")
+                .sortWithinPartitions(
+                    "chain_key",
+                    "sort_key",
+                    F.lpad("event_seq_no", 64, "0"),
+                    F.coalesce("event_sub_seq_no", F.lit(-1)),
+                )
+                .drop("sort_key")
                 .mapInPandas(
                     self._exec_fn(deadline, fused_finalise=fused),
                     schema=exec_schema,
