@@ -59,6 +59,22 @@ class EngineConfig:
     # register aggregate inside the save job per batch.
     track_distinct_sketch: bool = False
 
+    # Optional per-shard Count-Min frequency sketch over message KEYS
+    # (kind='cms' cumulative counters + kind='cms_delta' this-batch delta,
+    # both in the state table). Counters merge by ADDITION — linear, so
+    # they compose across micro-batches, but NOT idempotent like the HLL
+    # max-merge: a replayed batch would double-count. The engine therefore
+    # keys every batch's delta by batch_id and, when it sees its own
+    # batch_id already in the saved delta rows (the F1 commit-or-replay
+    # path re-runs a failed micro-batch under the SAME batch_id), subtracts
+    # the stale delta before folding the fresh one in — exact under
+    # checkpoint replay. Re-delivery under a NEW batch_id (upstream
+    # at-least-once duplicates) overcounts by exactly that batch's
+    # contribution; that bound is pinned in tests — it is the honest limit
+    # of any additive counter, and the reason the distinct sketch above is
+    # HLL. Default off: costs one counter aggregate inside the save job.
+    track_frequency_sketch: bool = False
+
     batch_state_table_name: str = "StreamConsumerBatchState"
     dead_record_queue_name: str = "DeadRecordQueue"
     dead_message_queue_name: str = "DeadMessageQueue"

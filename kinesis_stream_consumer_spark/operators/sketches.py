@@ -169,6 +169,91 @@ def hll_oracle_cte(source_sql: str, group_expr: str, value_expr: str) -> str:
     )"""
 
 
+# --- Count-Min counters (engine-resident frequency sketch) ----------------
+
+# d hash rows × w buckets flattened to idx = row·w + bucket. Small on
+# purpose (the driver's sf0.01 shards see ~hundreds of distinct keys);
+# production uses w in the thousands — the sketch stays d·w counters per
+# group regardless of volume, and every formula below is parameter-free.
+CMS_D = 2
+CMS_W = 64
+
+
+def cms_counters(df: DataFrame, group_col: str, value: Column) -> DataFrame:
+    """(g, idx, cnt) Count-Min counters for one batch of values.
+
+    The row hashes are md5 over a row-salted value ('0|v', '1|v'), so both
+    engines derive them from the same md5_number_upper arithmetic. One
+    explode + map-side-combined groupBy: the shuffle carries at most
+    d·w rows per group however many values stream through. Counters are
+    MERGEABLE BY ADDITION — the linearity that lets them compose across
+    partitions and micro-batches, and exactly the property that breaks
+    under at-least-once replay (a re-added delta double-counts, unlike
+    the HLL max-merge). The engine therefore keys each batch's delta by
+    batch_id and subtracts it before re-merging on a same-batch replay
+    (streaming/engine.py, track_frequency_sketch).
+    """
+    idxs = F.array(
+        *[
+            F.lit(r * CMS_W)
+            + md5_u56_le(F.concat(F.lit(f"{r}|"), value)) % CMS_W
+            for r in range(CMS_D)
+        ]
+    )
+    return (
+        df.select(F.col(group_col).alias("g"), F.explode(idxs).alias("idx"))
+        .groupBy("g", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame) -> DataFrame:
+    """(g, probe_key, cms_estimate) point-frequency estimates.
+
+    ``probes`` is a tiny (g, probe_key) frame; the estimate is the MIN
+    over the d row counters the key hashes to (missing counter ⇒ 0 —
+    the key never hashed there). The probe side is broadcast; the
+    counter side is d·w rows per group."""
+    keyed = probes.select(
+        "g",
+        "probe_key",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(r * CMS_W)
+                    + md5_u56_le(F.concat(F.lit(f"{r}|"), F.col("probe_key")))
+                    % CMS_W
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("idx"),
+    )
+    return (
+        keyed.join(counters, ["g", "idx"], "left")
+        .groupBy("g", "probe_key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
+def cms_oracle_cte(source_sql: str, group_expr: str, value_expr: str) -> str:
+    """DuckDB CTE block (names cms_*) computing identical counters.
+
+    Final CTE ``cms_cnt`` yields (g, idx, cnt) — same flattened layout
+    and md5 row-salting as :func:`cms_counters`."""
+    return f"""
+    cms_rows AS (SELECT 0 AS r UNION ALL SELECT 1),
+    cms_i AS (
+      SELECT {group_expr} AS g,
+             r.r * {CMS_W}
+               + CAST((md5_number_upper(CAST(r.r AS VARCHAR) || '|' || {value_expr}) >> 8)
+                      % {CMS_W} AS BIGINT) AS idx
+      FROM {source_sql}, cms_rows r
+    ),
+    cms_cnt AS (
+      SELECT g, idx, CAST(COUNT(*) AS BIGINT) AS cnt FROM cms_i GROUP BY 1, 2
+    )"""
+
+
 # --- Fixed-width histogram quantiles --------------------------------------
 
 

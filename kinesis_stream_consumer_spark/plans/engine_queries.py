@@ -98,3 +98,122 @@ def engine_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shardOrEventID")
     )
+
+
+@register(
+    "engine_cms_key_freq",
+    f"""
+    WITH src AS (
+      SELECT 'S|shardId-' || lpad(CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR), 12, '0') AS shard,
+             'k1:' || CAST(user_id AS VARCHAR) || '|k2:' || event_type AS key,
+             user_id
+      FROM events WHERE event_id < 3000
+    ),
+    {SK.cms_oracle_cte("src", "shard", "key").lstrip()},
+    probes AS (
+      SELECT DISTINCT shard AS g, key AS probe_key FROM src WHERE user_id < 12
+    ),
+    probe_idx AS (
+      SELECT g, probe_key,
+             r.r * {SK.CMS_W}
+               + CAST((md5_number_upper(CAST(r.r AS VARCHAR) || '|' || probe_key) >> 8)
+                      % {SK.CMS_W} AS BIGINT) AS idx
+      FROM probes, cms_rows r
+    ),
+    est AS (
+      SELECT p.g, p.probe_key,
+             MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+      FROM probe_idx p LEFT JOIN cms_cnt c ON p.g = c.g AND p.idx = c.idx
+      GROUP BY 1, 2
+    )
+    SELECT g AS shardOrEventID, probe_key,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate
+    FROM est ORDER BY 1, 2
+    """,
+    doc="Engine-native per-shard Count-Min KEY-frequency sketch "
+    "(EngineConfig.track_frequency_sketch): cumulative counters ride the "
+    "state table (kind='cms') with this-batch deltas keyed by batch_id "
+    "(kind='cms_delta'). This query runs the REAL engine over 3 "
+    "micro-batches, replays one under the SAME batch_id (the F1 "
+    "commit-or-replay path) — the engine subtracts its own saved delta so "
+    "the addition stays single-counted — then point-estimates the "
+    "per-shard frequency of every key of users 0-11 from the counters. "
+    "Must equal the oracle's SINGLE-PASS sketch over all the events: "
+    "counter addition is linear across micro-batches, and the "
+    "batch_id-keyed delta makes it exact under checkpoint replay (the "
+    "additive twin of the HLL max-merge; re-delivery under a NEW batch_id "
+    "overcounts by exactly that batch — pinned in test_engine_cms). At "
+    "100 TB the state carries d*w counters per shard regardless of volume.",
+)
+def engine_cms_key_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    batches = [
+        events_as_kinesis_records(
+            ev.where(F.col("event_id") % 3 == i)
+        ).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+
+    def noop(message, task):
+        return None
+
+    tmp = tempfile.mkdtemp(prefix="ksc-cms-")
+    eng = Engine(
+        spark,
+        EngineConfig(
+            sequencing_per_key=True,
+            key_property_names=["k1", "k2"],
+            id_property_names=["id1"],
+            seq_no_property_names=["n1", "n2"],
+            track_frequency_sketch=True,
+        ),
+        state_path=f"{tmp}/state",
+        drq_path=f"{tmp}/drq",
+        dmq_path=f"{tmp}/dmq",
+        process_one_defs=[TaskDef("noop", noop)],
+    )
+    for i in range(3):
+        eng.process_batch(batches[i], batch_id=i)
+    # F1 checkpoint replay: batch 2 re-runs under the SAME batch_id — the
+    # engine subtracts the saved cms_delta, so this must be a no-op
+    eng.process_batch(batches[2], batch_id=2)
+    counters = (
+        eng.state.read_all()
+        .where(F.col("kind") == "cms")
+        .select(
+            F.col("shardOrEventID").alias("g"),
+            F.col("sketch_bucket").alias("idx"),
+            F.col("sketch_r").alias("cnt"),
+        )
+    )
+    probes = (
+        ev.where(F.col("user_id") < 12)
+        .select(
+            F.concat(
+                F.lit("S|shardId-"),
+                F.lpad((F.col("user_id") % 4).cast("string"), 12, "0"),
+            ).alias("g"),
+            F.concat(
+                F.lit("k1:"),
+                F.col("user_id").cast("string"),
+                F.lit("|k2:"),
+                F.col("event_type"),
+            ).alias("probe_key"),
+        )
+        .distinct()
+    )
+    return (
+        SK.cms_estimate(counters, probes)
+        .select(
+            F.col("g").alias("shardOrEventID"),
+            "probe_key",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        )
+        .orderBy("shardOrEventID", "probe_key")
+    )

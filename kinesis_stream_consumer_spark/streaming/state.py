@@ -41,9 +41,12 @@ STATE_SCHEMA = T.StructType(
         T.StructField("tasks_json", T.StringType()),
         T.StructField("reason", T.StringType()),
         T.StructField("batch_id", T.LongType()),
-        # kind='sketch' rows only (EngineConfig.track_distinct_sketch): one
-        # HLL register per (consumer, shard, bucket), max-merged each save.
-        # NULL on message/rejected/unusable rows.
+        # sketch-register rows only, NULL on message/rejected/unusable:
+        # kind='sketch' (EngineConfig.track_distinct_sketch) — one HLL
+        # register per (consumer, shard, bucket), max-merged each save;
+        # kind='cms'/'cms_delta' (track_frequency_sketch) — Count-Min
+        # counters (bucket=flattened row·w+col index, r=count), cumulative
+        # + this-batch delta keyed by batch_id for replay subtraction.
         T.StructField("sketch_bucket", T.LongType()),
         T.StructField("sketch_r", T.LongType()),
     ]
@@ -138,9 +141,13 @@ class StateStore:
                 F.col("tasks_json").isNotNull()
                 & F.col("tasks_json").rlike(self._NON_FINAL_RE)
             )
-            # sketch registers are CUMULATIVE (max-merged across every
-            # batch since consumer start) — never age them out
-            | (F.col("kind") == "sketch")
+            # sketch/cms registers are CUMULATIVE (merged across every
+            # batch since consumer start) — never age them out. cms_delta
+            # rows are NOT exempted: a delta is only needed while its
+            # batch_id is current (the same-batch replay subtraction), and
+            # the batch_id >= before_batch_id arm above keeps exactly
+            # those; stale deltas age out like finalised messages.
+            | F.col("kind").isin("sketch", "cms")
         ).select(*[f.name for f in STATE_SCHEMA.fields])
         keep = keep.localCheckpoint(eager=True)
         dropped = total - keep.count()
