@@ -254,6 +254,148 @@ def cms_oracle_cte(source_sql: str, group_expr: str, value_expr: str) -> str:
     )"""
 
 
+# --- Log-linear mergeable quantile sketch ----------------------------------
+
+# Two-level bucket id for a non-negative integer value v:
+#   coarse  b = bit_length(v)  (octave — log2 bucket, domain-FREE: any
+#               int64 lands in one of 63 octaves, no range parameter)
+#   fine    f = ((v − 2^(b−1)) · K) div 2^(b−1)   ∈ [0, K)
+#   qid     = (b−1)·K + f + 1        (v = 0 → qid 0)
+# Counts per qid merge by ADDITION across partitions / micro-batches —
+# same linearity as the CMS counters — and the register frame is at most
+# 63·K + 1 rows per group NO MATTER the data size or value domain, which
+# is what the fixed-width histogram (bins = range/width, a domain
+# parameter) cannot promise on unbounded/skewed domains at 100 TB.
+# Quantile recovery returns the bucket's exact-integer LOWER bound, so
+# the estimate err is one fine-bucket width: est ≤ v_rank and
+# (v_rank − est) · K ≤ v_rank — a ≤ 1/K RELATIVE error at any scale
+# (octaves narrower than K, i.e. 2^(b−1) < K, resolve exactly). This is
+# the guarantee family of DDSketch (Masson, Rim, Lee — VLDB 2019) /
+# KLL-by-buckets, restated in integer-exact arithmetic so a DuckDB
+# oracle reproduces every register and estimate bit-for-bit.
+#
+# int64 envelope: values must lie in [0, 2^58) so the fine-bucket
+# numerator (v − 2^(b−1))·K stays under 2^63 for K ≤ 16 — 2.9e17 cents
+# (~2.9 quadrillion dollars) of headroom on money domains.
+QSK_K = 16
+QSK_MAX = 1 << 58
+
+
+def _qsk_lo2(b: str = "b") -> str:
+    return f"shiftleft(CAST(1 AS BIGINT), CAST({b} - 1 AS INT))"
+
+
+def qsketch_buckets(df: DataFrame, group_col: str, value: Column) -> DataFrame:
+    """(g, qid, cnt) quantile-sketch registers — one map-side-combined
+    groupBy; the shuffle carries ≤ 63·K+1 rows per group."""
+    sel = df.select(
+        F.col(group_col).alias("g"), value.cast("long").alias("v")
+    ).select("g", "v", F.length(F.bin(F.col("v"))).cast("long").alias("b"))
+    qid = F.when(F.col("v") == 0, F.lit(0).cast("long")).otherwise(
+        (F.col("b") - 1) * QSK_K
+        + F.expr(f"((v - {_qsk_lo2()}) * {QSK_K}) div {_qsk_lo2()}")
+        + 1
+    )
+    return (
+        sel.select("g", qid.alias("qid"))
+        .groupBy("g", "qid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qsketch_lower_bound(qid_name: str) -> Column:
+    """Exact-integer lower bound of bucket column ``qid_name`` — the
+    smallest v that maps there: 2^(b−1) + ceil(f·2^(b−1)/K)."""
+    lo2 = (
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(({qid_name} - 1) div {QSK_K} AS INT))"
+    )
+    return F.expr(
+        f"CASE WHEN {qid_name} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE {lo2} + ((({qid_name} - 1) % {QSK_K}) * {lo2}"
+        f" + {QSK_K - 1}) div {QSK_K} END"
+    )
+
+
+# (numerator, denominator, alias) — rank k = ceil(q·n), 1-based
+QSK_DEFAULT_FRACTIONS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+def qsketch_quantiles(
+    buckets: DataFrame, fractions=QSK_DEFAULT_FRACTIONS
+) -> DataFrame:
+    """(g, n, <alias>…) quantile estimates from a register frame.
+
+    Windowed cumulative count over the BUCKET frame (≤ 63·K+1 rows per
+    group — the unpartitioned-window-on-bounded-frame pattern), then one
+    aggregate picking min(qid) with cum ≥ ceil(q·n) per fraction, decoded
+    to the bucket lower bound. Driver-free and integer-exact end to end."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("g")
+        .orderBy("qid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("g")
+    cum = buckets.select(
+        "g",
+        "qid",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for num, den, alias in fractions:
+        rank = F.expr(f"({num} * n + {den} - 1) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("qid"))).alias(
+                f"_q_{alias}"
+            )
+        )
+    picked = cum.groupBy("g").agg(*aggs)
+    cols = [F.col("g"), F.col("n")]
+    for _, _, alias in fractions:
+        cols.append(qsketch_lower_bound(f"_q_{alias}").alias(alias))
+    return picked.select(*cols)
+
+
+def qsketch_oracle_cte(source_sql: str, group_expr: str, value_expr: str) -> str:
+    """DuckDB CTE block (names qsk_*): ``qsk_cnt`` yields (g, qid, cnt)
+    with identical bucket arithmetic (bin()/shift/div are exact on both
+    engines)."""
+    return f"""
+    qsk_v AS (
+      SELECT {group_expr} AS g, CAST({value_expr} AS BIGINT) AS v
+      FROM {source_sql}
+    ),
+    qsk_b AS (
+      SELECT g, v, CAST(length(bin(v)) AS BIGINT) AS b FROM qsk_v
+    ),
+    qsk_id AS (
+      SELECT g,
+             CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (b - 1) * {QSK_K}
+                       + ((v - (CAST(1 AS BIGINT) << CAST(b - 1 AS INT))) * {QSK_K})
+                         // (CAST(1 AS BIGINT) << CAST(b - 1 AS INT))
+                       + 1
+             END AS qid
+      FROM qsk_b
+    ),
+    qsk_cnt AS (
+      SELECT g, qid, CAST(COUNT(*) AS BIGINT) AS cnt FROM qsk_id GROUP BY 1, 2
+    )"""
+
+
+def qsk_lower_sql(qid: str) -> str:
+    """DuckDB expression: exact-integer bucket lower bound of ``qid``."""
+    lo2 = f"(CAST(1 AS BIGINT) << CAST(({qid} - 1) // {QSK_K} AS INT))"
+    return (
+        f"CASE WHEN {qid} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE {lo2} + ((({qid} - 1) % {QSK_K}) * {lo2} + {QSK_K - 1}) // {QSK_K} "
+        f"END"
+    )
+
+
 # --- Fixed-width histogram quantiles --------------------------------------
 
 

@@ -585,3 +585,27 @@ def test_source_lift_classifier_shuffles_keyed_counts_only(spark):
     assert s["shuffle_records"] < s["generated_rows"]
     per_row = s["shuffle_bytes"] / max(s["shuffle_records"], 1)
     assert per_row < 120, f"lift rows should be slim, got {per_row:.0f} B"
+
+
+def test_qsketch_shuffle_bounded_by_registers_not_rows(spark):
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    n_rows = li.count()
+    src = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    n_groups = src.select("l_returnflag").distinct().count()
+    buckets = SK.qsketch_buckets(src, "l_returnflag", F.col("cents"))
+    buckets.collect()
+    s = shuffle_stats(buckets)
+    # count() combines map-side: the shuffle carries at most
+    # (63·K+1) registers × groups × map-partitions — never a row per
+    # value, and the register count is DOMAIN-FREE (no range parameter)
+    n_parts = li.rdd.getNumPartitions()
+    bound = (63 * SK.QSK_K + 1) * n_groups * max(n_parts, 1)
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_rows / 10
