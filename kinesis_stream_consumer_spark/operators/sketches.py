@@ -254,6 +254,56 @@ def cms_oracle_cte(source_sql: str, group_expr: str, value_expr: str) -> str:
     )"""
 
 
+# --- Bloom-filter join pruning (runtime-filter pushdown) -------------------
+
+# The classic 100 TB selective-join accelerator: build an m-bit Bloom
+# filter from the SMALL/FILTERED join side, evaluate it on the fact scan
+# BEFORE the join's exchange, and let only probable matches shuffle.
+# Spark's own optimizer grows the same mechanism as an injected
+# BloomFilterMightContain subquery (runtime.bloomFilter.* confs); this is
+# that operator made explicit, sized, and oracle-checkable. Filter is m
+# bits ⇒ the driver-side collect is ≤ m set positions — the same bounded
+# model-literal pattern as the k-means codebooks, NEVER row-scaled.
+BLOOM_JOIN_M = 1024
+BLOOM_JOIN_K = 4
+
+
+def bloom_join_positions(key: Column) -> list:
+    """The K salted md5 bit positions of one key (VARCHAR on both
+    engines: md5_number_upper(j || '|' || key) >> 8 % m)."""
+    return [
+        md5_u56_le(F.concat(F.lit(f"{j}|"), key)) % BLOOM_JOIN_M
+        for j in range(BLOOM_JOIN_K)
+    ]
+
+
+def bloom_join_build(build: DataFrame, key: Column) -> list:
+    """Driver-side sorted list of SET bit positions from the build side —
+    bounded at m entries regardless of build rows (the distinct runs
+    map-side-combined before the ≤m-row collect)."""
+    rows = (
+        build.select(
+            F.explode(F.array(*bloom_join_positions(key))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["pos"] for r in rows)
+
+
+def bloom_join_probe(key: Column, set_positions: list) -> Column:
+    """Fact-side pre-join predicate: ALL K probe bits set. Each membership
+    test compiles to an InSet hash lookup over the ≤m literal positions —
+    pure JVM, evaluated on the scan side of the exchange, which is the
+    entire point: rows the filter rejects never shuffle. False positives
+    pass through to the real join (and only cost their shuffle); false
+    negatives are impossible."""
+    cond = F.lit(True)
+    for p in bloom_join_positions(key):
+        cond = cond & p.isin(set_positions)
+    return cond
+
+
 # --- Log-linear mergeable quantile sketch ----------------------------------
 
 # Two-level bucket id for a non-negative integer value v:

@@ -609,3 +609,50 @@ def test_qsketch_shuffle_bounded_by_registers_not_rows(spark):
     bound = (63 * SK.QSK_K + 1) * n_groups * max(n_parts, 1)
     assert s["shuffle_records"] <= bound
     assert s["shuffle_records"] < n_rows / 10
+
+
+def test_bloom_pruned_join_shrinks_fact_exchange(spark):
+    """The runtime-filter contract: with the Bloom predicate on the fact
+    scan, the join's exchanges carry only probable matches — the pruned
+    run must shuffle a small fraction of the ungated run's rows (both
+    arms forced to shuffle-merge so the fact side actually exchanges)."""
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet").select(
+        "l_orderkey"
+    )
+    od_f = (
+        spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (
+                F.col("o_orderdate")
+                >= F.lit("2001-01-01").cast("timestamp")
+            )
+        )
+        .select("o_orderkey")
+    )
+    set_pos = SK.bloom_join_build(od_f, F.col("o_orderkey").cast("string"))
+
+    def run(fact):
+        j = fact.join(
+            od_f.hint("merge"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        j.collect()
+        return shuffle_stats(j)["shuffle_records"]
+
+    ungated = run(li)
+    pruned = run(
+        li.where(
+            SK.bloom_join_probe(F.col("l_orderkey").cast("string"), set_pos)
+        )
+    )
+    n_fact = li.count()
+    n_pass = li.where(
+        SK.bloom_join_probe(F.col("l_orderkey").cast("string"), set_pos)
+    ).count()
+    # the pruned fact side exchanges ~n_pass rows instead of ~n_fact
+    assert pruned < ungated / 5
+    assert ungated >= n_fact  # fact side really did shuffle whole
+    assert pruned <= n_pass + od_f.count() + 64  # pass + build (+agg rows)
