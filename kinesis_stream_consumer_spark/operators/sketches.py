@@ -264,44 +264,104 @@ def cms_oracle_cte(source_sql: str, group_expr: str, value_expr: str) -> str:
 # that operator made explicit, sized, and oracle-checkable. Filter is m
 # bits ⇒ the driver-side collect is ≤ m set positions — the same bounded
 # model-literal pattern as the k-means codebooks, NEVER row-scaled.
-BLOOM_JOIN_M = 1024
 BLOOM_JOIN_K = 4
+# each probe position is one 14-bit field of the 56-bit md5 — ONE digest
+# per key yields all K positions (the Kirsch-Mitzenmacher derived-hash
+# construction), so the fact-scan probe costs a single md5 per row, not K
+_BLOOM_FIELD_BITS = 14
+BLOOM_JOIN_M_MIN = 1 << 10
+BLOOM_JOIN_M_MAX = 1 << _BLOOM_FIELD_BITS
 
 
-def bloom_join_positions(key: Column) -> list:
-    """The K salted md5 bit positions of one key (VARCHAR on both
-    engines: md5_number_upper(j || '|' || key) >> 8 % m)."""
+def bloom_join_m(n_build: int) -> int:
+    """Filter size from build-side stats: the next power of two ≥
+    10·n_build (≈2% FP at k=4), clamped to [2^10, 2^14] so every position
+    fits one md5 bit field. Integer-exact (bit_length, no float log) so
+    the oracle derives the SAME m as ``1 << length(bin(10·n−1))``. A
+    fixed m saturates as the build side grows with scale — at sf0.1 the
+    r7-initial 1024-bit filter hit 100% fill and pruned nothing."""
+    return min(
+        BLOOM_JOIN_M_MAX,
+        max(BLOOM_JOIN_M_MIN, 1 << max(10 * n_build - 1, 1).bit_length()),
+    )
+
+
+def bloom_join_positions(key: Column, m: int) -> list:
+    """The K bit positions of one key: disjoint 14-bit fields of
+    md5_number_upper(key) >> 8, each % m."""
+    h = md5_u56_le(key)
     return [
-        md5_u56_le(F.concat(F.lit(f"{j}|"), key)) % BLOOM_JOIN_M
+        F.shiftright(h, _BLOOM_FIELD_BITS * j) % m
         for j in range(BLOOM_JOIN_K)
     ]
 
 
-def bloom_join_build(build: DataFrame, key: Column) -> list:
-    """Driver-side sorted list of SET bit positions from the build side —
-    bounded at m entries regardless of build rows (the distinct runs
-    map-side-combined before the ≤m-row collect)."""
+def bloom_join_build(build: DataFrame, key: Column) -> tuple:
+    """(sorted set-bit positions, m): m is sized from the build-side
+    count, positions collect driver-side — bounded at m entries
+    regardless of build rows (the distinct runs map-side-combined before
+    the ≤m-row collect)."""
+    # checkpoint the slim build keys once: n_build and the positions are
+    # two actions over the same filtered scan
+    keys = build.select(key.alias("_bk")).localCheckpoint(eager=True)
+    n_build = keys.count()
+    m = bloom_join_m(n_build)
     rows = (
-        build.select(
-            F.explode(F.array(*bloom_join_positions(key))).alias("pos")
+        keys.select(
+            F.explode(
+                F.array(*bloom_join_positions(F.col("_bk"), m))
+            ).alias("pos")
         )
         .distinct()
         .collect()
     )
-    return sorted(r["pos"] for r in rows)
+    return sorted(r["pos"] for r in rows), m
 
 
-def bloom_join_probe(key: Column, set_positions: list) -> Column:
-    """Fact-side pre-join predicate: ALL K probe bits set. Each membership
-    test compiles to an InSet hash lookup over the ≤m literal positions —
-    pure JVM, evaluated on the scan side of the exchange, which is the
-    entire point: rows the filter rejects never shuffle. False positives
-    pass through to the real join (and only cost their shuffle); false
-    negatives are impossible."""
-    cond = F.lit(True)
-    for p in bloom_join_positions(key):
-        cond = cond & p.isin(set_positions)
-    return cond
+def bloom_join_prune(
+    df: DataFrame, key: Column, set_positions: list, m: int
+) -> DataFrame:
+    """Fact-side pre-join pruning: keep rows whose K probe bits are ALL
+    set. The filter is packed into m/64 64-bit words embedded as ONE
+    literal array inside ONE F.expr string — per row it costs one md5
+    plus K shift/mask word lookups, pure JVM on the scan side of the
+    exchange, which is the entire point: rows the filter rejects never
+    shuffle. False positives pass through to the real join (and only
+    cost their shuffle); false negatives are impossible.
+
+    NOT isin(set_positions): at m=16k/48% fill that is ~8k literals per
+    probe — ~32k py4j expression nodes measured at 40 s of driver-side
+    plan construction plus unstable optimizer passes (the same lesson as
+    the per-bit literal-array HOFs: ship ONE parsed string, never a
+    literal per element). Callers putting this on a cold
+    single-row-group scan pair it with rebalance=True (the
+    heavy-CPU-fused-on-scan criterion)."""
+    n_words = m // 64
+    words = [0] * n_words
+    for p in set_positions:
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    arr_sql = (
+        "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+    )
+    conds = []
+    for j in range(BLOOM_JOIN_K):
+        pos = f"(shiftright(_bjh, {_BLOOM_FIELD_BITS * j}) % {m})"
+        conds.append(
+            f"(shiftright(element_at({arr_sql}, CAST({pos} div 64 AS INT) + 1),"
+            f" CAST({pos} % 64 AS INT)) & 1) = 1"
+        )
+    # lazy checkpoint between the hash projection and the filter:
+    # PushDownPredicate would otherwise substitute _bjh's md5 back into
+    # the filter and push the whole thing below the caller's rebalance
+    # exchange onto the single-task scan (the engine phase-1 lesson —
+    # measured 16 s for 600k rows single-task vs ~2 s wide). The frame is
+    # slim (key + 8-byte hash); the caller's first action materializes it
+    # on the rebalanced layout.
+    tagged = df.withColumn("_bjh", md5_u56_le(key)).localCheckpoint(
+        eager=False
+    )
+    return tagged.where(F.expr(" AND ".join(conds))).drop("_bjh")
 
 
 # --- Log-linear mergeable quantile sketch ----------------------------------

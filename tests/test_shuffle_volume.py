@@ -632,7 +632,7 @@ def test_bloom_pruned_join_shrinks_fact_exchange(spark):
         )
         .select("o_orderkey")
     )
-    set_pos = SK.bloom_join_build(od_f, F.col("o_orderkey").cast("string"))
+    set_pos, m = SK.bloom_join_build(od_f, F.col("o_orderkey").cast("string"))
 
     def run(fact):
         j = fact.join(
@@ -644,13 +644,13 @@ def test_bloom_pruned_join_shrinks_fact_exchange(spark):
 
     ungated = run(li)
     pruned = run(
-        li.where(
-            SK.bloom_join_probe(F.col("l_orderkey").cast("string"), set_pos)
+        SK.bloom_join_prune(
+            li, F.col("l_orderkey").cast("string"), set_pos, m
         )
     )
     n_fact = li.count()
-    n_pass = li.where(
-        SK.bloom_join_probe(F.col("l_orderkey").cast("string"), set_pos)
+    n_pass = SK.bloom_join_prune(
+        li, F.col("l_orderkey").cast("string"), set_pos, m
     ).count()
     # the pruned fact side exchanges ~n_pass rows instead of ~n_fact
     assert pruned < ungated / 5
