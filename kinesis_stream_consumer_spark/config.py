@@ -75,6 +75,14 @@ class EngineConfig:
     # HLL. Default off: costs one counter aggregate inside the save job.
     track_frequency_sketch: bool = False
 
+    # Optional per-shard log-linear QUANTILE sketch over the numeric tail
+    # of the event sequence number (kind='qsk'/'qsk_delta') — the
+    # seqNo-spread / hot-range distribution signal. Same additive-register
+    # replay contract as track_frequency_sketch (batch_id-keyed delta
+    # subtraction; see that flag's note); ≤63·K+1 registers per shard
+    # regardless of volume.
+    track_quantile_sketch: bool = False
+
     batch_state_table_name: str = "StreamConsumerBatchState"
     dead_record_queue_name: str = "DeadRecordQueue"
     dead_message_queue_name: str = "DeadMessageQueue"

@@ -217,3 +217,114 @@ def engine_cms_key_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shardOrEventID", "probe_key")
     )
+
+
+@register(
+    "engine_qsketch_seqno_spread",
+    f"""
+    WITH src AS (
+      SELECT 'S|shardId-' || lpad(CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR), 12, '0') AS gg,
+             event_id AS v
+      FROM events WHERE event_id < 3000
+    ),
+    {{QSK_CTE}},
+    qsk_cum AS (
+      SELECT g, qid,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY qid) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM qsk_cnt
+    ),
+    qsk_pick AS (
+      SELECT g, MAX(n) AS n,
+             MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN qid END) AS q_p50,
+             MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN qid END) AS q_p90,
+             MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN qid END) AS q_p99
+      FROM qsk_cum GROUP BY g
+    )
+    SELECT g AS shardOrEventID, CAST(n AS BIGINT) AS n,
+           {{P50}} AS p50_seq, {{P90}} AS p90_seq, {{P99}} AS p99_seq
+    FROM qsk_pick ORDER BY 1
+    """.replace(
+        "{QSK_CTE}",
+        SK.qsketch_oracle_cte("src", "gg", "v").lstrip().rstrip(),
+    )
+    .replace("{P50}", SK.qsk_lower_sql("q_p50"))
+    .replace("{P90}", SK.qsk_lower_sql("q_p90"))
+    .replace("{P99}", SK.qsk_lower_sql("q_p99")),
+    doc="Engine-native per-shard quantile sketch "
+    "(EngineConfig.track_quantile_sketch): log-linear registers over the "
+    "numeric tail of each message's Kinesis sequence number ride the "
+    "state table (kind='qsk' cumulative + kind='qsk_delta' keyed by "
+    "batch_id) — the per-shard seqNo-spread / hot-range distribution "
+    "signal, completing the engine sketch family: HLL (idempotent "
+    "max-merge), CMS (additive frequency) and now distribution, the last "
+    "two sharing one replay-safe additive-register contract "
+    "(same-batch_id replay subtracts the saved delta; new-batch_id "
+    "re-delivery bound pinned in test_engine_qsketch). This query runs "
+    "the REAL engine over 3 micro-batches plus a same-batch_id replay, "
+    "recovers p50/p90/p99 per shard from the engine-held registers, and "
+    "must equal the oracle's single-pass sketch over all the events. At "
+    "100 TB the state carries ≤63·K+1 registers per shard regardless of "
+    "volume.",
+)
+def engine_qsketch_seqno_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    batches = [
+        events_as_kinesis_records(
+            ev.where(F.col("event_id") % 3 == i)
+        ).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+
+    def noop(message, task):
+        return None
+
+    tmp = tempfile.mkdtemp(prefix="ksc-qsk-")
+    eng = Engine(
+        spark,
+        EngineConfig(
+            sequencing_per_key=True,
+            key_property_names=["k1", "k2"],
+            id_property_names=["id1"],
+            seq_no_property_names=["n1", "n2"],
+            track_quantile_sketch=True,
+        ),
+        state_path=f"{tmp}/state",
+        drq_path=f"{tmp}/drq",
+        dmq_path=f"{tmp}/dmq",
+        process_one_defs=[TaskDef("noop", noop)],
+    )
+    for i in range(3):
+        eng.process_batch(batches[i], batch_id=i)
+    # F1 checkpoint replay under the same batch_id — must be a no-op
+    eng.process_batch(batches[2], batch_id=2)
+    regs = (
+        eng.state.read_all()
+        .where(F.col("kind") == "qsk")
+        .select(
+            F.col("shardOrEventID").alias("g"),
+            F.col("sketch_bucket").alias("qid"),
+            F.col("sketch_r").alias("cnt"),
+        )
+    )
+    from kinesis_stream_consumer_spark.operators.sketches import (
+        qsketch_quantiles,
+    )
+
+    return (
+        qsketch_quantiles(regs)
+        .select(
+            F.col("g").alias("shardOrEventID"),
+            F.col("n").cast("long").alias("n"),
+            F.col("p50").alias("p50_seq"),
+            F.col("p90").alias("p90_seq"),
+            F.col("p99").alias("p99_seq"),
+        )
+        .orderBy("shardOrEventID")
+    )

@@ -525,6 +525,89 @@ class Engine:
 
         return merge
 
+    def _additive_sketch_rows(
+        self,
+        delta: DataFrame,
+        prior_all: Optional[DataFrame],
+        batch_id: int,
+        kind_cum: str,
+        kind_delta: str,
+        id_prefix: str,
+    ) -> DataFrame:
+        """Replay-safe maintenance of an ADDITIVE register sketch in the
+        state table (shared by the CMS and quantile twins). ``delta`` is
+        this batch's registers as (g, idx, cnt).
+
+        Addition is linear but not idempotent, so replay safety comes
+        from per-batch delta rows: when the prior slice already carries a
+        delta with THIS batch_id (the F1 replay path re-runs a failed
+        micro-batch under the same id, and its state save committed
+        before the failure), that stale delta is subtracted before the
+        fresh one is folded in — new_cum = prior_cum − stale_delta +
+        delta. One union + keyed sum, register-bounded rows per shard end
+        to end. Re-delivery under a NEW batch_id overcounts by exactly
+        that batch's contribution — the honest additive-counter bound,
+        pinned in tests (the distinct sketch is HLL max-merge for exactly
+        this reason)."""
+        cfg = self.config
+        parts = [delta]
+        if prior_all is not None:
+            parts.append(
+                prior_all.where(F.col("kind") == kind_cum).select(
+                    F.col("shardOrEventID").alias("g"),
+                    F.col("sketch_bucket").alias("idx"),
+                    F.col("sketch_r").alias("cnt"),
+                )
+            )
+            parts.append(
+                prior_all.where(
+                    (F.col("kind") == kind_delta)
+                    & (F.col("batch_id") == batch_id)
+                ).select(
+                    F.col("shardOrEventID").alias("g"),
+                    F.col("sketch_bucket").alias("idx"),
+                    (-F.col("sketch_r")).alias("cnt"),
+                )
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        # eager checkpoint: the merge reads the parquet partitions the
+        # save below replaces (same hazard as the HLL merge);
+        # register-sized frame, tiny job. The delta frame reads only the
+        # phase-1 msgs checkpoint — no hazard, saved as-is.
+        cum = (
+            merged.groupBy("g", "idx")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+
+        def rows(frame: DataFrame, kind: str) -> DataFrame:
+            nul = F.lit(None).cast("string")
+            return frame.select(
+                F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
+                F.col("g").alias("shardOrEventID"),
+                F.lit(kind).alias("kind"),
+                F.concat(F.lit(id_prefix), F.col("idx")).alias("identity"),
+                nul.alias("id"),
+                nul.alias("key"),
+                nul.alias("seqNo"),
+                nul.alias("event_id"),
+                nul.alias("event_seq_no"),
+                F.lit(None).cast("long").alias("event_sub_seq_no"),
+                nul.alias("msg_md5"),
+                nul.alias("rec_md5"),
+                nul.alias("data_md5"),
+                nul.alias("tasks_json"),
+                nul.alias("reason"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.col("idx").cast("long").alias("sketch_bucket"),
+                F.col("cnt").cast("long").alias("sketch_r"),
+            )
+
+        return rows(cum, kind_cum).unionByName(rows(delta, kind_delta))
+
     # --- the 3-phase batch lifecycle ---------------------------------------
 
     def process_batch(
@@ -967,87 +1050,56 @@ class Engine:
             if cfg.track_frequency_sketch and cfg.save_batch_state is None:
                 # Per-shard Count-Min KEY-frequency sketch: cumulative
                 # counters (kind='cms') plus THIS batch's delta
-                # (kind='cms_delta', keyed by batch_id) ride the state
-                # table. Addition is linear but not idempotent, so replay
-                # safety comes from the delta rows: when the prior slice
-                # already carries a delta with THIS batch_id (the F1
-                # replay path re-runs a failed micro-batch under the same
-                # id, and its state save committed before the failure),
-                # that stale delta is subtracted before the fresh one is
-                # folded in — new_cum = prior_cum − stale_delta + delta.
-                # One union + keyed sum, ≤ d·w rows per shard end to end.
+                # (kind='cms_delta', keyed by batch_id) — see
+                # _additive_sketch_rows for the replay contract.
                 from kinesis_stream_consumer_spark.operators.sketches import (
                     cms_counters,
                 )
 
-                cms_delta = cms_counters(
-                    msgs.select("shardOrEventID", "key"),
-                    "shardOrEventID",
-                    F.col("key"),
-                )
-                cms_parts = [cms_delta]
-                if prior_all is not None:
-                    cms_parts.append(
-                        prior_all.where(F.col("kind") == "cms").select(
-                            F.col("shardOrEventID").alias("g"),
-                            F.col("sketch_bucket").alias("idx"),
-                            F.col("sketch_r").alias("cnt"),
-                        )
-                    )
-                    cms_parts.append(
-                        prior_all.where(
-                            (F.col("kind") == "cms_delta")
-                            & (F.col("batch_id") == batch_id)
-                        ).select(
-                            F.col("shardOrEventID").alias("g"),
-                            F.col("sketch_bucket").alias("idx"),
-                            (-F.col("sketch_r")).alias("cnt"),
-                        )
-                    )
-                cms_all = cms_parts[0]
-                for p in cms_parts[1:]:
-                    cms_all = cms_all.unionByName(p)
-                # eager checkpoint: the merge reads the parquet partitions
-                # the save below replaces (same hazard as the HLL merge);
-                # counter-sized frame, tiny job. The delta frame reads only
-                # the phase-1 msgs checkpoint — no hazard, saved as-is.
-                cms_cum = (
-                    cms_all.groupBy("g", "idx")
-                    .agg(F.sum("cnt").alias("cnt"))
-                    .where(F.col("cnt") > 0)
-                    .localCheckpoint(eager=True)
-                )
-
-                def _cms_rows(frame: DataFrame, kind: str) -> DataFrame:
-                    nul = F.lit(None).cast("string")
-                    return frame.select(
-                        F.lit(cfg.stream_consumer_id).alias(
-                            "streamConsumerId"
-                        ),
-                        F.col("g").alias("shardOrEventID"),
-                        F.lit(kind).alias("kind"),
-                        F.concat(F.lit("CMS|"), F.col("idx")).alias(
-                            "identity"
-                        ),
-                        nul.alias("id"),
-                        nul.alias("key"),
-                        nul.alias("seqNo"),
-                        nul.alias("event_id"),
-                        nul.alias("event_seq_no"),
-                        F.lit(None).cast("long").alias("event_sub_seq_no"),
-                        nul.alias("msg_md5"),
-                        nul.alias("rec_md5"),
-                        nul.alias("data_md5"),
-                        nul.alias("tasks_json"),
-                        nul.alias("reason"),
-                        F.lit(batch_id).cast("long").alias("batch_id"),
-                        F.col("idx").cast("long").alias("sketch_bucket"),
-                        F.col("cnt").cast("long").alias("sketch_r"),
-                    )
-
                 states = states.unionByName(
-                    _cms_rows(cms_cum, "cms")
-                ).unionByName(_cms_rows(cms_delta, "cms_delta"))
+                    self._additive_sketch_rows(
+                        cms_counters(
+                            msgs.select("shardOrEventID", "key"),
+                            "shardOrEventID",
+                            F.col("key"),
+                        ),
+                        prior_all,
+                        batch_id,
+                        "cms",
+                        "cms_delta",
+                        "CMS|",
+                    )
+                )
+            if cfg.track_quantile_sketch and cfg.save_batch_state is None:
+                # Per-shard log-linear QUANTILE sketch over the numeric
+                # tail of the event sequence number (the per-shard
+                # seqNo-spread / hot-range signal): same additive-register
+                # replay contract as the CMS twin, ≤63·K+1 registers per
+                # shard regardless of volume.
+                from kinesis_stream_consumer_spark.operators.sketches import (
+                    qsketch_buckets,
+                )
+
+                qs_src = msgs.select(
+                    "shardOrEventID",
+                    F.expr(
+                        "CAST(substring(event_seq_no,"
+                        " greatest(length(event_seq_no) - 14, 1), 15)"
+                        " AS BIGINT)"
+                    ).alias("v"),
+                ).where(F.col("v").isNotNull())
+                states = states.unionByName(
+                    self._additive_sketch_rows(
+                        qsketch_buckets(
+                            qs_src, "shardOrEventID", F.col("v")
+                        ).select("g", F.col("qid").alias("idx"), "cnt"),
+                        prior_all,
+                        batch_id,
+                        "qsk",
+                        "qsk_delta",
+                        "QSK|",
+                    )
+                )
             if cfg.save_batch_state is not None:
                 cfg.save_batch_state(states, self)
                 self._saved_state_cache = None  # unknown destination

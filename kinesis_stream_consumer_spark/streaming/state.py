@@ -45,7 +45,9 @@ STATE_SCHEMA = T.StructType(
         # kind='sketch' (EngineConfig.track_distinct_sketch) — one HLL
         # register per (consumer, shard, bucket), max-merged each save;
         # kind='cms'/'cms_delta' (track_frequency_sketch) — Count-Min
-        # counters (bucket=flattened row·w+col index, r=count), cumulative
+        # counters (bucket=flattened row·w+col index, r=count) and
+        # kind='qsk'/'qsk_delta' (track_quantile_sketch) — log-linear
+        # quantile registers (bucket=qid, r=count): both cumulative
         # + this-batch delta keyed by batch_id for replay subtraction.
         T.StructField("sketch_bucket", T.LongType()),
         T.StructField("sketch_r", T.LongType()),
@@ -147,7 +149,7 @@ class StateStore:
             # batch_id is current (the same-batch replay subtraction), and
             # the batch_id >= before_batch_id arm above keeps exactly
             # those; stale deltas age out like finalised messages.
-            | F.col("kind").isin("sketch", "cms")
+            | F.col("kind").isin("sketch", "cms", "qsk")
         ).select(*[f.name for f in STATE_SCHEMA.fields])
         keep = keep.localCheckpoint(eager=True)
         dropped = total - keep.count()
