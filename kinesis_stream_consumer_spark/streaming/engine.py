@@ -823,19 +823,18 @@ class Engine:
         # the extra width below ~500 rows/task, so the floor stays.
         n_parts = max(4, min(width, (n_records // 500) + 1))
         if cfg.sequencing_required:
-            # co-locate each chain, order within partition (the same
-            # comparator the sequencing window uses: sort_key, then the
-            # reference's eventSeqNo/eventSubSeqNo tie-break), stream
-            # batches; the exec fn assigns seq_index as it walks the
-            # sorted chain
+            # co-locate each chain, order within partition by THE shared
+            # comparator (sequencing.chain_order_columns — the same list
+            # the sequencing window orders by, one definition so the two
+            # can't drift), stream batches; the exec fn assigns seq_index
+            # as it walks the sorted chain
+            from kinesis_stream_consumer_spark.streaming.sequencing import (
+                chain_order_columns,
+            )
+
             executed = (
                 revived.repartition(n_parts, "chain_key")
-                .sortWithinPartitions(
-                    "chain_key",
-                    "sort_key",
-                    F.lpad("event_seq_no", 64, "0"),
-                    F.coalesce("event_sub_seq_no", F.lit(-1)),
-                )
+                .sortWithinPartitions("chain_key", *chain_order_columns())
                 .drop("sort_key")
                 .mapInPandas(
                     self._exec_fn(deadline, fused_finalise=fused),

@@ -97,6 +97,20 @@ def chain_columns(config: EngineConfig) -> list:
     return [("chain_key", chain), ("sort_key", sort_key(F.col("seq_no_parts")))]
 
 
+def chain_order_columns() -> list:
+    """The within-chain comparator: sort_key, then the reference
+    comparator's eventSeqNo/eventSubSeqNo tie-break
+    (test/sequencing-per-shard.test.js:218-468). THE single definition —
+    both the sequencing window's ORDER BY and the engine's exec-stage
+    sortWithinPartitions order by exactly these columns, so the engine's
+    per-chain running seq_index equals the window's row_number."""
+    return [
+        F.col("sort_key"),
+        F.lpad("event_seq_no", 64, "0"),
+        F.coalesce("event_sub_seq_no", F.lit(-1)),
+    ]
+
+
 def sequence_messages(messages: DataFrame, config: EngineConfig) -> DataFrame:
     """Assign chain_key / seq_index / prev/next links (Q3/Q4/Q5).
 
@@ -122,13 +136,7 @@ def sequence_messages(messages: DataFrame, config: EngineConfig) -> DataFrame:
             F.lit(None).cast("string").alias("next_event_id"),
             F.lit(True).alias("is_first"),
         )
-    # tie-break on the event seq/sub-seq like the reference comparator's
-    # eventSeqNo fallback (test/sequencing-per-shard.test.js:218-468)
-    w = Window.partitionBy("chain_key").orderBy(
-        "sort_key",
-        F.lpad("event_seq_no", 64, "0"),
-        F.coalesce("event_sub_seq_no", F.lit(-1)),
-    )
+    w = Window.partitionBy("chain_key").orderBy(*chain_order_columns())
     prev = F.lag("event_id").over(w)
     return messages.select(
         "*",
