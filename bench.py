@@ -107,6 +107,12 @@ def main() -> None:
                 "query": round(q_sec, 3),
             }
 
+    # train = first invocation − second invocation, so it includes the
+    # first run's one-off Catalyst/codegen of the query plan (~0.5-1.5 s
+    # for a new plan shape) ON TOP of the model build; model_build_marks
+    # below isolates the true build phases — the difference between
+    # index_timing.train and the sum of that entry's build marks is
+    # first-run plan compilation, not model work.
     # Per-phase attribution of the trained-index "train" marks (VERDICT r6
     # #1): every model-cache MISS in the plans layer stamps its wall time
     # into BUILD_MARKS, so a regression in one entry's train mark is
