@@ -820,17 +820,20 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, m: int = 8,
     joins, ZERO aggregates, and no exchange before the per-query top-k
     (WindowGroupLimit prunes map-side). The re-rank touches |queries|·R
     candidate pairs via a broadcast pair-set lookup, never an all-pairs
-    pass. Pass ``packed`` (from :func:`pack_pq_codes`, checkpointed) to
-    amortize the one pack shuffle across query batches; pass ``pq`` as a
-    3-tuple (codes, cents, cent_rows) and/or precollected ``qrows`` to
-    skip the per-call model/query collect jobs (the plans layer caches
-    both — the model rows originate driver-side in pq_fit anyway)."""
+    pass. Pass ``packed`` (from :func:`pack_pq_codes` or
+    ``pq_fit(pack=True)``, checkpointed) to amortize the one pack pass
+    across query batches; pass ``pq`` as a 3-tuple
+    (codes_or_packed, cents, cent_rows) — the first element may be either
+    the (vid, sub, code) codes frame or the packed (vid, carr) frame
+    (detected by its columns; the plans layer caches the packed one) —
+    and/or precollected ``qrows`` to skip the per-call model/query
+    collect jobs (the model rows originate driver-side in pq_fit)."""
     if pq is None:
         pq = pq_fit(vectors, m, k, n_iter, dim, id_col, vec_col)
-    codes, cents = pq[0], pq[1]
+    first, cents = pq[0], pq[1]
     cent_rows = pq[2] if len(pq) > 2 else cents.collect()
     if packed is None:
-        packed = pack_pq_codes(codes)
+        packed = first if "carr" in first.columns else pack_pq_codes(first)
     sub_dim = dim // m
     if qrows is None:
         qrows = quantized_vector_arrays(queries, id_col, vec_col).select(
@@ -909,10 +912,10 @@ def ivfpq_build_index(
     # driver-side instead of re-collecting the model
     fit = coarse[0]
     coarse_rows = coarse[2] if len(coarse) > 2 else coarse[1].collect()
-    codes = pq[0]
+    first = pq[0]  # (vid, sub, code) codes OR packed (vid, carr)
     pq_rows = pq[2] if len(pq) > 2 else pq[1].collect()
     if packed is None:
-        packed = pack_pq_codes(codes)
+        packed = first if "carr" in first.columns else pack_pq_codes(first)
     inv = packed.join(
         fit.select(F.col(id_col).alias("vid"), "cell_id"), "vid"
     ).localCheckpoint(eager=True)

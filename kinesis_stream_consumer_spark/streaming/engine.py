@@ -255,7 +255,10 @@ class Engine:
     ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
         """Ordered per-chain execution as a STREAMING mapInPandas over
         partitions hash-partitioned by chain_key and sorted by
-        (chain_key, seq_index). Unlike groupBy().applyInPandas — which
+        (chain_key, *sequencing.chain_order_columns()) — seq_index does
+        NOT exist on the input; this fn assigns it as a per-chain running
+        counter while walking the sorted chain (r7: the per-batch
+        sequencing window is gone). Unlike groupBy().applyInPandas — which
         materializes each chain as one pandas DataFrame — this processes
         Arrow batches incrementally, so a giant chain (per-shard mode, the
         reference's own serialization hazard) streams through bounded
@@ -550,38 +553,41 @@ class Engine:
         pinned in tests (the distinct sketch is HLL max-merge for exactly
         this reason)."""
         cfg = self.config
-        parts = [delta]
-        if prior_all is not None:
-            parts.append(
-                prior_all.where(F.col("kind") == kind_cum).select(
-                    F.col("shardOrEventID").alias("g"),
-                    F.col("sketch_bucket").alias("idx"),
-                    F.col("sketch_r").alias("cnt"),
+        # eager checkpoint of the delta FIRST: it feeds both the merge
+        # below and the save rows, and without the checkpoint the
+        # row-scaled counting pass would run twice per micro-batch
+        delta = delta.localCheckpoint(eager=True)
+        if prior_all is None:
+            # first batch of a fresh store: delta IS the cumulative frame
+            cum = delta
+        else:
+            merged = (
+                delta.unionByName(
+                    prior_all.where(F.col("kind") == kind_cum).select(
+                        F.col("shardOrEventID").alias("g"),
+                        F.col("sketch_bucket").alias("idx"),
+                        F.col("sketch_r").alias("cnt"),
+                    )
+                ).unionByName(
+                    prior_all.where(
+                        (F.col("kind") == kind_delta)
+                        & (F.col("batch_id") == batch_id)
+                    ).select(
+                        F.col("shardOrEventID").alias("g"),
+                        F.col("sketch_bucket").alias("idx"),
+                        (-F.col("sketch_r")).alias("cnt"),
+                    )
                 )
             )
-            parts.append(
-                prior_all.where(
-                    (F.col("kind") == kind_delta)
-                    & (F.col("batch_id") == batch_id)
-                ).select(
-                    F.col("shardOrEventID").alias("g"),
-                    F.col("sketch_bucket").alias("idx"),
-                    (-F.col("sketch_r")).alias("cnt"),
-                )
+            # eager checkpoint: the merge reads the parquet partitions
+            # the save below replaces (same hazard as the HLL merge);
+            # register-sized frame, tiny job
+            cum = (
+                merged.groupBy("g", "idx")
+                .agg(F.sum("cnt").alias("cnt"))
+                .where(F.col("cnt") > 0)
+                .localCheckpoint(eager=True)
             )
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        # eager checkpoint: the merge reads the parquet partitions the
-        # save below replaces (same hazard as the HLL merge);
-        # register-sized frame, tiny job. The delta frame reads only the
-        # phase-1 msgs checkpoint — no hazard, saved as-is.
-        cum = (
-            merged.groupBy("g", "idx")
-            .agg(F.sum("cnt").alias("cnt"))
-            .where(F.col("cnt") > 0)
-            .localCheckpoint(eager=True)
-        )
 
         def rows(frame: DataFrame, kind: str) -> DataFrame:
             nul = F.lit(None).cast("string")
@@ -796,7 +802,14 @@ class Engine:
             "left",
         ).drop("_pid", "_pmd5")
 
-        # F3 hook: preProcessBatch (kinesis-processing.js:292-298)
+        # F3 hook: preProcessBatch (kinesis-processing.js:292-298).
+        # Column contract (changed r7 with the window removal): `revived`
+        # carries the phase-1 message columns + chain_key + sort_key +
+        # prior_tasks_json — NO seq_index/prev/next/is_first (those were
+        # window products the engine no longer computes; seq_index is
+        # assigned inside the exec stage). A hook that projects must
+        # PRESERVE sort_key/event_seq_no/event_sub_seq_no — the exec
+        # stage's within-chain sort orders by them.
         if cfg.pre_process_batch is not None:
             maybe = cfg.pre_process_batch(revived, self)
             if maybe is not None:
@@ -987,7 +1000,14 @@ class Engine:
             # T4 seam: saveBatchState (default parquet MERGE upsert,
             # kinesis-processing.js:295 saveBatchStateToDynamoDB)
             states = msg_states.unionByName(unusable_states)
-            if cfg.track_distinct_sketch and cfg.save_batch_state is None:
+            if (
+                cfg.track_distinct_sketch
+                and cfg.save_batch_state is None
+                # default LOAD seam required too: a custom load leaves
+                # prior_all None, the max-merge would skip, and the
+                # partition-replacing save would drop accumulated registers
+                and cfg.load_batch_state is None
+            ):
                 # Per-shard HLL distinct-MESSAGE sketch: this batch's
                 # registers over the checkpointed identities, max-merged
                 # with the prior registers for the touched shards (the
@@ -1046,7 +1066,27 @@ class Engine:
                     F.col("r").cast("long").alias("sketch_r"),
                 )
                 states = states.unionByName(sketch_states)
-            if cfg.track_frequency_sketch and cfg.save_batch_state is None:
+            # Additive sketches count PROCESSED messages — the delta
+            # sources from the checkpointed post-exec `finalised` frame,
+            # which the D1 within-batch dedup has already filtered, so a
+            # record delivered twice INSIDE one batch counts once (the
+            # HLL sketch is identity-keyed and immune either way; only
+            # cross-batch re-delivery under a NEW batch_id overcounts —
+            # the pinned additive bound). Both additive sketches require
+            # the DEFAULT load seam too (not just the default save): a
+            # custom load_batch_state leaves prior_all None, and merging
+            # nothing before a save that REPLACES the shard partitions
+            # would silently destroy the accumulated counters.
+            sketch_shard = F.concat(
+                F.lit("E|" if cfg.batch_keyed_on_event_id else "S|"),
+                F.col(
+                    "event_id" if cfg.batch_keyed_on_event_id else "shard_id"
+                ),
+            )
+            default_seams = (
+                cfg.save_batch_state is None and cfg.load_batch_state is None
+            )
+            if cfg.track_frequency_sketch and default_seams:
                 # Per-shard Count-Min KEY-frequency sketch: cumulative
                 # counters (kind='cms') plus THIS batch's delta
                 # (kind='cms_delta', keyed by batch_id) — see
@@ -1058,7 +1098,9 @@ class Engine:
                 states = states.unionByName(
                     self._additive_sketch_rows(
                         cms_counters(
-                            msgs.select("shardOrEventID", "key"),
+                            finalised.select(
+                                sketch_shard.alias("shardOrEventID"), "key"
+                            ),
                             "shardOrEventID",
                             F.col("key"),
                         ),
@@ -1069,7 +1111,7 @@ class Engine:
                         "CMS|",
                     )
                 )
-            if cfg.track_quantile_sketch and cfg.save_batch_state is None:
+            if cfg.track_quantile_sketch and default_seams:
                 # Per-shard log-linear QUANTILE sketch over the numeric
                 # tail of the event sequence number (the per-shard
                 # seqNo-spread / hot-range signal): same additive-register
@@ -1079,8 +1121,8 @@ class Engine:
                     qsketch_buckets,
                 )
 
-                qs_src = msgs.select(
-                    "shardOrEventID",
+                qs_src = finalised.select(
+                    sketch_shard.alias("shardOrEventID"),
                     F.expr(
                         "CAST(substring(event_seq_no,"
                         " greatest(length(event_seq_no) - 14, 1), 15)"

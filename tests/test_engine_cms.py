@@ -185,3 +185,16 @@ def test_cms_off_by_default(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_cms_within_batch_duplicate_counts_once(spark, tmp_path):
+    """The delta sources from the post-exec finalised frame, AFTER the D1
+    within-batch dedup — a record delivered twice inside ONE micro-batch
+    counts once (it is processed once). Only cross-batch re-delivery
+    under a new batch_id overcounts (the pinned additive bound)."""
+    batches, ev = _batches(spark, n=300, k=1)
+    b = batches[0]
+    dup = b.unionByName(b.limit(40)).localCheckpoint(eager=True)
+    eng = _mk_engine(spark, tmp_path)
+    eng.process_batch(dup, batch_id=0)
+    assert _rows(_cms_rows(eng)) == _rows(_expected(ev))
