@@ -145,3 +145,48 @@ def test_no_driver_memory_growth_across_big_batches(spark, tmp_path):
     # post-GC live-heap growth across three further 200k batches; one
     # leaked batch's checkpoint blocks alone hold ~100MB+
     assert growth_mb < 500, f"live JVM heap grew {growth_mb:.0f} MB post-GC"
+
+
+def test_200k_batch_sketches_stay_register_bounded(spark, tmp_path):
+    """All three engine sketches on, one 200k-row batch: the state table's
+    sketch footprint must stay REGISTER-bounded — HLL ≤ m rows/shard, CMS
+    ≤ d·w rows/shard, quantile ≤ 63·K+1 rows/shard — and the sketch
+    maintenance must not change message accounting. This is the claim
+    the sketch docstrings make about 100 TB ('registers per shard
+    regardless of volume') exercised at a size where a rows-scaled leak
+    (e.g. accidentally saving per-message sketch rows) would be obvious."""
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    def noop(message, task):
+        return None
+
+    eng = Engine(
+        spark,
+        EngineConfig(
+            sequencing_per_key=True,
+            key_property_names=["k1", "k2"],
+            id_property_names=["id1"],
+            seq_no_property_names=["n1", "n2"],
+            track_distinct_sketch=True,
+            track_frequency_sketch=True,
+            track_quantile_sketch=True,
+        ),
+        state_path=str(tmp_path / "state"),
+        drq_path=str(tmp_path / "drq"),
+        dmq_path=str(tmp_path / "dmq"),
+        process_one_defs=[TaskDef("noop", noop)],
+    )
+    recs = _big_records(spark, 200_000)
+    res = eng.process_batch(recs, 0)
+    assert res.messages == 200_000
+    state = eng.state.read_all()
+    n_shards = 4  # events_as_kinesis_records shards on user_id % 4
+    counts = {
+        r["kind"]: r["n"]
+        for r in state.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["sketch"] <= SK.HLL_M * n_shards
+    for kind in ("cms", "cms_delta"):
+        assert counts[kind] <= SK.CMS_D * SK.CMS_W * n_shards
+    for kind in ("qsk", "qsk_delta"):
+        assert counts[kind] <= (63 * SK.QSK_K + 1) * n_shards
