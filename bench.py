@@ -201,6 +201,13 @@ def main() -> None:
     # micro-batch for the same reason as the engine warm-up: it must
     # exercise the exec stage at its real width so the Python worker pool
     # is warm when the timed stream starts.
+    # Split the ~3 MB micro-batch JSON files into ~12 scan partitions so
+    # the CPU-bound ingest fuses straight onto the scan at fan width — the
+    # engine skips its fan-out repartition (one fewer stage per
+    # micro-batch). This is the standard small-file/split tuning a real
+    # deployment sets for its source; it only affects the streaming
+    # sections below (the batch queries above are already read).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
     wdir = tempfile.mkdtemp(prefix="ksc-bench-stream-warm-")
     recs.limit(5000).coalesce(1).write.mode("append").json(f"{wdir}/in")
     weng = Engine(

@@ -96,5 +96,14 @@ def dead_message_envelopes(
     )
 
 
-def append_to_queue(envelopes: DataFrame, path: str) -> None:
+def append_to_queue(
+    envelopes: DataFrame, path: str, n_rows: int | None = None
+) -> None:
+    """Queue append. ``n_rows`` (when the caller already holds the exact
+    envelope count from the batch counters) sizes the write: a micro-batch
+    rejecting a few hundred messages writes one file instead of one
+    near-empty file per upstream partition. coalesce never widens, so a
+    large envelope set keeps its full parallelism — ~5k rows/file."""
+    if n_rows is not None:
+        envelopes = envelopes.coalesce(max(1, 1 + n_rows // 5000))
     envelopes.write.mode("append").parquet(path)

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -167,6 +167,12 @@ class Engine:
         # (custom save seams and compaction invalidate it). The frame is
         # lazy over already-checkpointed inputs, so caching costs no job.
         self._saved_state_cache: Optional[Tuple[frozenset, DataFrame]] = None
+        # Stats/plan overlap (see process_batch): the previous batch's
+        # message-count seeds the next batch's exec task sizing so the
+        # whole phase-2 plan can be built while the stats job runs; the
+        # single-thread pool carries the stats collect during the overlap.
+        self._last_n_records: Optional[int] = None
+        self._plan_pool = None
         # Per-batch driver overhead: Column trees are stateless and config-
         # determined, so build them ONCE — re-constructing them every
         # micro-batch is pure py4j round-trip cost (~0.2-0.3 s/batch
@@ -725,20 +731,12 @@ class Engine:
         is_delivery_head = (
             F.col("event_sub_seq_no").isNull() | (F.col("event_sub_seq_no") == 0)
         )
-        stat_rows = (
-            tagged.groupBy(stats_key.alias("shardOrEventID"))
-            .agg(
-                F.sum(F.when(is_delivery_head, 1).otherwise(0)).alias("n_rec"),
-                F.sum(
-                    F.when(F.col("reason_unusable").isNotNull(), 1).otherwise(0)
-                ).alias("n_unus"),
-            )
-            .collect()
+        stats_df = tagged.groupBy(stats_key.alias("shardOrEventID")).agg(
+            F.sum(F.when(is_delivery_head, 1).otherwise(0)).alias("n_rec"),
+            F.sum(
+                F.when(F.col("reason_unusable").isNotNull(), 1).otherwise(0)
+            ).alias("n_unus"),
         )
-        shards = {r["shardOrEventID"] for r in stat_rows}
-        n_records = int(sum(r["n_rec"] for r in stat_rows))
-        n_unusable = int(sum(r["n_unus"] for r in stat_rows))
-        _mark("ingest_checkpoint_and_stats")
 
         # Q3/Q4 sequencing WITHOUT a whole-batch window: ordering is
         # established in-partition at the exec shuffle below (repartition
@@ -761,6 +759,160 @@ class Engine:
             seqd = msgs.select(
                 "*", F.lit(1).alias("seq_index")
             ).drop("sort_key")
+        # ---- Phase 2: process --------------------------------------------
+        # With no processAll defs, execution and finalise-merge fuse into
+        # ONE Python stage emitting _FINAL_SCHEMA (see _exec_fn) — a small
+        # micro-batch crosses Arrow once, not twice.
+        fused = not self.all_defs
+        exec_schema = _FINAL_SCHEMA if fused else _EXEC_SCHEMA
+
+        def _build_phase2(prior: DataFrame, n_rec_est: int):
+            """T2 revive + the exec plan (incl. the Catalyst planning the
+            lazy checkpoint forces) for a given prior-state revive slice
+            and a task-sizing row estimate. Pure plan construction — no
+            Spark job runs in here — which is what lets the overlap path
+            below run it WHILE the cluster executes the stats job.
+
+            Mismatched-prior-state tolerance: prior state only revives
+            when its content digest matches the current message — same id
+            but different content means the state is stale and the message
+            executes fresh (reference "COMPLETELY MISMATCHED PRIOR state"
+            ⇒ attempts restart at 1, test/kinesis-consumer.test.js:
+            847-945). A prior row with no recorded digest (custom stores)
+            still revives.
+            """
+            revived = seqd.join(
+                F.broadcast(
+                    prior.select(
+                        F.col("identity").alias("_pid"),
+                        F.col("msg_md5").alias("_pmd5"),
+                        F.col("tasks_json").alias("prior_tasks_json"),
+                    )
+                ),
+                (F.col("identity") == F.col("_pid"))
+                & (
+                    F.col("_pmd5").isNull()
+                    | (F.col("_pmd5") == F.col("msg_md5"))
+                ),
+                "left",
+            ).drop("_pid", "_pmd5")
+            # F3 hook: preProcessBatch (kinesis-processing.js:292-298).
+            # Column contract (changed r7 with the window removal):
+            # `revived` carries the phase-1 message columns + chain_key +
+            # sort_key + prior_tasks_json — NO seq_index/prev/next/
+            # is_first (those were window products the engine no longer
+            # computes; seq_index is assigned inside the exec stage). A
+            # hook that projects must PRESERVE sort_key/event_seq_no/
+            # event_sub_seq_no — the exec stage's within-chain sort orders
+            # by them.
+            if cfg.pre_process_batch is not None:
+                maybe = cfg.pre_process_batch(revived, self)
+                if maybe is not None:
+                    revived = maybe
+            # Size the chain shuffle to the batch: 32 near-empty
+            # partitions × two Python stages is pure scheduling overhead
+            # at micro-batch sizes; a big batch still fans out to the
+            # session's full shuffle width (so this is a no-op at cluster
+            # scale). The exec stage is the batch's dominant CPU
+            # (task-tree parse + user fns + finalise per message,
+            # ~0.3-0.5 ms/row), so ~500 rows/task keeps the stage wide
+            # while each task's ~150-250 ms of row work still dwarfs its
+            # warm-worker Arrow/scheduling cost. A/B-measured r5 (VERDICT
+            # r4 #7 asked): batch/defaultParallelism sizing (32 ×
+            # ~156-row tasks for a 5k batch) ran the steady-state exec at
+            # 1.17 s vs 0.80 s for 11 × 500-row tasks — per-task
+            # Python/Arrow overhead beats the extra width below ~500
+            # rows/task, so the floor stays.
+            n_parts = max(4, min(width, (n_rec_est // 500) + 1))
+            if cfg.sequencing_required:
+                # co-locate each chain, order within partition by THE
+                # shared comparator (sequencing.chain_order_columns — the
+                # same list the sequencing window orders by, one
+                # definition so the two can't drift), stream batches; the
+                # exec fn assigns seq_index as it walks the sorted chain
+                from kinesis_stream_consumer_spark.streaming.sequencing import (
+                    chain_order_columns,
+                )
+
+                executed = (
+                    revived.repartition(n_parts, "chain_key")
+                    .sortWithinPartitions("chain_key", *chain_order_columns())
+                    .drop("sort_key")
+                    .mapInPandas(
+                        self._exec_fn(deadline, fused_finalise=fused),
+                        schema=exec_schema,
+                    )
+                )
+            else:
+                # Q5: no ordering ⇒ map straight over the scan; D1
+                # within-batch dedup needs one shuffle here (no chain sort
+                # to make duplicate identities adjacent)
+                executed = revived.dropDuplicates(["identity"]).mapInPandas(
+                    self._exec_map_fn(deadline, fused_finalise=fused),
+                    schema=exec_schema,
+                )
+            # _one_fully_finalised (processAll scoping, X2) is emitted by
+            # the exec fn itself — the executor already holds the parsed
+            # task tree, so the flag is free and phase 2b's plan stays
+            # UDF-less (no BatchEvalPython; the engine obeys the same
+            # plan-hygiene bar as the query registry).
+            # localCheckpoint severs lineage: the state save below
+            # overwrites the parquet this plan's revive-join reads, so any
+            # later recomputation would replay tasks against their own
+            # freshly-saved state (double attempts). Checkpointing freezes
+            # the finalised batch first (and nothing downstream reads
+            # `executed` directly). eager=False: the first phase-3 action
+            # (the fused save+counters job, or the legacy counters
+            # aggregate) computes every partition, so the checkpoint
+            # materializes inside that job — before the dynamic-overwrite
+            # commit replaces any prior-state file the revive join reads.
+            finalised = (
+                executed.localCheckpoint(eager=False) if fused else None
+            )
+            return executed, finalised, n_parts
+
+        # Stats/plan OVERLAP: with the default load seam, a warm
+        # saved-state cache and a prior batch's size on record, the entire
+        # phase-2 plan — revive join, exec plan, and the Catalyst planning
+        # forced by the lazy checkpoint (~0.3-0.4 s/batch of pure driver
+        # work) — is built WHILE the cluster runs the stats job, instead
+        # of serially after it. The build is optimistic against the cached
+        # prior slice (unfiltered by shard: the revive join matches on
+        # identity, so rows from uninvolved shards never match), and task
+        # sizing seeds from the last batch's count (steady micro-batches
+        # are same-sized; a mis-estimate only re-sizes tasks, never
+        # changes results). If the batch turns out to touch shards OUTSIDE
+        # the cache's coverage, the optimistic plan is discarded and the
+        # legacy path rebuilds from the partition-pruned disk load —
+        # correctness never rides the estimate. Restricted to the fused
+        # path: the processAll variant runs an aggregate action during
+        # plan construction, which must not race the stats job for the
+        # phase-1 checkpoint materialization.
+        cache = self._saved_state_cache
+        overlap = None
+        if (
+            fused
+            and cfg.load_batch_state is None
+            and cache is not None
+            and self._last_n_records is not None
+        ):
+            if self._plan_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._plan_pool = ThreadPoolExecutor(1)
+            stats_fut = self._plan_pool.submit(stats_df.collect)
+            overlap = _build_phase2(
+                cache[1].where(F.col("kind").isin("message", "rejected")),
+                self._last_n_records,
+            )
+            stat_rows = stats_fut.result()
+        else:
+            stat_rows = stats_df.collect()
+        shards = {r["shardOrEventID"] for r in stat_rows}
+        n_records = int(sum(r["n_rec"] for r in stat_rows))
+        n_unusable = int(sum(r["n_unus"] for r in stat_rows))
+        self._last_n_records = n_records
+        _mark("ingest_checkpoint_and_stats")
         _mark("seq_plan")
 
         # T1 load + T2 revive: broadcast the (small) prior-state slice into
@@ -770,121 +922,33 @@ class Engine:
         # kinesis-processing.js:291): a custom fn returns the prior slice
         # (already filtered to live message/rejected states).
         prior_all = None
-        if cfg.load_batch_state is not None:
-            prior = cfg.load_batch_state(self, shards or None)
+        if overlap is not None and shards and shards <= cache[0]:
+            # the optimistic plan's prior slice covers this batch: keep it
+            executed, finalised, n_parts = overlap
+            prior_all = cache[1].where(
+                F.col("shardOrEventID").isin(list(shards))
+            )
+            _mark("revive_plan")
+            _mark("exec_udf_plan")
         else:
-            cache = self._saved_state_cache
-            if cache is not None and shards and shards <= cache[0]:
-                prior_all = cache[1].where(
-                    F.col("shardOrEventID").isin(list(shards))
-                )
+            if cfg.load_batch_state is not None:
+                prior = cfg.load_batch_state(self, shards or None)
             else:
-                prior_all = self.state.load(
-                    cfg.stream_consumer_id, shards or None
+                if cache is not None and shards and shards <= cache[0]:
+                    prior_all = cache[1].where(
+                        F.col("shardOrEventID").isin(list(shards))
+                    )
+                else:
+                    prior_all = self.state.load(
+                        cfg.stream_consumer_id, shards or None
+                    )
+                prior = prior_all.where(
+                    F.col("kind").isin("message", "rejected")
                 )
-            prior = prior_all.where(F.col("kind").isin("message", "rejected"))
-        # Mismatched-prior-state tolerance: prior state only revives when its
-        # content digest matches the current message — same id but different
-        # content means the state is stale and the message executes fresh
-        # (reference "COMPLETELY MISMATCHED PRIOR state" ⇒ attempts restart
-        # at 1, test/kinesis-consumer.test.js:847-945). A prior row with no
-        # recorded digest (custom stores) still revives.
-        revived = seqd.join(
-            F.broadcast(
-                prior.select(
-                    F.col("identity").alias("_pid"),
-                    F.col("msg_md5").alias("_pmd5"),
-                    F.col("tasks_json").alias("prior_tasks_json"),
-                )
-            ),
-            (F.col("identity") == F.col("_pid"))
-            & (F.col("_pmd5").isNull() | (F.col("_pmd5") == F.col("msg_md5"))),
-            "left",
-        ).drop("_pid", "_pmd5")
-
-        # F3 hook: preProcessBatch (kinesis-processing.js:292-298).
-        # Column contract (changed r7 with the window removal): `revived`
-        # carries the phase-1 message columns + chain_key + sort_key +
-        # prior_tasks_json — NO seq_index/prev/next/is_first (those were
-        # window products the engine no longer computes; seq_index is
-        # assigned inside the exec stage). A hook that projects must
-        # PRESERVE sort_key/event_seq_no/event_sub_seq_no — the exec
-        # stage's within-chain sort orders by them.
-        if cfg.pre_process_batch is not None:
-            maybe = cfg.pre_process_batch(revived, self)
-            if maybe is not None:
-                revived = maybe
-
-        # ---- Phase 2: process --------------------------------------------
-        # With no processAll defs, execution and finalise-merge fuse into
-        # ONE Python stage emitting _FINAL_SCHEMA (see _exec_fn) — a small
-        # micro-batch crosses Arrow once, not twice.
-        _mark("revive_plan")
-        fused = not self.all_defs
-        exec_schema = _FINAL_SCHEMA if fused else _EXEC_SCHEMA
-        # Size the chain shuffle to the batch: 32 near-empty partitions ×
-        # two Python stages is pure scheduling overhead at micro-batch
-        # sizes; a big batch still fans out to the session's full shuffle
-        # width (so this is a no-op at cluster scale). The exec stage is
-        # the batch's dominant CPU (task-tree parse + user fns + finalise
-        # per message, ~0.3-0.5 ms/row), so ~500 rows/task keeps the stage
-        # wide while each task's ~150-250 ms of row work still dwarfs its
-        # warm-worker Arrow/scheduling cost. A/B-measured r5 (VERDICT r4
-        # #7 asked): batch/defaultParallelism sizing (32 × ~156-row tasks
-        # for a 5k batch) ran the steady-state exec at 1.17 s vs 0.80 s
-        # for 11 × 500-row tasks — per-task Python/Arrow overhead beats
-        # the extra width below ~500 rows/task, so the floor stays.
-        n_parts = max(4, min(width, (n_records // 500) + 1))
-        if cfg.sequencing_required:
-            # co-locate each chain, order within partition by THE shared
-            # comparator (sequencing.chain_order_columns — the same list
-            # the sequencing window orders by, one definition so the two
-            # can't drift), stream batches; the exec fn assigns seq_index
-            # as it walks the sorted chain
-            from kinesis_stream_consumer_spark.streaming.sequencing import (
-                chain_order_columns,
-            )
-
-            executed = (
-                revived.repartition(n_parts, "chain_key")
-                .sortWithinPartitions("chain_key", *chain_order_columns())
-                .drop("sort_key")
-                .mapInPandas(
-                    self._exec_fn(deadline, fused_finalise=fused),
-                    schema=exec_schema,
-                )
-            )
-        else:
-            # Q5: no ordering ⇒ map straight over the scan; D1 within-batch
-            # dedup needs one shuffle here (no chain sort to make duplicate
-            # identities adjacent)
-            executed = revived.dropDuplicates(["identity"]).mapInPandas(
-                self._exec_map_fn(deadline, fused_finalise=fused),
-                schema=exec_schema,
-            )
-
-        # _one_fully_finalised (processAll scoping, X2) is emitted by the
-        # exec fn itself — the executor already holds the parsed task tree,
-        # so the flag is free and phase 2b's plan stays UDF-less (no
-        # BatchEvalPython; the engine obeys the same plan-hygiene bar as
-        # the query registry).
-        # localCheckpoint severs lineage: the state save below overwrites the
-        # parquet this plan's revive-join reads, so any later recomputation
-        # would replay tasks against their own freshly-saved state (double
-        # attempts). Checkpointing freezes the finalised batch first (and
-        # nothing downstream reads `executed` directly).
-        # Checkpoints here are eager=False: the counters aggregate below
-        # (fused path) / the incomplete-scope aggregate (processAll path)
-        # is the first action on each frame and computes all partitions,
-        # so the checkpoint materializes inside that job — the exec stage
-        # and its counters cost ONE job, not two. Materialization is still
-        # complete before the state save runs (the save is in phase 3,
-        # after the counters), so the revive-join's parquet is never
-        # overwritten under a live lineage.
-        _mark("exec_udf_plan")
-        if fused:
-            finalised = executed.localCheckpoint(eager=False)
-        else:
+            _mark("revive_plan")
+            executed, finalised, n_parts = _build_phase2(prior, n_records)
+            _mark("exec_udf_plan")
+        if not fused:
             # processAll needs the materialized post-processOne batch as its
             # scope (incompleteMessages, X2) — one extra checkpoint + agg
             executed = executed.localCheckpoint(eager=False)
@@ -923,33 +987,70 @@ class Engine:
                     unusable, cfg.stream_consumer_id, tag
                 )
                 sink_jobs.append(
-                    lambda: append_to_queue(drq_env, self.drq_path)
+                    lambda: append_to_queue(
+                        drq_env, self.drq_path, n_rows=n_unusable
+                    )
                 )
+        # Finalise counters. When the DEFAULT state save is about to run
+        # (the common path: default T4 seam + a non-empty batch), the
+        # counters ride that very write job as observed metrics
+        # (CollectMetrics via Observation) instead of a separate aggregate
+        # job — the save's action materializes the lazy exec checkpoint
+        # AND reports the counts, so exec stage + counters + state write
+        # cost ONE job per micro-batch. Overwrite-under-read stays safe:
+        # dynamic-overwrite commit (delete + swap of the replaced
+        # partitions) only runs after every task — including the ones
+        # computing the checkpoint through the revive join's prior-state
+        # scan — has finished. With a custom save seam or an empty batch,
+        # the legacy separate counters aggregate runs first, sinks after.
+        obs: Optional[Observation] = None
+        if cfg.save_batch_state is None and (n_records or n_unusable):
+            obs = Observation()
+            finalised = finalised.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_messages"),
+                F.sum(F.when(F.col("rejectedish"), 1).otherwise(0)).alias(
+                    "n_rejected"
+                ),
+                F.sum(F.when(F.col("fully_finalised"), 1).otherwise(0)).alias(
+                    "n_ff"
+                ),
+                F.sum(F.when(F.col("incomplete"), 1).otherwise(0)).alias(
+                    "n_inc"
+                ),
+            )
         rejected = finalised.where(F.col("rejectedish"))
-        # one aggregate job for all finalise counters
-        counts = finalised.agg(
-            F.count(F.lit(1)),
-            F.sum(F.when(F.col("rejectedish"), 1).otherwise(0)),
-            F.sum(F.when(F.col("fully_finalised"), 1).otherwise(0)),
-            F.sum(F.when(F.col("incomplete"), 1).otherwise(0)),
-        ).first()
-        n_messages = counts[0]
-        n_rejected = counts[1] or 0
-        n_fully_finalised = counts[2] or 0
-        n_incomplete = counts[3] or 0
+
+        def _default_dmq() -> None:
+            # D3 default sink: DMQ append (kinesis-processing.js:297
+            # discardRejectedMessageToDMQ). n_rejected sizes the write
+            # (late-bound: assigned on both counter paths before any call).
+            append_to_queue(
+                dead_message_envelopes(rejected, cfg.stream_consumer_id, tag),
+                self.dmq_path,
+                n_rows=n_rejected,
+            )
+
+        if obs is None:
+            counts = finalised.agg(
+                F.count(F.lit(1)),
+                F.sum(F.when(F.col("rejectedish"), 1).otherwise(0)),
+                F.sum(F.when(F.col("fully_finalised"), 1).otherwise(0)),
+                F.sum(F.when(F.col("incomplete"), 1).otherwise(0)),
+            ).first()
+            n_messages = counts[0]
+            n_rejected = counts[1] or 0
+            n_fully_finalised = counts[2] or 0
+            n_incomplete = counts[3] or 0
         _mark("exec_finalise_and_counters")
-        if n_rejected:
-            # D3 seam: discardRejectedMessage (default DMQ append,
-            # kinesis-processing.js:297 discardRejectedMessageToDMQ)
+        if obs is None and n_rejected:
+            # D3 seam: discardRejectedMessage (kinesis-processing.js:297).
+            # Custom seams run serially (not assumed thread-safe); the
+            # default append joins the concurrent sink pool below.
             if cfg.discard_rejected_message is not None:
                 cfg.discard_rejected_message(rejected, self)
             else:
-                dmq_env = dead_message_envelopes(
-                    rejected, cfg.stream_consumer_id, tag
-                )
-                sink_jobs.append(
-                    lambda: append_to_queue(dmq_env, self.dmq_path)
-                )
+                sink_jobs.append(_default_dmq)
 
         # T4 save — message + rejected + unusable states, one parquet upsert
         msg_states = finalised.select(
@@ -996,7 +1097,7 @@ class Engine:
             F.lit(None).cast("long").alias("sketch_r"),
         )
         default_saved = False
-        if n_messages or n_unusable:
+        if obs is not None or n_messages or n_unusable:
             # T4 seam: saveBatchState (default parquet MERGE upsert,
             # kinesis-processing.js:295 saveBatchStateToDynamoDB)
             states = msg_states.unionByName(unusable_states)
@@ -1163,6 +1264,26 @@ class Engine:
             # the written partitions now equal `states` exactly — serve the
             # next batch's T1 load from it (lazy over checkpointed inputs)
             self._saved_state_cache = (frozenset(shards), states)
+        if obs is not None:
+            # The save (or a sketch merge before it) executed the observed
+            # plan; the listener delivers the metrics moments after the
+            # action returns. DMQ runs after the counters on this path —
+            # its job reads the now-materialized checkpoint, so the only
+            # serialization cost is the (small) envelope write itself.
+            row = obs.get
+            n_messages = int(row["n_messages"] or 0)
+            n_rejected = int(row["n_rejected"] or 0)
+            n_fully_finalised = int(row["n_ff"] or 0)
+            n_incomplete = int(row["n_inc"] or 0)
+            if default_saved and not (n_messages or n_unusable):
+                # zero rows were written: the cache would claim these
+                # shards hold nothing while disk still has their old rows
+                self._saved_state_cache = None
+            if n_rejected:
+                if cfg.discard_rejected_message is not None:
+                    cfg.discard_rejected_message(rejected, self)
+                else:
+                    _default_dmq()
         _mark("dlq_and_state_save")
 
         if _timing:

@@ -38,13 +38,30 @@ SF_BENCH = "/root/testdata/sf0.1"
 
 
 def _live_heap_mb(spark) -> float:
-    """Post-GC live JVM heap (driver + executors share the JVM in local
-    mode) — the signal for retained frames. OS RSS is the wrong meter
-    here: pooled Python workers keep their high-water allocation and the
-    JVM doesn't uncommit heap pages, so RSS ratchets up without any live
-    object growing."""
-    rt = spark.sparkContext._jvm.Runtime.getRuntime()
-    return (rt.totalMemory() - rt.freeMemory()) / 1024 / 1024
+    """Live JVM heap (driver + executors share the JVM in local mode) —
+    the signal for retained frames. OS RSS is the wrong meter here:
+    pooled Python workers keep their high-water allocation and the JVM
+    doesn't uncommit heap pages, so RSS ratchets up without any live
+    object growing. `totalMemory - freeMemory` after a System.gc() hint
+    is ALSO the wrong meter: G1 leaves floating garbage behind a hinted
+    collection, and the engine's stats/plan-overlap thread allocates
+    concurrently enough that the slack alone read as a phantom ~1 GB
+    "leak" (r7: live histogram identical before/after while the
+    occupancy delta claimed +1380 MB). jcmd GC.class_histogram forces a
+    real full GC and reports exactly the live bytes."""
+    import re
+    import subprocess
+
+    pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+    out = subprocess.run(
+        ["jcmd", str(pid), "GC.class_histogram"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    m = re.search(r"^Total\s+\d+\s+(\d+)", out, re.MULTILINE)
+    assert m, f"unparseable jcmd histogram tail: {out[-500:]!r}"
+    return int(m.group(1)) / 1024 / 1024
 
 
 def _mk_engine(spark, tmp_path):
