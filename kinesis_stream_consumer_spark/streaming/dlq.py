@@ -53,11 +53,12 @@ def _kpl_user_record(data_col: str):
     )
 
 
-def dead_record_envelopes(
-    unusable: DataFrame, stream_consumer_id: str, stream_type_tag: str = "K"
-) -> DataFrame:
-    """D2: unusable records → 'DR|K|2.0' envelopes."""
-    return unusable.select(
+def dead_record_envelope_cols(
+    stream_consumer_id: str, stream_type_tag: str = "K"
+) -> list:
+    """D2 envelope Column list — config-static, so long-lived callers
+    (the engine) build it once instead of per micro-batch."""
+    return [
         F.lit(f"DR|{stream_type_tag}|2.0").alias("ver"),
         F.lit(stream_consumer_id).alias("streamConsumerId"),
         F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID"),
@@ -69,15 +70,23 @@ def dead_record_envelopes(
         _partition_key(stream_consumer_id).alias("partitionKey"),
         F.col("explicit_hash_key").alias("explicitHashKey"),
         F.current_timestamp().alias("discardedAt"),
+    ]
+
+
+def dead_record_envelopes(
+    unusable: DataFrame, stream_consumer_id: str, stream_type_tag: str = "K"
+) -> DataFrame:
+    """D2: unusable records → 'DR|K|2.0' envelopes."""
+    return unusable.select(
+        *dead_record_envelope_cols(stream_consumer_id, stream_type_tag)
     )
 
 
-def dead_message_envelopes(
-    rejected: DataFrame, stream_consumer_id: str, stream_type_tag: str = "K"
-) -> DataFrame:
-    """D3: rejected/discarded/abandoned messages → 'DM|K|2.0' envelopes;
-    reasonRejected ≙ batch.findReasonRejected (kinesis-processing.js:715)."""
-    return rejected.select(
+def dead_message_envelope_cols(
+    stream_consumer_id: str, stream_type_tag: str = "K"
+) -> list:
+    """D3 envelope Column list — config-static, see dead_record_envelope_cols."""
+    return [
         F.lit(f"DM|{stream_type_tag}|2.0").alias("ver"),
         F.lit(stream_consumer_id).alias("streamConsumerId"),
         F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID"),
@@ -93,6 +102,16 @@ def dead_message_envelopes(
         _partition_key(stream_consumer_id).alias("partitionKey"),
         F.col("explicit_hash_key").alias("explicitHashKey"),
         F.current_timestamp().alias("discardedAt"),
+    ]
+
+
+def dead_message_envelopes(
+    rejected: DataFrame, stream_consumer_id: str, stream_type_tag: str = "K"
+) -> DataFrame:
+    """D3: rejected/discarded/abandoned messages → 'DM|K|2.0' envelopes;
+    reasonRejected ≙ batch.findReasonRejected (kinesis-processing.js:715)."""
+    return rejected.select(
+        *dead_message_envelope_cols(stream_consumer_id, stream_type_tag)
     )
 
 

@@ -39,11 +39,7 @@ from pyspark.sql import types as T
 
 from kinesis_stream_consumer_spark.config import EngineConfig, StreamType
 from kinesis_stream_consumer_spark.streaming import tasks as tk
-from kinesis_stream_consumer_spark.streaming.dlq import (
-    append_to_queue,
-    dead_message_envelopes,
-    dead_record_envelopes,
-)
+from kinesis_stream_consumer_spark.streaming.dlq import append_to_queue
 from kinesis_stream_consumer_spark.streaming.ingest import ingest
 from kinesis_stream_consumer_spark.streaming.state import STATE_SCHEMA, StateStore
 from kinesis_stream_consumer_spark.streaming.tasks import TaskDef
@@ -173,6 +169,10 @@ class Engine:
         # single-thread pool carries the stats collect during the overlap.
         self._last_n_records: Optional[int] = None
         self._plan_pool = None
+        # Per-engine ingest Column-forest cache (see ingest()'s col_cache):
+        # batch 2+ replays the cached projection levels instead of paying
+        # ~0.2 s of py4j expression construction per micro-batch.
+        self._ingest_col_cache: dict = {}
         # Per-batch driver overhead: Column trees are stateless and config-
         # determined, so build them ONCE — re-constructing them every
         # micro-batch is pure py4j round-trip cost (~0.2-0.3 s/batch
@@ -205,6 +205,65 @@ class Engine:
             identity_col.alias("identity"),
             self._shard_or_event_col.alias("shardOrEventID"),
         ]
+        # T4 state-row and D2/D3 envelope Column lists are config-static
+        # too (only the per-batch batch_id literal varies — spliced in at
+        # use). Same rationale as _phase1_cols: constructing these ~50
+        # columns per micro-batch is pure py4j round-trip cost.
+        from kinesis_stream_consumer_spark.streaming.dlq import (
+            dead_message_envelope_cols,
+            dead_record_envelope_cols,
+        )
+
+        cfg = config
+        self._t4_tag = "K" if cfg.stream_type == StreamType.kinesis else "D"
+        state_key_col = F.concat(
+            F.lit("E|" if cfg.batch_keyed_on_event_id else "S|"),
+            F.col("event_id" if cfg.batch_keyed_on_event_id else "shard_id"),
+        )
+        _passthrough = [
+            "identity",
+            "id",
+            "key",
+            "seqNo",
+            "event_id",
+            "event_seq_no",
+            "event_sub_seq_no",
+            "msg_md5",
+            "rec_md5",
+            "data_md5",
+        ]
+        nul_long = F.lit(None).cast("long")
+        self._t4_msg_head = [
+            F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
+            state_key_col.alias("shardOrEventID"),
+            F.when(F.col("rejectedish"), "rejected")
+            .otherwise("message")
+            .alias("kind"),
+            *_passthrough,
+            F.col("tasks_json").alias("tasks_json"),
+            F.col("reason_rejected").alias("reason"),
+        ]
+        self._t4_unusable_head = [
+            F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
+            F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID"),
+            F.lit("unusable").alias("kind"),
+            F.concat_ws("|", F.col("event_id"), F.col("data_md5")).alias(
+                "identity"
+            ),
+            *_passthrough[1:],
+            F.lit(None).cast("string").alias("tasks_json"),
+            F.col("reason_unusable").alias("reason"),
+        ]
+        self._t4_tail = [
+            nul_long.alias("sketch_bucket"),
+            nul_long.alias("sketch_r"),
+        ]
+        self._dmq_cols = dead_message_envelope_cols(
+            cfg.stream_consumer_id, self._t4_tag
+        )
+        self._drq_cols = dead_record_envelope_cols(
+            cfg.stream_consumer_id, self._t4_tag
+        )
 
     # --- phase 2a: processOne via per-chain ordered applyInPandas ----------
 
@@ -677,7 +736,8 @@ class Engine:
         fan = min(8, width)
         if records.rdd.getNumPartitions() < fan:
             records = records.repartition(fan)
-        ing = ingest(records, cfg)
+        _mark("fan_probe")
+        ing = ingest(records, cfg, col_cache=self._ingest_col_cache)
         # Materialize the UNSPLIT ingest output ONCE, before anything
         # branches off it: the usable/unusable split, the shard-key collect
         # below, the sequencing shuffle, and the DRQ path would each
@@ -701,11 +761,13 @@ class Engine:
         # lifecycle and this keeps it out of the per-batch exec plan —
         # Catalyst replans that tree every micro-batch, and the encode work
         # itself fuses onto the already-CPU-bound decode stage.
+        _mark("ingest_plan")
         tagged = (
             ing.tagged.drop("msg_json", "parsed_ok")
             .select("*", *self._phase1_cols)
             .localCheckpoint(eager=False)
         )
+        _mark("phase1_ckpt_call")
         msgs = tagged.where(F.col("reason_unusable").isNull()).drop(
             "reason_unusable"
         )
@@ -890,23 +952,40 @@ class Engine:
         # phase-1 checkpoint materialization.
         cache = self._saved_state_cache
         overlap = None
-        if (
-            fused
-            and cfg.load_batch_state is None
-            and cache is not None
-            and self._last_n_records is not None
+        empty_prior = None
+        _mark("phase1_plan")
+        warm_overlap = cache is not None and self._last_n_records is not None
+        # Cold-start overlap: a brand-new state dir means the prior slice
+        # is provably empty for EVERY shard, so the optimistic plan is
+        # valid regardless of which shards the batch turns out to touch.
+        # Task sizing falls back to full session width (scale-safe; a
+        # micro-batch pays slightly wider-than-ideal tasks exactly once).
+        cold_overlap = (
+            not warm_overlap and cache is None and not self.state._exists
+        )
+        if fused and cfg.load_batch_state is None and (
+            warm_overlap or cold_overlap
         ):
             if self._plan_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
 
                 self._plan_pool = ThreadPoolExecutor(1)
             stats_fut = self._plan_pool.submit(stats_df.collect)
+            if warm_overlap:
+                prior_src = cache[1]
+                est = self._last_n_records
+            else:
+                empty_prior = self.spark.createDataFrame([], STATE_SCHEMA)
+                prior_src = empty_prior
+                est = width * 500
             overlap = _build_phase2(
-                cache[1].where(F.col("kind").isin("message", "rejected")),
-                self._last_n_records,
+                prior_src.where(F.col("kind").isin("message", "rejected")),
+                est,
             )
+            _mark("overlap_build")
             stat_rows = stats_fut.result()
         else:
+            _mark("overlap_build")
             stat_rows = stats_df.collect()
         shards = {r["shardOrEventID"] for r in stat_rows}
         n_records = int(sum(r["n_rec"] for r in stat_rows))
@@ -922,11 +1001,20 @@ class Engine:
         # kinesis-processing.js:291): a custom fn returns the prior slice
         # (already filtered to live message/rejected states).
         prior_all = None
-        if overlap is not None and shards and shards <= cache[0]:
+        if (
+            overlap is not None
+            and shards
+            and (empty_prior is not None or shards <= cache[0])
+        ):
             # the optimistic plan's prior slice covers this batch: keep it
+            # (an empty-state build covers ANY shard set by construction)
             executed, finalised, n_parts = overlap
-            prior_all = cache[1].where(
-                F.col("shardOrEventID").isin(list(shards))
+            prior_all = (
+                empty_prior
+                if empty_prior is not None
+                else cache[1].where(
+                    F.col("shardOrEventID").isin(list(shards))
+                )
             )
             _mark("revive_plan")
             _mark("exec_udf_plan")
@@ -969,7 +1057,7 @@ class Engine:
         # F3 hook: preFinaliseBatch
         if cfg.pre_finalise_batch is not None:
             cfg.pre_finalise_batch(finalised, self)
-        tag = "K" if cfg.stream_type == StreamType.kinesis else "D"
+        tag = self._t4_tag
         # The three finalise sinks (DRQ, DMQ, state save) write to disjoint
         # paths from frames that are all checkpointed — independent Spark
         # jobs, so the DEFAULT sinks run concurrently from worker threads
@@ -983,9 +1071,7 @@ class Engine:
             if cfg.discard_unusable_record is not None:
                 cfg.discard_unusable_record(unusable, self)
             else:
-                drq_env = dead_record_envelopes(
-                    unusable, cfg.stream_consumer_id, tag
-                )
+                drq_env = unusable.select(*self._drq_cols)
                 sink_jobs.append(
                     lambda: append_to_queue(
                         drq_env, self.drq_path, n_rows=n_unusable
@@ -1026,7 +1112,7 @@ class Engine:
             # discardRejectedMessageToDMQ). n_rejected sizes the write
             # (late-bound: assigned on both counter paths before any call).
             append_to_queue(
-                dead_message_envelopes(rejected, cfg.stream_consumer_id, tag),
+                rejected.select(*self._dmq_cols),
                 self.dmq_path,
                 n_rows=n_rejected,
             )
@@ -1052,49 +1138,15 @@ class Engine:
             else:
                 sink_jobs.append(_default_dmq)
 
-        # T4 save — message + rejected + unusable states, one parquet upsert
+        # T4 save — message + rejected + unusable states, one parquet
+        # upsert. Column lists are precomputed in __init__ (config-static);
+        # only the batch_id literal is per-batch.
+        batch_id_col = F.lit(batch_id).cast("long").alias("batch_id")
         msg_states = finalised.select(
-            F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
-            F.concat(
-                F.lit("E|" if cfg.batch_keyed_on_event_id else "S|"),
-                F.col("event_id" if cfg.batch_keyed_on_event_id else "shard_id"),
-            ).alias("shardOrEventID"),
-            F.when(F.col("rejectedish"), "rejected").otherwise("message").alias("kind"),
-            "identity",
-            "id",
-            "key",
-            "seqNo",
-            "event_id",
-            "event_seq_no",
-            "event_sub_seq_no",
-            "msg_md5",
-            "rec_md5",
-            "data_md5",
-            "tasks_json",
-            F.col("reason_rejected").alias("reason"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.lit(None).cast("long").alias("sketch_bucket"),
-            F.lit(None).cast("long").alias("sketch_r"),
+            *self._t4_msg_head, batch_id_col, *self._t4_tail
         )
         unusable_states = unusable.select(
-            F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
-            F.concat(F.lit("S|"), F.col("shard_id")).alias("shardOrEventID"),
-            F.lit("unusable").alias("kind"),
-            F.concat_ws("|", F.col("event_id"), F.col("data_md5")).alias("identity"),
-            "id",
-            "key",
-            "seqNo",
-            "event_id",
-            "event_seq_no",
-            "event_sub_seq_no",
-            "msg_md5",
-            "rec_md5",
-            "data_md5",
-            F.lit(None).cast("string").alias("tasks_json"),
-            F.col("reason_unusable").alias("reason"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.lit(None).cast("long").alias("sketch_bucket"),
-            F.lit(None).cast("long").alias("sketch_r"),
+            *self._t4_unusable_head, batch_id_col, *self._t4_tail
         )
         default_saved = False
         if obs is not None or n_messages or n_unusable:
@@ -1252,6 +1304,11 @@ class Engine:
                     )
                 )
                 default_saved = True
+        _mark("t4_plan_build")
+        # (r7 A/B: scoping AQE OFF around the save — its shuffles are all
+        # explicitly sized, so AQE only adds sub-job cadence — measured as
+        # pure noise across interleaved trials; keeping session AQE
+        # untouched.)
         if len(sink_jobs) == 1:
             sink_jobs[0]()
         elif sink_jobs:
@@ -1260,6 +1317,7 @@ class Engine:
             with ThreadPoolExecutor(len(sink_jobs)) as pool:
                 for fut in [pool.submit(j) for j in sink_jobs]:
                     fut.result()  # propagate the first failure
+        _mark("t4_save_write")
         if default_saved:
             # the written partitions now equal `states` exactly — serve the
             # next batch's T1 load from it (lazy over checkpointed inputs)
@@ -1279,11 +1337,12 @@ class Engine:
                 # zero rows were written: the cache would claim these
                 # shards hold nothing while disk still has their old rows
                 self._saved_state_cache = None
-            if n_rejected:
-                if cfg.discard_rejected_message is not None:
-                    cfg.discard_rejected_message(rejected, self)
-                else:
-                    _default_dmq()
+        _mark("obs_counters")
+        if obs is not None and n_rejected:
+            if cfg.discard_rejected_message is not None:
+                cfg.discard_rejected_message(rejected, self)
+            else:
+                _default_dmq()
         _mark("dlq_and_state_save")
 
         if _timing:

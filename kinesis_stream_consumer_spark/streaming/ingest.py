@@ -150,16 +150,31 @@ def extract_messages_from_kinesis_record(
     envelope columns: event_id, shard_id, event_seq_no, event_sub_seq_no,
     partition_key, explicit_hash_key, data_b64, event_source_arn,
     record_json."""
-    return records.select(
-        F.col("eventID").alias("event_id"),
-        F.split(F.col("eventID"), ":").getItem(0).alias("shard_id"),
-        F.col("kinesis.sequenceNumber").alias("event_seq_no"),
-        F.col("kinesis.partitionKey").alias("partition_key"),
-        F.col("kinesis.explicitHashKey").alias("explicit_hash_key"),
-        F.col("kinesis.data").alias("data_b64"),
-        F.col("eventSourceARN").alias("event_source_arn"),
-        F.to_json(F.struct(*records.columns)).alias("record_json"),
-    ).withColumn("event_sub_seq_no", F.lit(None).cast("long"))
+    df = records
+    for lvl in _kinesis_flat_levels(records.columns):
+        df = df.select(*lvl)
+    return df
+
+
+def _kinesis_flat_levels(record_columns) -> list:
+    """The non-KPL Kinesis flatten as projection-level Column lists —
+    one definition serving both the direct path and the per-engine
+    ingest column cache (see ``ingest``'s ``col_cache``)."""
+    return [
+        [
+            F.col("eventID").alias("event_id"),
+            F.split(F.col("eventID"), ":").getItem(0).alias("shard_id"),
+            F.col("kinesis.sequenceNumber").alias("event_seq_no"),
+            F.col("kinesis.partitionKey").alias("partition_key"),
+            F.col("kinesis.explicitHashKey").alias("explicit_hash_key"),
+            F.col("kinesis.data").alias("data_b64"),
+            F.col("eventSourceARN").alias("event_source_arn"),
+            F.to_json(
+                F.struct(*[F.col(c) for c in record_columns])
+            ).alias("record_json"),
+        ],
+        ["*", F.lit(None).cast("long").alias("event_sub_seq_no")],
+    ]
 
 
 def extract_messages_from_kpl_encoded_record(
@@ -329,7 +344,26 @@ def generate_kinesis_md5s(cols):
     }
 
 
-def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
+def _seam_free(config: EngineConfig) -> bool:
+    """True when ingest uses only the default (config-static) column path —
+    no pluggable fn seams, no KPL explode — so its Column forest can be
+    cached across micro-batches (seam fns may close over per-call state;
+    the defaults are pure functions of the config)."""
+    return (
+        config.extract_messages_from_record is None
+        and config.resolve_event_id_and_seq_nos is None
+        and config.extract_message_from_record is None
+        and config.generate_md5s is None
+        and config.resolve_message_ids_and_seq_nos is None
+        and not (config.stream_type != StreamType.dynamodb and config.kpl_encoded)
+    )
+
+
+def ingest(
+    records: DataFrame,
+    config: EngineConfig,
+    col_cache: dict | None = None,
+) -> IngestResult:
     """records → identified messages + unusable records (S3–S7, I1–I3, P1).
 
     Every step is a pluggable seam (reference kinesis-processing.js:284-299):
@@ -340,13 +374,46 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
     supplies the fingerprint columns, and
     ``config.resolve_message_ids_and_seq_nos`` overrides id/key/seqNo
     resolution. None ⇒ the defaults below.
-    """
+
+    ``col_cache``: optional caller-owned dict. On the seam-free default
+    path the entire expression forest (flatten select, decode chain,
+    identify/md5 select, unusable tagging) is a pure function of the
+    config and the record schema, but constructing it is ~0.2 s of py4j
+    round-trips — a real per-micro-batch driver cost. The engine passes a
+    per-instance dict so batch 2+ replays the cached projection-level
+    Column lists (Columns are unresolved expressions, reusable across
+    inputs of the same schema). The projection LEVELS are preserved
+    exactly (not inlined): data_str/msg_json are multiply-referenced, and
+    CollapseProject only spares multiply-referenced aliases when they are
+    materialized columns (CLAUDE.md lesson)."""
+    cache_key = ("ingest_levels", tuple(records.columns))
+    if col_cache is not None and _seam_free(config):
+        levels = col_cache.get(cache_key)
+        if levels is not None:
+            tagged = records
+            for lvl in levels:
+                tagged = tagged.select(*lvl)
+            messages = tagged.where(F.col("reason_unusable").isNull()).drop(
+                "reason_unusable", "parsed_ok"
+            )
+            unusable = tagged.where(
+                F.col("reason_unusable").isNotNull()
+            ).drop("parsed_ok")
+            return IngestResult(
+                messages=messages, unusable=unusable, tagged=tagged
+            )
+    flat_levels = None  # set only on the cacheable default Kinesis path
     if config.extract_messages_from_record is not None:
         flat = config.extract_messages_from_record(records, config)
     elif config.stream_type == StreamType.dynamodb:
         flat = _flatten_dynamodb(records, config)
-    else:
+    elif config.kpl_encoded:
         flat = _flatten_kinesis(records, config)
+    else:
+        flat_levels = _kinesis_flat_levels(records.columns)
+        flat = records
+        for lvl in flat_levels:
+            flat = flat.select(*lvl)
 
     # I2 seam: rewrite event_id / event_seq_no / event_sub_seq_no
     # (reference resolveEventIdAndSeqNos, kinesis-identify.js:54-68)
@@ -359,11 +426,14 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
         config.extract_message_from_record or extract_json_message_from_record
     )
     md5_gen = config.generate_md5s or generate_kinesis_md5s
-    decoded = (
-        flat.withColumn("data_str", F.unbase64(F.col("data_b64")).cast("string"))
-        .withColumn("msg_json", extract_msg(F.col("data_str")))
-        .withColumn("parsed_ok", F.col("msg_json").isNotNull())
-    )
+    decode_levels = [
+        ["*", F.unbase64(F.col("data_b64")).cast("string").alias("data_str")],
+        ["*", extract_msg(F.col("data_str")).alias("msg_json")],
+        ["*", F.col("msg_json").isNotNull().alias("parsed_ok")],
+    ]
+    decoded = flat
+    for lvl in decode_levels:
+        decoded = decoded.select(*lvl)
     md5s = md5_gen(
         {
             "data_str": F.col("data_str"),
@@ -410,7 +480,7 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
     if config.resolve_message_ids_and_seq_nos is not None:
         id_cols.update(config.resolve_message_ids_and_seq_nos(config) or {})
 
-    identified = decoded.select(
+    identify_level = [
         "event_id",
         "shard_id",
         "event_seq_no",
@@ -430,7 +500,8 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
         id_cols["key"].alias("key"),
         id_cols["seqNo"].alias("seqNo"),
         id_cols["seq_no_parts"].alias("seq_no_parts"),
-    )
+    ]
+    identified = decoded.select(*identify_level)
 
     # Mandatory-property enforcement (I3): keys mandatory in per-key mode,
     # seqNo parts mandatory when sequencing — missing ⇒ unusable (throw in
@@ -455,9 +526,18 @@ def ingest(records: DataFrame, config: EngineConfig) -> IngestResult:
         )
     reason_unusable = F.coalesce(*reasons, F.lit(None).cast("string"))
 
-    tagged = identified.withColumn("reason_unusable", reason_unusable)
+    tag_level = ["*", reason_unusable.alias("reason_unusable")]
+    tagged = identified.select(*tag_level)
     messages = tagged.where(F.col("reason_unusable").isNull()).drop(
         "reason_unusable", "parsed_ok"
     )
     unusable = tagged.where(F.col("reason_unusable").isNotNull()).drop("parsed_ok")
+    if (
+        col_cache is not None
+        and flat_levels is not None
+        and _seam_free(config)
+    ):
+        col_cache[cache_key] = (
+            flat_levels + decode_levels + [identify_level, tag_level]
+        )
     return IngestResult(messages=messages, unusable=unusable, tagged=tagged)
