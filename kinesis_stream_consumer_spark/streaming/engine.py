@@ -961,10 +961,19 @@ class Engine:
         # Task sizing falls back to full session width (scale-safe; a
         # micro-batch pays slightly wider-than-ideal tasks exactly once).
         cold_overlap = (
-            not warm_overlap and cache is None and not self.state._exists
+            not warm_overlap and cache is None and self.state.is_empty()
         )
-        if fused and cfg.load_batch_state is None and (
-            warm_overlap or cold_overlap
+        # pre_process_batch gates the overlap OFF: _build_phase2 invokes the
+        # hook, and the speculative build may be discarded and rebuilt (shards
+        # outside cache coverage) — a side-effecting hook would fire twice per
+        # batch where the reference calls preProcessBatch exactly once
+        # (kinesis-processing.js:292-298). With the hook set, phase 2 builds
+        # exactly once on the kept plan.
+        if (
+            fused
+            and cfg.load_batch_state is None
+            and cfg.pre_process_batch is None
+            and (warm_overlap or cold_overlap)
         ):
             if self._plan_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
@@ -1251,9 +1260,14 @@ class Engine:
                 states = states.unionByName(
                     self._additive_sketch_rows(
                         cms_counters(
+                            # non-keyed configs canonicalise key to NULL for
+                            # every message — hashing NULL would save one
+                            # meaningless NULL-bucket register per batch that
+                            # merges additively forever (mirror the qsketch
+                            # isNotNull guard)
                             finalised.select(
                                 sketch_shard.alias("shardOrEventID"), "key"
-                            ),
+                            ).where(F.col("key").isNotNull()),
                             "shardOrEventID",
                             F.col("key"),
                         ),

@@ -62,6 +62,17 @@ class StateStore:
         self.spark = spark
         self.path = path
 
+    def is_empty(self) -> bool:
+        """True when the store holds NO prior state for any consumer/shard.
+
+        Part of the public StateStore contract: the engine's cold-start
+        plan overlap relies on it to prove the prior slice is empty for
+        EVERY shard before speculatively building phase 2 against an empty
+        prior. A subclass overriding ``load``/``save`` to a different
+        layout (Delta, DynamoDB, ...) MUST override this too, or batch-1
+        revives against pre-existing state would be silently dropped."""
+        return not self._exists
+
     @property
     def _exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -87,7 +98,23 @@ class StateStore:
         are replaced; everything else is untouched. ``n_partitions`` sizes
         the pre-write shuffle (callers that know the shard count pass it:
         a 4-shard micro-batch doesn't need the session's full shuffle
-        width of near-empty write tasks)."""
+        width of near-empty write tasks).
+
+        COMMITTER ASSUMPTION (load-bearing for the engine's fused
+        save+counters path): the engine makes this save the action that
+        materializes the lazily-checkpointed exec frame, whose revive-join
+        READS the very partitions the save REPLACES. That is safe iff the
+        committer deletes replaced partition files only at commitJob —
+        true for the built-in Hadoop FileOutputCommitter used on
+        local/HDFS paths (tasks write to a staging dir; the dynamic
+        overwrite swap happens after every task, and therefore every read
+        of the prior files, has finished). A committer with EAGER deletes
+        (some S3 direct-write committers) would let replayed tasks read
+        their own freshly-saved state — double-counted attempts. On such
+        a store, checkpoint eagerly before save (engine fallback) or use a
+        transactional table format (Delta MERGE).
+        ``tests/test_engine.py::test_fused_save_overwrite_under_read``
+        pins the single-counted-attempts behavior."""
         slim = states.select(*[f.name for f in STATE_SCHEMA.fields])
         slim = (
             slim.repartition(n_partitions, "streamConsumerId", "shardOrEventID")

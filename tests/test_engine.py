@@ -504,6 +504,30 @@ def test_hooks_fire(spark, tmp_path):
     assert calls == ["pre_process", "pre_finalise", ("post", 5)]
 
 
+def test_pre_process_batch_fires_exactly_once_per_batch(spark, tmp_path):
+    """F3 hook cardinality under the stats/plan overlap: _build_phase2 may
+    run twice per batch (speculative build + legacy rebuild when the batch
+    touches shards outside cache coverage), so a configured
+    pre_process_batch gates the overlap OFF — the reference calls
+    preProcessBatch exactly once per batch (kinesis-processing.js:292-298)
+    and a side-effecting hook must never see a discarded speculative
+    plan. Three warm batches ⇒ exactly three invocations."""
+    count = {"n": 0}
+
+    def hook(df, e):
+        count["n"] += 1
+        return None
+
+    eng = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("t1", noop)],
+        pre_process_batch=hook,
+    )
+    for b in (1, 2, 3):
+        res = eng.process_batch(records_df(spark, 8), batch_id=b)
+        assert res.messages == 8
+        assert count["n"] == b
+
+
 def test_empty_batch(spark, tmp_path):
     """Streaming triggers with no new data deliver empty micro-batches —
     the lifecycle must no-op cleanly (no state write, no DLQ, no raise)."""
@@ -845,3 +869,51 @@ def test_fused_finalise_equals_two_stage(spark, tmp_path):
         _json.loads(by_id["d1"]["tasks_json"])
     )
     assert "b1" in by_id and len(fused_out) == 6           # dup dropped
+
+
+def test_fused_save_overwrite_under_read(spark, tmp_path):
+    """Pins the committer assumption documented at StateStore.save: the
+    fused save+counters job is the action that materializes the lazy exec
+    checkpoint, so the revive-join READS the very (consumer, shard)
+    partitions the dynamic-overwrite save REPLACES. With a commit-time
+    committer (built-in Hadoop FileOutputCommitter) every read of the
+    prior files finishes before the swap, and revived attempts stay
+    single-counted — a failed task revived once re-runs with attempts
+    exactly 2, never 3 (3 would mean a task replayed against its own
+    freshly-saved state). Fresh Engine per batch forces the revive to
+    read from the parquet on disk (no warm cache, no cold overlap)."""
+
+    def always_fails(message, task):
+        raise RuntimeError("keep failing")
+
+    eng1 = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("t1", always_fails)],
+        max_number_of_attempts=10,
+    )
+    with pytest.raises(BatchReplayError):
+        eng1.process_batch(records_df(spark, 12), batch_id=1)
+    first = tasks_of(eng1)
+    # chain heads failed once; successors blocked (attempts 0)
+    assert {t["t1"]["attempts"] for t in first.values()} <= {0, 1}
+    assert any(t["t1"]["attempts"] == 1 for t in first.values())
+
+    # batch 2: same records, fresh engine ⇒ revive reads the state parquet
+    # inside the same job whose save overwrites those partitions
+    eng2 = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("t1", always_fails)],
+        max_number_of_attempts=10,
+    )
+    assert not eng2.state.is_empty()
+    with pytest.raises(BatchReplayError):
+        eng2.process_batch(records_df(spark, 12), batch_id=2)
+    second = tasks_of(eng2)
+    assert set(second) == set(first)
+    for ident, t in second.items():
+        prev = first[ident]["t1"]["attempts"]
+        got = t["t1"]["attempts"]
+        # every revived head increments exactly once; never double-counted
+        assert got == prev + (1 if prev >= 1 else 0) or (prev == 0 and got <= 1), (
+            ident, prev, got,
+        )
+    assert any(t["t1"]["attempts"] == 2 for t in second.values())
+    assert all(t["t1"]["attempts"] <= 2 for t in second.values())
