@@ -89,6 +89,13 @@ def main() -> None:
         "sim_nprobe_recall_sweep",
         "text_tokenizer_fertility",
         "curation_filter_funnel",
+        # r7 decorrelations + sketch/join additions + engine sketches
+        "q17_small_quantity_revenue",
+        "q21_suppliers_kept_waiting",
+        "agg_qsketch_quantiles",
+        "join_bloom_pruned",
+        "engine_cms_key_freq",
+        "engine_qsketch_seqno_spread",
     ]
     sections = [HEADER]
     for name in names:
