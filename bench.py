@@ -261,6 +261,31 @@ def main() -> None:
             "msgs_per_sec": round(n_msgs / stream_sec, 1),
         },
     }
+
+    # Interleaved A/B of the engine sections vs the pinned base ref
+    # (tests/ab_base_ref.txt = last round's final commit; override with
+    # SPARK_GRAFT_AB_BASE, disable with SPARK_GRAFT_AB=0). Absolute msg/s
+    # on this host drifts 1.4× between identical runs hours apart, so
+    # THESE RATIOS — NEW/OLD medians from arms run back-to-back in the
+    # same window, each arm a fresh JVM behind the same quiet gate — are
+    # the regression signal, not the absolutes above (VERDICT r7 #1c).
+    # Runs AFTER spark.stop() so our own JVM isn't load under the arms.
+    ab_base = os.environ.get("SPARK_GRAFT_AB_BASE")
+    if ab_base is None:
+        ref_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "ab_base_ref.txt",
+        )
+        if os.path.exists(ref_file):
+            ab_base = open(ref_file).read().strip()
+    if ab_base and os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+        spark.stop()
+        try:
+            from tests.bench_engine_only import ab
+
+            out["engine_ab"] = ab(ab_base, trials=2)
+        except Exception as e:  # never fail the bench over the A/B extra
+            out["engine_ab"] = {"base_ref": ab_base, "error": str(e)[:500]}
     print(json.dumps(out))
 
 

@@ -212,6 +212,14 @@ def quantized_vector_rows(vectors: DataFrame, id_col: str = "vec_id",
     )
 
 
+# Sub-phase wall-clock of the MOST RECENT fit call (sample collect vs
+# driver Lloyd) — callers that cache trained models (plans.llm_pipeline)
+# copy these into their per-parameter BUILD_MARKS so a train-mark
+# regression self-attributes to collect / numpy / assignment instead of
+# shipping as one opaque number (VERDICT r7 #1).
+FIT_MARKS: dict[str, float] = {}
+
+
 def _collect_quantized_sample(
     vectors: DataFrame, id_col: str, vec_col: str, sample_mod: int
 ):
@@ -329,10 +337,16 @@ def kmeans_fit_quantized(
     literals and BROADCASTS into the one full-corpus pass, the final
     assignment — a scan-fused broadcast join + two hash aggregates, no
     materialization of the exploded corpus."""
+    import time as _time
+
     spark = vectors.sparkSession
     q = quantized_vector_rows(vectors, id_col, vec_col)
+    t0 = _time.perf_counter()
     vids, X = _collect_quantized_sample(vectors, id_col, vec_col, sample_mod)
+    t1 = _time.perf_counter()
     rows = _lloyd_train_driver(vids, X, k, n_iter, sample_mod)
+    FIT_MARKS["sample_collect"] = round(t1 - t0, 3)
+    FIT_MARKS["lloyd"] = round(_time.perf_counter() - t1, 3)
     cents = spark.createDataFrame(rows, schema="cell INT, pos INT, qc BIGINT")
     # final assignment against the trained centroids
     dists = (
@@ -675,9 +689,15 @@ def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
     one-off parse/codegen of that expression costs ~2× the fused
     aggregate at bench scale; the aggregate's exchange carries one row
     of m longs per vector, which is not the bottleneck at any scale.)"""
+    import time as _time
+
     spark = vectors.sparkSession
+    t0 = _time.perf_counter()
     vids, X = _collect_quantized_sample(vectors, id_col, vec_col, sample_mod)
+    t1 = _time.perf_counter()
     rows = _lloyd_train_driver(vids, X, k, n_iter, sample_mod, m=m)
+    FIT_MARKS["sample_collect"] = round(t1 - t0, 3)
+    FIT_MARKS["lloyd"] = round(_time.perf_counter() - t1, 3)
     cents = spark.createDataFrame(
         rows, schema="sub INT, cell INT, pos INT, qc BIGINT"
     )

@@ -1,21 +1,45 @@
 """Engine + sustained-streaming throughput only — the bench.py section,
 extracted for fast A/B during engine work (full bench takes ~6 min; this
-~90 s). Same warm-up policy as bench.py. Prints one JSON line."""
+~90 s). Same warm-up AND wait-for-quiet policy as bench.py (VERDICT r7 #4:
+the first judge invocation right after bench.py recorded 1,292 msg/s
+garbage because this script had no pre-gate). Prints one JSON line.
+
+A/B mode (VERDICT r7 #1c) — absolute msg/s on this host drifts 1.4×
+between identical runs hours apart, so the ONLY trustworthy regression
+signal is an interleaved same-window ratio:
+
+    python tests/bench_engine_only.py --ab BASE_REF [--trials N]
+
+checks out BASE_REF into a git worktree and runs NEW/OLD interleaved
+(N,O,N,O,...), N trials per arm, each in a fresh subprocess/JVM with the
+same pre-gate, then prints the NEW/OLD ratio of per-arm medians for the
+engine and streaming sections. Ratio > 1 means NEW is faster.
+"""
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pyspark.sql import functions as F
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main() -> None:
+def _single() -> dict:
+    from bench import wait_for_quiet_box
+
+    # pre-gate BEFORE the JVM starts and stamp the load we actually
+    # started timing at — not the post-run load a just-finished sibling
+    # process no longer shows
+    loadavg_pre, load_contaminated = wait_for_quiet_box()
+
+    from pyspark.sql import functions as F
+
     from kinesis_stream_consumer_spark.session import get_spark
 
     spark = get_spark("bench-engine")
@@ -82,22 +106,100 @@ def main() -> None:
     q.awaitTermination(600)
     stream_sec = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "engine": {
-                    "sec": engine_sec,
-                    "msgs_per_sec": round(n_msgs / engine_sec, 1),
-                },
-                "streaming": {
-                    "sec": stream_sec,
-                    "msgs_per_sec": round(n_msgs / stream_sec, 1),
-                },
-                "loadavg": round(os.getloadavg()[0], 2),
-            }
-        )
-    )
+    out = {
+        "engine": {
+            "sec": engine_sec,
+            "msgs_per_sec": round(n_msgs / engine_sec, 1),
+        },
+        "streaming": {
+            "sec": stream_sec,
+            "msgs_per_sec": round(n_msgs / stream_sec, 1),
+        },
+        "loadavg_pre": round(loadavg_pre, 2),
+        "load_contaminated": load_contaminated,
+        "loadavg": round(os.getloadavg()[0], 2),
+    }
     spark.stop()
+    return out
+
+
+def _run_arm(tree: str, label: str) -> dict:
+    """One trial in a fresh subprocess rooted at `tree` (its own JVM; the
+    script version in that tree runs, so OLD arms run OLD code). The
+    parent pre-gates on load BEFORE spawning: the OLD tree's script may
+    predate the in-process gate, and an arm launched into the previous
+    arm's JVM-teardown load would bias the ratio."""
+    from bench import wait_for_quiet_box
+
+    wait_for_quiet_box()
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # each tree resolves its own package
+    proc = subprocess.run(
+        [sys.executable, os.path.join(tree, "tests", "bench_engine_only.py")],
+        cwd=tree, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{label} arm failed (rc={proc.returncode}): {proc.stderr[-2000:]}"
+        )
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def ab(base_ref: str, trials: int = 2) -> dict:
+    """Interleaved NEW/OLD A/B: NEW = this tree, OLD = `base_ref` in a git
+    worktree. Returns per-arm runs + NEW/OLD median ratios."""
+    wt = os.path.join(
+        tempfile.gettempdir(), f"ksc-ab-{base_ref.replace('/', '_')}"
+    )
+    if not os.path.isdir(os.path.join(wt, "tests")):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", "-f", wt, base_ref],
+            cwd=REPO, check=True, capture_output=True, text=True,
+        )
+    runs: list = []
+    for t in range(trials):
+        for label, tree in (("new", REPO), ("old", wt)):
+            r = _run_arm(tree, label)
+            r["arm"] = label
+            runs.append(r)
+            print(
+                f"ab trial {t} {label}: engine {r['engine']['msgs_per_sec']}"
+                f" streaming {r['streaming']['msgs_per_sec']} msg/s",
+                file=sys.stderr,
+            )
+
+    def med(label, section):
+        return statistics.median(
+            r[section]["msgs_per_sec"] for r in runs if r["arm"] == label
+        )
+
+    return {
+        "base_ref": base_ref,
+        "trials_per_arm": trials,
+        "engine_ratio": round(med("new", "engine") / med("old", "engine"), 3),
+        "streaming_ratio": round(
+            med("new", "streaming") / med("old", "streaming"), 3
+        ),
+        "new": {
+            "engine": [r["engine"]["msgs_per_sec"] for r in runs if r["arm"] == "new"],
+            "streaming": [r["streaming"]["msgs_per_sec"] for r in runs if r["arm"] == "new"],
+        },
+        "old": {
+            "engine": [r["engine"]["msgs_per_sec"] for r in runs if r["arm"] == "old"],
+            "streaming": [r["streaming"]["msgs_per_sec"] for r in runs if r["arm"] == "old"],
+        },
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and args[0] == "--ab":
+        base = args[1]
+        trials = int(args[args.index("--trials") + 1]) if "--trials" in args else 2
+        print(json.dumps({"ab": ab(base, trials)}))
+        return
+    print(json.dumps(_single()))
 
 
 if __name__ == "__main__":
