@@ -540,3 +540,169 @@ HLL_S_AGG_SQL = (
 
 def hll_est_sql(s_col: str) -> str:
     return f"(({_HLL_NUM2} + {s_col} * 1000000) // (2 * {s_col} * 1000000))"
+
+
+# --- Mergeable weighted-reservoir (priority) sampling sketch ---------------
+
+# The sampling member of the sketch family (VERDICT r7 #5): a per-group
+# BOUNDED-SIZE weight-proportional sample whose registers merge across
+# partitions / micro-batches, in the priority-sampling formulation of
+# Duffield, Lund, Thorup ("Priority sampling for estimation of arbitrary
+# subset sums", JACM 2007): draw u_i uniform, give item i priority
+# q_i = w_i / u_i, keep the n largest-priority items, and estimate any
+# subset-sum unbiasedly with w_hat_i = max(w_i, tau) where tau is the
+# (n+1)-st priority. Here every step is DETERMINISTIC and integer-exact
+# so a DuckDB oracle reproduces the selected set and every estimate
+# bit-for-bit:
+#
+#   u_i  = md5_u56_le(id)               (56-bit md5 integer, u_i/2^56 is
+#                                        the uniform draw)
+#   pri_i = u_i div max(w_i, 1)         (ascending (pri, id) order ==
+#                                        descending-priority order up to
+#                                        the integer floor; id tiebreak)
+#   register = the n+1 smallest (pri, id) rows per group — the sample
+#              PLUS the threshold row the estimator needs
+#   tau_w = 2^56 div max(pri_(n+1), 1)  (the (n+1)-st priority mapped
+#                                        back to weight units)
+#   w_est = max(w, tau_w); a group with <= n items has no threshold row
+#           and is EXACT (w_est = w, the sample is the whole group).
+#
+# Merge rule: union register frames and re-take the n+1 smallest — a
+# MIN-merge like the HLL registers, hence IDEMPOTENT: merging a partial
+# sketch twice (at-least-once replay) changes nothing, which additive
+# sketches (CMS) cannot promise. Uniform sampling is the w = 1 special
+# case. At 100 TB the shuffle carries at most (n+1) rows per group per
+# map partition (the rank-filtered row_number window plans as
+# WindowGroupLimit, pushing a partial top-(n+1) below the exchange);
+# the corpus itself never re-shuffles.
+RSV_SCALE = 1 << 56
+
+
+def reservoir_rows(
+    df: DataFrame, group_col: str, id_col: str, weight: Column
+) -> DataFrame:
+    """(g, id, w, pri) keyed rows: the deterministic priority key per
+    item. ``id`` is hashed via its STRING form so DuckDB's
+    ``md5_number_upper(CAST(id AS VARCHAR)) >> 8`` reproduces u_i."""
+    return df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        weight.cast("long").alias("w"),
+    ).select(
+        "g",
+        "id",
+        "w",
+        md5_u56_le(F.col("id").cast("string")).alias("u"),
+    )
+
+
+def _rank_registers(rows: DataFrame, n: int) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("g").orderBy("pri", "id")
+    return rows.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= n + 1
+    )
+
+
+def reservoir_keys(
+    df: DataFrame, group_col: str, id_col: str, weight: Column
+) -> DataFrame:
+    """(g, id, w, pri) — every item with its deterministic priority key.
+    Works on streams too (pure column expressions); the streaming twin
+    feeds this into the stateful register keeper."""
+    return reservoir_rows(df, group_col, id_col, weight).select(
+        "g",
+        "id",
+        "w",
+        F.expr("u div GREATEST(w, CAST(1 AS BIGINT))").alias("pri"),
+    )
+
+
+def reservoir_registers(
+    df: DataFrame, group_col: str, id_col: str, weight: Column, n: int
+) -> DataFrame:
+    """(g, id, w, pri, rank) — the n+1 smallest-key rows per group (the
+    sample plus the estimator's threshold row)."""
+    return _rank_registers(reservoir_keys(df, group_col, id_col, weight), n)
+
+
+def reservoir_merge(parts: DataFrame, n: int) -> DataFrame:
+    """Merge partial register frames (a union of reservoir_registers
+    outputs): re-take the n+1 smallest (pri, id) per group. Min-merge —
+    idempotent under replay and associative across partitions /
+    micro-batches."""
+    return _rank_registers(
+        parts.select("g", "id", "w", "pri").dropDuplicates(["g", "id"]),
+        n,
+    )
+
+
+def reservoir_sample(registers: DataFrame, n: int) -> DataFrame:
+    """(g, rank, id, w, w_est) — the final sample with the
+    Duffield-Lund-Thorup subset-sum estimator attached.
+
+    SUM(w_est) over any subset of the sample estimates that subset's
+    true total weight; for a group the register holds entirely
+    (<= n items) the estimate is exact. The per-group threshold is an
+    aggregate over the <= n+1 register rows — driver-free."""
+    thr = registers.groupBy("g").agg(
+        F.max(
+            F.when(F.col("rank") == n + 1, F.col("pri"))
+        ).alias("_tpri")
+    )
+    return (
+        registers.where(F.col("rank") <= n)
+        .join(thr, "g")
+        .select(
+            "g",
+            "rank",
+            "id",
+            "w",
+            F.expr(
+                f"CASE WHEN _tpri IS NULL THEN w "
+                f"ELSE GREATEST(w, {RSV_SCALE} div "
+                f"GREATEST(_tpri, CAST(1 AS BIGINT))) END"
+            ).alias("w_est"),
+        )
+    )
+
+
+def reservoir_oracle_cte(
+    source_sql: str, group_expr: str, id_expr: str, weight_expr: str, n: int
+) -> str:
+    """DuckDB CTE block (names rsv_*): ``rsv_reg`` yields
+    (g, id, w, pri, rank) and ``rsv_out`` yields (g, rank, id, w, w_est)
+    with identical integer arithmetic (md5_number_upper >> 8 ==
+    md5_u56_le; // on non-negative operands == div)."""
+    return f"""
+    rsv_v AS (
+      SELECT {group_expr} AS g, {id_expr} AS id,
+             CAST({weight_expr} AS BIGINT) AS w
+      FROM {source_sql}
+    ),
+    rsv_p AS (
+      SELECT g, id, w,
+             CAST((md5_number_upper(CAST(id AS VARCHAR)) >> 8) AS BIGINT)
+               // GREATEST(w, CAST(1 AS BIGINT)) AS pri
+      FROM rsv_v
+    ),
+    rsv_reg AS (
+      SELECT * FROM (
+        SELECT g, id, w, pri,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY pri, id) AS rank
+        FROM rsv_p)
+      WHERE rank <= {n + 1}
+    ),
+    rsv_thr AS (
+      SELECT g, MAX(CASE WHEN rank = {n + 1} THEN pri END) AS tpri
+      FROM rsv_reg GROUP BY g
+    ),
+    rsv_out AS (
+      SELECT r.g, r.rank, r.id, r.w,
+             CASE WHEN t.tpri IS NULL THEN r.w
+                  ELSE GREATEST(r.w, CAST({RSV_SCALE} AS BIGINT)
+                       // GREATEST(t.tpri, CAST(1 AS BIGINT))) END AS w_est
+      FROM rsv_reg r JOIN rsv_thr t USING (g)
+      WHERE r.rank <= {n}
+    )"""

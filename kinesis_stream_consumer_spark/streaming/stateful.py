@@ -42,6 +42,77 @@ def _update_running_stats(
     )
 
 
+RESERVOIR_OUT_SCHEMA = (
+    "g string, id bigint, w bigint, pri bigint, rank int, b bigint"
+)
+_RESERVOIR_STATE_SCHEMA = (
+    "ids array<bigint>, ws array<bigint>, pris array<bigint>, b bigint"
+)
+
+
+def _make_reservoir_update(n: int):
+    """Stateful keeper for the priority-sampling register (operators/
+    sketches.py reservoir_*): per group, the n+1 smallest (pri, id) rows
+    across all micro-batches. The merge is the sketch's MIN-merge —
+    idempotent, so at-least-once re-delivery of a batch leaves the
+    register unchanged (unlike additive sketch deltas). State is the
+    register itself: <= n+1 triples per group, bounded forever."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, ws, pris, b = state.get
+            items = {
+                int(i): (int(w), int(p)) for i, w, p in zip(ids, ws, pris)
+            }
+        else:
+            items, b = {}, 0
+        for pdf in pdfs:
+            for i, w, p in zip(pdf["id"], pdf["w"], pdf["pri"]):
+                items[int(i)] = (int(w), int(p))
+        kept = sorted(items.items(), key=lambda kv: (kv[1][1], kv[0]))[: n + 1]
+        b += 1
+        state.update(
+            (
+                [i for i, _ in kept],
+                [w for _, (w, _) in kept],
+                [p for _, (_, p) in kept],
+                b,
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "g": key[0],
+                    "id": i,
+                    "w": w,
+                    "pri": p,
+                    "rank": r + 1,
+                    "b": b,
+                }
+                for r, (i, (w, p)) in enumerate(kept)
+            ]
+        )
+
+    return update
+
+
+def streaming_reservoir(keyed_stream: DataFrame, n: int) -> DataFrame:
+    """Streaming twin of the batch reservoir sketch: feed
+    ``sketches.reservoir_keys(stream, ...)`` in, get the live per-group
+    register (with rank and a batch counter) out after every micro-batch.
+    Update-mode sink expected; the final register equals the batch
+    sketch over the same rows (pinned in test_reservoir)."""
+    return keyed_stream.groupBy("g").applyInPandasWithState(
+        _make_reservoir_update(n),
+        outputStructType=RESERVOIR_OUT_SCHEMA,
+        stateStructType=_RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_stats(events_stream: DataFrame) -> DataFrame:
     """Per-user running event count / value sum over an unbounded stream.
 

@@ -656,3 +656,25 @@ def test_bloom_pruned_join_shrinks_fact_exchange(spark):
     assert pruned < ungated / 5
     assert ungated >= n_fact  # fact side really did shuffle whole
     assert pruned <= n_pass + od_f.count() + 64  # pass + build (+agg rows)
+
+
+def test_reservoir_register_shuffle_bounded_by_sample_size(spark):
+    """Priority-sampling register: the rank-filtered row_number window
+    plans as WindowGroupLimit, so each map partition ships at most n+1
+    rows per group into the exchange — the shuffle is register-bounded,
+    never a row per document."""
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+    from kinesis_stream_consumer_spark.operators import text as T
+
+    docs = _docs(spark).select("doc_id", "lang", "text")
+    n_rows = docs.count()
+    n_groups = docs.select("lang").distinct().count()
+    n = 8
+    regs = SK.reservoir_registers(
+        docs, "lang", "doc_id", T.bpe_ish_token_count(F.col("text")), n
+    )
+    regs.collect()
+    s = shuffle_stats(regs)
+    n_parts = docs.rdd.getNumPartitions()
+    assert s["shuffle_records"] <= (n + 1) * n_groups * max(n_parts, 1)
+    assert s["shuffle_records"] < n_rows / 10
