@@ -633,6 +633,83 @@ def semantic_dedup(
     )
 
 
+def embedding_contamination(
+    vectors: DataFrame,
+    fit: DataFrame,
+    eval_bucket_lt: int = 500,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    bcast_eval=None,
+) -> DataFrame:
+    """Embedding-space train/eval contamination check — the semantic twin
+    of the n-gram ``curation.ngram_contamination`` (VERDICT r7 #6): for
+    every EVAL vector (deterministic md5 hash-bucket split, the same 5%
+    rule as the shingle check), find its nearest TRAIN vector by exact
+    cosine restricted to coarse-cell mates, and flag contamination at a
+    threshold. Returns one row per eval vector:
+    (vec_id, cell_id, n_cand, max_cos, contaminated) — max_cos is -1.0
+    for eval vectors whose cell holds no train mates (n_cand = 0).
+
+    Scale shape: candidates are bounded by the trained cell structure
+    (SemDeDup's answer to all-pairs cosine — k grows with the corpus so
+    cell sizes stay bounded); the corpus shuffles ONCE on cell_id, or
+    not at all when the eval side is small enough to broadcast (the
+    realistic decontamination case: eval benchmarks are thousands of
+    docs against a 100 TB train corpus — pass ``bcast_eval`` to apply a
+    stats-gated broadcast hint to the eval side). The assignment frame
+    is checkpointed so the Lloyd fit and norms compute once.
+    """
+    from kinesis_stream_consumer_spark.operators.curation import hash_bucket
+
+    assigned = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .join(fit.select(F.col(id_col).alias("vid"), "cell_id"), "vid")
+        .withColumn("nrm", l2_norm(F.col("vec")))
+        .withColumn("_hb", hash_bucket(F.col("vid")))
+        .localCheckpoint(eager=True)
+    )
+    ev = assigned.where(F.col("_hb") < eval_bucket_lt)
+    tr = assigned.where(F.col("_hb") >= eval_bucket_lt)
+    if bcast_eval is not None:
+        ev = bcast_eval(ev)
+    sim = F.round(
+        dot(F.col("e.vec"), F.col("t.vec")) / (F.col("e.nrm") * F.col("t.nrm")),
+        round_digits,
+    ).alias("cs")
+    hits = (
+        ev.alias("e")
+        .join(tr.alias("t"), F.col("e.cell_id") == F.col("t.cell_id"))
+        .select(F.col("e.vid").alias("vid"), sim)
+        .groupBy("vid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.max("cs").alias("max_cos"),
+        )
+    )
+    thr = float(threshold)
+    return (
+        ev.select("vid", "cell_id")
+        .join(hits, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell_id",
+            F.coalesce(F.col("n_cand"), F.lit(0).cast("long")).alias("n_cand"),
+            F.coalesce(F.col("max_cos"), F.lit(-1.0).cast("double")).alias(
+                "max_cos"
+            ),
+            F.when(
+                F.col("max_cos") >= F.expr(f"CAST({thr!r} AS DOUBLE)"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
 # --- Product quantization (PQ) ---------------------------------------------
 
 def pq_sub_rows(vectors: DataFrame, m: int = 8, dim: int = 64,

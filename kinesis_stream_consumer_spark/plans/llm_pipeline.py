@@ -19,6 +19,7 @@ from kinesis_stream_consumer_spark.operators import text as T
 from kinesis_stream_consumer_spark.functions.numeric import round_half_up
 from kinesis_stream_consumer_spark.plans.queries import (
     QUERIES,
+    _bcast_if_small,
     _t,
     _table_row_count,
     register,
@@ -1151,6 +1152,92 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit, _ = _coarse_model(spark, sf_dir, k=_SEMANTIC_K)
     return S.semantic_dedup(
         emb, k=_SEMANTIC_K, n_iter=_KMEANS_ITER, threshold=0.35, fit=fit
+    ).orderBy("vec_id")
+
+
+_CONTAM_EVAL_LT = 500  # 5% eval slice, same md5-bucket rule as the
+# n-gram contamination check (curation_contamination)
+_CONTAM_THRESHOLD = 0.35
+
+
+@register(
+    "curation_contamination_embedding",
+    f"""
+    WITH {_kmeans_ctes(k=_SEMANTIC_K)},
+    dims AS (SELECT unnest(generate_series(1, {_DIM})) AS i),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id
+    ),
+    hb AS (
+      SELECT vec_id,
+             CAST(md5_number_upper(CAST(vec_id AS VARCHAR))::HUGEINT
+                  % 10000 AS INT) AS _hb
+      FROM embeddings
+    ),
+    ev AS (
+      SELECT f.vid, f.cell FROM fa f
+      JOIN hb ON hb.vec_id = f.vid WHERE hb._hb < {_CONTAM_EVAL_LT}
+    ),
+    tr AS (
+      SELECT f.vid, f.cell FROM fa f
+      JOIN hb ON hb.vec_id = f.vid WHERE hb._hb >= {_CONTAM_EVAL_LT}
+    ),
+    pairs AS (
+      SELECT e.vid AS evid, t.vid AS tvid
+      FROM ev e JOIN tr t ON t.cell = e.cell
+    ),
+    dots AS (
+      SELECT p.evid, p.tvid,
+             SUM(CAST(ea.embedding[d.i] AS DOUBLE)
+                 * CAST(eb.embedding[d.i] AS DOUBLE)) AS dp
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.evid
+      JOIN embeddings eb ON eb.vec_id = p.tvid
+      CROSS JOIN dims d
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT evid, ROUND(dp / (na.nrm * nb.nrm), 4) AS cs
+      FROM dots
+      JOIN norms na ON na.vec_id = evid
+      JOIN norms nb ON nb.vec_id = tvid
+    ),
+    agg AS (
+      SELECT evid, CAST(COUNT(*) AS BIGINT) AS n_cand, MAX(cs) AS max_cos
+      FROM sims GROUP BY evid
+    )
+    SELECT e.vid AS vec_id, e.cell AS cell_id,
+           COALESCE(a.n_cand, 0) AS n_cand,
+           COALESCE(a.max_cos, CAST(-1.0 AS DOUBLE)) AS max_cos,
+           CAST(CASE WHEN a.max_cos >= CAST({_CONTAM_THRESHOLD!r} AS DOUBLE)
+                     THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM ev e LEFT JOIN agg a ON a.evid = e.vid
+    ORDER BY vec_id
+    """,
+    doc="Embedding-space train/eval contamination check (VERDICT r7 #6) — "
+    "the semantic twin of the n-gram curation_contamination: the "
+    "deterministic 5% md5-bucket eval slice is scored against the train "
+    "corpus by EXACT cosine restricted to trained-coarse-cell mates "
+    "(the k=32 SemDeDup cells, model shared with dedup_semantic), "
+    "reporting per-eval-vector the candidate count, nearest-train "
+    "cosine, and a contamination flag at τ=0.35. The decontamination "
+    "pass real LLM pipelines run next to the n-gram one: paraphrased or "
+    "re-embedded leakage has no shared shingles but lands in the same "
+    "semantic cell. Candidates are bounded by the cell structure — k "
+    "grows with the corpus, never all-pairs — and the eval side takes a "
+    "stats-gated broadcast hint (eval benchmarks are small next to a "
+    "100 TB train corpus), so the train corpus never re-shuffles.",
+)
+def curation_contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    fit, _ = _coarse_model(spark, sf_dir, k=_SEMANTIC_K)
+    return S.embedding_contamination(
+        emb,
+        fit,
+        eval_bucket_lt=_CONTAM_EVAL_LT,
+        threshold=_CONTAM_THRESHOLD,
+        bcast_eval=lambda df: _bcast_if_small(df, sf_dir, "embeddings"),
     ).orderBy("vec_id")
 
 

@@ -678,3 +678,44 @@ def test_reservoir_register_shuffle_bounded_by_sample_size(spark):
     n_parts = docs.rdd.getNumPartitions()
     assert s["shuffle_records"] <= (n + 1) * n_groups * max(n_parts, 1)
     assert s["shuffle_records"] < n_rows / 10
+
+
+def test_embedding_contamination_candidates_cell_bounded(spark):
+    """The embedding decontamination pass scores eval x train pairs ONLY
+    within a trained coarse cell: the realized candidate count equals the
+    per-cell eval*train sum exactly (never all-pairs), and with the eval
+    side broadcast the pair rows themselves never cross an exchange —
+    the only shuffled rows are the cell assignment and per-eval partial
+    aggregates."""
+    from kinesis_stream_consumer_spark.operators import curation as C
+    from kinesis_stream_consumer_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    fit = S.kmeans_fit_quantized(
+        emb, 32, 2, sample_mod=S.train_sample_modulus(emb.count(), 32)
+    )
+    out = S.embedding_contamination(
+        emb, fit, eval_bucket_lt=500, bcast_eval=F.broadcast
+    )
+    out.collect()
+    # exact cell-pair bound from the assignment + split alone
+    split = fit.select(
+        "vec_id", "cell_id", C.hash_bucket(F.col("vec_id")).alias("_hb")
+    )
+    per_cell = split.groupBy("cell_id").agg(
+        F.sum((F.col("_hb") < 500).cast("long")).alias("ne"),
+        F.sum((F.col("_hb") >= 500).cast("long")).alias("nt"),
+    )
+    bound = per_cell.agg(
+        F.sum(F.col("ne") * F.col("nt")).alias("b")
+    ).collect()[0]["b"]
+    n_ev = split.where(F.col("_hb") < 500).count()
+    n_tr = split.where(F.col("_hb") >= 500).count()
+    realized = out.agg(F.sum("n_cand").alias("s")).collect()[0]["s"]
+    assert realized == bound
+    assert realized < n_ev * n_tr / 4  # cells actually prune
+    s = shuffle_stats(out)
+    # pair rows are generated and aggregated inside one broadcast-join
+    # stage: the exchanges carry assignment/partial rows, never the
+    # pair set
+    assert s["shuffle_records"] < max(bound, 1)
