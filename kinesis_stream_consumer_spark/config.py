@@ -83,6 +83,22 @@ class EngineConfig:
     # regardless of volume.
     track_quantile_sketch: bool = False
 
+    # Opt-in latency mode for the DEFAULT discard sinks (DRQ/DMQ appends):
+    # instead of completing inside the batch, the appends run on a
+    # background thread and are JOINED at the start of the next
+    # process_batch (or via Engine.drain_discard_sinks()). The writes read
+    # only already-materialized checkpoints, so correctness of the state/
+    # replay machinery is untouched; what changes is the durability
+    # barrier — a discard-sink failure surfaces on the NEXT batch instead
+    # of failing its own, and the final batch's appends need an explicit
+    # drain before the session goes away. The reference awaits its
+    # discard promises per batch (kinesis-processing.js:296-297), so this
+    # stays False by default; at high sustained throughput it removes the
+    # last serial sink write (~0.2-0.3 s/micro-batch measured) from the
+    # batch critical path. Ignored for custom discard seams (user hooks
+    # are not assumed thread-safe or deferrable).
+    deferred_discard_sinks: bool = False
+
     batch_state_table_name: str = "StreamConsumerBatchState"
     dead_record_queue_name: str = "DeadRecordQueue"
     dead_message_queue_name: str = "DeadMessageQueue"

@@ -938,6 +938,252 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_important_stock",
+    """
+    WITH nat_supp AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS value_cents
+      FROM lineitem l
+      JOIN nat_supp s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1
+    ),
+    total AS (SELECT SUM(value_cents) AS tv FROM per_part)
+    SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
+    FROM per_part, total
+    WHERE value_cents * 1000 > tv
+    ORDER BY value_cents DESC, l_partkey
+    """,
+    doc="Important stock identification (TPC-H q11 analogue; the schema "
+    "has no partsupp, so lineitem is the observed supply book): per-part "
+    "supply value from NATION_7's suppliers, keeping parts whose value "
+    "exceeds 0.1% of that nation's total — the classic "
+    "group-by-HAVING-over-global-scalar shape. The threshold compare is "
+    "CROSS-MULTIPLIED (value·1000 > total) so no division ever happens — "
+    "integer-exact on both engines. Scale shape: the nation's supplier "
+    "list broadcasts as a semi-join filter, the fact aggregates ONCE "
+    "map-side-partial on partkey, and the global total is ONE driver "
+    "scalar off the checkpointed per-part frame (the q22 pattern) — no "
+    "BroadcastNestedLoopJoin, no second fact pass.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    nat_supp = su.join(
+        F.broadcast(na.where(F.col("n_name") == "NATION_7")),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(
+            _bcast_if_small(nat_supp, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(cents * qty).alias("value_cents"))
+        .localCheckpoint(eager=True)  # total + filter read it once each
+    )
+    tv = per_part.agg(F.sum("value_cents")).collect()[0][0]
+    return (
+        per_part.where(F.col("value_cents") * 1000 > F.lit(tv))
+        .select("l_partkey", F.col("value_cents").cast("long").alias("value_cents"))
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Late-shipment priority census (TPC-H q12 analogue; the schema "
+    "has no shipmode/commitdate, so lateness = shipped 60+ days after "
+    "the order date): per line status, how many late-shipped 1996 lines "
+    "belong to high- vs low-priority orders — q12's signature "
+    "conditional-aggregation (CASE WHEN IN) over a fact-fact equi-join. "
+    "Scale shape: the date filter pushes to the lineitem scan, both "
+    "sides shuffle once on orderkey (orders is row-scaled — no forced "
+    "broadcast; AQE picks from runtime sizes), the lateness predicate is "
+    "a post-join column compare, and the aggregate collapses to 2 rows "
+    "map-side.",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            _bcast_if_small(od, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (10000 - CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)))
+               AS total_rev_micro
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev_micro AS BIGINT) AS total_rev_micro
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_rev_micro = (SELECT MAX(total_rev_micro) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    doc="Top supplier (TPC-H q15 analogue): 1996-Q1 discounted revenue "
+    "per supplier (exact integer micro-cents — price cents × "
+    "(10000 − discount bp), the q1 money discipline), returning the "
+    "supplier(s) at the maximum — q15's create-view + scalar-MAX-over-"
+    "aggregate shape. The oracle keeps the scalar subquery; the Spark "
+    "plan decorrelates it: the per-supplier revenue frame (supplier-"
+    "cardinality, bounded) is checkpointed once, its MAX comes back as "
+    "ONE driver scalar embedded as a literal (the q22 pattern — no "
+    "BroadcastNestedLoopJoin, no unpartitioned window over a row-scaled "
+    "frame), and the winner filter plus the supplier dim join run off "
+    "the same checkpoint. The fact table is read once, aggregated "
+    "map-side-partial on suppkey.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    db = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents * (10000 - db)).alias("total_rev_micro"))
+        .localCheckpoint(eager=True)  # max + winner filter + dim join
+    )
+    max_rev = revenue.agg(F.max("total_rev_micro")).collect()[0][0]
+    return (
+        revenue.where(F.col("total_rev_micro") == F.lit(max_rev))
+        .join(
+            _bcast_if_small(su, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_rev_micro")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q20_promotion_candidates",
+    """
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                      THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                      ELSE 0 END) AS q96,
+             SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qtot
+      FROM lineitem l
+      JOIN red_parts p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    cand_supp AS (
+      SELECT DISTINCT l_suppkey FROM sp WHERE q96 > 0 AND 2 * q96 > qtot
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN cand_supp c ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_name
+    """,
+    doc="Promotion-candidate suppliers (TPC-H q20 analogue; no partsupp, "
+    "so availability is read from shipping history): suppliers who "
+    "shipped MORE of some red part in 1996 than in all other years "
+    "combined (2·q96 > qtot ⇔ 1996 share > 50%) — q20's nested-IN "
+    "chain (parts by name → per-(supplier,part) quantity threshold → "
+    "supplier semi-join → nation decoration) DECORRELATED: the two "
+    "quantity sums that q20 writes as a correlated scalar subquery "
+    "compute in ONE conditional aggregate per (supplier, part), the "
+    "threshold is cross-multiplied (no division), and the candidate "
+    "supplier set reaches the supplier table as a semi-join. Scale "
+    "shape: the name-filtered part list broadcasts into the fact scan, "
+    "the fact aggregates once on (suppkey, partkey) map-side-partial, "
+    "and everything after operates on bounded dimension-sized frames.",
+)
+def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    in96 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    red = pa.where(F.col("p_name").like("red%")).select("p_partkey")
+    sp = (
+        li.join(
+            _bcast_if_small(red, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, qty).otherwise(0)).alias("q96"),
+            F.sum(qty).alias("qtot"),
+        )
+    )
+    cand = (
+        sp.where((F.col("q96") > 0) & (2 * F.col("q96") > F.col("qtot")))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(cand, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
     "join_salted_skew",
     """
     WITH dim AS (

@@ -90,20 +90,28 @@ def _single() -> dict:
         ).coalesce(1).write.mode("append").json(f"{sdir}/in")
     wdir = tempfile.mkdtemp(prefix="ksc-bench-stream-warm-")
     recs.limit(5000).coalesce(1).write.mode("append").json(f"{wdir}/in")
+    # sustained sections run the pipelined deployment mode (deferred
+    # DRQ/DMQ appends, drained after termination) — same policy as
+    # bench.py; the single-batch number above stays synchronous
+    import dataclasses
+
+    stream_cfg = dataclasses.replace(cfg, deferred_discard_sinks=True)
     weng = Engine(
-        spark, cfg, f"{wdir}/state", f"{wdir}/drq", f"{wdir}/dmq",
+        spark, stream_cfg, f"{wdir}/state", f"{wdir}/drq", f"{wdir}/dmq",
         [TaskDef("validate", validate)],
     )
     wq = weng.attach(stream_records(spark, f"{wdir}/in"), f"{wdir}/ckpt").start()
     wq.awaitTermination(120)
+    weng.drain_discard_sinks()
 
     seng = Engine(
-        spark, cfg, f"{sdir}/state", f"{sdir}/drq", f"{sdir}/dmq",
+        spark, stream_cfg, f"{sdir}/state", f"{sdir}/drq", f"{sdir}/dmq",
         [TaskDef("validate", validate)],
     )
     t0 = time.perf_counter()
     q = seng.attach(stream_records(spark, f"{sdir}/in"), f"{sdir}/ckpt").start()
     q.awaitTermination(600)
+    seng.drain_discard_sinks()  # timed: durable envelopes, not in-flight
     stream_sec = round(time.perf_counter() - t0, 3)
 
     out = {

@@ -96,6 +96,9 @@ def main() -> None:
         "join_bloom_pruned",
         "engine_cms_key_freq",
         "engine_qsketch_seqno_spread",
+        # r8 sampling sketch + embedding decontamination
+        "agg_reservoir_sample",
+        "curation_contamination_embedding",
     ]
     sections = [HEADER]
     for name in names:

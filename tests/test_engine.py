@@ -917,3 +917,66 @@ def test_fused_save_overwrite_under_read(spark, tmp_path):
         )
     assert any(t["t1"]["attempts"] == 2 for t in second.values())
     assert all(t["t1"]["attempts"] <= 2 for t in second.values())
+
+
+def test_deferred_discard_sinks_land_at_next_batch_or_drain(spark, tmp_path):
+    """config.deferred_discard_sinks: DRQ/DMQ appends come off the batch
+    critical path and are joined at the next process_batch / explicit
+    drain — delivery is preserved (same envelopes as the synchronous
+    mode), only the durability barrier moves."""
+    from kinesis_stream_consumer_spark.streaming.tasks import (
+        TaskRejectedError,
+    )
+
+    def rejector(message, task):
+        raise TaskRejectedError("all rejected")
+
+    eng = make_engine(
+        spark,
+        tmp_path,
+        one_defs=[TaskDef("rejector", rejector)],
+        deferred_discard_sinks=True,
+    )
+    res = eng.process_batch(records_df(spark, n=10, bad=2), 0)
+    assert res.rejected_to_dmq == 10 and res.unusable == 2
+    # appends were submitted, not awaited — drain makes them durable
+    eng.drain_discard_sinks()
+    dmq = spark.read.parquet(str(tmp_path / "dmq"))
+    drq = spark.read.parquet(str(tmp_path / "drq"))
+    assert dmq.count() == 10
+    assert drq.count() == 2
+    # second batch: the in-batch drain joins batch 0's (already drained)
+    # futures and batch 1's own appends land after its drain
+    eng.process_batch(records_df(spark, n=10, bad=0), 1)
+    eng.drain_discard_sinks()
+    assert spark.read.parquet(str(tmp_path / "dmq")).count() == 20
+
+
+def test_deferred_discard_sink_failure_surfaces_on_next_batch(
+    spark, tmp_path, monkeypatch
+):
+    """A deferred append that fails raises at the NEXT batch's entry
+    barrier (the documented durability trade of the deferred mode)."""
+    from kinesis_stream_consumer_spark.streaming.tasks import (
+        TaskRejectedError,
+    )
+    import kinesis_stream_consumer_spark.streaming.engine as eng_mod
+
+    def rejector(message, task):
+        raise TaskRejectedError("all rejected")
+
+    eng = make_engine(
+        spark,
+        tmp_path,
+        one_defs=[TaskDef("rejector", rejector)],
+        deferred_discard_sinks=True,
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("sink down")
+
+    monkeypatch.setattr(eng_mod, "append_to_queue", boom)
+    eng.process_batch(records_df(spark, n=5), 0)  # submit happens, no raise
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="sink down"):
+        eng.process_batch(records_df(spark, n=5), 1)

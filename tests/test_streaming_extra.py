@@ -784,3 +784,115 @@ def test_streaming_bloom_filter_matches_batch(spark, tmp_path):
         .collect()
     }
     assert hits == batch_hits
+
+
+# --- Live sketch monitoring over an attached stream --------------------------
+
+
+def test_live_stream_sketch_monitoring(spark, tmp_path):
+    """The engine-native sketches are a first-class MONITORING surface on a
+    LIVE attach() stream (VERDICT r7 #7): while the stream runs, (a) a
+    boundary reader driven by the post_finalise_batch hook reads the HLL
+    registers back from the state table at every micro-batch commit and
+    must see exactly the batch-prefix sketch — the state the engine just
+    saved, fully visible, nothing torn; and (b) a concurrent poller thread
+    reading the state table at arbitrary times must only ever observe
+    per-(shard, bucket) register values that never DECREASE across
+    successive reads — the max-merge monotonicity that makes mid-stream
+    sketch reads meaningful at all (an additive counter gives a torn read
+    no such guarantee)."""
+    import threading
+
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+    from kinesis_stream_consumer_spark.sources import stream_records
+
+    ev = _t(spark, SF_SMOKE, "events").where(F.col("event_id") < 400)
+    n_batches = 4
+    for i in range(n_batches):
+        events_as_kinesis_records(
+            ev.where(F.col("event_id") % n_batches == i)
+        ).coalesce(1).write.mode("append").json(str(tmp_path / "in"))
+
+    def _registers_from_state():
+        rows = (
+            spark.read.parquet(str(tmp_path / "state"))
+            .where(F.col("kind") == "sketch")
+            .select("shardOrEventID", "sketch_bucket", "sketch_r")
+            .collect()
+        )
+        return {
+            (r["shardOrEventID"], r["sketch_bucket"]): r["sketch_r"]
+            for r in rows
+        }
+
+    boundary_snapshots = []
+
+    def on_boundary(result, engine):
+        boundary_snapshots.append((result.batch_id, _registers_from_state()))
+
+    def noop_task(message, task):
+        return None
+
+    cfg = EngineConfig(
+        sequencing_per_key=True,
+        key_property_names=["k1", "k2"],
+        id_property_names=["id1"],
+        seq_no_property_names=["n1", "n2"],
+        track_distinct_sketch=True,
+        post_finalise_batch=on_boundary,
+    )
+    eng = Engine(
+        spark,
+        cfg,
+        state_path=str(tmp_path / "state"),
+        drq_path=str(tmp_path / "drq"),
+        dmq_path=str(tmp_path / "dmq"),
+        process_one_defs=[TaskDef("validate", noop_task)],
+    )
+
+    polls, stop = [], threading.Event()
+
+    def poller():
+        while not stop.is_set():
+            try:
+                polls.append(_registers_from_state())
+            except Exception:
+                pass  # mid-commit listing / not-yet-created dir: retry
+            stop.wait(0.05)
+
+    th = threading.Thread(target=poller, daemon=True)
+    th.start()
+    q = eng.attach(
+        stream_records(spark, str(tmp_path / "in")), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(240)
+    stop.set()
+    th.join(10)
+
+    # (a) every boundary read equals the batch-prefix sketch, computed
+    # independently from the same identity rule the engine uses
+    assert len(boundary_snapshots) == n_batches
+    for bid, snap in boundary_snapshots:
+        prefix = ev.where(F.col("event_id") % n_batches <= bid)
+        expected = {
+            (r["g"], r["bucket"]): r["r"]
+            for r in SK.hll_registers(
+                prefix.select(
+                    F.concat(
+                        F.lit("S|shardId-"),
+                        F.lpad((F.col("user_id") % 4).cast("int").cast("string"), 12, "0"),
+                    ).alias("shard"),
+                    F.concat(F.lit("id1:"), F.col("event_id").cast("string")).alias("ident"),
+                ),
+                "shard",
+                F.col("ident"),
+            ).collect()
+        }
+        assert snap == expected, f"boundary read at batch {bid} diverged"
+    # (b) concurrent polls: per-register monotone non-decreasing
+    last = {}
+    assert polls, "poller never completed a read while the stream ran"
+    for snap in polls:
+        for key, r in snap.items():
+            assert r >= last.get(key, 0), f"register {key} went backwards"
+            last[key] = r
