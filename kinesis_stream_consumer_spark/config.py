@@ -83,6 +83,20 @@ class EngineConfig:
     # regardless of volume.
     track_quantile_sketch: bool = False
 
+    # Optional per-shard uniform message SAMPLE maintained in the state
+    # table (kind='rsv': the n+1 smallest md5-priority identities — the
+    # engine-native instance of the weighted-reservoir priority sampling
+    # sketch, operators/sketches.py reservoir_*, with w=1). The register
+    # MIN-merges at every save: idempotent like the HLL max-merge, so the
+    # sample stays EXACTLY the single-pass sample under at-least-once
+    # replay — no delta bookkeeping needed (contrast the additive
+    # CMS/qsketch twins). This is the "show me example messages from this
+    # shard" debugging/monitoring surface a 100 TB stream needs without
+    # ever storing more than n+1 rows per shard. Default off: costs one
+    # register-bounded window aggregate inside the save job per batch.
+    track_sample_sketch: bool = False
+    sample_sketch_n: int = 8
+
     # Opt-in latency mode for the DEFAULT discard sinks (DRQ/DMQ appends):
     # instead of completing inside the batch, the appends run on a
     # background thread and are JOINED at the start of the next

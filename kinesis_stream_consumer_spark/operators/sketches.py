@@ -706,3 +706,123 @@ def reservoir_oracle_cte(
       FROM rsv_reg r JOIN rsv_thr t USING (g)
       WHERE r.rank <= {n}
     )"""
+
+
+# --- K-minimum-values (KMV) distinct sketch with set algebra ---------------
+
+# The SET-ALGEBRA member of the sketch family: where HLL registers only
+# union (max-merge) and intersections fall back to inclusion-exclusion
+# (error compounds), the KMV synopsis (Bar-Yossef et al. 2002; Beyer,
+# Haas, Reinwald, Sismanis, Gemulla — "On synopses for distinct value
+# estimation", SIGMOD 2007) supports union AND intersection natively:
+# keep the k smallest distinct md5 hash values per group; with
+# U_(k) the k-th smallest (the threshold), the basic estimator is
+#
+#   D_hat = (k-1) · 2^56 div U_(k)
+#
+# and for two sets, L = the k smallest of (A_reg ∪ B_reg) is exactly the
+# KMV of A ∪ B, while |{h ∈ L : h ∈ A_reg AND h ∈ B_reg}| / k is an
+# unbiased estimate of the Jaccard-weighted intersection share:
+#
+#   D_hat(A ∩ B) = (n_both · D_hat(A ∪ B)) div k.
+#
+# Registers MIN-merge (idempotent — same replay story as the reservoir
+# sketch, whose machinery this reuses: a KMV register IS a uniform
+# reservoir over DISTINCT values with w=1). Everything is md5-integer
+# deterministic, so a DuckDB oracle reproduces every register and
+# estimate bit-for-bit. At 100 TB: k rows per group cross the wire,
+# never values; the distinct-dedup combines map-side first.
+
+
+def kmv_registers(df: DataFrame, group_col: str, value: Column, k: int) -> DataFrame:
+    """(g, h, rank) — the k smallest distinct 56-bit md5 hash values per
+    group (rank 1..k). The rank filter plans as WindowGroupLimit (partial
+    top-k below the exchange); the inner distinct combines map-side."""
+    from pyspark.sql.window import Window
+
+    hashes = (
+        df.select(F.col(group_col).alias("g"), value.alias("v"))
+        .select("g", md5_u56_le(F.col("v")).alias("h"))
+        .groupBy("g", "h")
+        .agg(F.lit(1))
+        .select("g", "h")
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashes.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def kmv_estimate(registers: DataFrame, k: int) -> DataFrame:
+    """(g, n_seen, dv_estimate): basic KMV estimator off a register frame.
+    Groups with fewer than k distinct values are EXACT (n_seen < k ⇒
+    estimate = n_seen)."""
+    return registers.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.expr(
+            f"CASE WHEN count(1) < {k} THEN count(1) "
+            f"ELSE ({k - 1} * CAST({RSV_SCALE} AS BIGINT))"
+            f" div GREATEST(MAX(CASE WHEN rank = {k} THEN h END), 1) END"
+        ).cast("long").alias("dv_estimate"),
+    )
+
+
+def kmv_set_ops(reg_a: DataFrame, reg_b: DataFrame, k: int) -> DataFrame:
+    """(g, union_estimate, intersection_estimate, n_both) from two
+    register frames sharing group keys: L = k smallest of the merged
+    registers (the KMV of A ∪ B), n_both = members of L present in both
+    input registers, intersection = n_both · D_hat(union) div k. All
+    integer arithmetic on the bounded register frames — no data pass."""
+    from pyspark.sql.window import Window
+
+    merged = (
+        reg_a.select("g", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            reg_b.select("g", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("g", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    top = merged.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    return top.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_seen"),
+        F.expr(
+            f"CASE WHEN count(1) < {k} THEN count(1) "
+            f"ELSE ({k - 1} * CAST({RSV_SCALE} AS BIGINT))"
+            f" div GREATEST(MAX(CASE WHEN rank = {k} THEN h END), 1) END"
+        ).cast("long").alias("union_estimate"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    ).select(
+        "g",
+        "n_union_seen",
+        "union_estimate",
+        "n_both",
+        F.expr(
+            "CASE WHEN n_union_seen < "
+            f"{k} THEN n_both "
+            "ELSE (n_both * union_estimate) div "
+            f"{k} END"
+        ).cast("long").alias("intersection_estimate"),
+    )
+
+
+def kmv_oracle_cte(source_sql: str, group_expr: str, value_expr: str, k: int,
+                   p: str = "kmv") -> str:
+    """DuckDB CTE block (names {p}_*): ``{p}_reg`` yields (g, h, rank)
+    with identical hash/selection arithmetic."""
+    return f"""
+    {p}_v AS (
+      SELECT DISTINCT {group_expr} AS g,
+             CAST((md5_number_upper({value_expr}) >> 8) AS BIGINT) AS h
+      FROM {source_sql}
+    ),
+    {p}_reg AS (
+      SELECT * FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rank
+        FROM {p}_v)
+      WHERE rank <= {k}
+    )"""

@@ -30,75 +30,6 @@ _BPE_TOKS = r"len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\w\s]'))"
 
 
 
-@register(
-    "curation_length_filter",
-    f"""
-    WITH s AS (
-      SELECT doc_id, lang, {_BPE_TOKS} AS n_tok FROM documents
-    ),
-    r AS (
-      SELECT lang, n_tok,
-             ROW_NUMBER() OVER (PARTITION BY lang
-                                ORDER BY n_tok, doc_id) AS rnk,
-             COUNT(*) OVER (PARTITION BY lang) AS n
-      FROM s
-    ),
-    kept AS (SELECT * FROM r WHERE 20 * rnk > n AND 20 * rnk <= 19 * n)
-    SELECT lang,
-           CAST(MAX(n) AS BIGINT) AS n_docs,
-           CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST((2 * 10000 * COUNT(*) + MAX(n)) // (2 * MAX(n))
-                AS BIGINT) AS kept_bp,
-           CAST(MIN(n_tok) AS BIGINT) AS min_tok_kept,
-           CAST(MAX(n_tok) AS BIGINT) AS max_tok_kept
-    FROM kept GROUP BY lang ORDER BY lang
-    """,
-    doc="Adaptive per-language length filtering — the standard curation "
-    "gate that drops each language's shortest and longest 5% of "
-    "documents by token count, with thresholds DERIVED from that "
-    "language's own distribution rather than one global cutoff (a "
-    "fixed cutoff tuned on English over-prunes languages with different "
-    "tokenization density). The percentile band is EXACT rank "
-    "arithmetic (keep iff 20*rank > n and 20*rank <= 19*n, ties broken "
-    "by doc_id) — no approx-percentile sketch whose error bounds differ "
-    "cross-engine. Reports the kept fraction (half-up bp) and the "
-    "induced per-language token bounds. Scale shape: ONE shuffle on "
-    "lang serves the rank window, the partition count and the rollup; "
-    "token counting is codegen'd regex on the scan.",
-)
-def curation_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    docs = _t(spark, sf_dir, "documents")
-    s = docs.select(
-        "doc_id", "lang", T.bpe_ish_token_count(F.col("text")).alias("n_tok")
-    )
-    r = s.select(
-        "lang",
-        "n_tok",
-        F.row_number()
-        .over(W.partitionBy("lang").orderBy("n_tok", "doc_id"))
-        .alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
-    )
-    kept = r.where(
-        (20 * F.col("rnk") > F.col("n")) & (20 * F.col("rnk") <= 19 * F.col("n"))
-    )
-    return (
-        kept.groupBy("lang")
-        .agg(
-            F.max("n").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-            F.expr(
-                "cast((2 * 10000 * count(*) + max(n)) div (2 * max(n)) as bigint)"
-            ).alias("kept_bp"),
-            F.min("n_tok").cast("long").alias("min_tok_kept"),
-            F.max("n_tok").cast("long").alias("max_tok_kept"),
-        )
-        .orderBy("lang")
-    )
-
-
 # --- Bloom-filter membership probe (the membership sketch) -----------------
 
 _BLOOM_M = 1024  # bits
@@ -196,68 +127,6 @@ def curation_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Deterministic round-robin source interleave (curriculum ordering) ------
 
 _ILV_TOP = 60
-
-
-@register(
-    "curation_interleave",
-    f"""
-    WITH r AS (
-      SELECT doc_id, source,
-             ROW_NUMBER() OVER (
-               PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-      FROM documents
-    ),
-    s AS (
-      SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT)
-               AS src_idx,
-             CAST(COUNT(*) OVER () AS BIGINT) AS n_src
-      FROM (SELECT DISTINCT source FROM documents)
-    )
-    SELECT CAST((r.rn - 1) * s.n_src + s.src_idx AS BIGINT) AS pos,
-           r.doc_id, r.source
-    FROM r JOIN s USING (source)
-    ORDER BY pos LIMIT {_ILV_TOP}
-    """,
-    doc="Deterministic round-robin interleave across sources — the "
-    "curriculum/mixing order a training pipeline feeds shards in (one "
-    "doc from every source, then the next from every source, ...). "
-    "Within-source order is a seeded md5 shuffle; the GLOBAL position is "
-    "computed ARITHMETICALLY as (rn-1)·n_sources + src_idx instead of a "
-    "global row_number — per-source windows shuffle on source only, the "
-    "source index rides a tiny broadcast dim, and no single-partition "
-    "global sort ever exists (the scale trap of naive interleaves). "
-    "n_sources is a driver scalar bounded by #sources.",
-)
-def curation_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    docs = _t(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    r = docs.select(
-        "doc_id", "source", F.row_number().over(w).alias("rn")
-    )
-    srcs = sorted(
-        row["source"] for row in docs.select("source").distinct().collect()
-    )
-    n_src = len(srcs)
-    sidx = spark.createDataFrame(
-        [(s, i + 1) for i, s in enumerate(srcs)], "source STRING, src_idx LONG"
-    )
-    return (
-        r.join(F.broadcast(sidx), "source")
-        .select(
-            ((F.col("rn") - 1) * n_src + F.col("src_idx"))
-            .cast("long")
-            .alias("pos"),
-            "doc_id",
-            "source",
-        )
-        .orderBy("pos")
-        .limit(_ILV_TOP)
-    )
 
 
 # --- Token-budget mixture apportionment (largest remainder) -----------------

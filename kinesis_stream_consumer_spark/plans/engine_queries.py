@@ -328,3 +328,95 @@ def engine_qsketch_seqno_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shardOrEventID")
     )
+
+
+_RSV_N1 = 9  # register rows per shard = sample_sketch_n + 1 (threshold row)
+
+
+@register(
+    "engine_reservoir_sample",
+    f"""
+    WITH src AS (
+      SELECT DISTINCT
+             'S|shardId-' || lpad(CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR), 12, '0') AS shard,
+             'id1:' || CAST(event_id AS VARCHAR) AS ident
+      FROM events WHERE event_id < 3000
+    ),
+    pri AS (
+      SELECT shard, ident,
+             CAST((md5_number_upper(ident) >> 8) AS BIGINT) AS pri
+      FROM src
+    ),
+    rk AS (
+      SELECT shard, ident, pri,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pri, ident) AS rank
+      FROM pri
+    )
+    SELECT shard AS shardOrEventID, CAST(rank AS BIGINT) AS rank,
+           ident AS identity, pri
+    FROM rk WHERE rank <= {_RSV_N1}
+    ORDER BY 1, 2
+    """,
+    doc="Engine-native per-shard uniform message sample "
+    "(EngineConfig.track_sample_sketch) — the SAMPLING member completing "
+    "the engine sketch family (cardinality / frequency / distribution / "
+    "sampling): the state table holds the n+1 smallest md5-priority "
+    "message identities per shard (kind='rsv'), MIN-merged at every "
+    "save. This query runs the REAL engine over 3 micro-batches plus an "
+    "at-least-once re-delivery of one batch, reads the register back, "
+    "and it must equal the oracle's SINGLE-PASS priority sample over all "
+    "events: the min-merge is idempotent, so replay leaves the sample "
+    "bit-identical — the property that lets a 100 TB stream keep live "
+    "'show me example messages from this shard' state in n+1 rows with "
+    "zero replay bookkeeping (contrast the CMS delta machinery).",
+)
+def engine_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    batches = [
+        events_as_kinesis_records(
+            ev.where(F.col("event_id") % 3 == i)
+        ).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+
+    def noop(message, task):
+        return None
+
+    tmp = tempfile.mkdtemp(prefix="ksc-rsv-")
+    eng = Engine(
+        spark,
+        EngineConfig(
+            sequencing_per_key=True,
+            key_property_names=["k1", "k2"],
+            id_property_names=["id1"],
+            seq_no_property_names=["n1", "n2"],
+            track_sample_sketch=True,
+            sample_sketch_n=_RSV_N1 - 1,
+        ),
+        state_path=f"{tmp}/state",
+        drq_path=f"{tmp}/drq",
+        dmq_path=f"{tmp}/dmq",
+        process_one_defs=[TaskDef("noop", noop)],
+    )
+    for i in range(3):
+        eng.process_batch(batches[i], batch_id=i)
+    # at-least-once re-delivery under a NEW batch_id: the min-merge must
+    # be a no-op (the additive sketches can't promise this; the sample can)
+    eng.process_batch(batches[1], batch_id=3)
+    return (
+        eng.state.read_all()
+        .where(F.col("kind") == "rsv")
+        .select(
+            "shardOrEventID",
+            F.col("sketch_bucket").alias("rank"),
+            F.expr("substring(identity, 5)").alias("identity"),
+            F.col("sketch_r").alias("pri"),
+        )
+        .orderBy("shardOrEventID", "rank")
+    )

@@ -1183,6 +1183,105 @@ def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+
+
+@register(
+    "agg_kmv_set_ops",
+    f"""
+    WITH src_a AS (
+      SELECT CAST(user_id AS VARCHAR) AS u FROM events WHERE event_type = 'click'
+    ),
+    src_b AS (
+      SELECT CAST(user_id AS VARCHAR) AS u FROM events WHERE event_type = 'purchase'
+    ),
+    {{A_CTE}},
+    {{B_CTE}},
+    merged AS (
+      SELECT g, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT g, h, 1 AS in_a, 0 AS in_b FROM a_reg
+        UNION ALL
+        SELECT g, h, 0 AS in_a, 1 AS in_b FROM b_reg
+      ) GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT g, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rank
+        FROM merged)
+      WHERE rank <= {_KMV_K}
+    ),
+    est AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_union_seen,
+             CAST(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                  ELSE ({_KMV_K - 1} * CAST({SK.RSV_SCALE} AS BIGINT))
+                       // GREATEST(MAX(CASE WHEN rank = {_KMV_K} THEN h END), 1)
+                  END AS BIGINT) AS union_estimate,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM top GROUP BY g
+    ),
+    ex AS (
+      SELECT COUNT(DISTINCT a.u) AS exact_intersection
+      FROM src_a a JOIN src_b b ON b.u = a.u
+    )
+    SELECT g, n_union_seen, union_estimate, n_both,
+           CAST(CASE WHEN n_union_seen < {_KMV_K} THEN n_both
+                ELSE (n_both * union_estimate) // {_KMV_K} END AS BIGINT)
+             AS intersection_estimate,
+           CAST(ex.exact_intersection AS BIGINT) AS exact_intersection
+    FROM est, ex ORDER BY g
+    """.replace(
+        "{A_CTE}",
+        SK.kmv_oracle_cte("src_a", "'users'", "u", 64, p="a").lstrip().rstrip(),
+    ).replace(
+        "{B_CTE}",
+        SK.kmv_oracle_cte("src_b", "'users'", "u", 64, p="b").lstrip().rstrip(),
+    ),
+    doc="K-minimum-values distinct sketch with SET ALGEBRA (Bar-Yossef et "
+    "al. 2002; Beyer et al. SIGMOD 2007) — the set-operation member of "
+    "the sketch family: distinct clickers vs purchasers compared through "
+    "two k=64 KMV registers. Where HLL registers only union (max-merge) "
+    "and intersection falls back to inclusion-exclusion with compounding "
+    "error (agg_hll_overlap), the k smallest distinct md5 hashes support "
+    "union AND intersection natively: the merged registers' k smallest "
+    "ARE the union's KMV, and the fraction of them present in both "
+    "registers estimates the intersection share. MIN-merge registers — "
+    "idempotent across partitions/micro-batches/replay, same machinery "
+    "as the reservoir sketch (a KMV register IS a uniform reservoir over "
+    "distinct values). Exact intersection rides along as the eval "
+    "baseline. At 100 TB: the distinct-dedup combines map-side, k rows "
+    "per group cross the wire, and the set algebra runs on register "
+    "frames — no second data pass, ever.",
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    a = ev.where(F.col("event_type") == "click").select(
+        F.lit("users").alias("g"), u.alias("u")
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.lit("users").alias("g"), u.alias("u")
+    )
+    reg_a = SK.kmv_registers(a, "g", F.col("u"), _KMV_K)
+    reg_b = SK.kmv_registers(b, "g", F.col("u"), _KMV_K)
+    # exact baseline as ONE driver scalar embedded as a literal (the q22
+    # pattern — a crossJoin(broadcast(one_row)) would plan as the banned
+    # BroadcastNestedLoopJoin)
+    exact = (
+        a.select("u").distinct()
+        .join(b.select("u").distinct(), "u", "left_semi")
+        .count()
+    )
+    return (
+        SK.kmv_set_ops(reg_a, reg_b, _KMV_K)
+        .withColumn(
+            "exact_intersection", F.lit(exact).cast("long")
+        )
+        .orderBy("g")
+    )
+
+
 @register(
     "join_salted_skew",
     """

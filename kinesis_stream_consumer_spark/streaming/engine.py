@@ -1383,6 +1383,68 @@ class Engine:
                         "QSK|",
                     )
                 )
+            if cfg.track_sample_sketch and default_seams:
+                # Per-shard uniform message sample (kind='rsv'): the n+1
+                # smallest md5-priority identities — the engine-native
+                # reservoir sketch (operators/sketches reservoir_*, w=1).
+                # Union prior register + this batch's keys, re-take the
+                # n+1 smallest: a MIN-merge like the HLL registers —
+                # idempotent, so replayed batches leave the sample
+                # EXACTLY the single-pass sample (no delta bookkeeping).
+                from kinesis_stream_consumer_spark.operators.dedup import (
+                    md5_u56_le,
+                )
+                from kinesis_stream_consumer_spark.operators.sketches import (
+                    reservoir_merge,
+                )
+
+                n_rsv = cfg.sample_sketch_n
+                batch_keys = finalised.select(
+                    sketch_shard.alias("g"),
+                    F.col("identity").alias("id"),
+                    F.lit(1).cast("long").alias("w"),
+                    # uniform draw: pri = u div 1 = the 56-bit md5 integer
+                    md5_u56_le(F.col("identity")).alias("pri"),
+                )
+                if prior_all is not None:
+                    prior_rsv = prior_all.where(
+                        F.col("kind") == "rsv"
+                    ).select(
+                        F.col("shardOrEventID").alias("g"),
+                        F.expr("substring(identity, 5)").alias("id"),
+                        F.lit(1).cast("long").alias("w"),
+                        F.col("sketch_r").alias("pri"),
+                    )
+                    batch_keys = batch_keys.unionByName(prior_rsv)
+                regs = reservoir_merge(batch_keys, n_rsv)
+                if prior_all is not None:
+                    # same overwrite-under-read guard as the HLL merge:
+                    # the save below replaces the partitions the prior
+                    # register was read from; the frame is <= n+1 rows
+                    # per shard, so this is a tiny job
+                    regs = regs.localCheckpoint(eager=True)
+                rnul = F.lit(None).cast("string")
+                rsv_states = regs.select(
+                    F.lit(cfg.stream_consumer_id).alias("streamConsumerId"),
+                    F.col("g").alias("shardOrEventID"),
+                    F.lit("rsv").alias("kind"),
+                    F.concat(F.lit("RSV|"), F.col("id")).alias("identity"),
+                    rnul.alias("id"),
+                    rnul.alias("key"),
+                    rnul.alias("seqNo"),
+                    rnul.alias("event_id"),
+                    rnul.alias("event_seq_no"),
+                    F.lit(None).cast("long").alias("event_sub_seq_no"),
+                    rnul.alias("msg_md5"),
+                    rnul.alias("rec_md5"),
+                    rnul.alias("data_md5"),
+                    rnul.alias("tasks_json"),
+                    rnul.alias("reason"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.col("rank").cast("long").alias("sketch_bucket"),
+                    F.col("pri").cast("long").alias("sketch_r"),
+                )
+                states = states.unionByName(rsv_states)
             if cfg.save_batch_state is not None:
                 cfg.save_batch_state(states, self)
                 self._saved_state_cache = None  # unknown destination

@@ -46,6 +46,8 @@ STATE_SCHEMA = T.StructType(
         # register per (consumer, shard, bucket), max-merged each save;
         # kind='cms'/'cms_delta' (track_frequency_sketch) — Count-Min
         # counters (bucket=flattened row·w+col index, r=count) and
+        # kind='rsv' (track_sample_sketch) — reservoir-sample register
+        # (sketch_bucket=rank, sketch_r=priority; identity='RSV|<id>')
         # kind='qsk'/'qsk_delta' (track_quantile_sketch) — log-linear
         # quantile registers (bucket=qid, r=count): both cumulative
         # + this-batch delta keyed by batch_id for replay subtraction.
@@ -176,7 +178,7 @@ class StateStore:
             # batch_id is current (the same-batch replay subtraction), and
             # the batch_id >= before_batch_id arm above keeps exactly
             # those; stale deltas age out like finalised messages.
-            | F.col("kind").isin("sketch", "cms", "qsk")
+            | F.col("kind").isin("sketch", "cms", "qsk", "rsv")
         ).select(*[f.name for f in STATE_SCHEMA.fields])
         keep = keep.localCheckpoint(eager=True)
         dropped = total - keep.count()

@@ -96,9 +96,15 @@ def main() -> None:
         "join_bloom_pruned",
         "engine_cms_key_freq",
         "engine_qsketch_seqno_spread",
-        # r8 sampling sketch + embedding decontamination
+        # r8 sampling sketch + embedding decontamination + TPC-H closers
         "agg_reservoir_sample",
         "curation_contamination_embedding",
+        "engine_reservoir_sample",
+        "agg_kmv_set_ops",
+        "q11_important_stock",
+        "q12_late_shipment_priority",
+        "q15_top_supplier",
+        "q20_promotion_candidates",
     ]
     sections = [HEADER]
     for name in names:

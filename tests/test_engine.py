@@ -980,3 +980,42 @@ def test_deferred_discard_sink_failure_surfaces_on_next_batch(
     monkeypatch.undo()
     with pytest.raises(RuntimeError, match="sink down"):
         eng.process_batch(records_df(spark, n=5), 1)
+
+
+def test_sample_sketch_register_bounded_and_compaction_immortal(spark, tmp_path):
+    """track_sample_sketch: the per-shard reservoir register stays at
+    <= n+1 rows no matter how many batches flow through, survives
+    retention compaction (cumulative sketch kinds are exempt), and a
+    re-delivered batch leaves it bit-identical (min-merge idempotence)."""
+    n = 5
+    eng = make_engine(
+        spark, tmp_path, one_defs=[TaskDef("noop", noop)],
+        track_sample_sketch=True, sample_sketch_n=n,
+    )
+    eng.process_batch(records_df(spark, n=40), 0)
+    eng.process_batch(
+        records_df(spark, n=80).where(F.col("eventID").isNotNull()), 1
+    )
+
+    def regs():
+        return sorted(
+            (r["shardOrEventID"], r["sketch_bucket"], r["identity"], r["sketch_r"])
+            for r in spark.read.parquet(str(tmp_path / "state"))
+            .where(F.col("kind") == "rsv")
+            .collect()
+        )
+
+    before = regs()
+    per_shard = {}
+    for g, *_ in before:
+        per_shard[g] = per_shard.get(g, 0) + 1
+    assert per_shard and all(v <= n + 1 for v in per_shard.values())
+    # re-delivery under a new batch_id: min-merge must be a no-op
+    eng.process_batch(
+        records_df(spark, n=40).where(F.col("eventID").isNotNull()), 2
+    )
+    assert regs() == before
+    # compaction reaps finalised messages but never the sample register
+    dropped = eng.state.compact(before_batch_id=99)
+    assert dropped > 0
+    assert regs() == before

@@ -206,3 +206,48 @@ def test_streaming_reservoir_matches_batch(spark, tmp_path):
         ).select("g", "id", "w", "pri", "rank")
     )
     assert streamed == batch
+
+
+# --- KMV set-algebra sketch (shares the min-merge machinery) ---------------
+
+
+def test_kmv_registers_min_merge_and_exactness(spark):
+    """KMV: sketching two halves and re-taking the k smallest of the
+    union reproduces the whole-set register (min-merge); a set with
+    fewer than k distinct values is estimated EXACTLY; and the
+    intersection estimator is exact when the union register holds
+    everything."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    k = 64
+    src = ev.select(
+        F.lit("u").alias("g"), F.col("user_id").cast("string").alias("v")
+    )
+    whole = SK.kmv_registers(src, "g", F.col("v"), k)
+    lo = SK.kmv_registers(
+        src.where(F.col("v").cast("long") % 2 == 0), "g", F.col("v"), k
+    )
+    hi = SK.kmv_registers(
+        src.where(F.col("v").cast("long") % 2 == 1), "g", F.col("v"), k
+    )
+    from pyspark.sql.window import Window
+
+    merged = (
+        lo.unionByName(hi).select("g", "h").dropDuplicates(["g", "h"])
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("g").orderBy("h")),
+        )
+        .where(F.col("rank") <= k)
+    )
+    assert _rows(whole) == _rows(merged)
+    n_dist = src.select("v").distinct().count()
+    if n_dist < k:
+        est = SK.kmv_estimate(whole, k).collect()[0]
+        assert est["dv_estimate"] == n_dist
+    # small-set exactness + set ops: halves as A and B (disjoint)
+    ops = SK.kmv_set_ops(lo, hi, k).collect()[0]
+    n_lo = src.where(F.col("v").cast("long") % 2 == 0).select("v").distinct().count()
+    n_hi = src.where(F.col("v").cast("long") % 2 == 1).select("v").distinct().count()
+    if n_lo + n_hi < k:
+        assert ops["union_estimate"] == n_lo + n_hi
+        assert ops["n_both"] == 0 and ops["intersection_estimate"] == 0

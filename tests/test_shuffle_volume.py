@@ -719,3 +719,24 @@ def test_embedding_contamination_candidates_cell_bounded(spark):
     # stage: the exchanges carry assignment/partial rows, never the
     # pair set
     assert s["shuffle_records"] < max(bound, 1)
+
+
+def test_kmv_register_shuffle_bounded_by_k(spark):
+    """KMV distinct sketch: the distinct-dedup combines map-side and the
+    rank filter plans as WindowGroupLimit — the exchanges carry at most
+    (distinct hashes per partition, then k per group per partition),
+    never a row per event."""
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_rows = ev.count()
+    k = 64
+    src = ev.select(F.lit("users").alias("g"), F.col("user_id").cast("string").alias("u"))
+    regs = SK.kmv_registers(src, "g", F.col("u"), k)
+    regs.collect()
+    s = shuffle_stats(regs)
+    n_dist = src.select("u").distinct().count()
+    n_parts = ev.rdd.getNumPartitions()
+    # distinct stage: <= distinct-per-partition; top-k stage: <= k/part
+    assert s["shuffle_records"] <= n_dist * max(n_parts, 1) + k * max(n_parts, 1)
+    assert s["shuffle_records"] < n_rows / 5
