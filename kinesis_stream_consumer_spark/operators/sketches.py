@@ -796,6 +796,9 @@ def kmv_set_ops(reg_a: DataFrame, reg_b: DataFrame, k: int) -> DataFrame:
             f" div GREATEST(MAX(CASE WHEN rank = {k} THEN h END), 1) END"
         ).cast("long").alias("union_estimate"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b")))
+        .cast("long")
+        .alias("n_only_a"),
     ).select(
         "g",
         "n_union_seen",
@@ -807,6 +810,16 @@ def kmv_set_ops(reg_a: DataFrame, reg_b: DataFrame, k: int) -> DataFrame:
             "ELSE (n_both * union_estimate) div "
             f"{k} END"
         ).cast("long").alias("intersection_estimate"),
+        "n_only_a",
+        # same share-scaling: members of the union's KMV seen only in A
+        # estimate |A \ B| — the DIFFERENCE the inclusion-exclusion route
+        # can't give without compounding two estimates
+        F.expr(
+            "CASE WHEN n_union_seen < "
+            f"{k} THEN n_only_a "
+            "ELSE (n_only_a * union_estimate) div "
+            f"{k} END"
+        ).cast("long").alias("difference_estimate"),
     )
 
 

@@ -1218,7 +1218,8 @@ _KMV_K = 64
                   ELSE ({_KMV_K - 1} * CAST({SK.RSV_SCALE} AS BIGINT))
                        // GREATEST(MAX(CASE WHEN rank = {_KMV_K} THEN h END), 1)
                   END AS BIGINT) AS union_estimate,
-             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+             CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_only_a
       FROM top GROUP BY g
     ),
     ex AS (
@@ -1229,6 +1230,10 @@ _KMV_K = 64
            CAST(CASE WHEN n_union_seen < {_KMV_K} THEN n_both
                 ELSE (n_both * union_estimate) // {_KMV_K} END AS BIGINT)
              AS intersection_estimate,
+           n_only_a,
+           CAST(CASE WHEN n_union_seen < {_KMV_K} THEN n_only_a
+                ELSE (n_only_a * union_estimate) // {_KMV_K} END AS BIGINT)
+             AS difference_estimate,
            CAST(ex.exact_intersection AS BIGINT) AS exact_intersection
     FROM est, ex ORDER BY g
     """.replace(
