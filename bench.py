@@ -41,6 +41,12 @@ HEADLINE = [
     "scalar_datetime_json",
     "streaming_tumbling_window",
     "streaming_session_window",
+    # r8 marquee additions: sampling sketch, embedding decontamination,
+    # KMV set algebra (new keys — prior-round totals remain comparable by
+    # summing their shared subset)
+    "agg_reservoir_sample",
+    "curation_contamination_embedding",
+    "agg_kmv_set_ops",
 ]
 
 
@@ -250,10 +256,20 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    R8_ADDITIONS = {
+        "agg_reservoir_sample",
+        "curation_contamination_embedding",
+        "agg_kmv_set_ops",
+    }
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # cross-round comparability: the r7 headline set's subtotal, so
+        # the new entries don't read as a regression of the old total
+        "value_r7_subset": round(
+            sum(v for k, v in timings.items() if k not in R8_ADDITIONS), 3
+        ),
         "queries": timings,
         "index_timing": index_timing,
         "model_build_marks": model_build_marks,

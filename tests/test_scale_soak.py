@@ -187,6 +187,7 @@ def test_200k_batch_sketches_stay_register_bounded(spark, tmp_path):
             track_distinct_sketch=True,
             track_frequency_sketch=True,
             track_quantile_sketch=True,
+            track_sample_sketch=True,
         ),
         state_path=str(tmp_path / "state"),
         drq_path=str(tmp_path / "drq"),
@@ -207,3 +208,5 @@ def test_200k_batch_sketches_stay_register_bounded(spark, tmp_path):
         assert counts[kind] <= SK.CMS_D * SK.CMS_W * n_shards
     for kind in ("qsk", "qsk_delta"):
         assert counts[kind] <= (63 * SK.QSK_K + 1) * n_shards
+    # reservoir register: n+1 sampled identities per shard, volume-free
+    assert counts["rsv"] <= (8 + 1) * n_shards
