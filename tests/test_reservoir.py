@@ -251,3 +251,63 @@ def test_kmv_registers_min_merge_and_exactness(spark):
     if n_lo + n_hi < k:
         assert ops["union_estimate"] == n_lo + n_hi
         assert ops["n_both"] == 0 and ops["intersection_estimate"] == 0
+
+
+def test_streaming_kmv_register_matches_batch(spark, tmp_path):
+    """The stateful register keeper is sketch-agnostic: feeding it KMV
+    keys (pri = h, w = 1 over distinct values) maintains a live KMV
+    register per group across micro-batches that ends exactly equal to
+    the batch sketch — streaming distinct-cardinality AND set algebra
+    from the same bounded state."""
+    from kinesis_stream_consumer_spark.streaming.stateful import (
+        streaming_reservoir,
+    )
+
+    k = 16
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        F.lit("users").alias("g"), F.col("user_id").cast("string").alias("u")
+    )
+    for i in range(3):
+        ev.where(F.col("u").cast("long") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).json(str(tmp_path / "in"))
+    stream = (
+        spark.readStream.schema("g string, u string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
+
+    keyed = stream.select(
+        "g",
+        md5_u56_le(F.col("u")).alias("id"),
+        F.lit(1).cast("long").alias("w"),
+        md5_u56_le(F.col("u")).alias("pri"),
+    )
+    q = (
+        streaming_reservoir(keyed, k - 1)  # keeper holds n+1 = k rows
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = _rows(
+        spark.sql(
+            """
+            SELECT g, pri, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY g, rank
+                                           ORDER BY b DESC) AS rn
+              FROM kmv_stream
+            ) WHERE rn = 1
+            """
+        )
+    )
+    batch = _rows(
+        SK.kmv_registers(ev, "g", F.col("u"), k).select(
+            "g", F.col("h").alias("pri"), "rank"
+        )
+    )
+    assert streamed == batch
