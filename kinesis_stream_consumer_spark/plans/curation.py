@@ -243,91 +243,3 @@ _FUNNEL_MAX_AVG_WLEN = 5  # avg word length (chars) upper bound
 _EN_STOP_SQL = (
     "('the','and','of','to','in','is','that','for','with','as')"
 )
-
-
-@register(
-    "curation_filter_funnel",
-    f"""
-    WITH f AS (
-      SELECT LENGTH(text) AS nc,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS nw,
-             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                             t -> t IN {_EN_STOP_SQL})) AS ns
-      FROM documents
-    ),
-    g AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
-             CAST(SUM(CASE WHEN nc >= {_FUNNEL_MIN_CHARS}
-                           THEN 1 ELSE 0 END) AS BIGINT) AS p1,
-             CAST(SUM(CASE WHEN nc >= {_FUNNEL_MIN_CHARS}
-                            AND nw >= {_FUNNEL_MIN_WORDS}
-                           THEN 1 ELSE 0 END) AS BIGINT) AS p2,
-             CAST(SUM(CASE WHEN nc >= {_FUNNEL_MIN_CHARS}
-                            AND nw >= {_FUNNEL_MIN_WORDS}
-                            AND ns >= 1
-                           THEN 1 ELSE 0 END) AS BIGINT) AS p3,
-             CAST(SUM(CASE WHEN nc >= {_FUNNEL_MIN_CHARS}
-                            AND nw >= {_FUNNEL_MIN_WORDS}
-                            AND ns >= 1
-                            AND (nc - nw + 1) <= {_FUNNEL_MAX_AVG_WLEN} * nw
-                           THEN 1 ELSE 0 END) AS BIGINT) AS p4
-      FROM f
-    )
-    SELECT * FROM (
-      SELECT 1 AS stage, 'min_chars' AS filter, n0 AS n_in, p1 AS n_pass,
-             n0 - p1 AS n_drop,
-             (2*10000*p1 + n0) // (2*n0) AS cum_share_bp FROM g
-      UNION ALL
-      SELECT 2, 'min_words', p1, p2, p1 - p2,
-             (2*10000*p2 + n0) // (2*n0) FROM g
-      UNION ALL
-      SELECT 3, 'has_stopword', p2, p3, p2 - p3,
-             (2*10000*p3 + n0) // (2*n0) FROM g
-      UNION ALL
-      SELECT 4, 'avg_word_len', p3, p4, p3 - p4,
-             (2*10000*p4 + n0) // (2*n0) FROM g
-    ) ORDER BY stage
-    """,
-    doc="Quality-filter funnel audit: the cumulative pass/drop count "
-    "through the standard cheap text filters (length >= "
-    f"{_FUNNEL_MIN_CHARS} chars, >= {_FUNNEL_MIN_WORDS} words, >= 1 "
-    "English stopword, avg word length <= "
-    f"{_FUNNEL_MAX_AVG_WLEN} chars) — the first table anyone asks for "
-    "when tuning a cleaning pipeline: WHERE does the corpus go, and is "
-    "one filter doing all the work. Each stage reports docs in, docs "
-    "passing, docs dropped HERE, and the cumulative survivor share of "
-    "the whole corpus in half-up basis points. All flags compute "
-    "map-side (cross-multiplied integer thresholds, no float ratios); "
-    "the whole funnel is ONE aggregate row unpivoted to four — a single "
-    "reduce regardless of corpus size.",
-)
-def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    f = docs.select(
-        F.length("text").alias("nc"),
-        T.token_count(F.col("text")).alias("nw"),
-        T.stopword_hits(F.col("text"), "en").alias("ns"),
-    )
-    c1 = F.col("nc") >= _FUNNEL_MIN_CHARS
-    c2 = c1 & (F.col("nw") >= _FUNNEL_MIN_WORDS)
-    c3 = c2 & (F.col("ns") >= 1)
-    c4 = c3 & (
-        (F.col("nc") - F.col("nw") + 1) <= _FUNNEL_MAX_AVG_WLEN * F.col("nw")
-    )
-    g = f.agg(
-        F.count(F.lit(1)).cast("long").alias("n0"),
-        F.sum(c1.cast("int")).cast("long").alias("p1"),
-        F.sum(c2.cast("int")).cast("long").alias("p2"),
-        F.sum(c3.cast("int")).cast("long").alias("p3"),
-        F.sum(c4.cast("int")).cast("long").alias("p4"),
-    )
-    return g.select(
-        F.expr(
-            "stack(4,"
-            " 1, 'min_chars',    n0, p1, n0 - p1, (2*10000*p1 + n0) div (2*n0),"
-            " 2, 'min_words',    p1, p2, p1 - p2, (2*10000*p2 + n0) div (2*n0),"
-            " 3, 'has_stopword', p2, p3, p2 - p3, (2*10000*p3 + n0) div (2*n0),"
-            " 4, 'avg_word_len', p3, p4, p3 - p4, (2*10000*p4 + n0) div (2*n0))"
-            " AS (stage, filter, n_in, n_pass, n_drop, cum_share_bp)"
-        )
-    ).orderBy("stage")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_stream_consumer_spark.operators import dedup as D
+from kinesis_stream_consumer_spark.operators import sketches as SK
 from kinesis_stream_consumer_spark.operators import multimodal as M
 from kinesis_stream_consumer_spark.operators import similarity as S
 from kinesis_stream_consumer_spark.operators import text as T
@@ -2307,6 +2308,135 @@ def _nprobe_sweep_oracle() -> str:
     FROM den d LEFT JOIN hits h ON h.np = d.np
     ORDER BY nprobe
     """
+
+
+_KMVO_K = 64
+
+
+@register(
+    "text_source_overlap_kmv",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    hs AS (
+      SELECT DISTINCT source AS g,
+             CAST((md5_number_upper(tok) >> 8) AS BIGINT) AS h
+      FROM toks WHERE tok <> ''
+    ),
+    regs AS (
+      SELECT * FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rank
+        FROM hs)
+      WHERE rank <= {_KMVO_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    prl AS (
+      SELECT a.source || '|' || b.source AS pair, a.source AS g,
+             1 AS is_a, 0 AS is_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+      UNION ALL
+      SELECT a.source || '|' || b.source, b.source, 0, 1
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    mem AS (
+      SELECT l.pair, r.h, MAX(l.is_a) AS in_a, MAX(l.is_b) AS in_b
+      FROM prl l JOIN regs r ON r.g = l.g
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT pair, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY h) AS rank
+        FROM mem)
+      WHERE rank <= {_KMVO_K}
+    ),
+    est AS (
+      SELECT pair,
+             CAST(COUNT(*) AS BIGINT) AS n_union_seen,
+             CAST(CASE WHEN COUNT(*) < {_KMVO_K} THEN COUNT(*)
+                  ELSE ({_KMVO_K - 1} * CAST({SK.RSV_SCALE} AS BIGINT))
+                       // GREATEST(MAX(CASE WHEN rank = {_KMVO_K} THEN h END), 1)
+                  END AS BIGINT) AS union_estimate,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM top GROUP BY pair
+    )
+    SELECT pair, n_union_seen, union_estimate, n_both,
+           CAST(CASE WHEN n_union_seen < {_KMVO_K} THEN n_both
+                ELSE (n_both * union_estimate) // {_KMVO_K} END AS BIGINT)
+             AS intersection_estimate,
+           CAST((2 * 10000 * n_both + LEAST({_KMVO_K}, n_union_seen))
+                // (2 * LEAST({_KMVO_K}, n_union_seen)) AS BIGINT)
+             AS jaccard_bp
+    FROM est ORDER BY pair
+    """,
+    doc="Pairwise source-vocabulary overlap via KMV registers — the "
+    "set-algebra sketch applied the way a 100 TB curation pipeline uses "
+    "it daily: every pair of sources scored for vocabulary Jaccard "
+    "without ever joining token sets pairwise. ONE tokenize+distinct-hash "
+    "pass builds a k=64 register per source; each register row then "
+    "fans out to its pairs through a #pairs-bounded EQUI-join (the pair "
+    "membership table builds from the driver-collected source list — the "
+    "model-table pattern; an OR-join would plan as the banned "
+    "BroadcastNestedLoopJoin), and all set arithmetic (union KMV, "
+    "both-member share, half-up Jaccard bp) runs on pairs x 2k register "
+    "rows. The corpus is read once; everything downstream is "
+    "register-sized regardless of corpus or vocabulary size.",
+)
+def text_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("source").alias("g"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    regs = SK.kmv_registers(toks, "g", F.col("tok"), _KMVO_K)
+    # pair membership table from the driver-collected source list
+    # (#sources-bounded, the model-table pattern)
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            rows.append((f"{a}|{b}", a, 1, 0))
+            rows.append((f"{a}|{b}", b, 0, 1))
+    prl = spark.createDataFrame(
+        rows, schema="pair string, g string, is_a int, is_b int"
+    )
+    mem = (
+        regs.join(F.broadcast(prl), "g")
+        .groupBy("pair", "h")
+        .agg(F.max("is_a").alias("in_a"), F.max("is_b").alias("in_b"))
+    )
+    from pyspark.sql.window import Window
+
+    top = mem.withColumn(
+        "rank", F.row_number().over(Window.partitionBy("pair").orderBy("h"))
+    ).where(F.col("rank") <= _KMVO_K)
+    k = _KMVO_K
+    est = top.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_seen"),
+        F.expr(
+            f"CASE WHEN count(1) < {k} THEN count(1) "
+            f"ELSE ({k - 1} * CAST({SK.RSV_SCALE} AS BIGINT))"
+            f" div GREATEST(MAX(CASE WHEN rank = {k} THEN h END), 1) END"
+        ).cast("long").alias("union_estimate"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    return est.select(
+        "pair",
+        "n_union_seen",
+        "union_estimate",
+        "n_both",
+        F.expr(
+            f"CASE WHEN n_union_seen < {k} THEN n_both "
+            f"ELSE (n_both * union_estimate) div {k} END"
+        ).cast("long").alias("intersection_estimate"),
+        F.expr(
+            f"(2 * 10000 * n_both + LEAST({k}, n_union_seen))"
+            f" div (2 * LEAST({k}, n_union_seen))"
+        ).cast("long").alias("jaccard_bp"),
+    ).orderBy("pair")
 
 
 @register(

@@ -101,6 +101,7 @@ def main() -> None:
         "curation_contamination_embedding",
         "engine_reservoir_sample",
         "agg_kmv_set_ops",
+        "text_source_overlap_kmv",
         "q11_important_stock",
         "q12_late_shipment_priority",
         "q15_top_supplier",
