@@ -111,7 +111,13 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
     # len(_BM25_TERMS) rows (fixed query workload), never corpus-scaled
     # stot: text_source_lift_classifier's per-source token totals — a
     # local relation rebuilt from the #sources-bounded collected rows
-    allowed = {"na", "re", "na_asia", "n1", "n2", "qs", "sidx", "idf", "stot"}
+    # prl: text_source_overlap_kmv's pair-membership table — 2 rows per
+    # source pair, built from the driver-collected source list (the
+    # model-table pattern), never row-scaled
+    allowed = {
+        "na", "re", "na_asia", "n1", "n2", "qs", "sidx", "idf", "stot",
+        "prl",
+    }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
         if path.name == "queries.py":  # helper definition itself
