@@ -532,3 +532,93 @@ def minhash_lsh_incremental_pairs(
             ),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (AllPairs/PPJoin
+    family, Bayardo et al. WWW'07) — the lossless counterpart of the
+    MinHash-LSH candidate join: every pair with true shingle Jaccard ≥
+    ``threshold`` is guaranteed to be emitted (LSH banding can miss pairs;
+    prefix filtering cannot).
+
+    Plan shape (scale-critical):
+      1. ONE shingle pass, checkpointed — feeds the prefix build AND the
+         exact verify (same single-tokenize discipline as the LSH join).
+      2. Global shingle document-frequency — one count aggregate keyed on
+         shingle (partial counts combine map-side).
+      3. Per-doc rarity order: window PARTITIONED BY doc (parallel; no
+         global sort anywhere) ranks each doc's shingles by ascending
+         (df, shingle). A doc of size s keeps only its first
+         s - ceil(t·s) + 1 rarest shingles — its PREFIX. Correctness: two
+         sets with J ≥ t must share at least one element inside both
+         prefixes under any single global element order (pigeonhole on the
+         ≥ t·|a∪b| shared elements), so joining prefixes loses nothing.
+      4. Candidate pairs = self-equi-join of the prefix rows on shingle —
+         the shuffle key is the shingle, and only RARE shingles survive
+         into prefixes, so the per-key bucket products stay tiny (the
+         frequent-shingle quadratic blowup of a naive share-any-token
+         join is filtered out by construction). A length filter
+         (min_size ≥ t·max_size, a necessary condition for J ≥ t) prunes
+         mismatched-size pairs inside the join condition.
+      5. Exact Jaccard verify over the checkpointed sets, ≥ threshold.
+
+    At 100 TB: the df aggregate and the prefix join shuffle (doc, shingle,
+    size) rows only — never document text; candidates are bounded by
+    rare-prefix collisions rather than n²."""
+    from pyspark.sql.window import Window
+
+    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
+    rows = shsets.select(
+        "doc",
+        F.size("shingles").cast("long").alias("sz"),
+        F.explode("shingles").alias("shingle"),
+    )
+    dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    # Checkpoint the slim prefix rows ONCE: both sides of the self-join
+    # read the materialized frame — without it each side re-runs the df
+    # aggregate + rarity window over the full shingle volume (the same
+    # reuse discipline as the LSH band table).
+    prefix = (
+        rows.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .where(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        .select("doc", "sz", "shingle")
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        prefix.alias("l")
+        .join(
+            prefix.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc") < F.col("r.doc"))
+            & (
+                F.least(F.col("l.sz"), F.col("r.sz"))
+                >= F.lit(float(threshold))
+                * F.greatest(F.col("l.sz"), F.col("r.sz"))
+            ),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias(
+                "jaccard_sim"
+            ),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )

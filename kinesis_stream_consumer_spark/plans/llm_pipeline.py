@@ -495,6 +495,41 @@ def _ngram_jaccard_oracle() -> str:
     """
 
 
+@register(
+    "dedup_setsim_prefix",
+    f"""
+    WITH {_SHINGLE_ROWS},
+    shsets AS (SELECT doc_id, list(DISTINCT shingle) AS shset
+               FROM sh GROUP BY doc_id)
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+           ROUND(len(list_intersect(sa.shset, sb.shset))
+                 / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1),
+                 4) AS jaccard_sim
+    FROM shsets sa JOIN shsets sb ON sa.doc_id < sb.doc_id
+    WHERE ROUND(len(list_intersect(sa.shset, sb.shset))
+                / GREATEST(len(list_distinct(list_cat(sa.shset, sb.shset))), 1),
+                4) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    doc="EXACT set-similarity join via prefix filtering (AllPairs/PPJoin "
+    "family): unlike the LSH band join, this is lossless — every pair with "
+    "true shingle Jaccard ≥ 0.2 is guaranteed out, so the oracle is the "
+    "brute-force all-pairs join. The Spark plan never builds that product: "
+    "docs join only where their rarest-shingle PREFIXES collide (prefix "
+    "length s − ceil(t·s) + 1 under a global ascending-document-frequency "
+    "order — the pigeonhole bound), with a size-ratio filter inside the "
+    "join condition. Shuffles carry (doc, shingle, size) rows only; the "
+    "frequent-shingle quadratic blowup of a naive share-any-token join is "
+    "excluded by construction. Complements dedup_ngram_jaccard: exact "
+    "recall when the dedup SLA demands it, LSH when approximate is enough.",
+)
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    return D.prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", 3, threshold=0.2
+    ).orderBy("doc_a", "doc_b")
+
+
 # --- Similarity search ------------------------------------------------------
 
 _DIM = 64  # embedding dimensionality of the driver's embeddings table
@@ -1766,122 +1801,6 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLL_MIN_COUNT = 5
 _COLL_TOP = 20
-
-
-@register(
-    "text_collocations_lift",
-    f"""
-    WITH tk AS (SELECT {_TOKS} AS t FROM documents),
-    pos AS (
-      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
-      FROM tk WHERE len(t) >= 2
-    ),
-    bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM pos),
-    cbi AS (
-      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
-      FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= {_COLL_MIN_COUNT}
-    ),
-    uni AS (SELECT unnest(t) AS tok FROM tk),
-    cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
-    sc AS (
-      SELECT w1, w2, pair_count,
-             u1.c AS left_count, u2.c AS right_count,
-             (2*10000*pair_count*n.n + u1.c*u2.c)
-               // (2*u1.c*u2.c) AS lift_bp
-      FROM cbi
-      JOIN cu u1 ON u1.tok = cbi.w1
-      JOIN cu u2 ON u2.tok = cbi.w2
-      CROSS JOIN n
-    )
-    SELECT w1 || ' ' || w2 AS bigram,
-           pair_count, left_count, right_count,
-           CAST(lift_bp AS BIGINT) AS lift_bp
-    FROM sc
-    ORDER BY lift_bp DESC, bigram
-    LIMIT {_COLL_TOP}
-    """,
-    doc="Collocation extraction (Church & Hanks 1990, PMI family): "
-    "adjacent-token bigrams ranked by association lift "
-    "P(xy)/(P(x)P(y)) = c_xy*N/(c_x*c_y), in integer basis points with "
-    f"a min-count floor of {_COLL_MIN_COUNT} — the corpus-analytics pass "
-    "behind tokenizer-vocabulary and multi-word-expression design. "
-    "Scale shape: the token array is materialized ONCE (checkpointed — "
-    "it feeds both the bigram and unigram sides, and tokenization is "
-    "the dominant map cost), bigram counts combine map-side before one "
-    "slim (w1, w2, count) shuffle, the unigram join is UNHINTED so AQE "
-    "broadcasts the vocabulary-bounded side locally and switches to "
-    "shuffle join if the vocabulary outgrows the threshold (the "
-    "stats-gated-broadcast rule — no forced hint on a data-scaled "
-    "table), and top-k plans as TakeOrderedAndProject. N rides as a "
-    "driver literal from one count over the checkpointed token frame "
-    "(the sanctioned scalar-model pattern); lift stays in exact long "
-    "arithmetic (2e4*c_xy*N ~ 7e17 at sf0.1, inside int64; production "
-    "swaps to DECIMAL or log-space PMI beyond ~1e9-token corpora).",
-)
-def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rebalance=True: the checkpoint below freezes the scan's partition
-    # layout for BOTH downstream explodes (the minhash_lsh lesson) — a
-    # single-row-group file would otherwise pin tokenize+explode+count
-    # to one task.
-    docs = _t(spark, sf_dir, "documents", rebalance=True)
-    tk = (
-        docs.select(T.tokens(F.col("text")).alias("t"))
-        .localCheckpoint(eager=True)
-    )
-    n_tokens = tk.agg(F.sum(F.size("t"))).collect()[0][0]
-    # int64 overflow guard (ADVICE r5): the lift numerator is
-    # 2·10⁴·pair_count·n_tokens with pair_count ≤ n_tokens, so it stays
-    # inside int64 iff 2·10⁴·n_tokens² < 2⁶³. Fail loudly past that —
-    # the fix at larger corpora is the documented DECIMAL/log-space form,
-    # not a silent wrap.
-    assert n_tokens <= 21_000_000, (
-        f"text_collocations_lift: {n_tokens} tokens would overflow the "
-        "int64 basis-point lift — switch to DECIMAL or log-space PMI"
-    )
-    pairs = (
-        tk.where(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("t"), 1, F.size("t") - 1),
-                    F.slice(F.col("t"), 2, F.size("t") - 1),
-                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-                )
-            ).alias("p")
-        )
-        .select("p.w1", "p.w2")
-    )
-    cbi = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .where(F.col("pair_count") >= _COLL_MIN_COUNT)
-    )
-    uni = (
-        tk.select(F.explode("t").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("left_count"))
-    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("right_count"))
-    lift = F.expr(
-        f"CAST((2*10000*pair_count*{n_tokens}"
-        " + left_count*right_count)"
-        " div (2*left_count*right_count) AS BIGINT)"
-    )
-    return (
-        cbi.join(u1, "w1")
-        .join(u2, "w2")
-        .select(
-            F.concat_ws(" ", "w1", "w2").alias("bigram"),
-            "pair_count",
-            "left_count",
-            "right_count",
-            lift.alias("lift_bp"),
-        )
-        .orderBy(F.col("lift_bp").desc(), "bigram")
-        .limit(_COLL_TOP)
-    )
 
 
 # --- BM25 lexical retrieval (integer-exact rational variant) ----------------

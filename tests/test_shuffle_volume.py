@@ -740,3 +740,29 @@ def test_kmv_register_shuffle_bounded_by_k(spark):
     # distinct stage: <= distinct-per-partition; top-k stage: <= k/part
     assert s["shuffle_records"] <= n_dist * max(n_parts, 1) + k * max(n_parts, 1)
     assert s["shuffle_records"] < n_rows / 5
+
+
+def test_prefix_filter_join_never_shuffles_allpairs(spark):
+    """The exact set-similarity join's contract: lossless output (the
+    oracle is brute force — pinned by test_oracle_parity) WITHOUT an
+    all-pairs product anywhere in the plan. Every exchange carries
+    O(shingle-rows) slim rows; no single exchange approaches the
+    N·(N-1)/2 pair volume a naive exact join would shuffle."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        executed_metrics,
+    )
+
+    docs = _docs(spark)
+    out = D.prefix_filter_jaccard_pairs(docs, "text", "doc_id", 3, 0.2)
+    out.collect()
+    all_pairs = N_DOCS * (N_DOCS - 1) // 2  # 124,750
+    n_shingle_rows = (
+        D.shingle_rows(docs, "text", "doc_id", 3).count()
+    )
+    for name, m in executed_metrics(out):
+        if name == "Exchange":
+            recs = m.get("shuffleRecordsWritten", 0)
+            # each exchange is bounded by the shingle-row volume (df agg,
+            # rarity join, prefix rows), never by the quadratic pair count
+            assert recs <= max(2 * n_shingle_rows, 1000), (name, recs)
+            assert recs < all_pairs // 4, (name, recs)
