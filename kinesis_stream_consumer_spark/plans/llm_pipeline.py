@@ -1810,98 +1810,6 @@ _BM25_TOP = 10
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
-@register(
-    "text_bm25_topk",
-    f"""
-    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                     CAST(SUM(len(t)) AS BIGINT) AS a FROM tk),
-    tf AS (
-      SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM tk)
-      WHERE tok IN ({_BM25_TERMS_SQL})
-      GROUP BY 1, 2, 3
-    ),
-    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-    idf AS (
-      SELECT tok,
-             (2*10000*(2*s.n - 2*df + 1) + (2*df + 1)) // (2*(2*df + 1))
-               AS idf_bp
-      FROM dfq, stats s
-    ),
-    terms AS (
-      SELECT tf.doc_id,
-             (2*idf.idf_bp*44*tf.tf*s.a
-                + (20*tf.tf*s.a + 6*s.a + 18*tf.dl*s.n))
-               // (2*(20*tf.tf*s.a + 6*s.a + 18*tf.dl*s.n)) AS term_bp
-      FROM tf JOIN idf USING (tok), stats s
-    )
-    SELECT doc_id, CAST(SUM(term_bp) AS BIGINT) AS bm25_bp,
-           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-    FROM terms GROUP BY 1
-    ORDER BY bm25_bp DESC, doc_id LIMIT {_BM25_TOP}
-    """,
-    doc="BM25 lexical retrieval top-k (Robertson-Sparck Jones; the classic "
-    "RAG/recall-stage scorer), k1=1.2 b=0.75 folded into EXACT integer "
-    "rationals: the tf saturation term becomes 44·tf·A / (20·tf·A + 6·A "
-    "+ 18·dl·N) with A = corpus tokens and N = docs (multiply-through by "
-    "20·A/N clears every fraction), and the idf uses the rational lift "
-    "form (2N−2df+1)/(2df+1) in half-up basis points — the same "
-    "monotone ordering as the classic log idf with no cross-engine "
-    "transcendental drift. Scale shape: tokenize once (checkpointed), "
-    "the tiny query-term filter prunes the posting explode BEFORE the tf "
-    "aggregate, per-term idf broadcasts, per-doc sum combines map-side, "
-    "TakeOrderedAndProject keeps the top-k. Corpus stats (N, A) are two "
-    "driver scalars embedded as literals (the k-means-model pattern).",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", T.tokens(F.col("text")).alias("t")
-    ).localCheckpoint(eager=True)
-    n_docs, n_tok, max_dl = tk.agg(
-        F.count(F.lit(1)), F.sum(F.size("t")), F.max(F.size("t"))
-    ).collect()[0]
-    # int64 envelope: the largest term numerator is 2·idf_max·44·dl·A with
-    # idf_max at df=1 — fail loudly past it (DECIMAL/log-space form then)
-    idf_max = (2 * 10000 * (2 * n_docs - 1) + 3) // 6 + 1
-    assert 2 * idf_max * 44 * max_dl * n_tok < 2**63, (
-        f"text_bm25_topk: N={n_docs}, A={n_tok} would overflow the int64 "
-        "basis-point BM25 — switch to DECIMAL or log-space scoring"
-    )
-    tf = (
-        tk.select(
-            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("tok")
-        )
-        .where(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).select(
-        "tok",
-        F.expr(
-            f"(2*10000*(2*{n_docs} - 2*df + 1) + (2*df + 1))"
-            " div (2*(2*df + 1))"
-        ).alias("idf_bp"),
-    )
-    term_bp = F.expr(
-        f"(2*idf_bp*44*tf*{n_tok}"
-        f" + (20*tf*{n_tok} + 6*{n_tok} + 18*dl*{n_docs}))"
-        f" div (2*(20*tf*{n_tok} + 6*{n_tok} + 18*dl*{n_docs}))"
-    )
-    return (
-        tf.join(F.broadcast(idf), "tok")
-        .select("doc_id", term_bp.alias("term_bp"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("term_bp").cast("long").alias("bm25_bp"),
-            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-        )
-        .orderBy(F.col("bm25_bp").desc(), "doc_id")
-        .limit(_BM25_TOP)
-    )
-
-
 # --- Lexical diversity: type-token ratio + hapax ratio ----------------------
 
 @register(

@@ -582,6 +582,42 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skyline_pareto_parts",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part u
+      WHERE u.p_retailprice <= t.p_retailprice
+        AND u.p_size >= t.p_size
+        AND (u.p_retailprice < t.p_retailprice OR u.p_size > t.p_size)
+    )
+    ORDER BY p_retailprice, p_size, p_partkey
+    """,
+    doc="2-D Pareto frontier (skyline): parts no other part beats on both "
+    "price (minimize) and size (maximize), ties all kept. The oracle is "
+    "the textbook NOT-EXISTS dominance anti-join — which on Spark would "
+    "plan as the banned O(n²) BroadcastNestedLoopJoin. The Spark plan is "
+    "the banded sweep instead: one hash aggregate per distinct price "
+    "(map-side combine), equi-width price bands from a 2-scalar min/max "
+    "(driver-literal model pattern), a running-max window PARTITIONED BY "
+    "band (parallel), a cross-band sweep over the #bands-bounded frame, "
+    "and an equi-join back to recover surviving rows. One keyed shuffle + "
+    "one parallel window at any scale; the only single-partition window "
+    "runs over ≤ n_bands rows (a driver constant).",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.frontier import skyline_2d
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        skyline_2d(part, "p_retailprice", "p_size", n_bands=32)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     """
     SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, c.cost_cents

@@ -766,3 +766,23 @@ def test_prefix_filter_join_never_shuffles_allpairs(spark):
             # rarity join, prefix rows), never by the quadratic pair count
             assert recs <= max(2 * n_shingle_rows, 1000), (name, recs)
             assert recs < all_pairs // 4, (name, recs)
+
+
+def test_skyline_banded_sweep_never_goes_quadratic(spark):
+    """The skyline's contract vs its NOT-EXISTS oracle: dominance is
+    resolved by the banded sweep, not a pairwise product. Every exchange
+    carries at most one row per part (per-price summaries, band maxima,
+    frontier join keys) — never the n² dominance-pair volume."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        executed_metrics,
+    )
+    from kinesis_stream_consumer_spark.operators.frontier import skyline_2d
+
+    part = spark.read.parquet(f"{SF_CORRECT}/part.parquet")
+    n_part = part.count()
+    out = skyline_2d(part, "p_retailprice", "p_size", n_bands=32)
+    out.collect()
+    for name, m in executed_metrics(out):
+        if name == "Exchange":
+            recs = m.get("shuffleRecordsWritten", 0)
+            assert recs <= n_part, (name, recs)
