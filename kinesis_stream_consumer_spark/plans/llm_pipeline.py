@@ -1812,59 +1812,6 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 # --- Lexical diversity: type-token ratio + hapax ratio ----------------------
 
-@register(
-    "text_ttr_hapax",
-    f"""
-    WITH tc AS (
-      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
-      GROUP BY 1, 2
-    ),
-    d AS (
-      SELECT doc_id,
-             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-             CAST(COUNT(*) AS BIGINT) AS n_types,
-             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hapax
-      FROM tc GROUP BY 1
-    )
-    SELECT doc_id, n_tokens, n_types, n_hapax,
-           (2*10000*n_types + n_tokens) // (2*n_tokens)  AS ttr_bp,
-           (2*10000*n_hapax + n_types) // (2*n_types)    AS hapax_bp
-    FROM d ORDER BY doc_id
-    """,
-    doc="Lexical-diversity quality signals: per-document type-token ratio "
-    "and hapax-legomena ratio in half-up integer basis points — the "
-    "standard cheap detectors for template/boilerplate text (low TTR) "
-    "and noisy OCR/gibberish (high hapax share), complementing the "
-    "repetition and quality scores. One explode → (doc, token) count → "
-    "per-doc aggregate; both groupBys combine map-side and the shuffle "
-    "carries (doc, token, count) rows, never text.",
-)
-def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tc = (
-        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    d = tc.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_hapax"),
-    )
-    return d.select(
-        "doc_id",
-        "n_tokens",
-        "n_types",
-        "n_hapax",
-        F.expr("(2*10000*n_types + n_tokens) div (2*n_tokens)").alias("ttr_bp"),
-        F.expr("(2*10000*n_hapax + n_types) div (2*n_types)").alias("hapax_bp"),
-    ).orderBy("doc_id")
-
-
 # --- Character-class (script) histogram --------------------------------------
 
 @register(

@@ -617,6 +617,129 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REG_SHIFT = 1_000_000_000  # positivity shift for signed half-up division
+
+
+@register(
+    "agg_regression_trend",
+    f"""
+    WITH monthly AS (
+      SELECT n.n_name,
+             (year(o.o_orderdate) - 1992) * 12
+               + month(o.o_orderdate) - 1 AS m,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS yc
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    md AS (SELECT n_name, m, yc, yc // 100 AS yd FROM monthly),
+    s AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS sx,
+             CAST(SUM(CAST(m AS BIGINT) * m) AS BIGINT) AS sxx,
+             CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(m * yc) AS BIGINT) AS sxy,
+             CAST(SUM(yd) AS BIGINT) AS syd,
+             CAST(SUM(m * yd) AS BIGINT) AS sxyd,
+             CAST(SUM(yd * yd) AS BIGINT) AS sydd
+      FROM md GROUP BY 1
+    ),
+    r AS (
+      SELECT n_name, n,
+             n * sxx - sx * sx AS den,
+             n * sxy - sx * sy AS num_s,
+             sy * sxx - sx * sxy AS num_i,
+             n * sxyd - sx * syd AS num_d,
+             n * sydd - syd * syd AS deny
+      FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_months,
+           CAST((2 * num_s + den + 2 * den * {_REG_SHIFT})
+                  // (2 * den) - {_REG_SHIFT} AS BIGINT) AS slope_cents,
+           CAST((2 * num_i + den + 2 * den * {_REG_SHIFT})
+                  // (2 * den) - {_REG_SHIFT} AS BIGINT) AS intercept_cents,
+           ROUND((CAST(num_d AS DOUBLE) * CAST(num_d AS DOUBLE))
+                 / (CAST(den AS DOUBLE) * CAST(NULLIF(deny, 0) AS DOUBLE)),
+                 4) AS r2
+    FROM r ORDER BY n_name
+    """,
+    doc="Per-group OLS regression — monthly revenue trend per nation: "
+    "slope (cents/month) and intercept (cents at the 1992-01 epoch) from "
+    "the closed-form normal equations computed ENTIRELY in exact int64 "
+    "sums (Σx, Σy, Σxy, Σx², money in half-up cents), so partial "
+    "aggregation order can never flip a bit cross-engine — the built-in "
+    "regr_slope/regr_intercept double aggregates are order-sensitive in "
+    "their last ulp. Signed numerators use the positivity-shift half-up "
+    "division idiom (DuckDB // floors, Spark div truncates; shifting by "
+    f"{_REG_SHIFT} makes both identical). r² is computed over exact "
+    "floor-dollar sums then ONE double division (identical IEEE ops both "
+    "engines; NULL when y is constant). Scale shape: one (nation, month) "
+    "pre-aggregate (map-side combine), then a nation-keyed aggregate over "
+    "#months-bounded rows; dims broadcast (stats-gated). Int64 bounds: "
+    "den is sf-independent (x = month index); numerators stay exact "
+    "through ~sf1 (documented DECIMAL switch beyond).",
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = _t(spark, sf_dir, "orders")
+    cust = _bcast_if_small(_t(spark, sf_dir, "customer"), sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    monthly = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(na), cust.c_nationkey == na.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(
+                "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1"
+            ).alias("m"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("n_name", "m")
+        .agg(F.sum("cents").alias("yc"))
+        .withColumn("yd", F.expr("yc div 100"))
+    )
+    s = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cast(m as bigint))").alias("sx"),
+        F.expr("sum(cast(m as bigint) * m)").alias("sxx"),
+        F.expr("sum(yc)").alias("sy"),
+        F.expr("sum(m * yc)").alias("sxy"),
+        F.expr("sum(yd)").alias("syd"),
+        F.expr("sum(m * yd)").alias("sxyd"),
+        F.expr("sum(yd * yd)").alias("sydd"),
+    )
+    r = s.where("n >= 2 AND n * sxx - sx * sx <> 0").select(
+        "n_name",
+        "n",
+        F.expr("n * sxx - sx * sx").alias("den"),
+        F.expr("n * sxy - sx * sy").alias("num_s"),
+        F.expr("sy * sxx - sx * sxy").alias("num_i"),
+        F.expr("n * sxyd - sx * syd").alias("num_d"),
+        F.expr("n * sydd - syd * syd").alias("deny"),
+    )
+    return r.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_months"),
+        F.expr(
+            f"CAST((2 * num_s + den + 2 * den * {_REG_SHIFT})"
+            f" div (2 * den) - {_REG_SHIFT} AS BIGINT)"
+        ).alias("slope_cents"),
+        F.expr(
+            f"CAST((2 * num_i + den + 2 * den * {_REG_SHIFT})"
+            f" div (2 * den) - {_REG_SHIFT} AS BIGINT)"
+        ).alias("intercept_cents"),
+        F.expr(
+            "ROUND((CAST(num_d AS DOUBLE) * CAST(num_d AS DOUBLE))"
+            " / (CAST(den AS DOUBLE) * CAST(NULLIF(deny, 0) AS DOUBLE)), 4)"
+        ).alias("r2"),
+    ).orderBy("n_name")
+
+
 @register(
     "q2_min_cost_supplier",
     """
