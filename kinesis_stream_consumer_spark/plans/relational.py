@@ -617,6 +617,146 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    j AS (
+      SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                  ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS journey
+      FROM e
+    ),
+    t AS (
+      SELECT user_id, journey, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS rn
+      FROM j WHERE event_type <> 'purchase'
+    ),
+    p AS (SELECT user_id, journey, cents FROM j
+          WHERE event_type = 'purchase'),
+    js AS (
+      SELECT user_id, journey, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             arg_min(event_type, rn) AS first_channel,
+             arg_max(event_type, rn) AS last_channel
+      FROM t GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT user_id, journey, event_type AS channel,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT cc.channel, p.cents, js.n_touches, cc.cnt,
+             js.first_channel, js.last_channel
+      FROM p JOIN js USING (user_id, journey)
+             JOIN cc USING (user_id, journey)
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_journeys,
+           CAST(SUM(CASE WHEN channel = first_channel THEN cents
+                         ELSE 0 END) AS BIGINT) AS first_touch_cents,
+           CAST(SUM(CASE WHEN channel = last_channel THEN cents
+                         ELSE 0 END) AS BIGINT) AS last_touch_cents,
+           CAST(SUM((2 * cents * cnt + n_touches) // (2 * n_touches))
+                AS BIGINT) AS linear_cents
+    FROM cells GROUP BY 1 ORDER BY channel
+    """,
+    doc="Multi-touch conversion attribution over per-user event journeys: "
+    "each purchase's revenue credited to the touch events (click / view / "
+    "signup / error) since the previous purchase, under the three classic "
+    "models at once — first-touch, last-touch, and linear (per-journey "
+    "channel share via exact half-up integer division of cents, so "
+    "fractional credit never drifts cross-engine). Journey segmentation "
+    "is a running purchase count over a per-user window (strictly-prior "
+    "frame, so the purchase row closes its own journey); first/last "
+    "touch resolve via min_by/max_by on the NUMERIC within-journey row "
+    "number (HashAggregate, never min(struct)'s SortAggregate). "
+    "Unconverted tails and touch-less purchases drop out of the inner "
+    "joins by construction (documented). Scale shape: one user_id "
+    "shuffle feeds both window passes, then (user, journey)-keyed "
+    "aggregates and a final #channels-bounded aggregate; nothing is "
+    "ever keyed on a hot constant.",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w_j = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    j = base.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(
+                F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            ).over(w_j),
+            F.lit(0),
+        ),
+    )
+    w_rn = W.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    touches = j.where("event_type <> 'purchase'").withColumn(
+        "rn", F.row_number().over(w_rn)
+    )
+    purch = j.where("event_type = 'purchase'").select(
+        "user_id", "journey", "cents"
+    )
+    jstats = touches.groupBy("user_id", "journey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.expr("min_by(event_type, rn)").alias("first_channel"),
+        F.expr("max_by(event_type, rn)").alias("last_channel"),
+    )
+    cc = touches.groupBy("user_id", "journey", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cells = purch.join(jstats, ["user_id", "journey"]).join(
+        cc, ["user_id", "journey"]
+    )
+    return (
+        cells.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_journeys"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = first_channel THEN cents"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("first_touch_cents"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = last_channel THEN cents"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("last_touch_cents"),
+            F.sum(
+                F.expr("(2 * cents * cnt + n_touches) div (2 * n_touches)")
+            )
+            .cast("long")
+            .alias("linear_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
 _REG_SHIFT = 1_000_000_000  # positivity shift for signed half-up division
 
 

@@ -2710,3 +2710,198 @@ def text_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(2*10000*n_types + n_tokens) div (2*n_tokens)").alias("ttr_bp"),
         F.expr("(2*10000*n_hapax + n_types) div (2*n_types)").alias("hapax_bp"),
     ).orderBy("doc_id")
+
+
+# --- parked r8: displaced by text_source_lang_association + events_attribution (r7-green, unchanged) ---
+
+@register(
+    "text_script_shares",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n,
+             CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digit,
+             CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))
+                  AS BIGINT) AS n_space
+      FROM documents
+    )
+    SELECT doc_id, n AS n_chars, n_alpha, n_digit, n_space,
+           n - n_alpha - n_digit - n_space AS n_other,
+           (2*10000*n_alpha + GREATEST(n,1)) // (2*GREATEST(n,1)) AS alpha_bp,
+           (2*10000*n_digit + GREATEST(n,1)) // (2*GREATEST(n,1)) AS digit_bp,
+           (2*10000*(n - n_alpha - n_digit - n_space) + GREATEST(n,1))
+             // (2*GREATEST(n,1)) AS other_bp
+    FROM c ORDER BY doc_id
+    """,
+    doc="Character-class histogram per document — the script-detection "
+    "complement to the n-gram language id: shares of alphabetic, digit, "
+    "whitespace, and other (symbol/punct) characters in half-up integer "
+    "basis points. The classic cheap detectors for OCR noise, markup "
+    "residue, and wrong-script text ride on these counts. Counting is "
+    "LENGTH(text) − LENGTH(class stripped) so both engines count with "
+    "their own regex engine yet agree exactly; the whole query is "
+    "map-side (no shuffle but the final sort).",
+)
+def text_script_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text").cast("long")
+    def stripped(pat: str):
+        return (F.length("text") - F.length(F.regexp_replace("text", pat, ""))).cast("long")
+    c = docs.select(
+        "doc_id",
+        n.alias("n"),
+        stripped("[A-Za-z]").alias("n_alpha"),
+        stripped("[0-9]").alias("n_digit"),
+        stripped("[ \\t\\n\\r]").alias("n_space"),
+    ).withColumn(
+        "n_other",
+        F.col("n") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        "n_alpha",
+        "n_digit",
+        "n_space",
+        "n_other",
+        F.expr(
+            "(2*10000*n_alpha + GREATEST(n,1)) div (2*GREATEST(n,1))"
+        ).alias("alpha_bp"),
+        F.expr(
+            "(2*10000*n_digit + GREATEST(n,1)) div (2*GREATEST(n,1))"
+        ).alias("digit_bp"),
+        F.expr(
+            "(2*10000*n_other + GREATEST(n,1)) div (2*GREATEST(n,1))"
+        ).alias("other_bp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_source_lift_classifier",
+    f"""
+    WITH tk AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sed AS (SELECT source, unnest(t) AS tok FROM tk WHERE doc_id % 2 = 0),
+    cws AS (SELECT tok, source, CAST(COUNT(*) AS BIGINT) AS c_ws
+            FROM sed GROUP BY 1, 2),
+    cs  AS (SELECT source, CAST(SUM(c_ws) AS BIGINT) AS c_s
+            FROM cws GROUP BY 1),
+    cw  AS (SELECT tok, CAST(SUM(c_ws) AS BIGINT) AS c_w
+            FROM cws GROUP BY 1),
+    nn  AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n FROM cs),
+    lift AS (
+      SELECT c.tok, c.source,
+             CAST((2*10000*c.c_ws*nn.n + cs.c_s*cw.c_w)
+                  // (2*cs.c_s*cw.c_w) AS BIGINT) AS lift_bp
+      FROM cws c JOIN cs USING (source) JOIN cw USING (tok), nn
+    ),
+    ev AS (
+      SELECT doc_id, source AS true_source, tok,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, source, unnest(t) AS tok FROM tk
+            WHERE doc_id % 2 = 1)
+      GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT e.doc_id, e.true_source, l.source,
+             CAST(SUM(e.tf * l.lift_bp) AS BIGINT) AS score_bp
+      FROM ev e JOIN lift l ON l.tok = e.tok
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, source AS pred_source, true_source, score_bp,
+           CAST(CASE WHEN source = true_source THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_bp DESC, source) AS rnk
+      FROM sc)
+    WHERE rnk = 1
+    ORDER BY doc_id
+    """,
+    doc="Lexical source classifier trained IN-SQL, no driver-side model: "
+    "the even-doc_id half is the labeled seed set; each (token, source) "
+    "gets a lift weight P(tok|source)/P(tok) in half-up integer basis "
+    "points over the seed counts, and every odd-half document is scored "
+    "per source as the tf-weighted sum of its tokens' lifts — "
+    "Rocchio-style lexical voting, the cheap domain/quality classifier a "
+    "curation pipeline runs before anything neural. Prediction is the "
+    "argmax source (ties to the lexicographically first). Everything is "
+    "keyed aggregates: one tokenize checkpoint feeds seed and eval "
+    "sides, the lift table joins on token (vocabulary-scaled, left to "
+    "AQE — never forced broadcast), the per-source totals ride a "
+    "#sources-bounded local relation, and the per-doc argmax is a "
+    "WindowGroupLimit over ≤ n_src rows per doc. Docs whose tokens all "
+    "fall outside the seed vocabulary have no evidence and drop.",
+)
+def text_source_lift_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    tk = docs.select(
+        "doc_id", "source", T.tokens(F.col("text")).alias("t")
+    ).localCheckpoint(eager=True)
+    sed = tk.where(F.col("doc_id") % 2 == 0).select(
+        "source", F.explode("t").alias("tok")
+    )
+    cws = sed.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ws")
+    )
+    cs_rows = (
+        cws.groupBy("source").agg(F.sum("c_ws").cast("long").alias("c_s"))
+        .collect()
+    )  # bounded by #sources (the curation-collect class)
+    n_seed = sum(r.c_s for r in cs_rows)
+    # int64 envelope for 2*10000*c_ws*N + c_s*c_w (c_ws <= c_s <= N):
+    # fail loudly past it rather than silently wrapping at larger corpora
+    assert 2 * 10000 * n_seed * n_seed < 2**63, (
+        f"text_source_lift_classifier: N={n_seed} seed tokens would "
+        "overflow the int64 basis-point lift — switch to DECIMAL/log-space"
+    )
+    stot = spark.createDataFrame(cs_rows, schema="source STRING, c_s BIGINT")
+    cw = cws.groupBy("tok").agg(F.sum("c_ws").cast("long").alias("c_w"))
+    lift = (
+        cws.join(cw, "tok")
+        .join(F.broadcast(stot), "source")
+        .select(
+            "tok",
+            "source",
+            F.expr(
+                f"(2*10000*c_ws*{n_seed} + c_s*c_w) div (2*c_s*c_w)"
+            ).cast("long").alias("lift_bp"),
+        )
+    )
+    ev = (
+        tk.where(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            F.col("source").alias("true_source"),
+            F.explode("t").alias("tok"),
+        )
+        .groupBy("doc_id", "true_source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    sc = (
+        ev.join(lift, "tok")
+        .groupBy("doc_id", "true_source", "source")
+        .agg(F.sum(F.col("tf") * F.col("lift_bp")).cast("long").alias("score_bp"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score_bp").desc(), "source")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("source").alias("pred_source"),
+            "true_source",
+            "score_bp",
+            (F.col("source") == F.col("true_source"))
+            .cast("long")
+            .alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
