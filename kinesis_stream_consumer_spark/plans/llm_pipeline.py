@@ -1972,6 +1972,85 @@ def _nprobe_sweep_oracle() -> str:
     """
 
 
+# --- Vocabulary growth (Heaps' law) ------------------------------------------
+
+
+@register(
+    "text_vocab_growth",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    per_doc AS (
+      SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM toks GROUP BY 1, 2
+    ),
+    first_occ AS (
+      SELECT source, term, MIN(doc_id) AS doc_id
+      FROM toks GROUP BY 1, 2
+    ),
+    new_per_doc AS (
+      SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_occ GROUP BY 1, 2
+    )
+    SELECT p.source AS source, p.doc_id AS doc_id,
+           CAST(SUM(p.n_toks) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM per_doc p
+    LEFT JOIN new_per_doc n ON n.source = p.source AND n.doc_id = p.doc_id
+    WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY p.source, p.doc_id
+    """,
+    doc="Heaps'-law vocabulary-growth curve per source: cumulative "
+    "distinct-term count vs cumulative token count in document order — "
+    "the corpus-analytics pass behind tokenizer-vocabulary sizing and "
+    "diminishing-returns estimates for further crawling of a source. "
+    "Spark-first shape: the naive form (count distinct terms over every "
+    "growing prefix) is quadratic; instead each term contributes exactly "
+    "once at its FIRST document (min(doc_id) per (source, term) — one "
+    "hash aggregate, map-side combine), per-doc new-term counts reduce "
+    "to one row per document, and the running sums are windows "
+    "PARTITIONED BY source (parallel across sources, linear per "
+    "partition). Shuffles carry term→first-doc and per-doc count rows "
+    "only — never text.",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    per_doc = toks.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    first_occ = toks.groupBy("source", "term").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    new_per_doc = first_occ.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        per_doc.join(new_per_doc, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
 _KMVO_K = 64
 
 
@@ -2101,154 +2180,5 @@ def text_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pair")
 
 
-@register(
-    "sim_nprobe_recall_sweep",
-    _nprobe_sweep_oracle(),
-    doc="The recall-vs-nprobe tuning curve every IVF deployment measures "
-    "before choosing its probe budget (FAISS's standard operating "
-    f"curve): ADC top-5 at nprobe ∈ {_SWEEP_NPROBES} against the "
-    f"exhaustive probe (nprobe = {_KMEANS_K} = every cell, i.e. the "
-    "full PQ scan) as ground truth, micro-averaged recall in half-up "
-    "basis points. ONE pass computes all sweep points: the cached "
-    "cell-keyed index joins a probe table carrying each cell's per-query "
-    "probe RANK, candidates expand across the nprobe values by a "
-    "rank<=np values-join, and one (np, query) WindowGroupLimit ranks "
-    "every sweep point's shortlist — the baseline is just the np=8 "
-    "slice, so nothing runs twice. Offline-evaluation shape: the "
-    "exhaustive baseline necessarily scans every list once; the "
-    "per-(np, query) frames after the top-5 are workload-bounded "
-    "(4·|Q|·5 rows, checkpointed before the self-join).",
-)
-def sim_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    inv, coarse_rows, pq_rows = _ivfpq_index(spark, sf_dir)
-    qrows = _sim_qrows(spark, sf_dir)
-    m, k, dim = _PQ_M, _PQ_K, _DIM
-    sub_dim = dim // m
-    cc: dict = {}
-    for r in coarse_rows:
-        cc.setdefault(r.cell, [0] * dim)[r.pos] = r.qc
-    cb: dict = {}
-    for r in pq_rows:
-        cb.setdefault((r.sub, r.cell), [0] * sub_dim)[r.pos] = r.qc
-    probe_rows = []
-    for q in qrows:
-        qv = q.qvec
-        dt = [0] * (m * k)
-        for (s, c), qc in cb.items():
-            base = s * sub_dim
-            dt[s * k + c] = sum(
-                (qv[base + p] - qc[p]) ** 2 for p in range(sub_dim)
-            )
-        near = sorted(
-            (sum((qv[p] - v[p]) ** 2 for p in range(dim)), cell)
-            for cell, v in cc.items()
-        )
-        for prnk, (_, cell) in enumerate(near, start=1):
-            probe_rows.append((int(q.query_id), int(cell), prnk, dt))
-    probes = spark.createDataFrame(
-        probe_rows,
-        schema="query_id BIGINT, cell_id INT, prnk INT, dt ARRAY<BIGINT>",
-    )  # tiny local relation — stats make it the broadcast side unhinted
-    adc = "+".join(f"dt[{s * k} + carr[{s}]]" for s in range(m))
-    scored = (
-        inv.join(probes, "cell_id")
-        .where(F.col("vid") != F.col("query_id"))
-        .select("query_id", "vid", "prnk", F.expr(adc).alias("adc_dist"))
-    )
-    swe = scored.withColumn(
-        "np", F.explode(F.array(*[F.lit(p) for p in _SWEEP_NPROBES]))
-    ).where(F.col("prnk") <= F.col("np"))
-    w = W.partitionBy("np", "query_id").orderBy("adc_dist", "vid")
-    top = (
-        swe.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .select("np", "query_id", "vid")
-        .localCheckpoint(eager=True)  # 4·|Q|·5 rows feed base AND hits
-    )
-    base = top.where(F.col("np") == _KMEANS_K).select("query_id", "vid")
-    hits = top.join(base, ["query_id", "vid"]).groupBy("np").agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits")
-    )
-    den = top.groupBy("np").agg(F.count(F.lit(1)).cast("long").alias("n_top"))
-    return (
-        den.join(hits, "np", "left")
-        .select(
-            F.col("np").cast("long").alias("nprobe"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            "n_top",
-            F.expr(
-                "cast((2*10000*coalesce(n_hits, 0) + n_top)"
-                " div (2*n_top) as bigint)"
-            ).alias("recall_bp"),
-        )
-        .orderBy("nprobe")
-    )
-
-
 # --- Tokenizer fertility / compression per language --------------------------
 
-@register(
-    "text_tokenizer_fertility",
-    f"""
-    WITH c AS (
-      SELECT lang,
-             CAST(LENGTH(text) AS BIGINT) AS n_chars,
-             CAST(len({_TOKS}) AS BIGINT) AS n_words,
-             CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]'))
-                  AS BIGINT) AS n_bpe
-      FROM documents
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           CAST(SUM(n_words) AS BIGINT) AS n_words,
-           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
-           CAST((2*10000*SUM(n_bpe) + SUM(n_words)) // (2*SUM(n_words))
-                AS BIGINT) AS fertility_bp,
-           CAST((2*10000*SUM(n_chars) + SUM(n_bpe)) // (2*SUM(n_bpe))
-                AS BIGINT) AS chars_per_token_bp
-    FROM c GROUP BY lang ORDER BY lang
-    """,
-    doc="Tokenizer fertility per language: sub-word tokens per whitespace "
-    "word (fertility) and characters per sub-word token (compression), "
-    "both in half-up basis points over corpus totals — THE metric that "
-    "decides whether a tokenizer under-serves a language (high fertility "
-    "= more tokens per word = more compute per content) and feeds "
-    "mixture/budget decisions (pair with curation_token_budget_mix). "
-    "Counting is regex-count map-side (no explode, no token rows "
-    "materialize); one lang groupBy with map-side combine is the only "
-    "shuffle.",
-)
-def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    c = docs.select(
-        "lang",
-        F.length("text").cast("long").alias("n_chars"),
-        T.token_count(F.col("text")).cast("long").alias("n_words"),
-        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
-    )
-    return (
-        c.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars"),
-            F.sum("n_words").cast("long").alias("n_words"),
-            F.sum("n_bpe").cast("long").alias("n_bpe"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "n_chars",
-            "n_words",
-            "n_bpe",
-            F.expr(
-                "(2*10000*n_bpe + n_words) div (2*n_words)"
-            ).alias("fertility_bp"),
-            F.expr(
-                "(2*10000*n_chars + n_bpe) div (2*n_bpe)"
-            ).alias("chars_per_token_bp"),
-        )
-        .orderBy("lang")
-    )

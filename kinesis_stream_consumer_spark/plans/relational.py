@@ -102,110 +102,6 @@ def _paa_bucket_sql(t: int) -> str:
 
 
 @register(
-    "ts_profile_similarity",
-    f"""
-    WITH hrs AS (SELECT unnest(generate_series(0, 23)) AS hr),
-    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < {_PAA_USER_CAP}),
-    obs AS (
-      SELECT user_id, hr, (2 * SUM(v6) + 100 * COUNT(*)) // (200 * COUNT(*)) AS p
-      FROM (
-        SELECT user_id, EXTRACT(hour FROM ts) AS hr,
-               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v6
-        FROM events WHERE user_id < {_PAA_USER_CAP})
-      GROUP BY 1, 2
-    ),
-    prof AS (
-      SELECT u.user_id, h.hr, COALESCE(o.p, 0) AS p
-      FROM users u CROSS JOIN hrs h
-      LEFT JOIN obs o ON o.user_id = u.user_id AND o.hr = h.hr
-    ),
-    sig AS (
-      SELECT user_id,
-             {", ".join(f"SUM(p * {_paa_weight(g)}) AS s{g}" for g in range(_PAA_NG))}
-      FROM prof GROUP BY user_id
-    ),
-    bands AS ({" UNION ALL ".join(_paa_bucket_sql(t) for t in range(_PAA_TABLES))}),
-    cand AS (
-      SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
-      FROM bands a JOIN bands b
-        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.user_id < b.user_id
-    ),
-    dists AS (
-      SELECT c.user_a, c.user_b, SUM((a.p - b.p) * (a.p - b.p)) AS dist2
-      FROM cand c
-      JOIN prof a ON a.user_id = c.user_a
-      JOIN prof b ON b.user_id = c.user_b AND b.hr = a.hr
-      GROUP BY 1, 2
-    )
-    SELECT user_a, user_b, CAST(dist2 AS BIGINT) AS dist2, rnk
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_a
-                                   ORDER BY dist2, user_b) AS rnk
-      FROM dists)
-    WHERE rnk <= 3
-    ORDER BY user_a, rnk
-    """,
-    doc="Time-series similarity search over behavioural profiles "
-    "(EDBT'19-style PAA representation): each user's event stream is "
-    "reduced to a 24-bin hour-of-day profile of integer-quantized segment "
-    "means — order-independent by construction (per-row micro-unit "
-    "quantization, then exact integer sum/divide, so no double-summation "
-    "drift cross-engine) — then top-3 most similar users per user by "
-    "squared-L2 on the profile, restricted to LSH candidates: the 24-int "
-    "profiles band through the same multi-table sign-projection family as "
-    "the embedding LSH (integer-exact here), candidate pairs are the "
-    "bucket collisions, and only those pairs pay the exact-distance join. "
-    "The corpus is touched once to build profiles; the pair stage is "
-    "bounded by bucket occupancy (corpus-scaled bits), never all-pairs — "
-    "the shuffle-volume gate pins the candidate count.",
-)
-def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < _PAA_USER_CAP)
-    obs = (
-        ev.select(
-            "user_id",
-            F.hour("ts").alias("hr"),
-            F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).alias("v6"),
-        )
-        .groupBy("user_id", "hr")
-        .agg(F.expr("(2 * sum(v6) + 100 * count(*)) div (200 * count(*))").alias("p"))
-    )
-    users = ev.select("user_id").distinct()
-    grid = users.select(
-        "user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr")
-    )
-    prof = (
-        grid.join(obs, ["user_id", "hr"], "left")
-        .select("user_id", "hr", F.coalesce("p", F.lit(0)).alias("p"))
-        .localCheckpoint(eager=True)  # profiles are |users|·24 slim rows
-    )
-    bits = _paa_bits(sf_dir)
-    # the oracle SQL bakes the import-time (cap-bound) width; stats must
-    # agree wherever the oracle runs, and do at every real sf (rows >> cap)
-    assert bits == _PAA_BITS, "PAA bits diverged from the oracle's width"
-    cand = _paa_candidates(prof, bits)
-    pa = prof.select(F.col("user_id").alias("user_a"), "hr", F.col("p").alias("pa"))
-    pb = prof.select(F.col("user_id").alias("user_b"), "hr", F.col("p").alias("pb"))
-    dists = (
-        cand.join(pa, "user_a")
-        .join(pb, ["user_b", "hr"])
-        .groupBy("user_a", "user_b")
-        .agg(
-            F.sum(
-                (F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))
-            ).alias("dist2")
-        )
-    )
-    w = Window.partitionBy("user_a").orderBy("dist2", "user_b")
-    return (
-        dists.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("user_a", "user_b", F.col("dist2").cast("long").alias("dist2"), "rnk")
-        .orderBy("user_a", "rnk")
-    )
-
-
-@register(
     "q17_small_quantity_revenue",
     """
     SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) // 7
@@ -614,6 +510,178 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         skyline_2d(part, "p_retailprice", "p_size", n_bands=32)
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size", "p_partkey")
+    )
+
+
+_EWMA_K = 8  # trailing half-life-1 window: weights 2^(k-1-i), exact in int64
+
+_EWMA_NUM_SQL = " + ".join(
+    f"COALESCE(l{i} * {1 << (_EWMA_K - 1 - i)}, 0)" for i in range(_EWMA_K)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN l{i} IS NOT NULL THEN {1 << (_EWMA_K - 1 - i)} ELSE 0 END"
+    for i in range(_EWMA_K)
+)
+
+
+@register(
+    "window_ewma_smoothing",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id, cents,
+             {", ".join(
+                 ("cents AS l0" if i == 0 else
+                  f"LAG(cents, {i}) OVER (PARTITION BY user_id"
+                  f" ORDER BY ts, event_id) AS l{i}")
+                 for i in range(_EWMA_K)
+             )}
+      FROM e
+    )
+    SELECT user_id, event_id, cents,
+           CAST((2 * ({_EWMA_NUM_SQL}) + ({_EWMA_DEN_SQL}))
+                  // (2 * ({_EWMA_DEN_SQL})) AS BIGINT) AS ewma_cents
+    FROM lagged ORDER BY user_id, event_id
+    """,
+    doc="Exponentially-weighted moving average per user — the classic "
+    f"stream smoother, made integer-EXACT: α = 1/2 over a trailing "
+    f"{_EWMA_K}-event window gives weights 2^(k-1-i), so the weighted "
+    "sum is pure int64 arithmetic and the normalization (which adapts at "
+    "sequence start where fewer lags exist) is one half-up integer "
+    "division — no float accumulation to drift cross-engine. Scale "
+    "shape: ONE user_id shuffle + one sort serves all k lag columns "
+    "(a single Window node); everything after is per-row projection "
+    "inside whole-stage codegen.",
+)
+def window_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    lagged = base.select(
+        "user_id",
+        "event_id",
+        "cents",
+        *[
+            (
+                F.col("cents").alias("l0")
+                if i == 0
+                else F.lag("cents", i).over(w).alias(f"l{i}")
+            )
+            for i in range(_EWMA_K)
+        ],
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.expr(
+            f"CAST((2 * ({_EWMA_NUM_SQL}) + ({_EWMA_DEN_SQL}))"
+            f" div (2 * ({_EWMA_DEN_SQL})) AS BIGINT)"
+        ).alias("ewma_cents"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click'
+                  THEN {'us': epoch_us(ts), 'id': event_id} END AS click
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, us,
+             LAST_VALUE(click IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+             FIRST_VALUE(click IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM e
+    )
+    SELECT event_id, user_id,
+           CAST(us - prev.us AS BIGINT) AS prev_gap_us,
+           CAST(nxt.us - us AS BIGINT) AS next_gap_us,
+           CAST(CASE
+             WHEN prev.id IS NULL THEN nxt.id
+             WHEN nxt.id IS NULL THEN prev.id
+             WHEN us - prev.us <= nxt.us - us THEN prev.id
+             ELSE nxt.id END AS BIGINT) AS nearest_click_id
+    FROM marked WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    doc="NEAREST-neighbor temporal join (the symmetric extension of "
+    "merge-as-of, which only looks backward): each purchase enriched "
+    "with the click minimizing |Δt| within the same user, ties to the "
+    "earlier side — the sensor-alignment/enrichment primitive. Same "
+    "union–window trick as merge_asof (operators/joins.py): both event "
+    "kinds ride ONE user_id shuffle and one sort; a strictly-backward "
+    "last(ignoreNulls) carries the latest prior click and a forward "
+    "first(ignoreNulls) the next one — no range join, no candidate "
+    "pairs, linear per partition at any scale. Purchases with no click "
+    "neighbor keep NULL gaps (left semantics, documented).",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr(
+            "CASE WHEN event_type = 'click'"
+            " THEN struct(unix_micros(ts) AS us, event_id AS id) END"
+        ).alias("click"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        F.last("click", ignorenulls=True).over(w_prev).alias("prev"),
+        F.first("click", ignorenulls=True).over(w_next).alias("nxt"),
+    )
+    return (
+        marked.where("event_type = 'purchase'")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("CAST(us - prev.us AS BIGINT)").alias("prev_gap_us"),
+            F.expr("CAST(nxt.us - us AS BIGINT)").alias("next_gap_us"),
+            F.expr(
+                "CAST(CASE"
+                " WHEN prev.id IS NULL THEN nxt.id"
+                " WHEN nxt.id IS NULL THEN prev.id"
+                " WHEN us - prev.us <= nxt.us - us THEN prev.id"
+                " ELSE nxt.id END AS BIGINT)"
+            ).alias("nearest_click_id"),
+        )
+        .orderBy("event_id")
     )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_stream_consumer_spark.operators import curation as C
 from kinesis_stream_consumer_spark.operators import dedup as D
@@ -58,9 +59,25 @@ from kinesis_stream_consumer_spark.plans.llm_pipeline import (
     _langid_oracle,
     _minhash_cols_sql,
     _ngram_jaccard_oracle,
+    _nprobe_sweep_oracle,
     _simhash_oracle,
+    _ivfpq_index,
+    _sim_qrows,
+    _PQ_K,
+    _PQ_M,
+    _SWEEP_NPROBES,
 )
 from kinesis_stream_consumer_spark.plans.curation import _HB
+from kinesis_stream_consumer_spark.plans.relational import (
+    _PAA_BITS,
+    _PAA_NG,
+    _PAA_TABLES,
+    _PAA_USER_CAP,
+    _paa_bits,
+    _paa_bucket_sql,
+    _paa_candidates,
+    _paa_weight,
+)
 from kinesis_stream_consumer_spark.plans.queries import (
     QUERIES,
     _bcast_if_small,
@@ -2904,4 +2921,263 @@ def text_source_lift_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- parked r8: displaced by text_vocab_growth + window_ewma_smoothing + join_asof_nearest (r7-green, unchanged) ---
+
+@register(
+    "sim_nprobe_recall_sweep",
+    _nprobe_sweep_oracle(),
+    doc="The recall-vs-nprobe tuning curve every IVF deployment measures "
+    "before choosing its probe budget (FAISS's standard operating "
+    f"curve): ADC top-5 at nprobe ∈ {_SWEEP_NPROBES} against the "
+    f"exhaustive probe (nprobe = {_KMEANS_K} = every cell, i.e. the "
+    "full PQ scan) as ground truth, micro-averaged recall in half-up "
+    "basis points. ONE pass computes all sweep points: the cached "
+    "cell-keyed index joins a probe table carrying each cell's per-query "
+    "probe RANK, candidates expand across the nprobe values by a "
+    "rank<=np values-join, and one (np, query) WindowGroupLimit ranks "
+    "every sweep point's shortlist — the baseline is just the np=8 "
+    "slice, so nothing runs twice. Offline-evaluation shape: the "
+    "exhaustive baseline necessarily scans every list once; the "
+    "per-(np, query) frames after the top-5 are workload-bounded "
+    "(4·|Q|·5 rows, checkpointed before the self-join).",
+)
+def sim_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    inv, coarse_rows, pq_rows = _ivfpq_index(spark, sf_dir)
+    qrows = _sim_qrows(spark, sf_dir)
+    m, k, dim = _PQ_M, _PQ_K, _DIM
+    sub_dim = dim // m
+    cc: dict = {}
+    for r in coarse_rows:
+        cc.setdefault(r.cell, [0] * dim)[r.pos] = r.qc
+    cb: dict = {}
+    for r in pq_rows:
+        cb.setdefault((r.sub, r.cell), [0] * sub_dim)[r.pos] = r.qc
+    probe_rows = []
+    for q in qrows:
+        qv = q.qvec
+        dt = [0] * (m * k)
+        for (s, c), qc in cb.items():
+            base = s * sub_dim
+            dt[s * k + c] = sum(
+                (qv[base + p] - qc[p]) ** 2 for p in range(sub_dim)
+            )
+        near = sorted(
+            (sum((qv[p] - v[p]) ** 2 for p in range(dim)), cell)
+            for cell, v in cc.items()
+        )
+        for prnk, (_, cell) in enumerate(near, start=1):
+            probe_rows.append((int(q.query_id), int(cell), prnk, dt))
+    probes = spark.createDataFrame(
+        probe_rows,
+        schema="query_id BIGINT, cell_id INT, prnk INT, dt ARRAY<BIGINT>",
+    )  # tiny local relation — stats make it the broadcast side unhinted
+    adc = "+".join(f"dt[{s * k} + carr[{s}]]" for s in range(m))
+    scored = (
+        inv.join(probes, "cell_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid", "prnk", F.expr(adc).alias("adc_dist"))
+    )
+    swe = scored.withColumn(
+        "np", F.explode(F.array(*[F.lit(p) for p in _SWEEP_NPROBES]))
+    ).where(F.col("prnk") <= F.col("np"))
+    w = W.partitionBy("np", "query_id").orderBy("adc_dist", "vid")
+    top = (
+        swe.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("np", "query_id", "vid")
+        .localCheckpoint(eager=True)  # 4·|Q|·5 rows feed base AND hits
+    )
+    base = top.where(F.col("np") == _KMEANS_K).select("query_id", "vid")
+    hits = top.join(base, ["query_id", "vid"]).groupBy("np").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    den = top.groupBy("np").agg(F.count(F.lit(1)).cast("long").alias("n_top"))
+    return (
+        den.join(hits, "np", "left")
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "n_top",
+            F.expr(
+                "cast((2*10000*coalesce(n_hits, 0) + n_top)"
+                " div (2*n_top) as bigint)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    f"""
+    WITH c AS (
+      SELECT lang,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(len({_TOKS}) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]'))
+                  AS BIGINT) AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+           CAST((2*10000*SUM(n_bpe) + SUM(n_words)) // (2*SUM(n_words))
+                AS BIGINT) AS fertility_bp,
+           CAST((2*10000*SUM(n_chars) + SUM(n_bpe)) // (2*SUM(n_bpe))
+                AS BIGINT) AS chars_per_token_bp
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility per language: sub-word tokens per whitespace "
+    "word (fertility) and characters per sub-word token (compression), "
+    "both in half-up basis points over corpus totals — THE metric that "
+    "decides whether a tokenizer under-serves a language (high fertility "
+    "= more tokens per word = more compute per content) and feeds "
+    "mixture/budget decisions (pair with curation_token_budget_mix). "
+    "Counting is regex-count map-side (no explode, no token rows "
+    "materialize); one lang groupBy with map-side combine is the only "
+    "shuffle.",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        T.token_count(F.col("text")).cast("long").alias("n_words"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_words",
+            "n_bpe",
+            F.expr(
+                "(2*10000*n_bpe + n_words) div (2*n_words)"
+            ).alias("fertility_bp"),
+            F.expr(
+                "(2*10000*n_chars + n_bpe) div (2*n_bpe)"
+            ).alias("chars_per_token_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- parked r8 (from relational.py): displaced by the r8-continuation relational adds (r7-green, unchanged) ---
+
+@register(
+    "ts_profile_similarity",
+    f"""
+    WITH hrs AS (SELECT unnest(generate_series(0, 23)) AS hr),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < {_PAA_USER_CAP}),
+    obs AS (
+      SELECT user_id, hr, (2 * SUM(v6) + 100 * COUNT(*)) // (200 * COUNT(*)) AS p
+      FROM (
+        SELECT user_id, EXTRACT(hour FROM ts) AS hr,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v6
+        FROM events WHERE user_id < {_PAA_USER_CAP})
+      GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT u.user_id, h.hr, COALESCE(o.p, 0) AS p
+      FROM users u CROSS JOIN hrs h
+      LEFT JOIN obs o ON o.user_id = u.user_id AND o.hr = h.hr
+    ),
+    sig AS (
+      SELECT user_id,
+             {", ".join(f"SUM(p * {_paa_weight(g)}) AS s{g}" for g in range(_PAA_NG))}
+      FROM prof GROUP BY user_id
+    ),
+    bands AS ({" UNION ALL ".join(_paa_bucket_sql(t) for t in range(_PAA_TABLES))}),
+    cand AS (
+      SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
+      FROM bands a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.user_id < b.user_id
+    ),
+    dists AS (
+      SELECT c.user_a, c.user_b, SUM((a.p - b.p) * (a.p - b.p)) AS dist2
+      FROM cand c
+      JOIN prof a ON a.user_id = c.user_a
+      JOIN prof b ON b.user_id = c.user_b AND b.hr = a.hr
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, CAST(dist2 AS BIGINT) AS dist2, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_a
+                                   ORDER BY dist2, user_b) AS rnk
+      FROM dists)
+    WHERE rnk <= 3
+    ORDER BY user_a, rnk
+    """,
+    doc="Time-series similarity search over behavioural profiles "
+    "(EDBT'19-style PAA representation): each user's event stream is "
+    "reduced to a 24-bin hour-of-day profile of integer-quantized segment "
+    "means — order-independent by construction (per-row micro-unit "
+    "quantization, then exact integer sum/divide, so no double-summation "
+    "drift cross-engine) — then top-3 most similar users per user by "
+    "squared-L2 on the profile, restricted to LSH candidates: the 24-int "
+    "profiles band through the same multi-table sign-projection family as "
+    "the embedding LSH (integer-exact here), candidate pairs are the "
+    "bucket collisions, and only those pairs pay the exact-distance join. "
+    "The corpus is touched once to build profiles; the pair stage is "
+    "bounded by bucket occupancy (corpus-scaled bits), never all-pairs — "
+    "the shuffle-volume gate pins the candidate count.",
+)
+def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < _PAA_USER_CAP)
+    obs = (
+        ev.select(
+            "user_id",
+            F.hour("ts").alias("hr"),
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).alias("v6"),
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.expr("(2 * sum(v6) + 100 * count(*)) div (200 * count(*))").alias("p"))
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr")
+    )
+    prof = (
+        grid.join(obs, ["user_id", "hr"], "left")
+        .select("user_id", "hr", F.coalesce("p", F.lit(0)).alias("p"))
+        .localCheckpoint(eager=True)  # profiles are |users|·24 slim rows
+    )
+    bits = _paa_bits(sf_dir)
+    # the oracle SQL bakes the import-time (cap-bound) width; stats must
+    # agree wherever the oracle runs, and do at every real sf (rows >> cap)
+    assert bits == _PAA_BITS, "PAA bits diverged from the oracle's width"
+    cand = _paa_candidates(prof, bits)
+    pa = prof.select(F.col("user_id").alias("user_a"), "hr", F.col("p").alias("pa"))
+    pb = prof.select(F.col("user_id").alias("user_b"), "hr", F.col("p").alias("pb"))
+    dists = (
+        cand.join(pa, "user_a")
+        .join(pb, ["user_b", "hr"])
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum(
+                (F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("user_a").orderBy("dist2", "user_b")
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_a", "user_b", F.col("dist2").cast("long").alias("dist2"), "rnk")
+        .orderBy("user_a", "rnk")
     )
