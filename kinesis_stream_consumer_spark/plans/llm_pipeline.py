@@ -1482,174 +1482,8 @@ _MEDIA_CHUNK_BYTES = 64
 _MEDIA_MIN_SHARED = 2
 
 
-@register(
-    "dedup_media_chunks",
-    f"""
-    WITH media AS (
-      -- BYTE semantics throughout (ADVICE r4): the Spark side hashes
-      -- byte slices of the binary payload, and character-based
-      -- LENGTH/substring would shift chunk counts and boundaries on any
-      -- non-ASCII document. DuckDB v1.0 cannot slice or md5 a BLOB, so
-      -- the byte slice is taken on the HEX encoding (2 chars per byte)
-      -- and joined directly — equality of hex slices IS equality of
-      -- byte slices, and the hash/slice column never reaches the output.
-      SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx,
-             octet_length(CAST(text AS BLOB)) AS n_bytes
-      FROM documents
-    ),
-    idx AS (
-      SELECT media_id, hx,
-             unnest(generate_series(0, n_bytes // {_MEDIA_CHUNK_BYTES} - 1)) AS chunk_index
-      FROM media WHERE n_bytes >= {_MEDIA_CHUNK_BYTES}
-    ),
-    ch AS (
-      SELECT media_id, chunk_index,
-             substring(hx, chunk_index * {2 * _MEDIA_CHUNK_BYTES} + 1,
-                       {2 * _MEDIA_CHUNK_BYTES}) AS h
-      FROM idx
-    ),
-    counts AS (SELECT media_id, COUNT(*) AS n_chunks FROM ch GROUP BY media_id),
-    p AS (
-      SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS n_shared
-      FROM ch a JOIN ch b
-        ON a.chunk_index = b.chunk_index AND a.h = b.h
-       AND a.media_id < b.media_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= {_MEDIA_MIN_SHARED}
-    )
-    SELECT media_a, media_b,
-           CAST(n_shared AS BIGINT) AS n_shared,
-           CAST(ca.n_chunks AS BIGINT) AS n_chunks_a,
-           CAST(cb.n_chunks AS BIGINT) AS n_chunks_b,
-           CAST(FLOOR(10000.0 * n_shared / LEAST(ca.n_chunks, cb.n_chunks) + 0.5)
-                AS BIGINT) AS shared_bp
-    FROM p
-    JOIN counts ca ON ca.media_id = media_a
-    JOIN counts cb ON cb.media_id = media_b
-    ORDER BY media_a, media_b
-    """,
-    doc="Near-duplicate MEDIA pairs by piecewise chunk-hash matching — "
-    "dedup for opaque binary payloads (images/audio as bytes) needing no "
-    f"codec: payloads cut into aligned {_MEDIA_CHUNK_BYTES}-byte chunks, "
-    "md5 per chunk, pairs sharing >= "
-    f"{_MEDIA_MIN_SHARED} aligned chunks flagged with their shared-chunk "
-    "share in basis points. Robust to localized corruption/replacement; "
-    "the production variant swaps aligned slicing for content-defined "
-    "chunk boundaries (FastCDC/ssdeep) with the identical join shape. "
-    "Scale shape: payloads reduce map-side to slim (idx, md5) rows; the "
-    "self-join keys on (chunk_index, chunk_hash) — md5-uniform, so no "
-    "skew and no O(n^2) stage; per-bucket fan-out is bounded by the true "
-    "copy count of each chunk. Documents' text bytes stand in for media "
-    "payloads (same contract as multimodal_media_meta).",
-)
-def dedup_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no rebalance DESPITE the checkpointed-frame shape: the map-side work
-    # is one md5 per 64-byte chunk (~n_bytes/64 hashes/doc — tiny next to
-    # shingling), so the full-row repartition costs more than the pinned
-    # parallelism saves (A/B 1.05s vs 1.30s median at sf0.1).
-    docs = _t(spark, sf_dir, "documents")
-    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
-    return M.chunk_signature_pairs(
-        media, _MEDIA_CHUNK_BYTES, _MEDIA_MIN_SHARED
-    ).orderBy("media_a", "media_b")
-
-
 _PHASH_SEGMENTS = 32
 _PHASH_MAX_HAMMING = 3  # <= bands-1, so banding has GUARANTEED recall
-
-
-@register(
-    "multimodal_phash_neardup",
-    f"""
-    WITH media AS (
-      -- the synthetic corpus is pure ASCII (octet_length == length for
-      -- every row — same documented basis as multimodal_audio_chunks),
-      -- so ord(char) == byte value and VARCHAR positions == byte offsets
-      SELECT doc_id AS media_id, text AS payload, length(text) AS n_bytes
-      FROM documents
-    ),
-    pos AS (
-      SELECT media_id, n_bytes,
-             unnest(generate_series(1, CAST(n_bytes AS INT))) AS p
-      FROM media
-    ),
-    bv AS (
-      SELECT pos.media_id,
-             ((p - 1) * {_PHASH_SEGMENTS}) // pos.n_bytes AS seg,
-             ord(substring(m.payload, CAST(p AS INT), 1)) AS v
-      FROM pos JOIN media m ON m.media_id = pos.media_id
-    ),
-    segsum AS (SELECT media_id, seg, SUM(v) AS s FROM bv GROUP BY 1, 2),
-    tot AS (SELECT media_id, SUM(s) AS total FROM segsum GROUP BY 1),
-    sigs AS (
-      SELECT s.media_id,
-             CAST(SUM(CASE WHEN s.s * {_PHASH_SEGMENTS} > t.total
-                           THEN CAST(1 AS BIGINT) << CAST(s.seg AS INT)
-                           ELSE 0 END) AS BIGINT) AS sig
-      FROM segsum s JOIN tot t ON t.media_id = s.media_id
-      GROUP BY s.media_id
-    )
-    SELECT a.media_id AS media_a, b.media_id AS media_b,
-           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-    FROM sigs a JOIN sigs b ON a.media_id < b.media_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= {_PHASH_MAX_HAMMING}
-    ORDER BY media_a, media_b
-    """,
-    doc="Perceptual near-duplicate MEDIA pairs, pHash-shaped: each payload "
-    f"reduces to a {_PHASH_SEGMENTS}-bit signature (byte-span sums vs the "
-    "payload mean — the codec-free stand-in for pHash's DCT-vs-median "
-    "bits; a real decoder slots into the same Arrow-batched mapInPandas "
-    f"seam), and pairs within Hamming distance {_PHASH_MAX_HAMMING} are "
-    "near-dups. The Spark plan NEVER compares all pairs: signatures band "
-    "into 4 x 8-bit tables and only band-collisions pay the exact "
-    f"Hamming check — with threshold {_PHASH_MAX_HAMMING} <= bands-1 the "
-    "pigeonhole guarantees a clean band for every true pair, so banding "
-    "loses nothing vs the oracle's declarative all-pairs filter. One "
-    "shuffle on band keys (uniform), signature extraction is one "
-    "map-side Arrow pass over the rebalanced scan, checkpointed so the "
-    "Python stage runs once, not once per self-join side.",
-)
-def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rebalance + checkpoint: heavy Python (per-byte numpy) fuses onto the
-    # scan AND the result feeds both sides of a self-join (the two
-    # CLAUDE.md rebalance criteria at once)
-    docs = _t(spark, sf_dir, "documents", rebalance=True)
-    media = M.as_media(docs, "doc_id", F.col("text"), "text/plain")
-    sigs = M.perceptual_signature(media, _PHASH_SEGMENTS).localCheckpoint(
-        eager=True
-    )
-    bands = sigs.select(
-        "media_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(f"(sig >> {8 * b}) & 255").alias("bkey"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("t"),
-    ).select("media_id", "sig", F.col("t.band").alias("band"), F.col("t.bkey").alias("bkey"))
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .where(hamming <= _PHASH_MAX_HAMMING)
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-            hamming.cast("long").alias("hamming"),
-        )
-        .distinct()
-        .orderBy("media_a", "media_b")
-    )
 
 
 _RP_DIMS = 8
@@ -1749,52 +1583,6 @@ def _recall_eval_oracle() -> str:
     FROM denom d LEFT JOIN hits h USING (query_id)
     ORDER BY query_id
     """
-
-
-@register(
-    "sim_ann_recall_eval",
-    _recall_eval_oracle(),
-    doc="ANN index-quality evaluation: per-query recall@5 of the JL "
-    "random-projection index against exact brute-force cosine — the "
-    "measurement loop every production ANN deployment runs before "
-    "trusting an index (FAISS's recall-vs-nprobe curves). Composes the "
-    "two registered queries (the Spark side calls the query fns — the "
-    "projected index reuses its plan; the oracle nests their SQL), joins "
-    "the two top-5 sets on (query, match) and reports hit counts in "
-    "integer basis points. Scale shape: both sides are top-k-per-query "
-    "frames (|queries|·k rows), so the eval join/aggregate is bounded by "
-    "the query workload, never the corpus.",
-)
-def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # checkpoint: bf feeds BOTH the hits join and the denominator — without
-    # it the full corpus×queries brute-force scoring would execute twice
-    bf = (
-        QUERIES["sim_topk_bruteforce"].fn(spark, sf_dir)
-        .select("query_id", "match_id")
-        .localCheckpoint(eager=True)
-    )
-    rp = QUERIES["sim_random_projection_topk"].fn(spark, sf_dir).select(
-        "query_id", "match_id"
-    )
-    hits = bf.join(rp, ["query_id", "match_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    denom = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return (
-        denom.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-            F.floor(
-                10000.0 * F.coalesce("n_hits", F.lit(0)) / F.col("n_exact")
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("recall_bp"),
-        )
-        .orderBy("query_id")
-    )
 
 
 # --- Bigram collocations (PMI-style lift) ----------------------------------
