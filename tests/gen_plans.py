@@ -106,6 +106,19 @@ def main() -> None:
         "q12_late_shipment_priority",
         "q15_top_supplier",
         "q20_promotion_candidates",
+        # r8 continuation: exact-recall dedup join, skyline, regression,
+        # association/attribution analytics, graph + PIT + mixture adds
+        "dedup_setsim_prefix",
+        "skyline_pareto_parts",
+        "agg_regression_trend",
+        "text_source_lang_association",
+        "events_attribution",
+        "text_vocab_growth",
+        "window_ewma_smoothing",
+        "join_asof_nearest",
+        "graph_triangle_counts",
+        "join_pit_multi_feature",
+        "curation_temperature_mixture",
     ]
     sections = [HEADER]
     for name in names:
