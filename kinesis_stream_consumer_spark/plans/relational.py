@@ -102,150 +102,6 @@ def _paa_bucket_sql(t: int) -> str:
 
 
 @register(
-    "q17_small_quantity_revenue",
-    """
-    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) // 7
-                AS BIGINT) AS avg_yearly_cents
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#2' AND p.p_size < 15
-      AND 5 * CAST(l.l_quantity AS BIGINT)
-            * (SELECT COUNT(*) FROM lineitem l2
-               WHERE l2.l_partkey = p.p_partkey)
-          < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
-             WHERE l2.l_partkey = p.p_partkey)
-    """,
-    doc="Small-quantity-order revenue (TPC-H q17 analogue): yearly-average "
-    "revenue lost if orders below 20% of a part's average order quantity "
-    "stopped shipping. The oracle keeps q17's correlated AVG scalar "
-    "subquery (as the exact-integer cross-multiplied form 5·qty·n < Σqty "
-    "— quantities are integral, so no float average ever materializes and "
-    "both engines compare exact longs); the Spark plan is the DECORRELATED "
-    "shape every 'x < frac·avg(...) per group' BI query compiles to: "
-    "restrict lineitem by the broadcast part filter ONCE, aggregate that "
-    "slice per partkey (partial map-side — per-part stats are unchanged "
-    "by the part filter, which is the pushdown that makes the subquery "
-    "side scale), and join the per-part (Σqty, n) back on partkey. At "
-    "100 TB the fact table is scanned once and both the aggregate and the "
-    "re-join key on l_partkey, so AQE coalesces one shuffle; no "
-    "correlated per-row probe exists physically.",
-)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    pa = _t(spark, sf_dir, "part")
-    pa_f = pa.where(
-        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 15)
-    ).select("p_partkey")
-    li_p = li.join(
-        _bcast_if_small(pa_f, sf_dir, "part"),
-        F.col("p_partkey") == F.col("l_partkey"),
-    ).select(
-        "l_partkey",
-        F.col("l_quantity").cast("long").alias("qty"),
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("long")
-        .alias("cents"),
-    )
-    pq = li_p.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.sum("qty").alias("_sum_qty"), F.count(F.lit(1)).alias("_n")
-    )
-    return (
-        li_p.join(pq, F.col("l_partkey") == F.col("_pk"))
-        .where(F.lit(5) * F.col("qty") * F.col("_n") < F.col("_sum_qty"))
-        .agg(
-            F.expr("CAST(SUM(cents) div 7 AS BIGINT)").alias(
-                "avg_yearly_cents"
-            )
-        )
-    )
-
-
-@register(
-    "q21_suppliers_kept_waiting",
-    """
-    WITH lo AS (
-      SELECT l.l_orderkey, l.l_suppkey,
-             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-                  THEN 1 ELSE 0 END AS late
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE o.o_orderstatus = 'F'
-    )
-    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-    FROM lo l1
-    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    WHERE n.n_name = 'NATION_5' AND l1.late = 1
-      AND EXISTS (
-        SELECT 1 FROM lo l2
-        WHERE l2.l_orderkey = l1.l_orderkey
-          AND l2.l_suppkey <> l1.l_suppkey
-      )
-      AND NOT EXISTS (
-        SELECT 1 FROM lo l3
-        WHERE l3.l_orderkey = l1.l_orderkey
-          AND l3.l_suppkey <> l1.l_suppkey
-          AND l3.late = 1
-      )
-    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
-    """,
-    doc="Suppliers who kept orders waiting (TPC-H q21 analogue): per "
-    "NATION_5 supplier, the count of late lines on finished multi-supplier "
-    "orders where it was the ONLY late supplier. Lateness is shipment >60 "
-    "days after order date (the q4 convention — this schema carries no "
-    "commit/receipt dates). The oracle keeps q21's EXISTS + NOT-EXISTS "
-    "self-join composition; the Spark plan decorrelates BOTH into one "
-    "per-order aggregate — n_supp = distinct suppliers, n_late = distinct "
-    "late suppliers — because 'another supplier exists' ≡ n_supp > 1 and "
-    "'no other supplier was late' ≡ n_late = 1 (the probe line itself is "
-    "late). Everything keys on l_orderkey: the orders join, the per-order "
-    "aggregate, and the re-join all share one hash partitioning, so at "
-    "100 TB the fact shuffles once; the supplier/nation dims broadcast.",
-)
-def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    od = _t(spark, sf_dir, "orders")
-    su = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation")
-    lo = li.join(
-        od.where(F.col("o_orderstatus") == "F").select(
-            "o_orderkey", "o_orderdate"
-        ),
-        F.col("o_orderkey") == F.col("l_orderkey"),
-    ).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        ).alias("late"),
-    )
-    po = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("_n_late"),
-    )
-    su_n = su.join(
-        F.broadcast(na.where(F.col("n_name") == "NATION_5")),
-        F.col("n_nationkey") == F.col("s_nationkey"),
-    ).select("s_suppkey", "s_name")
-    return (
-        lo.where(F.col("late"))
-        .join(po, F.col("l_orderkey") == F.col("_ok"))
-        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
-        .join(
-            _bcast_if_small(su_n, sf_dir, "supplier"),
-            F.col("s_suppkey") == F.col("l_suppkey"),
-        )
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_name")
-        .limit(100)
-    )
-
-
-@register(
     "agg_qsketch_quantiles",
     f"""
     WITH src AS (
@@ -682,6 +538,212 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nearest_click_id"),
         )
         .orderBy("event_id")
+    )
+
+
+@register(
+    "agg_hll_rollup",
+    f"""
+    WITH {SK.hll_oracle_cte(
+        "events",
+        "event_type || '#' || strftime(ts, '%Y-%m-%d')",
+        "CAST(user_id AS VARCHAR)",
+    )},
+    leaf AS (
+      SELECT split_part(g, '#', 1) AS event_type,
+             split_part(g, '#', 2) AS day,
+             hll_estimate
+      FROM hll_est
+    ),
+    tregs AS (
+      SELECT split_part(g, '#', 1) AS event_type, bucket, MAX(r) AS r
+      FROM hll_reg GROUP BY 1, 2
+    ),
+    tsum AS (SELECT event_type, {SK.HLL_S_AGG_SQL} AS s
+             FROM tregs GROUP BY 1),
+    tlevel AS (SELECT event_type, 'ALL' AS day,
+                      {SK.hll_est_sql('s')} AS hll_estimate FROM tsum),
+    aregs AS (SELECT bucket, MAX(r) AS r FROM tregs GROUP BY 1),
+    asum AS (SELECT {SK.HLL_S_AGG_SQL} AS s FROM aregs),
+    alevel AS (SELECT 'ALL' AS event_type, 'ALL' AS day,
+                      {SK.hll_est_sql('s')} AS hll_estimate FROM asum),
+    est AS (SELECT * FROM leaf UNION ALL SELECT * FROM tlevel
+            UNION ALL SELECT * FROM alevel),
+    ex AS (
+      SELECT COALESCE(event_type, 'ALL') AS event_type,
+             COALESCE(day, 'ALL') AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id
+            FROM events)
+      GROUP BY ROLLUP (event_type, day)
+    )
+    SELECT ex.event_type AS event_type, ex.day AS day, ex.exact_distinct,
+           CAST(est.hll_estimate AS BIGINT) AS hll_estimate
+    FROM ex JOIN est ON est.event_type = ex.event_type
+                    AND est.day = ex.day
+    ORDER BY event_type, day
+    """,
+    doc="HLL sketch ROLLUP — reaggregability through the OLAP hierarchy: "
+    "registers are built ONCE at the (event_type, day) leaf grain, then "
+    "the day→type and type→grand-total levels come from elementwise "
+    "register max-merge — never a second corpus scan, the property that "
+    "makes sketch-backed cubes cheap at 100 TB (a COUNT(DISTINCT) cube "
+    "re-shuffles every distinct value at every level; the sketch "
+    "re-shuffles m=32 register rows per group). Exact counts ride along "
+    "from ONE rollup aggregate as the error baseline at every level. "
+    "All estimate arithmetic is the integer-exact scaled-harmonic form "
+    "shared with agg_hll_distinct, so the DuckDB oracle matches "
+    "bit-for-bit.",
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    evd = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    regs = SK.hll_registers(
+        evd.withColumn("g", F.concat_ws("#", "event_type", "day")),
+        "g",
+        F.col("uid"),
+    ).localCheckpoint(eager=True)  # leaf registers feed all three levels
+    leaf = SK.hll_estimate(regs).select(
+        F.expr("split_part(g, '#', 1)").alias("event_type"),
+        F.expr("split_part(g, '#', 2)").alias("day"),
+        "hll_estimate",
+    )
+    tregs = (
+        regs.select(
+            F.expr("split_part(g, '#', 1)").alias("event_type"), "bucket", "r"
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+        .localCheckpoint(eager=True)  # type registers feed type + global
+    )
+    tlevel = SK.hll_estimate_grouped(tregs, ["event_type"]).select(
+        "event_type", F.lit("ALL").alias("day"), "hll_estimate"
+    )
+    aregs = tregs.groupBy("bucket").agg(F.max("r").alias("r"))
+    alevel = SK.hll_estimate_grouped(aregs, []).select(
+        F.lit("ALL").alias("event_type"),
+        F.lit("ALL").alias("day"),
+        "hll_estimate",
+    )
+    est = leaf.unionAll(tlevel).unionAll(alevel)
+    ex = (
+        evd.rollup("event_type", "day")
+        .agg(F.count_distinct("uid").cast("long").alias("exact_distinct"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "exact_distinct",
+        )
+    )
+    return (
+        ex.join(est, ["event_type", "day"])
+        .select("event_type", "day", "exact_distinct", "hll_estimate")
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM e
+    ),
+    bounds AS (
+      SELECT event_type, n AS n_events,
+             MAX(CASE WHEN rn = GREATEST((5 * n + 99) // 100, 1)
+                      THEN cents END) AS lo_cents,
+             MAX(CASE WHEN rn = (95 * n + 99) // 100
+                      THEN cents END) AS hi_cents
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT r.event_type AS event_type, b.n_events,
+           CAST(b.lo_cents AS BIGINT) AS lo_cents,
+           CAST(b.hi_cents AS BIGINT) AS hi_cents,
+           CAST((2 * SUM(r.cents) + b.n_events)
+                  // (2 * b.n_events) AS BIGINT) AS mean_cents,
+           CAST((2 * SUM(LEAST(GREATEST(r.cents, b.lo_cents), b.hi_cents))
+                  + b.n_events)
+                  // (2 * b.n_events) AS BIGINT) AS winsorized_mean_cents
+    FROM ranked r JOIN bounds b USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY event_type
+    """,
+    doc="Winsorized (robust) mean per event type: values clamped to the "
+    "exact p5/p95 before averaging — the outlier-resistant center a "
+    "monitoring pipeline wants when a few huge values would drag the "
+    "plain mean. Exactness: the percentile is SELECTED BY RANK "
+    "(row_number over (cents, event_id), cut at the integer ceil "
+    "(5n+99) div 100) rather than interpolated — Spark's percentile() "
+    "interpolates in doubles and DuckDB's quantile_disc breaks ties "
+    "differently, but a rank formula is one deterministic row on both "
+    "engines; clamp + mean then stay in exact half-up cents. Scale "
+    "shape: ONE event_type shuffle serves the rank window and the count; "
+    "bounds reduce to #types rows and broadcast back (AQE); the clamped "
+    "sum combines map-side.",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w_rn = W.partitionBy("event_type").orderBy("cents", "event_id")
+    w_n = W.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
+    )
+    bounds = ranked.groupBy("event_type", F.col("n").alias("n_events")).agg(
+        F.max(
+            F.expr(
+                "CASE WHEN rn = GREATEST((5 * n + 99) div 100, 1)"
+                " THEN cents END"
+            )
+        ).alias("lo_cents"),
+        F.max(
+            F.expr("CASE WHEN rn = (95 * n + 99) div 100 THEN cents END")
+        ).alias("hi_cents"),
+    )
+    return (
+        ranked.join(bounds, "event_type")
+        .groupBy("event_type", "n_events", "lo_cents", "hi_cents")
+        .agg(
+            F.expr(
+                "CAST((2 * SUM(cents) + n_events)"
+                " div (2 * n_events) AS BIGINT)"
+            ).alias("mean_cents"),
+            F.expr(
+                "CAST((2 * SUM(LEAST(GREATEST(cents, lo_cents), hi_cents))"
+                " + n_events) div (2 * n_events) AS BIGINT)"
+            ).alias("winsorized_mean_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("lo_cents").cast("long").alias("lo_cents"),
+            F.col("hi_cents").cast("long").alias("hi_cents"),
+            "mean_cents",
+            "winsorized_mean_cents",
+        )
+        .orderBy("event_type")
     )
 
 

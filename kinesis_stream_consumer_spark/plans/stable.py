@@ -3400,3 +3400,149 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- parked r8 (from relational.py): displaced by agg_hll_rollup + agg_winsorized_mean (r7-green, unchanged) ---
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) // 7
+                AS BIGINT) AS avg_yearly_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND p.p_size < 15
+      AND 5 * CAST(l.l_quantity AS BIGINT)
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = p.p_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)
+    """,
+    doc="Small-quantity-order revenue (TPC-H q17 analogue): yearly-average "
+    "revenue lost if orders below 20% of a part's average order quantity "
+    "stopped shipping. The oracle keeps q17's correlated AVG scalar "
+    "subquery (as the exact-integer cross-multiplied form 5·qty·n < Σqty "
+    "— quantities are integral, so no float average ever materializes and "
+    "both engines compare exact longs); the Spark plan is the DECORRELATED "
+    "shape every 'x < frac·avg(...) per group' BI query compiles to: "
+    "restrict lineitem by the broadcast part filter ONCE, aggregate that "
+    "slice per partkey (partial map-side — per-part stats are unchanged "
+    "by the part filter, which is the pushdown that makes the subquery "
+    "side scale), and join the per-part (Σqty, n) back on partkey. At "
+    "100 TB the fact table is scanned once and both the aggregate and the "
+    "re-join key on l_partkey, so AQE coalesces one shuffle; no "
+    "correlated per-row probe exists physically.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    pa_f = pa.where(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li_p = li.join(
+        _bcast_if_small(pa_f, sf_dir, "part"),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    pq = li_p.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("qty").alias("_sum_qty"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        li_p.join(pq, F.col("l_partkey") == F.col("_pk"))
+        .where(F.lit(5) * F.col("qty") * F.col("_n") < F.col("_sum_qty"))
+        .agg(
+            F.expr("CAST(SUM(cents) div 7 AS BIGINT)").alias(
+                "avg_yearly_cents"
+            )
+        )
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5' AND l1.late = 1
+      AND EXISTS (
+        SELECT 1 FROM lo l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lo l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late = 1
+      )
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    doc="Suppliers who kept orders waiting (TPC-H q21 analogue): per "
+    "NATION_5 supplier, the count of late lines on finished multi-supplier "
+    "orders where it was the ONLY late supplier. Lateness is shipment >60 "
+    "days after order date (the q4 convention — this schema carries no "
+    "commit/receipt dates). The oracle keeps q21's EXISTS + NOT-EXISTS "
+    "self-join composition; the Spark plan decorrelates BOTH into one "
+    "per-order aggregate — n_supp = distinct suppliers, n_late = distinct "
+    "late suppliers — because 'another supplier exists' ≡ n_supp > 1 and "
+    "'no other supplier was late' ≡ n_late = 1 (the probe line itself is "
+    "late). Everything keys on l_orderkey: the orders join, the per-order "
+    "aggregate, and the re-join all share one hash partitioning, so at "
+    "100 TB the fact shuffles once; the supplier/nation dims broadcast.",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    lo = li.join(
+        od.where(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    po = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("_n_late"),
+    )
+    su_n = su.join(
+        F.broadcast(na.where(F.col("n_name") == "NATION_5")),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        lo.where(F.col("late"))
+        .join(po, F.col("l_orderkey") == F.col("_ok"))
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .join(
+            _bcast_if_small(su_n, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -845,3 +845,38 @@ def test_triangle_orientation_caps_wedge_volume(spark):
         .collect()[0][0]
     )
     assert oriented_wedges < naive_wedges / 2, (oriented_wedges, naive_wedges)
+
+
+def test_hll_rollup_levels_shuffle_registers_not_values(spark):
+    """The sketch-cube claim: rolling leaf registers up to type and
+    grand-total levels shuffles register rows (<= m per group), never
+    re-scans or re-shuffles the distinct values themselves."""
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    evd = ev.select(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    regs = SK.hll_registers(
+        evd.withColumn("g", F.concat_ws("#", "event_type", "day")),
+        "g",
+        F.col("uid"),
+    ).localCheckpoint(eager=True)
+    n_leaf_groups = regs.select("g").distinct().count()
+    tregs = (
+        regs.select(
+            F.expr("split_part(g, '#', 1)").alias("t"), "bucket", "r"
+        )
+        .groupBy("t", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    tregs.collect()
+    s = shuffle_stats(tregs)
+    # the rollup exchange carries at most one row per (leaf, bucket):
+    # register-bounded, independent of the event volume underneath
+    assert s["shuffle_records"] <= n_leaf_groups * SK.HLL_M
+    assert s["shuffle_bytes"] < n_leaf_groups * SK.HLL_M * 120
