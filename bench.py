@@ -47,6 +47,10 @@ HEADLINE = [
     "agg_reservoir_sample",
     "curation_contamination_embedding",
     "agg_kmv_set_ops",
+    # r8 continuation marquee: exact-recall set-similarity join and
+    # degree-oriented triangle counting (same subset rule applies)
+    "dedup_setsim_prefix",
+    "graph_triangle_counts",
 ]
 
 
@@ -260,6 +264,8 @@ def main() -> None:
         "agg_reservoir_sample",
         "curation_contamination_embedding",
         "agg_kmv_set_ops",
+        "dedup_setsim_prefix",
+        "graph_triangle_counts",
     }
     out = {
         "metric": "headline_queries_total",
