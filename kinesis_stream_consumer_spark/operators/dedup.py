@@ -542,10 +542,10 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (AllPairs/PPJoin
-    family, Bayardo et al. WWW'07) — the lossless counterpart of the
-    MinHash-LSH candidate join: every pair with true shingle Jaccard ≥
-    ``threshold`` is guaranteed to be emitted (LSH banding can miss pairs;
-    prefix filtering cannot).
+    family, Bayardo et al. WWW'07; positional filter from Xiao et al.'s
+    PPJoin) — the lossless counterpart of the MinHash-LSH candidate join:
+    every pair with true shingle Jaccard ≥ ``threshold`` is guaranteed to
+    be emitted (LSH banding can miss pairs; prefix filtering cannot).
 
     Plan shape (scale-critical):
       1. ONE shingle pass, checkpointed — feeds the prefix build AND the
@@ -559,20 +559,30 @@ def prefix_filter_jaccard_pairs(
          sets with J ≥ t must share at least one element inside both
          prefixes under any single global element order (pigeonhole on the
          ≥ t·|a∪b| shared elements), so joining prefixes loses nothing.
-      4. Candidate pairs = self-equi-join of the prefix rows on shingle —
-         the shuffle key is the shingle, and only RARE shingles survive
-         into prefixes, so the per-key bucket products stay tiny (the
-         frequent-shingle quadratic blowup of a naive share-any-token
-         join is filtered out by construction). A length filter
-         (min_size ≥ t·max_size, a necessary condition for J ≥ t) prunes
-         mismatched-size pairs inside the join condition.
-      5. Exact Jaccard verify over the checkpointed sets, ≥ threshold.
+      4. Candidate pairs = self-equi-join of the prefix rows on shingle.
+         Only df ≥ 2 prefix rows enter the join (df = 1 shingles cannot
+         collide — pure input-volume win), the size-ratio filter
+         (min ≥ t·max, exact rational arithmetic) prunes inside the join
+         condition, and the pair aggregate applies PPJoin's POSITIONAL
+         filter: for the earliest common prefix token at ranks (i, j),
+         every earlier token is provably non-shared, so the overlap is
+         bounded by 1 + min(s_a − i, s_b − j); pairs whose bound cannot
+         reach the Jaccard-equivalent overlap t·(s_a+s_b)/(1+t) die
+         before the verify — all in exact integers (threshold taken as a
+         rational), so the filter can never mis-prune a true pair.
+      5. Exact verify on the survivors from the checkpointed sets:
+         intersection via array_intersect, union by SIZE ALGEBRA
+         (s_a + s_b − inter — distinct sets, so no array_union pass).
 
     At 100 TB: the df aggregate and the prefix join shuffle (doc, shingle,
-    size) rows only — never document text; candidates are bounded by
-    rare-prefix collisions rather than n²."""
+    size, rank) rows only — never document text; candidates are bounded
+    by rare-prefix collisions rather than n²."""
+    from fractions import Fraction
+
     from pyspark.sql.window import Window
 
+    frac = Fraction(str(threshold))
+    tn, td = frac.numerator, frac.denominator
     shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
     rows = shsets.select(
         "doc",
@@ -584,7 +594,8 @@ def prefix_filter_jaccard_pairs(
     # Checkpoint the slim prefix rows ONCE: both sides of the self-join
     # read the materialized frame — without it each side re-runs the df
     # aggregate + rarity window over the full shingle volume (the same
-    # reuse discipline as the LSH band table).
+    # reuse discipline as the LSH band table). Rank and df ride along for
+    # the positional filter and the df>=2 join pruning.
     prefix = (
         rows.join(dfreq, "shingle")
         .withColumn("pos", F.row_number().over(w))
@@ -592,33 +603,59 @@ def prefix_filter_jaccard_pairs(
             F.col("pos")
             <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
         )
-        .select("doc", "sz", "shingle")
+        .select("doc", "sz", "shingle", "pos", "df")
         .localCheckpoint(eager=True)
     )
-    pairs = (
-        prefix.alias("l")
+    joinable = prefix.where(F.col("df") >= 2).select(
+        "doc", "sz", "shingle", "pos"
+    )
+    collisions = (
+        joinable.alias("l")
         .join(
-            prefix.alias("r"),
+            joinable.alias("r"),
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col("l.doc") < F.col("r.doc"))
             & (
-                F.least(F.col("l.sz"), F.col("r.sz"))
-                >= F.lit(float(threshold))
-                * F.greatest(F.col("l.sz"), F.col("r.sz"))
+                F.least(F.col("l.sz"), F.col("r.sz")) * td
+                >= F.greatest(F.col("l.sz"), F.col("r.sz")) * tn
             ),
         )
-        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            F.col("l.sz").alias("sa"),
+            F.col("r.sz").alias("sb"),
+            F.col("l.pos").alias("pa"),
+            F.col("r.pos").alias("pb"),
+        )
+    )
+    # Earliest common prefix token: positions are monotone in the shared
+    # global (df, shingle) order, so min(pa) and min(pb) land on the SAME
+    # token and everything before it in either prefix is non-shared.
+    pairs = (
+        collisions.groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.min("pa").alias("mpa"), F.min("pb").alias("mpb"))
+        .where(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("sa") - F.col("mpa"), F.col("sb") - F.col("mpb")
+                )
+            )
+            * (tn + td)
+            >= (F.col("sa") + F.col("sb")) * tn
+        )
+        .select("doc_a", "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    sa_sz = F.size(F.col("sa.shingles"))
+    sb_sz = F.size(F.col("sb.shingles"))
+    jac = F.round(
+        inter / F.greatest(sa_sz + sb_sz - inter, F.lit(1)), 4
     )
     return (
         pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
         .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
-        .select(
-            "doc_a",
-            "doc_b",
-            jaccard(F.col("sa.shingles"), F.col("sb.shingles")).alias(
-                "jaccard_sim"
-            ),
-        )
+        .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
