@@ -37,6 +37,133 @@ _BLOOM_K = 4     # salted hash functions
 
 
 @register(
+    "curation_epoch_shuffle",
+    r"""
+    WITH h AS (
+      SELECT epoch, doc_id,
+             CAST(md5_number_upper(epoch || '#' || CAST(doc_id AS VARCHAR))
+                  >> 8 AS BIGINT) AS hv
+      FROM documents, (VALUES ('0'), ('1')) ep(epoch)
+    )
+    SELECT CAST(epoch AS VARCHAR) AS epoch,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                   ORDER BY hv % 256, hv, doc_id)
+                AS BIGINT) AS position,
+           doc_id
+    FROM h ORDER BY epoch, position
+    """,
+    doc="Deterministic per-epoch training-order shuffle: every epoch "
+    "reorders the corpus by md5(epoch # doc_id) — reproducible across "
+    "reruns and engines (no RNG state), different every epoch, the way "
+    "large training jobs actually randomize shard order. The Spark plan "
+    "is the TERASORT rank pattern, not a global window: rows hash into "
+    "256 buckets (the low bits of the same hash, so bucket order + "
+    "in-bucket hash order IS the global order), ranks are computed by a "
+    "window PARTITIONED BY (epoch, bucket) — parallel — and each "
+    "bucket's global offset comes from a #buckets-bounded running sum "
+    "joined back (AQE broadcasts). No single-partition sort anywhere; "
+    "the oracle's flat ROW_NUMBER proves the distributed rank equals "
+    "the global one.",
+)
+def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
+
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        F.explode(F.array(F.lit("0"), F.lit("1"))).alias("epoch"), "doc_id"
+    ).select(
+        "epoch",
+        "doc_id",
+        md5_u56_le(
+            F.concat_ws("#", "epoch", F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    h = h.withColumn("bucket", F.col("hv") % 256)
+    w_local = W.partitionBy("epoch", "bucket").orderBy("hv", "doc_id")
+    local = h.withColumn("lrank", F.row_number().over(w_local))
+    sizes = h.groupBy("epoch", "bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w_off = (
+        W.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "epoch",
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
+    )
+    return (
+        local.join(offsets, ["epoch", "bucket"])
+        .select(
+            "epoch",
+            (F.col("off") + F.col("lrank")).cast("long").alias("position"),
+            "doc_id",
+        )
+        .orderBy("epoch", "position")
+    )
+
+
+@register(
+    "curation_shard_manifest",
+    r"""
+    WITH d AS (
+      SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8 AS BIGINT)
+               % 64 AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_toks
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+    SELECT shard, n_docs, n_tokens,
+           CAST((2 * 10000 * 64 * n_tokens + tot.t) // (2 * tot.t)
+                AS BIGINT) AS load_bp
+    FROM per CROSS JOIN tot
+    ORDER BY shard
+    """,
+    doc="Export-shard manifest: the corpus hashed into 64 output shards "
+    "(md5 of the id — deterministic, engine-portable) with per-shard doc "
+    "and token totals and the load factor in basis points (10000 = "
+    "perfectly balanced; the table a writer uses to size output files "
+    "and a reader to plan parallelism). ONE corpus aggregate with "
+    "map-side combine — the shuffle carries 64 summary rows; the grand "
+    "total rides a #shards-bounded second aggregate joined back. At "
+    "100 TB this is the manifest the llm-prep writer emits next to its "
+    "shards; hash sharding keeps any doc's placement recomputable "
+    "without the manifest.",
+)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (md5_u56_le(F.col("doc_id").cast("string")) % 64).alias("shard"),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    per = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    total = per.agg(F.sum("n_tokens")).collect()[0][0]
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"CAST((2 * 10000 * 64 * n_tokens + {total})"
+            f" div (2 * {total}) AS BIGINT)"
+        ).alias("load_bp"),
+    ).orderBy("shard")
+
+
+@register(
     "curation_temperature_mixture",
     """
     WITH counts AS (
@@ -95,94 +222,6 @@ def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-@register(
-    "curation_bloom_novelty",
-    f"""
-    WITH dg AS (SELECT doc_id, md5(text) AS dg FROM documents),
-    ref AS (SELECT doc_id, dg FROM dg WHERE doc_id % 2 = 0),
-    cand AS (SELECT doc_id, dg FROM dg WHERE doc_id % 2 = 1),
-    js AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j),
-    bits AS (
-      SELECT DISTINCT
-             CAST((md5_number_upper(CAST(j AS VARCHAR) || '|' || dg) >> 8)
-                  % {_BLOOM_M} AS BIGINT) AS pos
-      FROM ref CROSS JOIN js
-    ),
-    probe AS (
-      SELECT c.doc_id, c.dg,
-             CAST((md5_number_upper(CAST(j AS VARCHAR) || '|' || c.dg) >> 8)
-                  % {_BLOOM_M} AS BIGINT) AS pos
-      FROM cand c CROSS JOIN js
-    ),
-    hits AS (
-      SELECT doc_id, dg, COUNT(b.pos) AS n_set
-      FROM probe p LEFT JOIN bits b USING (pos)
-      GROUP BY 1, 2
-    ),
-    rd AS (SELECT DISTINCT dg FROM ref)
-    SELECT h.doc_id,
-           (h.n_set = {_BLOOM_K}) AS bloom_hit,
-           (rd.dg IS NOT NULL) AS exact_dup
-    FROM hits h LEFT JOIN rd ON rd.dg = h.dg
-    ORDER BY h.doc_id
-    """,
-    doc="Bloom-filter novelty probe (Bloom 1970) — the MEMBERSHIP sketch "
-    "closing the sketch family (CMS frequency / HLL cardinality / "
-    "histogram distribution / Bloom membership): a reference half of the "
-    f"corpus sets {_BLOOM_K} md5-salted bits in an {_BLOOM_M}-bit filter; "
-    "every candidate doc reports whether ALL its probe bits are set "
-    "(bloom_hit) next to ground truth (exact_dup), so false positives — "
-    "the sketch's one error mode; false negatives are impossible — are "
-    "visible row by row (37 FPs at sf0.01's 62% fill). The incremental-"
-    "corpus use: yesterday's filter is m BITS regardless of corpus size, "
-    "and novelty-checking today's batch is a map-side hash + one join "
-    "against the ≤m-row bit table — where the exact check (the baseline "
-    "alongside) shuffles every reference digest. Filter size is fixed "
-    "small ON PURPOSE so the FP mode actually fires and gets checked "
-    "(the CMS width-32 precedent); production sizes m ≈ 10·n_ref bits "
-    "from table stats and nothing structural changes. All equi-joins on "
-    "uniform md5 positions/digests; bit construction combines map-side "
-    "(partial distinct), so the shuffle is bounded by m, not n_ref.",
-)
-def curation_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_stream_consumer_spark.operators import dedup as D
-
-    docs = _t(spark, sf_dir, "documents")
-    dg = docs.select("doc_id", D.exact_digest(F.col("text")).alias("dg"))
-    ref = dg.where(F.col("doc_id") % 2 == 0)
-    cand = dg.where(F.col("doc_id") % 2 == 1)
-    js = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
-    pos = (
-        D.md5_u56_le(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("dg")))
-        % _BLOOM_M
-    ).alias("pos")
-    bits = (
-        ref.select(F.explode(js).alias("j"), "dg").select(pos).distinct()
-    )
-    probe = cand.select("doc_id", "dg", F.explode(js).alias("j")).select(
-        "doc_id", "dg", pos
-    )
-    hits = (
-        probe.join(bits.withColumnRenamed("pos", "bpos"),
-                   F.col("pos") == F.col("bpos"), "left")
-        .groupBy("doc_id", "dg")
-        .agg(F.count("bpos").alias("n_set"))
-    )
-    # exact-baseline join is UNHINTED: the reference digest set is
-    # row-scaled (corpus/2), so AQE picks broadcast locally and falls
-    # back to shuffle join at scale (the stats-gated-broadcast rule)
-    rd = ref.select("dg").distinct().withColumnRenamed("dg", "rdg")
-    return (
-        hits.join(rd, F.col("dg") == F.col("rdg"), "left")
-        .select(
-            "doc_id",
-            (F.col("n_set") == _BLOOM_K).alias("bloom_hit"),
-            F.col("rdg").isNotNull().alias("exact_dup"),
-        )
-        .orderBy("doc_id")
-    )
-
-
 # --- Deterministic round-robin source interleave (curriculum ordering) ------
 
 _ILV_TOP = 60
@@ -191,107 +230,6 @@ _ILV_TOP = 60
 # --- Token-budget mixture apportionment (largest remainder) -----------------
 
 _BUDGET_TOKENS = 50_000
-
-
-@register(
-    "curation_token_budget_mix",
-    f"""
-    WITH avail AS (
-      SELECT source,
-             CAST(1 + CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 5
-                  AS BIGINT) AS w,
-             CAST(SUM({_BPE_TOKS}) AS BIGINT) AS avail_tokens
-      FROM documents GROUP BY 1
-    ),
-    sh AS (
-      SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS w_tot FROM avail
-    ),
-    fl AS (
-      SELECT *,
-             CAST(({_BUDGET_TOKENS}*w) // w_tot AS BIGINT) AS floor_alloc,
-             CAST(({_BUDGET_TOKENS}*w) % w_tot AS BIGINT) AS rem
-      FROM sh
-    ),
-    rk AS (
-      SELECT *,
-             CAST({_BUDGET_TOKENS} - SUM(floor_alloc) OVER () AS BIGINT)
-               AS leftover,
-             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank
-      FROM fl
-    )
-    SELECT source, w, avail_tokens,
-           CAST(floor_alloc + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
-                AS BIGINT) AS alloc_tokens,
-           CAST(LEAST(floor_alloc
-                        + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END,
-                      avail_tokens) AS BIGINT) AS capped_tokens,
-           CAST(GREATEST(floor_alloc
-                           + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
-                           - avail_tokens, 0) AS BIGINT) AS shortfall_tokens
-    FROM rk ORDER BY source
-    """,
-    doc="Token-budget apportionment across sources by largest-remainder "
-    "(Hamilton) method — the planning query behind 'fill a 50k-token "
-    "training budget at these mixture weights': integer weights derived "
-    "from the source id, exact floor quotas, and the leftover "
-    "B − Σfloor distributed to the largest remainders (ties to source "
-    "name), so allocations sum EXACTLY to the budget with no float "
-    "drift — then capped at per-source availability with the shortfall "
-    "made visible (feed it to mixture_sample's strict mode). Per-doc "
-    "token counts are the BPE-ish regex count computed map-side (no "
-    "explode); everything after the one source groupBy runs on a "
-    "#sources-bounded frame, where the unpartitioned windows are safe "
-    "at any corpus size.",
-)
-def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    docs = _t(spark, sf_dir, "documents")
-    avail = (
-        docs.select(
-            "source",
-            F.size(
-                F.expr(r"regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]', 0)")
-            ).cast("long").alias("toks"),
-        )
-        .groupBy("source")
-        .agg(F.sum("toks").cast("long").alias("avail_tokens"))
-        .withColumn(
-            "w",
-            (1 + F.regexp_extract("source", "[0-9]+", 0).cast("long") % 5)
-            .cast("long"),
-        )
-    )
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    fl = (
-        avail.withColumn("w_tot", F.sum("w").over(wall).cast("long"))
-        .withColumn(
-            "floor_alloc",
-            F.expr(f"({_BUDGET_TOKENS}*w) div w_tot"),
-        )
-        .withColumn("rem", F.expr(f"({_BUDGET_TOKENS}*w) % w_tot"))
-    )
-    rk = fl.withColumn(
-        "leftover",
-        (F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc").over(wall)).cast("long"),
-    ).withColumn(
-        "rrank",
-        F.row_number().over(W.orderBy(F.col("rem").desc(), "source")),
-    )
-    bonus = F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
-    return rk.select(
-        "source",
-        "w",
-        "avail_tokens",
-        (F.col("floor_alloc") + bonus).cast("long").alias("alloc_tokens"),
-        F.least(
-            (F.col("floor_alloc") + bonus).cast("long"), F.col("avail_tokens")
-        ).alias("capped_tokens"),
-        F.greatest(
-            (F.col("floor_alloc") + bonus - F.col("avail_tokens")).cast("long"),
-            F.lit(0).cast("long"),
-        ).alias("shortfall_tokens"),
-    ).orderBy("source")
 
 
 # --- Quality-filter funnel audit ---------------------------------------------
