@@ -880,3 +880,15 @@ def test_hll_rollup_levels_shuffle_registers_not_values(spark):
     # register-bounded, independent of the event volume underneath
     assert s["shuffle_records"] <= n_leaf_groups * SK.HLL_M
     assert s["shuffle_bytes"] < n_leaf_groups * SK.HLL_M * 120
+
+
+def test_epoch_shuffle_has_no_single_partition_exchange(spark):
+    """The terasort-rank claim: the epoch shuffle never funnels the corpus
+    through a single-partition exchange (a global ROW_NUMBER window
+    would). Only hash/range exchanges may appear."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    df = QUERIES["curation_epoch_shuffle"].fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
