@@ -131,3 +131,56 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, cusum_cents bigint, b bigint"
+)
+_CUSUM_STATE_SCHEMA = "pfx bigint, mn bigint, b bigint"
+
+
+def _update_cusum(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of events_cusum_drift's window identity: per user,
+    state is just (prefix_sum, prefix_min) — TWO longs regardless of
+    stream length — and each event's one-sided CUSUM is
+    pfx − min(0, running-min). Events are ordered (ts, event_id) within
+    the batch; cross-batch order is the source's responsibility
+    (time-sliced micro-batches), same contract as the engine's
+    per-chain sequencing. The reference level k rides on each row (a
+    calibration constant at monitoring time — the batch query derives
+    it from the full series; a live monitor ships it as config)."""
+    pfx, mn, b = state.get if state.exists else (0, 0, 0)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for eid, cents, ku in zip(pdf["event_id"], pdf["cents"], pdf["ku"]):
+            pfx += int(cents) - int(ku)
+            mn = min(mn, pfx)
+            out.append((int(eid), pfx - min(mn, 0)))
+    b += 1
+    state.update((pfx, mn, b))
+    yield pd.DataFrame(
+        [
+            {"user_id": key[0], "event_id": e, "cusum_cents": c, "b": b}
+            for e, c in out
+        ]
+    )
+
+
+def streaming_cusum(keyed_stream: DataFrame) -> DataFrame:
+    """Live CUSUM drift monitor: input rows
+    (user_id, event_id, us, cents, ku) in time-sliced micro-batches;
+    output one row per event with its exact CUSUM value. State per user
+    is two longs — the prefix sum and its running minimum — so the
+    monitor is bounded-memory forever (contrast a naive implementation
+    that buffers the series). Pinned equal to the batch window identity
+    in tests/test_cusum_identity.py."""
+    return keyed_stream.groupBy("user_id").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
