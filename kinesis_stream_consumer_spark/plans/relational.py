@@ -101,73 +101,6 @@ def _paa_bucket_sql(t: int) -> str:
     return f"SELECT user_id, {t} AS tbl, {terms} AS bucket FROM sig"
 
 
-@register(
-    "agg_qsketch_quantiles",
-    f"""
-    WITH src AS (
-      SELECT l_returnflag AS gg,
-             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-      FROM lineitem
-    ),
-    {{QSK_CTE}},
-    qsk_cum AS (
-      SELECT g, qid,
-             SUM(cnt) OVER (PARTITION BY g ORDER BY qid) AS cum,
-             SUM(cnt) OVER (PARTITION BY g) AS n
-      FROM qsk_cnt
-    ),
-    qsk_pick AS (
-      SELECT g, MAX(n) AS n,
-             MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN qid END) AS q_p50,
-             MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN qid END) AS q_p90,
-             MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN qid END) AS q_p99
-      FROM qsk_cum GROUP BY g
-    )
-    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
-           {{P50}} AS p50_cents, {{P90}} AS p90_cents, {{P99}} AS p99_cents
-    FROM qsk_pick ORDER BY 1
-    """.replace(
-        "{QSK_CTE}",
-        SK.qsketch_oracle_cte("src", "gg", "cents").lstrip().rstrip(),
-    )
-    .replace("{P50}", SK.qsk_lower_sql("q_p50"))
-    .replace("{P90}", SK.qsk_lower_sql("q_p90"))
-    .replace("{P99}", SK.qsk_lower_sql("q_p99")),
-    doc="Mergeable log-linear quantile sketch (DDSketch-family bounds, "
-    "VERDICT r6 #5): p50/p90/p99 of line price cents per return flag from "
-    "a register frame of at most 63·K+1 counting buckets per group — "
-    "coarse log2 octave × K linear fine buckets, a DOMAIN-FREE layout "
-    "(the fixed-width histogram needs a range/width parameter and breaks "
-    "on unbounded or skewed domains; this sketch lands any int64 in a "
-    "bounded register set with a ≤1/K relative-error guarantee, "
-    "property-tested vs exact rank-k in test_qsketch). Registers merge "
-    "by ADDITION across partitions and micro-batches (streaming twin "
-    "pinned equal to batch); quantile recovery is a windowed cumsum over "
-    "the bucket frame plus one aggregate — driver-free, integer-exact, "
-    "bit-identical on both engines. At 100 TB the shuffle carries "
-    "registers, never values.",
-)
-def agg_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    buckets = SK.qsketch_buckets(
-        li.select("l_returnflag", cents.alias("cents")),
-        "l_returnflag",
-        F.col("cents"),
-    )
-    return (
-        SK.qsketch_quantiles(buckets)
-        .select(
-            F.col("g").alias("l_returnflag"),
-            F.col("n").cast("long").alias("n"),
-            F.col("p50").alias("p50_cents"),
-            F.col("p90").alias("p90_cents"),
-            F.col("p99").alias("p99_cents"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
 _RSV_N = 8
 _RSV_TOKS = r"len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\w\s]'))"
 
@@ -435,6 +368,188 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_BENFORD_BP = (3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in enumerate(_BENFORD_BP, start=1)
+)
+
+
+@register(
+    "audit_benford_digits",
+    f"""
+    WITH o AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM o GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM c)
+    SELECT digit, n_orders,
+           CAST((2 * 10000 * n_orders + t.total) // (2 * t.total)
+                AS BIGINT) AS observed_bp,
+           CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS expected_bp,
+           ROUND((CAST(n_orders AS DOUBLE)
+                    - CAST(t.total AS DOUBLE)
+                      * (CASE digit {_BENFORD_CASE} END) / 10000.0)
+                 * (CAST(n_orders AS DOUBLE)
+                    - CAST(t.total AS DOUBLE)
+                      * (CASE digit {_BENFORD_CASE} END) / 10000.0)
+                 / (CAST(t.total AS DOUBLE)
+                      * (CASE digit {_BENFORD_CASE} END) / 10000.0),
+                 4) AS chi2_term
+    FROM c CROSS JOIN t ORDER BY digit
+    """,
+    doc="Benford first-digit audit over order totals — the classic "
+    "fabricated-data / pipeline-corruption screen: observed first-digit "
+    "shares vs Benford's log10(1+1/d) expectation with per-digit χ² "
+    "contributions. Engine-exactness: the first digit comes from the "
+    "integer's decimal string (no log10 call), Benford expectations are "
+    "EMBEDDED as integer basis-point literals (log10 evaluated once at "
+    "authoring time, not per-engine at runtime — libm vs JVM log differ "
+    "in the last ulp), shares are half-up integer bp, and χ² uses "
+    "multiply/divide-only IEEE ops on exact integers. Scale shape: one "
+    "9-bucket aggregate with map-side combine; the total rides a "
+    "#digits-bounded second aggregate.",
+)
+def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = _t(spark, sf_dir, "orders")
+    c = (
+        ords.where("o_totalprice >= 1")
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .localCheckpoint(eager=True)
+    )
+    total = c.agg(F.sum("n_orders")).collect()[0][0]
+    e = f"(CAST({total} AS DOUBLE) * (CASE digit {_BENFORD_CASE} END) / 10000.0)"
+    return c.select(
+        "digit",
+        "n_orders",
+        F.expr(
+            f"CAST((2 * 10000 * n_orders + {total}) div (2 * {total})"
+            " AS BIGINT)"
+        ).alias("observed_bp"),
+        F.expr(f"CAST(CASE digit {_BENFORD_CASE} END AS BIGINT)").alias(
+            "expected_bp"
+        ),
+        F.expr(
+            f"ROUND((CAST(n_orders AS DOUBLE) - {e})"
+            f" * (CAST(n_orders AS DOUBLE) - {e}) / {e}, 4)"
+        ).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+@register(
+    "audit_referential_integrity",
+    """
+    WITH edges AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+             CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+             CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+      FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+      LEFT JOIN orders o ON o.o_orderkey = c.l_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+      LEFT JOIN part p ON p.p_partkey = c.l_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+      LEFT JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE cu.c_custkey IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT o_custkey FROM orders) c
+      LEFT JOIN customer cu ON cu.c_custkey = c.o_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT c_nationkey FROM customer) c
+      LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+      FROM (SELECT DISTINCT s_nationkey FROM supplier) c
+      LEFT JOIN nation n ON n.n_nationkey = c.s_nationkey
+    )
+    SELECT fk_edge, n_child_keys, n_orphans,
+           CAST((2 * 10000 * (n_child_keys - n_orphans) + n_child_keys)
+                  // (2 * n_child_keys) AS BIGINT) AS coverage_bp
+    FROM edges ORDER BY fk_edge
+    """,
+    doc="Referential-integrity audit across every FK edge of the star "
+    "schema: distinct child keys, orphan keys (no parent row), and "
+    "coverage in exact basis points — the data-quality sweep a pipeline "
+    "runs after every load. Scale shape per edge: DISTINCT collapses the "
+    "child side to its key set map-side BEFORE the join (the shuffle "
+    "carries keys, never fact rows), the parent side joins on its "
+    "primary key, dimension parents broadcast under AQE; six bounded "
+    "audit rows come out. The orphan probe is a LEFT join + null filter "
+    "rather than anti-join so ONE pass yields both the total and the "
+    "orphan count.",
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    na = _t(spark, sf_dir, "nation")
+
+    def edge(name, child, ckey, parent, pkey):
+        c = child.select(F.col(ckey).alias("k")).distinct()
+        p = parent.select(F.col(pkey).alias("pk"))
+        j = c.join(p, c.k == p.pk, "left")
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("long").alias("n_child_keys"),
+            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    edges = (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", ords, "o_orderkey")
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"))
+        .unionAll(
+            edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey")
+        )
+        .unionAll(
+            edge("orders.o_custkey->customer", ords, "o_custkey", cust, "c_custkey")
+        )
+        .unionAll(
+            edge("customer.c_nationkey->nation", cust, "c_nationkey", na, "n_nationkey")
+        )
+        .unionAll(
+            edge("supplier.s_nationkey->nation", supp, "s_nationkey", na, "n_nationkey")
+        )
+    )
+    return edges.select(
+        "fk_edge",
+        "n_child_keys",
+        "n_orphans",
+        F.expr(
+            "CAST((2 * 10000 * (n_child_keys - n_orphans) + n_child_keys)"
+            " div (2 * n_child_keys) AS BIGINT)"
+        ).alias("coverage_bp"),
+    ).orderBy("fk_edge")
 
 
 @register(
@@ -1178,89 +1293,6 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(den AS DOUBLE) * CAST(NULLIF(deny, 0) AS DOUBLE)), 4)"
         ).alias("r2"),
     ).orderBy("n_name")
-
-
-@register(
-    "q2_min_cost_supplier",
-    """
-    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, c.cost_cents
-    FROM (
-      SELECT l_partkey, l_suppkey,
-             MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
-      FROM lineitem GROUP BY 1, 2
-    ) c
-    JOIN part p     ON p.p_partkey = c.l_partkey
-    JOIN supplier s ON s.s_suppkey = c.l_suppkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    JOIN region r   ON r.r_regionkey = n.n_regionkey
-    WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
-      AND r.r_name = 'EUROPE'
-      AND c.cost_cents = (
-        SELECT MIN(CAST(FLOOR(l2.l_extendedprice * 100 + 0.5) AS BIGINT))
-        FROM lineitem l2
-        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
-        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
-        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
-        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
-      )
-    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
-    LIMIT 20
-    """,
-    doc="Min-cost supplier (TPC-H q2 analogue): for every LARGE mid-size "
-    "part, the European supplier(s) offering it at the minimum historical "
-    "unit price (cost = min line cents — exact integer money; the schema "
-    "has no partsupp, so lineitem is the observed price book). The oracle "
-    "keeps q2's correlated scalar subquery; the Spark plan is its "
-    "DECORRELATED form — one (part, supplier) min aggregate, a per-part "
-    "min re-aggregate, and an equi-join back on (part, cost) — which is "
-    "exactly what a decorrelation rewrite produces and the scale shape: "
-    "the fact table aggregates ONCE (partial min map-side), the filtered "
-    "part list and the per-part minima broadcast, and no correlated "
-    "per-row probe ever exists physically.",
-)
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    pa = _t(spark, sf_dir, "part")
-    su = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation")
-    re = _t(spark, sf_dir, "region")
-    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    pa_f = pa.where(
-        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
-    ).select("p_partkey")
-    su_eur = (
-        su.join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(
-            F.broadcast(re.where(F.col("r_name") == "EUROPE")),
-            F.col("r_regionkey") == F.col("n_regionkey"),
-        )
-        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
-    )
-    cost = (
-        li.join(
-            _bcast_if_small(pa_f, sf_dir, "part"),
-            F.col("p_partkey") == F.col("l_partkey"),
-        )
-        .join(
-            _bcast_if_small(su_eur, sf_dir, "supplier"),
-            F.col("s_suppkey") == F.col("l_suppkey"),
-        )
-        .groupBy("p_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
-        .agg(F.min(cents).alias("cost_cents"))
-    )
-    minc = cost.groupBy(F.col("p_partkey").alias("_mpk")).agg(
-        F.min("cost_cents").alias("_min_cost")
-    )
-    return (
-        cost.join(
-            _bcast_if_small(minc, sf_dir, "part"),
-            (F.col("p_partkey") == F.col("_mpk"))
-            & (F.col("cost_cents") == F.col("_min_cost")),
-        )
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost_cents")
-        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
-        .limit(20)
-    )
 
 
 @register(

@@ -3653,3 +3653,155 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_pass"),
         )
     )
+
+
+# --- parked r8 (from relational.py): displaced by audit_benford_digits + audit_referential_integrity (r7/r6-green, unchanged) ---
+
+@register(
+    "agg_qsketch_quantiles",
+    f"""
+    WITH src AS (
+      SELECT l_returnflag AS gg,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    {{QSK_CTE}},
+    qsk_cum AS (
+      SELECT g, qid,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY qid) AS cum,
+             SUM(cnt) OVER (PARTITION BY g) AS n
+      FROM qsk_cnt
+    ),
+    qsk_pick AS (
+      SELECT g, MAX(n) AS n,
+             MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN qid END) AS q_p50,
+             MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN qid END) AS q_p90,
+             MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN qid END) AS q_p99
+      FROM qsk_cum GROUP BY g
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           {{P50}} AS p50_cents, {{P90}} AS p90_cents, {{P99}} AS p99_cents
+    FROM qsk_pick ORDER BY 1
+    """.replace(
+        "{QSK_CTE}",
+        SK.qsketch_oracle_cte("src", "gg", "cents").lstrip().rstrip(),
+    )
+    .replace("{P50}", SK.qsk_lower_sql("q_p50"))
+    .replace("{P90}", SK.qsk_lower_sql("q_p90"))
+    .replace("{P99}", SK.qsk_lower_sql("q_p99")),
+    doc="Mergeable log-linear quantile sketch (DDSketch-family bounds, "
+    "VERDICT r6 #5): p50/p90/p99 of line price cents per return flag from "
+    "a register frame of at most 63·K+1 counting buckets per group — "
+    "coarse log2 octave × K linear fine buckets, a DOMAIN-FREE layout "
+    "(the fixed-width histogram needs a range/width parameter and breaks "
+    "on unbounded or skewed domains; this sketch lands any int64 in a "
+    "bounded register set with a ≤1/K relative-error guarantee, "
+    "property-tested vs exact rank-k in test_qsketch). Registers merge "
+    "by ADDITION across partitions and micro-batches (streaming twin "
+    "pinned equal to batch); quantile recovery is a windowed cumsum over "
+    "the bucket frame plus one aggregate — driver-free, integer-exact, "
+    "bit-identical on both engines. At 100 TB the shuffle carries "
+    "registers, never values.",
+)
+def agg_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    buckets = SK.qsketch_buckets(
+        li.select("l_returnflag", cents.alias("cents")),
+        "l_returnflag",
+        F.col("cents"),
+    )
+    return (
+        SK.qsketch_quantiles(buckets)
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n"),
+            F.col("p50").alias("p50_cents"),
+            F.col("p90").alias("p90_cents"),
+            F.col("p99").alias("p99_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, c.cost_cents
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ) c
+    JOIN part p     ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+      AND r.r_name = 'EUROPE'
+      AND c.cost_cents = (
+        SELECT MIN(CAST(FLOOR(l2.l_extendedprice * 100 + 0.5) AS BIGINT))
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 20
+    """,
+    doc="Min-cost supplier (TPC-H q2 analogue): for every LARGE mid-size "
+    "part, the European supplier(s) offering it at the minimum historical "
+    "unit price (cost = min line cents — exact integer money; the schema "
+    "has no partsupp, so lineitem is the observed price book). The oracle "
+    "keeps q2's correlated scalar subquery; the Spark plan is its "
+    "DECORRELATED form — one (part, supplier) min aggregate, a per-part "
+    "min re-aggregate, and an equi-join back on (part, cost) — which is "
+    "exactly what a decorrelation rewrite produces and the scale shape: "
+    "the fact table aggregates ONCE (partial min map-side), the filtered "
+    "part list and the per-part minima broadcast, and no correlated "
+    "per-row probe ever exists physically.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    pa_f = pa.where(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey")
+    su_eur = (
+        su.join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(re.where(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cost = (
+        li.join(
+            _bcast_if_small(pa_f, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            _bcast_if_small(su_eur, sf_dir, "supplier"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("p_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+        .agg(F.min(cents).alias("cost_cents"))
+    )
+    minc = cost.groupBy(F.col("p_partkey").alias("_mpk")).agg(
+        F.min("cost_cents").alias("_min_cost")
+    )
+    return (
+        cost.join(
+            _bcast_if_small(minc, sf_dir, "part"),
+            (F.col("p_partkey") == F.col("_mpk"))
+            & (F.col("cost_cents") == F.col("_min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost_cents")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
