@@ -76,3 +76,52 @@ def triangle_participation(
     return per_node.join(deg, "node").select(
         "node", F.col("d").alias("degree"), "n_triangles"
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seed: DataFrame,
+    max_depth: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Multi-hop BFS from a seed frame: (node, level) with the MINIMUM
+    hop count, levels 0..max_depth.
+
+    Spark-first shape: the depth is a small fixed constant, so the
+    iteration unrolls into max_depth frontier-expansion joins — each one
+    an equi-join of the current frontier against the (checkpointed,
+    bidirectional) edge table, followed by an anti-join against the
+    visited set. Every step is vertex-keyed; the frontier frame is the
+    only thing that grows, and it is bounded by the reachable set. No
+    driver-side adjacency, no recursion — the DuckDB oracle's WITH
+    RECURSIVE proves the unrolled plan computes the same minimum levels.
+
+    At 100 TB: each hop is one shuffle keyed on the frontier's vertex
+    ids; checkpointing the frontier per hop keeps lineage flat (the
+    standard iterative-algorithm discipline, same as connected
+    components)."""
+    bidir = (
+        edges.select(F.col(u_col).alias("s"), F.col(v_col).alias("d"))
+        .unionAll(
+            edges.select(F.col(v_col).alias("s"), F.col(u_col).alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = seed.select(F.col(seed.columns[0]).alias("node")).distinct()
+    visited = frontier.withColumn("level", F.lit(0)).localCheckpoint(
+        eager=True
+    )
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(bidir, frontier.node == bidir.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(
+            nxt.withColumn("level", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -946,6 +946,84 @@ def join_pit_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_bfs_levels",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    bidir AS (
+      SELECT u AS s, v AS d FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT s AS node, COUNT(*) AS dg FROM bidir GROUP BY 1),
+    seed AS (SELECT node FROM deg ORDER BY dg DESC, node LIMIT 1),
+    bfs(node, lvl) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT b.d, bfs.lvl + 1
+      FROM bfs JOIN bidir b ON b.s = bfs.node
+      WHERE bfs.lvl < 3
+    )
+    SELECT node, CAST(MIN(lvl) AS BIGINT) AS level
+    FROM bfs GROUP BY 1 ORDER BY level, node
+    """,
+    doc="Multi-hop BFS (levels 0-3) over the co-purchase graph from its "
+    "highest-degree part — the neighborhood-expansion primitive behind "
+    "related-item exploration and fraud-ring tracing, and the graph "
+    "family's iterative member next to components/PageRank/triangles. "
+    "The fixed depth unrolls into three frontier-expansion equi-joins "
+    "(frontier ⋈ checkpointed bidirectional edges, anti-join against "
+    "visited — each hop ONE vertex-keyed shuffle, lineage kept flat by "
+    "per-hop checkpoints); the oracle's WITH RECURSIVE proves the "
+    "unrolled plan computes the same minimum hop counts. Seed selection "
+    "is a driver literal from the degree aggregate (scalar-model "
+    "pattern, deterministic ties).",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.graph import bfs_levels
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    seed_node = (
+        deg.orderBy(F.col("dg").desc(), "node").limit(1).collect()[0][0]
+    )
+    seed = spark.createDataFrame([(int(seed_node),)], "node bigint")
+    return (
+        bfs_levels(edges, seed, max_depth=3)
+        .select("node", F.col("level").cast("long").alias("level"))
+        .orderBy("level", "node")
+    )
+
+
+@register(
     "graph_triangle_counts",
     """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1293,53 +1371,6 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(den AS DOUBLE) * CAST(NULLIF(deny, 0) AS DOUBLE)), 4)"
         ).alias("r2"),
     ).orderBy("n_name")
-
-
-@register(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
-      AND EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-      )
-    GROUP BY 1 ORDER BY 1
-    """,
-    doc="Order-priority checking (TPC-H q4 analogue): count orders per "
-    "priority that had at least one line shipped more than 60 days after "
-    "the order date (the schema has no commit/receipt dates; late "
-    "shipment is the q4 'late line' predicate). The EXISTS compiles to a "
-    "LEFT SEMI join with a mixed equi + range condition — the semi join "
-    "deduplicates multi-line matches WITHOUT a distinct shuffle, the "
-    "quarter filter pushes to the orders scan, and at 100 TB both sides "
-    "shuffle once on orderkey (or broadcast when the filtered order "
-    "slice is small).",
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    od_q = od.where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
-    )
-    return (
-        od_q.join(
-            li,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
 
 
 @register(

@@ -3805,3 +3805,52 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(20)
     )
+
+
+# --- parked r8 (from relational.py): displaced by graph_bfs_levels (r6-green, unchanged) ---
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Order-priority checking (TPC-H q4 analogue): count orders per "
+    "priority that had at least one line shipped more than 60 days after "
+    "the order date (the schema has no commit/receipt dates; late "
+    "shipment is the q4 'late line' predicate). The EXISTS compiles to a "
+    "LEFT SEMI join with a mixed equi + range condition — the semi join "
+    "deduplicates multi-line matches WITHOUT a distinct shuffle, the "
+    "quarter filter pushes to the orders scan, and at 100 TB both sides "
+    "shuffle once on orderkey (or broadcast when the filtered order "
+    "slice is small).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od_q = od.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        od_q.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

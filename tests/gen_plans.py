@@ -119,6 +119,13 @@ def main() -> None:
         "graph_triangle_counts",
         "join_pit_multi_feature",
         "curation_temperature_mixture",
+        "agg_hll_rollup",
+        "agg_winsorized_mean",
+        "events_cusum_drift",
+        "curation_epoch_shuffle",
+        "curation_shard_manifest",
+        "audit_benford_digits",
+        "audit_referential_integrity",
     ]
     sections = [HEADER]
     for name in names:
