@@ -36,6 +36,117 @@ _BLOOM_M = 1024  # bits
 _BLOOM_K = 4     # salted hash functions
 
 
+_PRUNE_TAUS_BP = (2000, 4000, 6000, 8000)
+
+
+@register(
+    "curation_quality_prune_sweep",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t IN ('the','and','of','to','in','is','that','for',
+                          'with','as'))) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             FLOOR((0.5 * LEAST(n_tokens / 20.0, 1.0)
+                  + 0.5 * LEAST(FLOOR((n_stop / GREATEST(n_tokens, 1))
+                                      * 10000.0 + 0.5) / 10000.0 * 5.0, 1.0)
+                  - 0.25 * LEAST(FLOOR((n_punct / GREATEST(n_chars, 1))
+                                       * 10000.0 + 0.5) / 10000.0 * 5.0,
+                                 1.0)) * 10000.0 + 0.5) / 10000.0 AS q
+      FROM feats
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS td,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tt FROM scored),
+    sweep AS (
+      SELECT tau_bp,
+             CAST(COUNT(*) FILTER
+                  (WHERE q >= CAST(tau_bp AS DOUBLE) / 10000.0)
+                  AS BIGINT) AS n_docs_kept,
+             CAST(COALESCE(SUM(n_tokens) FILTER
+                  (WHERE q >= CAST(tau_bp AS DOUBLE) / 10000.0), 0)
+                  AS BIGINT) AS n_tokens_kept
+      FROM scored, (SELECT unnest({list(_PRUNE_TAUS_BP)}) AS tau_bp)
+      GROUP BY 1
+    )
+    SELECT CAST(tau_bp AS BIGINT) AS tau_bp, n_docs_kept, n_tokens_kept,
+           CAST((2 * 10000 * n_docs_kept + tot.td) // (2 * tot.td)
+                AS BIGINT) AS doc_share_bp,
+           CAST((2 * 10000 * n_tokens_kept + tot.tt) // (2 * tot.tt)
+                AS BIGINT) AS token_share_bp
+    FROM sweep CROSS JOIN tot ORDER BY tau_bp
+    """,
+    doc="Quality-threshold operating curve — the tuning sweep a curation "
+    "pipeline runs before fixing its prune level (the analogue of the "
+    "IVF nprobe sweep for the cleaning stage): docs and tokens retained "
+    f"at quality ≥ τ for τ ∈ {_PRUNE_TAUS_BP} bp, from ONE scoring pass "
+    "(the corpus is scored once, checkpointed, and the 4-way sweep is a "
+    "literal-array explode over the slim (doc, tokens, score) frame — "
+    "never four scans). Thresholds compare as CAST(bp AS DOUBLE)/1e4 on "
+    "both engines (the documented decimal-vs-double literal trap); "
+    "shares are exact half-up basis points against driver-scalar "
+    "totals.",
+)
+def curation_quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).localCheckpoint(eager=True)
+    td, tt = scored.agg(
+        F.count(F.lit(1)), F.sum("n_tokens")
+    ).collect()[0]
+    sweep = (
+        scored.select(
+            "n_tokens",
+            "q",
+            F.explode(
+                F.array(*[F.lit(t) for t in _PRUNE_TAUS_BP])
+            ).alias("tau_bp"),
+        )
+        .groupBy("tau_bp")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN q >= CAST(tau_bp AS DOUBLE) / 10000.0"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN q >= CAST(tau_bp AS DOUBLE) / 10000.0"
+                    " THEN n_tokens ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+    )
+    return sweep.select(
+        F.col("tau_bp").cast("long").alias("tau_bp"),
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.expr(
+            f"CAST((2 * 10000 * n_docs_kept + {td}) div (2 * {td})"
+            " AS BIGINT)"
+        ).alias("doc_share_bp"),
+        F.expr(
+            f"CAST((2 * 10000 * n_tokens_kept + {tt}) div (2 * {tt})"
+            " AS BIGINT)"
+        ).alias("token_share_bp"),
+    ).orderBy("tau_bp")
+
+
 @register(
     "curation_epoch_shuffle",
     r"""

@@ -553,6 +553,52 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_orc_roundtrip",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ORC source coverage, completing the columnar-format matrix next "
+    "to parquet/CSV/JSONL: the events table is written as ORC and read "
+    "back with an EXPLICIT schema (no inference pass), then aggregated; "
+    "equality with the parquet oracle proves lossless decode of doubles, "
+    "timestamps (as epoch micros) and longs through the ORC writer/ "
+    "reader. ORC is Spark-native columnar — predicate pushdown and "
+    "column pruning apply exactly as for parquet, so every scan-side "
+    "claim in this repo carries over.",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_stream_consumer_spark.sources import formats as FMT
+
+    flat = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    base = tempfile.mkdtemp(prefix="ksc-orc-")
+    flat.write.mode("overwrite").orc(f"{base}/orc")
+    back = FMT.read_orc(spark, f"{base}/orc", FMT.EVENTS_FLAT_SCHEMA)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("ts_us").cast("long").alias("sum_ts_us"),
+            F.sum("user_id").cast("long").alias("sum_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_cusum_drift",
     """
     WITH e AS (
@@ -1371,102 +1417,6 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(den AS DOUBLE) * CAST(NULLIF(deny, 0) AS DOUBLE)), 4)"
         ).alias("r2"),
     ).orderBy("n_name")
-
-
-@register(
-    "q13_customer_distribution",
-    """
-    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-    FROM (
-      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-      FROM customer c
-      LEFT OUTER JOIN orders o
-        ON o.o_custkey = c.c_custkey
-       AND o.o_orderpriority <> '4-NOT SPECIFIED'
-      GROUP BY 1
-    )
-    GROUP BY 1 ORDER BY custdist DESC, c_count DESC
-    """,
-    doc="Customer order-count distribution (TPC-H q13 analogue): how many "
-    "customers placed 0, 1, 2, ... qualifying orders — the canonical "
-    "outer-join-with-nulls histogram and TPC-H's classic skew case. The "
-    "oracle keeps q13's literal LEFT OUTER JOIN + COUNT(o_orderkey); the "
-    "Spark plan is the AGGREGATE-BEFORE-JOIN rewrite: orders pre-aggregate "
-    "to one (custkey, count) row — partial counts combine map-side, so a "
-    "mega-customer's millions of orders collapse BEFORE any join shuffle — "
-    "then a left join + coalesce(cnt, 0) recovers the zero-order "
-    "customers, and the final histogram groups ~one row per customer. "
-    "At 100 TB this is the difference between shuffling the orders table "
-    "and shuffling one row per customer.",
-)
-def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = _t(spark, sf_dir, "customer")
-    od = _t(spark, sf_dir, "orders")
-    ocnt = (
-        od.where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
-    )
-    return (
-        cu.select("c_custkey")
-        .join(ocnt, F.col("o_custkey") == F.col("c_custkey"), "left")
-        .select(F.coalesce(F.col("_cnt"), F.lit(0).cast("long")).alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
-    )
-
-
-@register(
-    "q16_supplier_variety",
-    """
-    SELECT p.p_brand, p.p_type, p.p_size,
-           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-      AND l.l_suppkey NOT IN (
-        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
-      )
-    GROUP BY 1, 2, 3
-    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-    LIMIT 25
-    """,
-    doc="Parts/supplier relationship variety (TPC-H q16 analogue): how "
-    "many distinct acceptable suppliers have ever shipped each "
-    "(brand, type, size) bucket, excluding blacklisted suppliers "
-    "(negative balance, the q16 'complaints' NOT IN). The NOT IN "
-    "compiles to a LEFT ANTI join against the tiny blacklist (broadcast, "
-    "stats-gated); the distinct-count shuffles (bucket, suppkey) pairs "
-    "once with partial distinct map-side. The brand/size filters push to "
-    "the part scan before the fact join.",
-)
-def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    pa = _t(spark, sf_dir, "part")
-    su = _t(spark, sf_dir, "supplier")
-    pa_f = pa.where(
-        (F.col("p_brand") != "Brand#45")
-        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    bad = su.where(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (
-        li.join(
-            _bcast_if_small(bad, sf_dir, "supplier"),
-            F.col("s_suppkey") == F.col("l_suppkey"),
-            "left_anti",
-        )
-        .join(
-            _bcast_if_small(pa_f, sf_dir, "part"),
-            F.col("p_partkey") == F.col("l_partkey"),
-        )
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
-        .orderBy(
-            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
-        )
-        .limit(25)
-    )
 
 
 @register(

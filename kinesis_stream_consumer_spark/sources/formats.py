@@ -76,3 +76,11 @@ def write_corpus_shards(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC scan with an explicit schema — same no-inference discipline as
+    read_csv/read_jsonl (a schema-inference pass is a full extra read at
+    100 TB). ORC is Spark-native columnar: predicate pushdown and column
+    pruning apply exactly as for parquet."""
+    return spark.read.schema(schema).orc(path)
