@@ -139,10 +139,10 @@ def test_paa_profile_pair_stage_is_banded_not_all_pairs(spark):
     from a real bucket collision (recall > 0 sanity-checks the bands)."""
     from kinesis_stream_consumer_spark.plans.relational import (
         _paa_candidates,
-        ts_profile_similarity,
     )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
 
-    res = ts_profile_similarity(spark, SF_CORRECT)
+    res = QUERIES["ts_profile_similarity"].fn(spark, SF_CORRECT)
     rows = res.collect()
     assert len(rows) > 0  # banding keeps real neighbors
 
@@ -388,12 +388,14 @@ def test_phash_neardup_pairs_come_from_band_collisions(spark):
     from kinesis_stream_consumer_spark.plans.llm_pipeline import (
         _PHASH_MAX_HAMMING,
         _PHASH_SEGMENTS,
-        multimodal_phash_neardup,
     )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
 
     banded_rows = {
         tuple(r)
-        for r in multimodal_phash_neardup(spark, SF_CORRECT).collect()
+        for r in QUERIES["multimodal_phash_neardup"]
+        .fn(spark, SF_CORRECT)
+        .collect()
     }
     assert banded_rows  # non-empty on the sf0.01 corpus (real near-dups)
 
