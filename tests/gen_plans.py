@@ -126,6 +126,9 @@ def main() -> None:
         "curation_shard_manifest",
         "audit_benford_digits",
         "audit_referential_integrity",
+        "graph_bfs_levels",
+        "scan_orc_roundtrip",
+        "curation_quality_prune_sweep",
     ]
     sections = [HEADER]
     for name in names:
