@@ -1,0 +1,114 @@
+"""Marks-based steady-batch engine instrument (VERDICT r8 #2).
+
+End-to-end msg/s over an 8-second window sits inside this host's drift
+envelope (r8 recorded within-arm spreads up to 2.4x), so the end-to-end
+`--ab` mode could not resolve even a real ~1.17x engine win. The signal
+that DID resolve it — interleaved ENGINE_TIMING steady-batch totals —
+is what this script measures: one engine, one state dir, N consecutive
+distinct 5k-message batches driven straight through `process_batch`,
+each batch's mark-total taken from `engine.last_section_times` (the sum
+of the per-section walls the ENGINE_TIMING stderr line prints). Batches
+after the first two are "steady" (state populated, Python workers warm,
+plans compiled); their totals are the adjudication unit.
+
+Prints one JSON line:
+    {"batch_totals": [...], "steady_totals": [...],
+     "steady_median": s, "steady_range": [lo, hi], ...}
+
+Run via tests/bench_engine_only.py --ab (interleaved NEW/OLD arms), or
+standalone for profiling. Batch count/size via
+SPARK_GRAFT_MARKS_BATCHES / SPARK_GRAFT_MARKS_BATCH_SIZE.
+"""
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_MARKS_BATCHES", "8"))
+BATCH_SIZE = int(os.environ.get("SPARK_GRAFT_MARKS_BATCH_SIZE", "5000"))
+WARM_BATCHES = 2  # first = cold workers + codegen, second = first revive
+
+
+def main() -> None:
+    from bench import wait_for_quiet_box
+
+    loadavg_pre, load_contaminated = wait_for_quiet_box()
+
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.config import EngineConfig
+    from kinesis_stream_consumer_spark.plans.queries import _t
+    from kinesis_stream_consumer_spark.session import get_spark
+    from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
+    from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
+    from kinesis_stream_consumer_spark.streaming.tasks import TaskRejectedError
+
+    spark = get_spark("bench-engine-marks")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def validate(message, task):
+        if message["k2"] == "error":
+            raise TaskRejectedError("error events rejected")
+
+    cfg = EngineConfig(
+        sequencing_per_key=True,
+        key_property_names=["k1", "k2"],
+        id_property_names=["id1"],
+        seq_no_property_names=["n1", "n2"],
+    )
+    # N consecutive DISTINCT batches sliced by event_id range, each
+    # checkpointed up front so batch construction never rides the clock.
+    ev = _t(spark, SF_DIR, "events", rebalance=True).where(
+        F.col("event_id") < BATCH_SIZE * N_BATCHES
+    )
+    recs_all = events_as_kinesis_records(ev).localCheckpoint(eager=True)
+    batches = []
+    for i in range(N_BATCHES):
+        ev_i = ev.where(
+            (F.col("event_id") >= i * BATCH_SIZE)
+            & (F.col("event_id") < (i + 1) * BATCH_SIZE)
+        )
+        batches.append(
+            events_as_kinesis_records(ev_i).localCheckpoint(eager=True)
+        )
+    del recs_all
+
+    tmp = tempfile.mkdtemp(prefix="ksc-marks-")
+    eng = Engine(
+        spark, cfg, f"{tmp}/state", f"{tmp}/drq", f"{tmp}/dmq",
+        [TaskDef("validate", validate)],
+    )
+    batch_totals: list[float] = []
+    wall_totals: list[float] = []
+    for i, recs in enumerate(batches):
+        t0 = time.perf_counter()
+        eng.process_batch(recs, i)
+        wall_totals.append(round(time.perf_counter() - t0, 3))
+        batch_totals.append(
+            round(sum(eng.last_section_times.values()), 3)
+        )
+    steady = batch_totals[WARM_BATCHES:]
+    out = {
+        "batch_totals": batch_totals,
+        "wall_totals": wall_totals,
+        "steady_totals": steady,
+        "steady_median": round(statistics.median(steady), 3),
+        "steady_range": [min(steady), max(steady)],
+        "batches": N_BATCHES,
+        "batch_size": BATCH_SIZE,
+        "loadavg_pre": round(loadavg_pre, 2),
+        "load_contaminated": load_contaminated,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -154,9 +154,53 @@ def _run_arm(tree: str, label: str) -> dict:
     return json.loads(line)
 
 
-def ab(base_ref: str, trials: int = 2) -> dict:
+def _run_marks_arm(tree: str, label: str) -> dict:
+    """One marks pass in a fresh subprocess rooted at `tree`. The
+    instrument (tests/bench_engine_marks.py) drives only the public
+    Engine API, so it is version-independent: copy it into trees that
+    predate it — the SAME instrument then measures OLD engine code."""
+    import shutil
+
+    from bench import wait_for_quiet_box
+
+    script = os.path.join(tree, "tests", "bench_engine_marks.py")
+    if not os.path.exists(script):
+        shutil.copy(
+            os.path.join(REPO, "tests", "bench_engine_marks.py"), script
+        )
+    wait_for_quiet_box()
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # each tree resolves its own package
+    proc = subprocess.run(
+        [sys.executable, script], cwd=tree, env=env,
+        capture_output=True, text=True, timeout=1800,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"{label} marks arm failed (rc={proc.returncode}):"
+            f" {proc.stderr[-2000:]}"
+        )
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def ab(base_ref: str, trials: int = 2, marks_passes: int = 2) -> dict:
     """Interleaved NEW/OLD A/B: NEW = this tree, OLD = `base_ref` in a git
-    worktree. Returns per-arm runs + NEW/OLD median ratios."""
+    worktree.
+
+    ADJUDICATION (VERDICT r8 #2) is the marks instrument: per arm,
+    `marks_passes` interleaved passes of N consecutive distinct steady
+    batches driven straight through process_batch, pooled per-batch
+    mark-totals (seconds). `marks_ratio` = OLD median / NEW median —
+    > 1 means NEW is faster. `unresolved` is true when the pooled
+    per-arm steady ranges overlap: on this host end-to-end msg/s over
+    8-second windows has within-arm spread up to 2.4x and cannot
+    resolve ~1.2x effects, so when even the marks ranges overlap the
+    honest verdict is "no resolved difference", not the ratio's sign.
+
+    End-to-end msg/s arms are kept as a SIDE NOTE with their raw per-arm
+    runs (the spread is the point — it shows why they don't adjudicate).
+    """
     wt = os.path.join(
         tempfile.gettempdir(), f"ksc-ab-{base_ref.replace('/', '_')}"
     )
@@ -165,6 +209,34 @@ def ab(base_ref: str, trials: int = 2) -> dict:
             ["git", "worktree", "add", "--detach", "-f", wt, base_ref],
             cwd=REPO, check=True, capture_output=True, text=True,
         )
+
+    marks_runs: list = []
+    for p in range(marks_passes):
+        for label, tree in (("new", REPO), ("old", wt)):
+            r = _run_marks_arm(tree, label)
+            r["arm"] = label
+            marks_runs.append(r)
+            print(
+                f"ab marks pass {p} {label}: steady median"
+                f" {r['steady_median']} range {r['steady_range']}",
+                file=sys.stderr,
+            )
+
+    def steady(label):
+        return [
+            t
+            for r in marks_runs
+            if r["arm"] == label
+            for t in r["steady_totals"]
+        ]
+
+    new_s, old_s = steady("new"), steady("old")
+    new_med = statistics.median(new_s)
+    old_med = statistics.median(old_s)
+    # pooled per-arm ranges; overlap ⇒ the instrument did not resolve a
+    # difference this session
+    unresolved = not (max(new_s) < min(old_s) or max(old_s) < min(new_s))
+
     runs: list = []
     for t in range(trials):
         for label, tree in (("new", REPO), ("old", wt)):
@@ -184,6 +256,19 @@ def ab(base_ref: str, trials: int = 2) -> dict:
 
     return {
         "base_ref": base_ref,
+        # the adjudicator: steady-batch mark-totals, interleaved arms
+        "marks_ratio": round(old_med / new_med, 3),
+        "unresolved": unresolved,
+        "marks": {
+            "passes_per_arm": marks_passes,
+            "steady_batches_per_arm": len(new_s),
+            "new": {"median": round(new_med, 3),
+                    "range": [min(new_s), max(new_s)]},
+            "old": {"median": round(old_med, 3),
+                    "range": [min(old_s), max(old_s)]},
+        },
+        # side note: end-to-end msg/s with its raw spread (NOT the
+        # adjudicator — see docstring)
         "trials_per_arm": trials,
         "engine_ratio": round(med("new", "engine") / med("old", "engine"), 3),
         "streaming_ratio": round(
