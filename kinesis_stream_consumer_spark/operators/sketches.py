@@ -839,3 +839,146 @@ def kmv_oracle_cte(source_sql: str, group_expr: str, value_expr: str, k: int,
         FROM {p}_v)
       WHERE rank <= {k}
     )"""
+
+
+# --- Misra-Gries / SpaceSaving frequent-items summary -----------------------
+
+# The DETERMINISTIC frequent-items member of the sketch family (VERDICT
+# r8 #5): where the Count-Min sketch's over-count guarantee is
+# probabilistic (per-row md5-salted collisions), the Misra-Gries summary
+# (Misra & Gries 1982; SpaceSaving is the same summary in Metwally et
+# al.'s 2005 formulation) keeps k counters per group with a DETERMINISTIC
+# error bound: every key's stored weight undercounts its true count by at
+# most N/(k+1), N the group's total weight, and any key with true count
+# > N/(k+1) is guaranteed PRESENT. The canonical offset form (Agarwal,
+# Cormode, Huang, Phillips, Wei, Yi — "Mergeable summaries", PODS 2012,
+# §3.1) computes it straight from exact counts: keep the k largest
+# (count DESC, key ASC) and subtract the (k+1)-st count from each — the
+# undercount is then EXACTLY c_(k+1) <= N/(k+1), the same summary a
+# sequential MG pass can only bound.
+#
+# Merge rule (same paper): sum matching counters, re-truncate to k,
+# subtract the merged (k+1)-st weight. Truncation composes: after ANY
+# merge tree over partial summaries the bound still holds (each
+# truncation's decrement is charged against the weight it removed), but
+# unlike the min-merge registers (HLL/KMV/reservoir) the RESULT is
+# merge-tree-dependent — two splits of the same corpus can yield
+# different (all bound-respecting) summaries, and a replayed partial
+# double-counts. That contrast is the point of carrying both families:
+# additive summaries (CMS deltas, MG counters) need replay bookkeeping,
+# min-merge registers don't — documented where the engine's CMS delta
+# mechanism makes the same trade (streaming/engine.py).
+#
+# Everything is integer-exact (BIGINT counts, one subtraction), so the
+# DuckDB oracle reproduces the full-data summary bit-for-bit. At 100 TB:
+# the exact-counts exchange carries one row per distinct (group, key)
+# per map partition (partial combine — counts, never occurrences), and
+# the truncation's rank-filtered row_number window plans as
+# WindowGroupLimit, shipping at most k+1 rows per group per map
+# partition into its exchange (gate-asserted in test_shuffle_volume).
+
+
+def mg_truncate(counts: DataFrame, k: int, cnt_col: str = "cnt") -> DataFrame:
+    """Offset-form truncation of exact per-key weights to a k-counter
+    summary: (g, key, cnt, w_mg, dec) — the k largest keys per group by
+    (weight DESC, key ASC), each stored as w_mg = cnt - dec where dec is
+    the (k+1)-st largest weight (0 when the group has <= k keys; rows
+    whose weight hits 0 drop, exactly like MG's freed counters)."""
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("g").orderBy(
+        F.col(cnt_col).desc(), F.col("key")
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(w_rank)
+    ).where(F.col("rank") <= k + 1)
+    thr = ranked.groupBy("g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rank") == k + 1, F.col(cnt_col))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dec")
+    )
+    return (
+        ranked.where(F.col("rank") <= k)
+        .join(thr, "g")
+        .select(
+            "g",
+            "key",
+            F.col(cnt_col).cast("long").alias("cnt"),
+            (F.col(cnt_col) - F.col("dec")).cast("long").alias("w_mg"),
+            "dec",
+        )
+        .where(F.col("w_mg") > 0)
+    )
+
+
+def mg_summary(
+    df: DataFrame, group_col: str, key_col: str, weight: Column, k: int
+) -> DataFrame:
+    """(g, key, cnt, w_mg, dec) — the deterministic k-counter Misra-Gries
+    summary of the full input (offset form over exact weighted counts).
+    ``cnt`` is the key's true total weight (the baseline the bound is
+    stated against); ``w_mg`` is what a k-counter summary retains."""
+    counts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(key_col).alias("key"),
+            weight.cast("long").alias("w"),
+        )
+        .groupBy("g", "key")
+        .agg(F.sum("w").alias("cnt"))
+    )
+    return mg_truncate(counts, k)
+
+
+def mg_merge(parts: DataFrame, k: int) -> DataFrame:
+    """Merge partial summaries (union of frames carrying g, key, w_mg):
+    counter-sum then re-truncate — the standard mergeable-summaries rule.
+    NOTE: additive, not idempotent — at-least-once replay of a partial
+    double-counts it (the engine's CMS delta bookkeeping exists for
+    exactly this class; the min-merge registers don't need it)."""
+    summed = parts.groupBy("g", "key").agg(
+        F.sum("w_mg").cast("long").alias("cnt")
+    )
+    out = mg_truncate(summed, k)
+    # a merged summary's "cnt" is the summed partial weights, not a true
+    # count — expose only the summary columns to keep the contract clear
+    return out.select("g", "key", "w_mg", "dec")
+
+
+def mg_oracle_cte(
+    source_sql: str, group_expr: str, key_expr: str, weight_expr: str, k: int
+) -> str:
+    """DuckDB CTE block (names mg_*): ``mg_out`` yields
+    (g, key, cnt, w_mg, dec) with identical integer arithmetic; ``mg_tot``
+    yields (g, n_tot) for stating the N/(k+1) bound."""
+    return f"""
+    mg_v AS (
+      SELECT {group_expr} AS g, {key_expr} AS key,
+             CAST({weight_expr} AS BIGINT) AS w
+      FROM {source_sql}
+    ),
+    mg_cnt AS (SELECT g, key, SUM(w) AS cnt FROM mg_v GROUP BY 1, 2),
+    mg_rk AS (
+      SELECT * FROM (
+        SELECT g, key, cnt,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY cnt DESC, key) AS rank
+        FROM mg_cnt)
+      WHERE rank <= {k + 1}
+    ),
+    mg_thr AS (
+      SELECT g,
+             COALESCE(MAX(CASE WHEN rank = {k + 1} THEN cnt END), 0) AS dec
+      FROM mg_rk GROUP BY g
+    ),
+    mg_tot AS (SELECT g, SUM(w) AS n_tot FROM mg_v GROUP BY g),
+    mg_out AS (
+      SELECT r.g, r.key, CAST(r.cnt AS BIGINT) AS cnt,
+             CAST(r.cnt - t.dec AS BIGINT) AS w_mg,
+             CAST(t.dec AS BIGINT) AS dec
+      FROM mg_rk r JOIN mg_thr t USING (g)
+      WHERE r.rank <= {k} AND r.cnt - t.dec > 0
+    )"""

@@ -184,3 +184,55 @@ def streaming_cusum(keyed_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_OUT_SCHEMA = "g string, key string, w_mg bigint, b bigint"
+_MG_STATE_SCHEMA = "keys array<string>, ws array<long>, b bigint"
+
+
+def _make_mg_update(k: int):
+    """Stateful keeper for the Misra-Gries summary (operators/sketches.py
+    mg_*): state is at most k (key, weight) counters per group, merged
+    with each micro-batch's exact batch counts by the standard
+    counter-sum-then-re-truncate rule. Additive — NOT replay-idempotent
+    (a re-delivered batch double-counts; contrast the min-merge reservoir
+    keeper) — but deterministic for a given batch sequence, which the
+    twin test pins against a driver-side fold."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, ws, b = state.get
+            counters = {str(kk): int(w) for kk, w in zip(keys, ws)}
+        else:
+            counters, b = {}, 0
+        for pdf in pdfs:
+            for kk, w in zip(pdf["key"], pdf["w"]):
+                counters[str(kk)] = counters.get(str(kk), 0) + int(w)
+        ranked = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        dec = ranked[k][1] if len(ranked) > k else 0
+        kept = [(kk, w - dec) for kk, w in ranked[:k] if w - dec > 0]
+        b += 1
+        state.update(([kk for kk, _ in kept], [w for _, w in kept], b))
+        yield pd.DataFrame(
+            [{"g": key[0], "key": kk, "w_mg": w, "b": b} for kk, w in kept]
+        )
+
+    return update
+
+
+def streaming_misra_gries(keyed_stream: DataFrame, k: int) -> DataFrame:
+    """Streaming twin of the batch Misra-Gries summary: feed rows
+    (g, key, w) in, get the live k-counter summary per group out after
+    every micro-batch. Update-mode sink expected. The final summary
+    equals the driver-side fold of mg_merge over the same batch sequence
+    (pinned in tests/test_misra_gries.py) and respects the N/(k+1)
+    deterministic bound against the exact stream totals."""
+    return keyed_stream.groupBy("g").applyInPandasWithState(
+        _make_mg_update(k),
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

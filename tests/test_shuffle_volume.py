@@ -894,3 +894,41 @@ def test_epoch_shuffle_has_no_single_partition_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_misra_gries_truncation_shuffle_register_bounded(spark):
+    """Misra-Gries summary: the truncation's rank-filtered row_number
+    window plans as WindowGroupLimit, so each map partition ships at
+    most k+1 rows per group into its exchange — counter-bounded, never
+    a row per occurrence. (The exact-count exchange upstream ships
+    counts with map-side combine; checked separately below against the
+    occurrence volume.)"""
+    from kinesis_stream_consumer_spark.operators import sketches as SK
+    from kinesis_stream_consumer_spark.operators import text as T
+
+    docs = _docs(spark).select("lang", "text")
+    toks = docs.select(
+        F.col("lang").alias("g"),
+        F.explode(T.tokens(F.col("text"))).alias("key"),
+    )
+    n_occ = toks.count()
+    n_groups = docs.select("lang").distinct().count()
+    k = 8
+    counts = (
+        toks.groupBy("g", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # isolate the truncation's exchanges
+    )
+    out = SK.mg_truncate(counts, k)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = counts.rdd.getNumPartitions()
+    # window exchange <= (k+1)*groups*parts; thr aggregate + join add at
+    # most the same register volume again
+    assert s["shuffle_records"] <= 3 * (k + 1) * n_groups * max(n_parts, 1)
+    # full path: every exchange carries counts / registers, never an
+    # occurrence row per token
+    full = SK.mg_summary(toks, "g", "key", F.lit(1), k)
+    full.collect()
+    s_full = shuffle_stats(full)
+    assert s_full["shuffle_records"] < n_occ / 10
