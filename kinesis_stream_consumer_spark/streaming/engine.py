@@ -881,9 +881,12 @@ class Engine:
         def _build_phase2(prior: DataFrame, n_rec_est: int):
             """T2 revive + the exec plan (incl. the Catalyst planning the
             lazy checkpoint forces) for a given prior-state revive slice
-            and a task-sizing row estimate. Pure plan construction — no
-            Spark job runs in here — which is what lets the overlap path
-            below run it WHILE the cluster executes the stats job.
+            and a task-sizing row estimate. Driver-side plan construction
+            PLUS the AQE stage materialization the lazy checkpoint's
+            toRdd triggers (the revive-slice broadcast and the exec
+            shuffle's map side — see the p2_ckpt_plan note below): the
+            overlap path below runs it WHILE the cluster executes the
+            stats job, so those stages pipeline ahead of the fused save.
 
             Mismatched-prior-state tolerance: prior state only revives
             when its content digest matches the current message — same id
@@ -921,6 +924,7 @@ class Engine:
                 maybe = cfg.pre_process_batch(revived, self)
                 if maybe is not None:
                     revived = maybe
+            _mark("p2_revive_build")
             # Size the chain shuffle to the batch: 32 near-empty
             # partitions × two Python stages is pure scheduling overhead
             # at micro-batch sizes; a big batch still fans out to the
@@ -978,9 +982,22 @@ class Engine:
             # aggregate) computes every partition, so the checkpoint
             # materializes inside that job — before the dynamic-overwrite
             # commit replaces any prior-state file the revive join reads.
+            _mark("p2_exec_build")
+            # p2_ckpt_plan is NOT driver waste (r9 measurement closing the
+            # r7 exec_finalise_plan item): Catalyst itself is ~40 ms here
+            # (QueryPlanningTracker phases); the rest of the mark is AQE
+            # stage materialization inside toRdd — 2-3 REAL jobs (the
+            # revive-slice broadcast and the exec shuffle's map side,
+            # racing the stats job for the phase-1 first touch, which is
+            # safe: ingest is deterministic and side-effect-free; user
+            # task fns only run in the final stage, which is NOT
+            # materialized here). The batch is pipelined: by the time the
+            # fused save+counters action runs, only the exec reduce side
+            # and the write remain.
             finalised = (
                 executed.localCheckpoint(eager=False) if fused else None
             )
+            _mark("p2_ckpt_plan")
             return executed, finalised, n_parts
 
         # Stats/plan OVERLAP: with the default load seam, a warm

@@ -87,6 +87,7 @@ def main() -> None:
     )
     batch_totals: list[float] = []
     wall_totals: list[float] = []
+    section_rows: list[dict] = []
     for i, recs in enumerate(batches):
         t0 = time.perf_counter()
         eng.process_batch(recs, i)
@@ -94,13 +95,25 @@ def main() -> None:
         batch_totals.append(
             round(sum(eng.last_section_times.values()), 3)
         )
+        section_rows.append(dict(eng.last_section_times))
     steady = batch_totals[WARM_BATCHES:]
+    # per-section medians over the steady batches — the attribution the
+    # marks adjudication is judged on (which section moved, not just the
+    # total); sections absent in a tree version read as missing keys
+    steady_sections = {
+        k: round(
+            statistics.median(r.get(k, 0.0) for r in section_rows[WARM_BATCHES:]),
+            3,
+        )
+        for k in section_rows[-1]
+    }
     out = {
         "batch_totals": batch_totals,
         "wall_totals": wall_totals,
         "steady_totals": steady,
         "steady_median": round(statistics.median(steady), 3),
         "steady_range": [min(steady), max(steady)],
+        "steady_sections": steady_sections,
         "batches": N_BATCHES,
         "batch_size": BATCH_SIZE,
         "loadavg_pre": round(loadavg_pre, 2),

@@ -184,6 +184,20 @@ def _run_marks_arm(tree: str, label: str) -> dict:
     return json.loads(line)
 
 
+def _median_sections(marks_runs: list, label: str) -> dict:
+    """Per-section medians of the steady-batch section medians across an
+    arm's passes — attributes WHICH section moved, not just the total.
+    Old trees may predate a section (or the field): missing reads 0."""
+    rows = [
+        r.get("steady_sections", {}) for r in marks_runs if r["arm"] == label
+    ]
+    keys = {k for r in rows for k in r}
+    return {
+        k: round(statistics.median(r.get(k, 0.0) for r in rows), 3)
+        for k in sorted(keys)
+    }
+
+
 def ab(base_ref: str, trials: int = 2, marks_passes: int = 2) -> dict:
     """Interleaved NEW/OLD A/B: NEW = this tree, OLD = `base_ref` in a git
     worktree.
@@ -263,9 +277,11 @@ def ab(base_ref: str, trials: int = 2, marks_passes: int = 2) -> dict:
             "passes_per_arm": marks_passes,
             "steady_batches_per_arm": len(new_s),
             "new": {"median": round(new_med, 3),
-                    "range": [min(new_s), max(new_s)]},
+                    "range": [min(new_s), max(new_s)],
+                    "sections": _median_sections(marks_runs, "new")},
             "old": {"median": round(old_med, 3),
-                    "range": [min(old_s), max(old_s)]},
+                    "range": [min(old_s), max(old_s)],
+                    "sections": _median_sections(marks_runs, "old")},
         },
         # side note: end-to-end msg/s with its raw spread (NOT the
         # adjudicator — see docstring)
