@@ -125,3 +125,95 @@ def bfs_levels(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic): labels start as vertex ids; each round every vertex
+    adopts the MOST FREQUENT label among its neighbours, ties broken by
+    the smallest label. Returns (node, label) after ``rounds`` rounds.
+
+    Deterministic by construction (no random visit order — the classic
+    source of LPA nondeterminism), so a DuckDB oracle reproduces it
+    exactly with the same unrolled rounds. Spark-first shape: each round
+    is one vertex-keyed equi-join (neighbour labels), one counting
+    aggregate with map-side combine, and one rank-1 filter that plans as
+    WindowGroupLimit (top-1 label per vertex — at most one row per
+    vertex per map partition crosses the exchange). Per-round
+    checkpoints keep lineage flat; rounds is a small constant, the
+    standard unrolled-iteration discipline (same as BFS/components).
+    """
+    bidir = (
+        edges.select(F.col(u_col).alias("s"), F.col(v_col).alias("d"))
+        .unionAll(
+            edges.select(F.col(v_col).alias("s"), F.col(u_col).alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bidir.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(rounds):
+        nbr = bidir.join(
+            labels.select(F.col("node").alias("s"), "label"), "s"
+        ).select(F.col("d").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 2, rounds: int = 4,
+    u_col: str = "u", v_col: str = "v",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of removing
+    every vertex with degree < k (and its edges), the textbook iterative
+    peel unrolled to a fixed depth. Returns (node, degree) for the
+    vertices still standing, with their residual degree.
+
+    A full k-core decomposition iterates to a fixed point; at cluster
+    scale the standard practice is a bounded number of peels (each round
+    strictly shrinks the edge set, and real graphs converge in a handful
+    of rounds — the oracle's recursive CTE proves the unrolled plan
+    matches round for round). Each round: one degree aggregate
+    (map-side combine) + two vertex-keyed semi-joins; the surviving edge
+    frame is checkpointed so lineage stays flat."""
+    e = edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        keep = deg.where(F.col("dg") >= k).select("node").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

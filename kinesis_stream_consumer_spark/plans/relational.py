@@ -233,6 +233,789 @@ def agg_topk_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_drawdown",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, ts, event_id,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS equity
+      FROM e
+    ),
+    d AS (
+      SELECT user_id, equity,
+             MAX(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c
+    )
+    SELECT user_id,
+           CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak) AS BIGINT) AS peak_equity_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Maximum drawdown per user — the running-peak mirror of the CUSUM "
+    "window identity (events_cusum_drift): cumulative cents form the "
+    "equity curve, a second stacked running-max window over the SAME sort "
+    "gives the peak, and the drawdown is peak − equity, all integer-exact "
+    "(half-up cents). The monitoring primitive every balance/inventory "
+    "stream wants. One per-user sort carries both windows (Spark plans "
+    "the two frames over a single exchange+sort); the final per-user "
+    "aggregate combines map-side. At 100 TB this is one keyed shuffle of "
+    "(user, cents) rows — no self-joins, no driver state.",
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = ev.select("user_id", "ts", "event_id", cents.alias("cents")).select(
+        "user_id", F.sum("cents").over(w).alias("equity"), "ts", "event_id"
+    )
+    peaked = cur.select(
+        "user_id", "equity", F.max("equity").over(w).alias("peak")
+    )
+    return (
+        peaked.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("equity"))
+            .cast("long")
+            .alias("max_drawdown_cents"),
+            F.max("peak").cast("long").alias("peak_equity_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "window_streak_lengths",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    dy AS (SELECT user_id, day, SUM(cents) AS tot FROM e GROUP BY 1, 2),
+    f AS (
+      SELECT user_id, day, tot,
+             CASE WHEN tot > LAG(tot) OVER (PARTITION BY user_id
+                                            ORDER BY day)
+                  THEN 1 ELSE 0 END AS up
+      FROM dy
+    ),
+    g AS (
+      SELECT user_id, day, up,
+             SUM(1 - up) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    ),
+    s AS (SELECT user_id, island, COUNT(*) AS len
+          FROM g GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_up_streak,
+           CAST(SUM(len) AS BIGINT) AS n_days
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Longest strictly-increasing daily-total streak per user — the "
+    "gaps-and-islands pattern: an up/down flag from LAG, island ids from "
+    "a running sum of streak breaks, then a per-island count. Everything "
+    "rides ONE per-user day sort (both windows share it) plus two "
+    "map-side-combining aggregates; integer cents end to end. The "
+    "classic sessionize-adjacent window idiom the registry was missing.",
+)
+def window_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    dy = (
+        ev.select(
+            "user_id", F.col("ts").cast("date").alias("day"), cents.alias("c")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").alias("tot"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f = dy.select(
+        "user_id",
+        "day",
+        F.when(F.col("tot") > F.lag("tot").over(wo), 1)
+        .otherwise(0)
+        .alias("up"),
+    )
+    g = f.select(
+        "user_id", (F.lit(1) - F.col("up")).alias("brk"), "day"
+    ).select("user_id", F.sum("brk").over(wr).alias("island"))
+    s = g.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_up_streak"),
+            F.sum("len").cast("long").alias("n_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_burstiness",
+    """
+    WITH h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS sc2
+      FROM h GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(sc AS BIGINT) AS n_events,
+           CAST((20000 * (n * sc2 - sc * sc) + n * sc) // (2 * n * sc)
+                AS BIGINT) AS fano_bp
+    FROM s ORDER BY user_id
+    """,
+    doc="Per-user burstiness via the Fano factor (variance-to-mean ratio "
+    "of hourly event counts over the user's active hours, in basis "
+    "points): fano_bp = 10000·var_pop/mean, computed as the exact "
+    "rational (n·Σc² − (Σc)²)/(n·Σc) with half-up integer rounding — the "
+    "numerator is non-negative so // and div agree. ≈10000 means "
+    "Poisson-like traffic; ≫10000 flags bursty users (bot/batch "
+    "signatures). Two map-side-combining aggregates, counts only — at "
+    "100 TB the shuffle carries one row per (user, hour) then one per "
+    "user.",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("sc").cast("long").alias("n_events"),
+        F.expr(
+            "(20000 * (n * sc2 - sc * sc) + n * sc) div (2 * n * sc)"
+        )
+        .cast("long")
+        .alias("fano_bp"),
+    ).orderBy("user_id")
+
+
+@register(
+    "ts_autocorrelation",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (SELECT day, SUM(cents) AS tot FROM e GROUP BY day),
+    m AS (SELECT SUM(tot) // COUNT(*) AS fm FROM d),
+    r AS (SELECT day, tot - (SELECT fm FROM m) AS dev FROM d),
+    den AS (SELECT SUM(dev * dev) AS dd FROM r),
+    lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
+    p AS (
+      SELECT l.lag, SUM(a.dev * b.dev) AS num, COUNT(*) AS n_pairs
+      FROM lags l
+      CROSS JOIN r a
+      JOIN r b ON b.day = a.day + l.lag
+      GROUP BY l.lag
+    )
+    SELECT lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(FLOOR(10000.0 * CAST(num AS DOUBLE)
+                      / CAST((SELECT dd FROM den) AS DOUBLE) + 0.5)
+                AS BIGINT) AS acf_bp
+    FROM p ORDER BY lag
+    """,
+    doc="Autocorrelation of the daily-revenue series at lags 1/2/3/7 (the "
+    "weekly-seasonality probe), in basis points: cents are demeaned by "
+    "the FLOOR of the series mean (integer, so both engines agree on the "
+    "residuals bit-for-bit), the lag products come from an equi-join of "
+    "the residual series against itself shifted by day+lag, and "
+    "acf = Σ dev_t·dev_(t+k) / Σ dev² is computed over exact integer "
+    "sums, converted to double only for the final rounded division "
+    "(identical IEEE conversion + division both engines; numerators may "
+    "be negative, FLOOR(x+0.5) is the shared half-up). The daily frame "
+    "is checkpointed once and the two scalars (floor-mean, denominator) "
+    "cross the driver as literals — the k-means-model pattern; the "
+    "corpus scans once, every later frame is #days-bounded.",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("tot"))
+        .localCheckpoint(eager=True)  # #days rows; read 3x below
+    )
+    mrow = d.agg(
+        F.expr("sum(tot) div count(*)").alias("fm")
+    ).first()
+    fm = int(mrow["fm"])
+    r = d.select("day", (F.col("tot") - F.lit(fm)).alias("dev")).localCheckpoint(
+        eager=True
+    )
+    dd = int(r.agg(F.sum(F.col("dev") * F.col("dev")).alias("dd")).first()["dd"])
+    lags = r.select(
+        "day", "dev", F.explode(F.array(*[F.lit(x) for x in (1, 2, 3, 7)])).alias("lag")
+    )
+    b = r.select(F.col("day").alias("bday"), F.col("dev").alias("bdev"))
+    p = (
+        lags.join(b, F.expr("date_add(day, lag) = bday"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dev") * F.col("bdev")).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return p.select(
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.floor(
+            F.lit(10000.0) * F.col("num").cast("double") / F.lit(float(dd))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("acf_bp"),
+    ).orderBy("lag")
+
+
+@register(
+    "audit_null_profile",
+    """
+    WITH u AS (
+      SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val
+      FROM events
+      UNION ALL SELECT 'ts', CAST(ts AS VARCHAR) FROM events
+      UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL SELECT 'event_type', event_type FROM events
+      UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+      UNION ALL SELECT 'props', props FROM events
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           CAST((20000 * SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS null_rate_bp
+    FROM u GROUP BY col_name ORDER BY col_name
+    """,
+    doc="Per-column data-quality profile of the events table (null count/"
+    "rate, exact distinct count) — the schema-audit every ingestion "
+    "pipeline runs before trusting a new drop. Spark side unpivots via "
+    "stack() into (col_name, val) rows and aggregates once; the oracle "
+    "unions per-column selects. Values are compared only through COUNTs "
+    "of per-engine-injective string casts, so engine-specific rendering "
+    "(timestamps) can never flip the result. At 100 TB the shuffle "
+    "carries one row per distinct (column, value) with map-side combine "
+    "— the exact tier; the HLL/KMV registers are the sketch tier for "
+    "the same question.",
+)
+def audit_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select(
+        F.expr(
+            "stack(6,"
+            " 'event_id', CAST(event_id AS STRING),"
+            " 'ts', CAST(ts AS STRING),"
+            " 'user_id', CAST(user_id AS STRING),"
+            " 'event_type', event_type,"
+            " 'value', CAST(value AS STRING),"
+            " 'props', props) AS (col_name, val)"
+        )
+    )
+    return (
+        u.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct("val").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            F.expr("(20000 * n_null + n_rows) div (2 * n_rows)")
+            .cast("long")
+            .alias("null_rate_bp"),
+        )
+        .orderBy("col_name")
+    )
+
+
+@register(
+    "audit_outlier_iqr",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn
+      FROM e
+    ),
+    q AS (
+      SELECT r.event_type,
+             MAX(CASE WHEN rn = (n.n + 3) // 4 THEN cents END) AS q1,
+             MAX(CASE WHEN rn = (3 * n.n + 3) // 4 THEN cents END) AS q3
+      FROM r JOIN n USING (event_type) GROUP BY r.event_type
+    )
+    SELECT e.event_type,
+           CAST(q.q1 AS BIGINT) AS q1_cents,
+           CAST(q.q3 AS BIGINT) AS q3_cents,
+           CAST(q.q3 - q.q1 AS BIGINT) AS iqr_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN 2 * e.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                           OR 2 * e.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN q USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY event_type
+    """,
+    doc="Tukey-fence outlier audit per event type with EXACT nearest-rank "
+    "quartiles: q1/q3 are the values at ROW_NUMBER positions "
+    "ceil(n/4) = (n+3) div 4 and ceil(3n/4) (deterministic total order "
+    "by (cents, event_id) — no interpolation, so both engines agree "
+    "bit-for-bit where percentile functions would diverge), and the "
+    "1.5·IQR fences are tested in doubled-integer space "
+    "(2c < 2q1 − 3·IQR) so no fraction ever appears. Exact quantiles "
+    "cost one per-group sort — this is the audit tier; qsketch is the "
+    "mergeable approximation for the same question at stream scale. The "
+    "fence count re-joins the #groups-bounded quartile frame broadcast.",
+)
+def audit_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).localCheckpoint(eager=True)  # read twice: rank pass + fence count
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = e.select("event_type", "event_id", "cents").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    q = (
+        r.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents"))
+            ).alias("q1"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("cents")
+                )
+            ).alias("q3"),
+        )
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("q1").cast("long").alias("q1_cents"),
+            F.col("q3").cast("long").alias("q3_cents"),
+            (F.col("q3") - F.col("q1")).cast("long").alias("iqr_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    (
+                        2 * F.col("cents")
+                        < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+                    )
+                    | (
+                        2 * F.col("cents")
+                        > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_mad_robust_z",
+    """
+    WITH e AS (
+      SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    n AS (SELECT flag, COUNT(*) AS n FROM e GROUP BY 1),
+    r AS (
+      SELECT flag, cents,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                                ORDER BY cents, l_orderkey, l_linenumber)
+               AS rn
+      FROM e
+    ),
+    med AS (
+      SELECT r.flag,
+             MAX(CASE WHEN rn = (n.n + 1) // 2 THEN cents END) AS med
+      FROM r JOIN n USING (flag) GROUP BY r.flag
+    ),
+    dv AS (
+      SELECT e.flag, ABS(e.cents - m.med) AS dev,
+             e.l_orderkey, e.l_linenumber, m.med
+      FROM e JOIN med m USING (flag)
+    ),
+    dr AS (
+      SELECT flag, dev, med,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                                ORDER BY dev, l_orderkey, l_linenumber)
+               AS rn
+      FROM dv
+    ),
+    mad AS (
+      SELECT dr.flag, MAX(dr.med) AS med,
+             MAX(CASE WHEN rn = (n.n + 1) // 2 THEN dev END) AS mad
+      FROM dr JOIN n USING (flag) GROUP BY dr.flag
+    )
+    SELECT e.flag AS l_returnflag,
+           CAST(m.med AS BIGINT) AS median_cents,
+           CAST(m.mad AS BIGINT) AS mad_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN 10000 * ABS(e.cents - m.med) > 44478 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_robust_outliers
+    FROM e JOIN mad m USING (flag)
+    GROUP BY 1, 2, 3
+    ORDER BY l_returnflag
+    """,
+    doc="Median / MAD / robust-z outlier audit per return flag — the "
+    "robust-statistics twin of the IQR fence: the LOWER median at "
+    "ROW_NUMBER position (n+1) div 2 under a deterministic total order "
+    "(no interpolation → bit-exact cross-engine), the MAD as the lower "
+    "median of absolute deviations (second ranked pass), and the robust "
+    "z-score cut |x−med| > 3·MAD/0.6745 tested as the integer inequality "
+    "10000·|x−med| > 44478·MAD. Two per-group sorts buy the exactness "
+    "(the audit tier; the engine's qsketch is the mergeable tier); the "
+    "#groups-bounded median/MAD frames broadcast back for the fence "
+    "count.",
+)
+def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).localCheckpoint(eager=True)  # read 3x: two rank passes + fence count
+    n = e.groupBy("flag").agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.partitionBy("flag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    med = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .join(F.broadcast(n), "flag")
+        .groupBy("flag")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+            ).alias("med")
+        )
+    )
+    dv = e.join(F.broadcast(med), "flag").select(
+        "flag",
+        "l_orderkey",
+        "l_linenumber",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("dev"),
+    )
+    w2 = Window.partitionBy("flag").orderBy(
+        "dev", "l_orderkey", "l_linenumber"
+    )
+    mad = (
+        dv.withColumn("rn", F.row_number().over(w2))
+        .join(F.broadcast(n), "flag")
+        .groupBy("flag")
+        .agg(
+            F.max("med").alias("med"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dev"))
+            ).alias("mad"),
+        )
+    )
+    return (
+        e.join(F.broadcast(mad), "flag")
+        .groupBy(
+            F.col("flag").alias("l_returnflag"),
+            F.col("med").cast("long").alias("median_cents"),
+            F.col("mad").cast("long").alias("mad_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    10000 * F.abs(F.col("cents") - F.col("med"))
+                    > 44478 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_robust_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Shared co-purchase graph (same construction as graph_triangle_counts /
+# graph_bfs_levels, hash-held r8 blocks left untouched): parts are linked
+# when they co-occur in >= 2 orders.
+_COEDGES_SQL = """li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )"""
+
+
+def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    return (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    f"""
+    WITH {_COEDGES_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y FROM edges e
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d, du.d FROM edges e
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(x * y) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CAST(FLOOR(10000.0 * CAST(n * sxy - sx * sx AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) + 0.5)
+                AS BIGINT) AS assortativity_bp
+    FROM s
+    """,
+    doc="Degree assortativity of the co-purchase graph (Newman 2002) — do "
+    "hub parts link to hubs or to leaves? Over the SYMMETRIZED edge "
+    "list the Pearson correlation of endpoint degrees is EXACTLY "
+    "rational: symmetry makes Σx = Σy and Σx² = Σy², so "
+    "r = (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²) needs no square root — integer "
+    "sums end to end, one double division for the half-up basis-point "
+    "rounding (identical IEEE both engines, sign-safe via FLOOR(x+0.5)). "
+    "Plan: degree aggregate + two vertex-keyed joins + one scalar "
+    "aggregate; the only driver row is the final scalar. Negative bp = "
+    "disassortative (hub-leaf) — the typical retail co-purchase shape.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _co_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)  # joined twice
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    one_dir = edges.join(du, "u").join(dv, "v").select("x", "y")
+    pairs = one_dir.unionAll(one_dir.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.expr("n div 2").cast("long").alias("n_edges"),
+        F.floor(
+            F.lit(10000.0)
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("assortativity_bp"),
+    )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(i: int) -> str:
+    prev = f"l{i - 1}" if i > 1 else "l0"
+    return f"""
+    c{i} AS (
+      SELECT b.d AS node, p.label, COUNT(*) AS c
+      FROM bidir b JOIN {prev} p ON p.node = b.s
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH {_COEDGES_SQL},
+    bidir AS (
+      SELECT u AS s, v AS d FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM bidir),
+    {",".join(_lpa_round_sql(i).lstrip() for i in range(1, _LPA_ROUNDS + 1))}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ROUNDS}
+    GROUP BY label ORDER BY n_members DESC, community
+    """,
+    doc="Community detection by synchronous label propagation (Raghavan "
+    f"et al. 2007) over the co-purchase graph, {_LPA_ROUNDS} rounds, made "
+    "DETERMINISTIC: every vertex adopts its neighbours' most frequent "
+    "label, ties to the smallest — no random visit order, so the "
+    "unrolled DuckDB CTE chain reproduces the labels bit-for-bit. Each "
+    "round is one vertex-keyed join + a counting aggregate (map-side "
+    "combine) + a top-1 rank that plans as WindowGroupLimit (<= 1 row "
+    "per vertex per map partition crosses the exchange); per-round "
+    "checkpoints keep lineage flat — the same unrolled-iteration "
+    "discipline as BFS/components. Output is the community size "
+    "histogram.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = _co_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+    )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(i: int) -> str:
+    prev = f"e{i - 1}" if i > 1 else "edges"
+    return f"""
+    d{i} AS (
+      SELECT node, COUNT(*) AS dg FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+      ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e{i} AS (
+      SELECT p.u, p.v FROM {prev} p
+      JOIN d{i} a ON a.node = p.u
+      JOIN d{i} b ON b.node = p.v
+    )"""
+
+
+@register(
+    "graph_kcore_peel",
+    f"""
+    WITH {_COEDGES_SQL},
+    {",".join(_kcore_round_sql(i).lstrip() for i in range(1, _KCORE_ROUNDS + 1))}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT u AS node FROM e{_KCORE_ROUNDS}
+          UNION ALL SELECT v FROM e{_KCORE_ROUNDS})
+    GROUP BY node ORDER BY node
+    """,
+    doc=f"Bounded {_KCORE_K}-core peeling of the co-purchase graph: "
+    f"{_KCORE_ROUNDS} synchronous rounds of dropping every vertex with "
+    f"degree < {_KCORE_K} and its edges — the textbook k-core peel "
+    "unrolled to a fixed depth (each round strictly shrinks the edge "
+    "set; the oracle's unrolled CTE chain matches round for round). "
+    "Each round is a degree aggregate with map-side combine plus two "
+    "vertex-keyed semi-joins, surviving edges checkpointed so lineage "
+    "stays flat. The dense-core extraction every recommender/fraud "
+    "pipeline runs before expensive pairwise work.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.graph import kcore_peel
+
+    edges = _co_edges(spark, sf_dir)
+    return kcore_peel(
+        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).orderBy("node")
+
+
+@register(
     "skyline_pareto_parts",
     """
     SELECT p_partkey, p_retailprice, p_size
