@@ -1213,3 +1213,90 @@ def random_projection_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "match_id", "pdist", "rnk")
     )
+
+
+def mips_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact MAXIMUM-INNER-PRODUCT top-k of every query against the
+    corpus — the recommender-serving twin of brute_force_topk (user ×
+    item score = raw dot product, NOT length-normalized cosine: a
+    popular long item vector should win).
+
+    Same distributed shape: queries broadcast, corpus never shuffles,
+    per-query top-k reduces map-side (WindowGroupLimit). Ranking key is
+    the ROUNDED score with id tiebreak — the registry's cross-engine
+    determinism discipline for float scores.
+
+    The scale path for MIPS is mips_augment below: the classic
+    MIPS→cosine reduction lets the EXISTING cosine ANN machinery
+    (IVF/LSH/PQ over augmented vectors) serve inner-product queries;
+    this exact scan is its recall baseline.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("mvec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(dot(F.col("qvec"), F.col("mvec")), round_digits).alias(
+                "inner_product"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("inner_product").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "inner_product", "rnk")
+    )
+
+
+def mips_augment(
+    vectors: DataFrame,
+    m_norm: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    is_query: bool = False,
+) -> DataFrame:
+    """The MIPS→cosine augmentation (Bachrach et al. RecSys 2014; the
+    order-preserving special case of Shrivastava-Li ALSH): corpus
+    vectors gain one dimension sqrt(M² − ||x||²) where M ≥ max ||x||,
+    queries gain a 0 — then cos(q', x') = ⟨q, x⟩ / (‖q‖·M), strictly
+    monotone in the inner product per query. Any cosine index (IVF,
+    sign-projection LSH, PQ) over the augmented corpus therefore serves
+    MIPS unchanged; order-equivalence against mips_topk is pinned in
+    tests/test_similarity.py. ``m_norm`` is a driver-literal scalar (the
+    corpus max norm — catalog-stats pattern, one tiny aggregate)."""
+    extra = (
+        F.lit(0.0)
+        if is_query
+        else F.sqrt(
+            F.greatest(
+                F.lit(float(m_norm)) * F.lit(float(m_norm))
+                - F.aggregate(
+                    _as_double(F.col(vec_col)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                ),
+                F.lit(0.0),
+            )
+        )
+    )
+    return vectors.select(
+        F.col(id_col),
+        F.concat(_as_double(F.col(vec_col)), F.array(extra)).alias(vec_col),
+    )

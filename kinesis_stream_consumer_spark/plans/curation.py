@@ -351,3 +351,73 @@ _FUNNEL_MAX_AVG_WLEN = 5  # avg word length (chars) upper bound
 _EN_STOP_SQL = (
     "('the','and','of','to','in','is','that','for','with','as')"
 )
+
+
+_CURRICULUM_PHASES = ((1, 0, 220), (2, 220, 380), (3, 380, 1 << 30))
+_CUR_BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\w\s]'))"
+
+
+@register(
+    "curation_curriculum_schedule",
+    f"""
+    WITH d AS (
+      SELECT source, {_CUR_BPE} AS n_tok,
+             CASE {' '.join(f"WHEN n_chars >= {lo} AND n_chars < {hi} THEN {p}" for p, lo, hi in _CURRICULUM_PHASES)}
+             END AS phase
+      FROM documents
+    ),
+    g AS (
+      SELECT phase, source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      FROM d GROUP BY 1, 2
+    ),
+    pt AS (SELECT phase, SUM(n_tokens) AS phase_tokens FROM g GROUP BY 1)
+    SELECT g.phase, g.source,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           CAST((20000 * g.n_tokens + pt.phase_tokens)
+                // (2 * pt.phase_tokens) AS BIGINT) AS phase_share_bp
+    FROM g JOIN pt USING (phase)
+    ORDER BY phase, source
+    """,
+    doc="Length-curriculum training schedule: documents are binned into "
+    "three phases by length (short-first warmup -> mid -> long-context "
+    "polish, the standard sequence-length curriculum) and each phase "
+    "reports its per-source token mass and mixture share in basis "
+    "points — the manifest a trainer's data loader consumes per phase. "
+    "Pure map-side phase/token projection, one (phase, source) counting "
+    "aggregate, and a #phases-bounded rollup joined back — shuffles "
+    "carry counts only, #sources x #phases rows. Complements "
+    "curation_temperature_mixture (which reweights one phase) and "
+    "curation_epoch_shuffle (which orders within one).",
+)
+def curation_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    expr = "CASE " + " ".join(
+        f"WHEN n_chars >= {lo} AND n_chars < {hi} THEN {p}"
+        for p, lo, hi in _CURRICULUM_PHASES
+    ) + " END"
+    d = docs.select(
+        "source",
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.expr(expr).alias("phase"),
+    )
+    g = d.groupBy("phase", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    pt = g.groupBy("phase").agg(F.sum("n_tokens").alias("phase_tokens"))
+    return (
+        g.join(F.broadcast(pt), "phase")
+        .select(
+            "phase",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "(20000 * n_tokens + phase_tokens) div (2 * phase_tokens)"
+            )
+            .cast("long")
+            .alias("phase_share_bp"),
+        )
+        .orderBy("phase", "source")
+    )

@@ -1970,3 +1970,353 @@ def text_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Tokenizer fertility / compression per language --------------------------
 
+
+
+# --- Round-9 continuation: text statistics, MIPS, embedding drift ------------
+
+
+@register(
+    "text_token_entropy",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 4) AS entropy_nats
+    FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document token (Shannon) entropy in nats via the counts "
+    "identity H = ln n − Σ c·ln c / n — the lexical-diversity signal "
+    "curation pipelines pair with TTR: near-zero entropy flags "
+    "one-token-spam docs that a length filter misses. One tokenize pass, "
+    "one (doc, term) counting shuffle with map-side combine, one per-doc "
+    "aggregate; same LN + ROUND(·,4) cross-engine discipline as the "
+    "unigram-LM score.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                4,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH tok AS (SELECT lang, {_TOKS} AS toks FROM documents),
+    t AS (SELECT lang, unnest(toks) AS term FROM tok),
+    freq AS (SELECT lang, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    rk AS (
+      SELECT lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, term) AS rank
+      FROM freq
+    ),
+    xy AS (SELECT lang, LN(rank) AS x, LN(cnt) AS y FROM rk),
+    s AS (
+      SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS vocab_n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_slope
+    FROM s ORDER BY lang
+    """,
+    doc="Zipf-law exponent per language: OLS slope of ln(frequency) on "
+    "ln(rank) over the token frequency table (natural text ≈ −1; strong "
+    "deviations flag boilerplate or synthetic corpora — a standard "
+    "corpus-health audit). Ranks come from a per-language frequency "
+    "window with deterministic ties (cnt DESC, term); the regression "
+    "runs over vocabulary-sized frames only. Same LN + ROUND(·,4) "
+    "discipline as the unigram-LM score; the rank window's input is the "
+    "vocab table, never token occurrences.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    xy = freq.withColumn("rank", F.row_number().over(w)).select(
+        "lang",
+        F.log("rank").alias("x"),
+        F.log("cnt").alias("y"),
+    )
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("vocab_n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    ).orderBy("lang")
+
+
+@register(
+    "text_source_novelty",
+    f"""
+    WITH {_SHINGLE_ROWS.strip()},
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+    j AS (
+      SELECT d.source, sh.doc_id,
+             CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END AS novel
+      FROM sh JOIN first f USING (shingle)
+      JOIN documents d ON d.doc_id = sh.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST((20000 * SUM(novel) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS novelty_bp
+    FROM j GROUP BY source ORDER BY source
+    """,
+    doc="N-gram novelty rolled up per SOURCE (the per-doc profile is "
+    "3-token shingles appear there FIRST (by doc_id order)? The "
+    "text_ngram_novelty): what share of a source's shingle occurrences "
+    "appear there FIRST (min-doc_id trick at shingle granularity) — low "
+    "novelty flags sources that "
+    "mostly re-serve text the corpus already has (mirror/boilerplate "
+    "feeds) — the cheap pre-dedup triage signal. One shingle pass "
+    "(shared linear-time construction), a MIN aggregate keyed on the "
+    "shingle, and a count-carrying join back; shuffles carry (shingle, "
+    "doc) keys and counts, never document text.",
+)
+def text_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs, "text", "doc_id", k=3).select(
+        F.col("doc").alias("doc_id"), "shingle"
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    src = docs.select("doc_id", "source")
+    j = (
+        sh.join(first, "shingle")
+        .select(
+            "doc_id",
+            F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            .otherwise(0)
+            .alias("novel"),
+        )
+        .join(_bcast_if_small(src, sf_dir, "documents"), "doc_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_novel",
+            F.expr("(20000 * n_novel + n_shingles) div (2 * n_shingles)")
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+_IMPERATIVES = (
+    "'write','explain','list','describe','summarize','give',"
+    "'translate','how','what','why'"
+)
+
+
+@register(
+    "text_instruction_heuristics",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN POSITION('?' IN text) > 0 THEN 1 ELSE 0 END AS q,
+             CASE WHEN lower(regexp_split_to_array(trim(text), '\\s+')[1])
+                       IN ({_IMPERATIVES}) THEN 1 ELSE 0 END AS imper,
+             CASE WHEN POSITION('- ' IN text) > 0
+                    OR POSITION('1.' IN text) > 0 THEN 1 ELSE 0 END AS lst
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((20000 * SUM(q) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS question_bp,
+           CAST((20000 * SUM(imper) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS imperative_bp,
+           CAST((20000 * SUM(lst) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS list_bp
+    FROM d GROUP BY source ORDER BY source
+    """,
+    doc="Instruction-likeness heuristics per source — the cheap triage an "
+    "SFT-data miner runs before an LLM classifier: share of docs with a "
+    "question mark, an imperative/interrogative first token, or a list "
+    "marker, in basis points. Pure map-side boolean projections (literal "
+    "POSITION probes and a first-token membership test — no regex "
+    "dialect exposure) + one counting aggregate; at 100 TB the shuffle "
+    "carries #sources rows.",
+)
+def text_instruction_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = F.lower(
+        F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+    )
+    d = docs.select(
+        "source",
+        F.when(F.instr(F.col("text"), "?") > 0, 1).otherwise(0).alias("q"),
+        F.when(
+            first_tok.isin(*[t.strip("'") for t in _IMPERATIVES.split(",")]),
+            1,
+        )
+        .otherwise(0)
+        .alias("imper"),
+        F.when(
+            (F.instr(F.col("text"), "- ") > 0)
+            | (F.instr(F.col("text"), "1.") > 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("lst"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("imper").alias("si"),
+        F.sum("lst").alias("sl"),
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("(20000 * sq + n) div (2 * n)").cast("long").alias("question_bp"),
+        F.expr("(20000 * si + n) div (2 * n)").cast("long").alias("imperative_bp"),
+        F.expr("(20000 * sl + n) div (2 * n)").cast("long").alias("list_bp"),
+    ).orderBy("source")
+
+
+@register(
+    "sim_mips_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+             SUM(CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(q.embedding[i] AS DOUBLE)) AS dp
+      FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) dims
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, match_id, ROUND(dp, 4) AS inner_product FROM dots
+    )
+    SELECT query_id, match_id, inner_product, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY inner_product DESC, match_id)
+                  AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="Exact maximum-inner-product top-5 — the recommender-serving "
+    "score (user·item raw dot product, where cosine's normalization "
+    "would erase popularity). Same scale shape as the cosine baseline: "
+    "queries broadcast, the corpus never shuffles, per-query top-k "
+    "reduces map-side. The scale path is the MIPS→cosine augmentation "
+    "(operators/similarity.mips_augment, Bachrach et al. 2014): one "
+    "extra dimension sqrt(M²−‖x‖²) makes every existing cosine ANN "
+    "index (IVF/LSH/PQ) serve MIPS order-identically — pinned in "
+    "tests/test_similarity.py; this exact scan is that path's recall "
+    "baseline.",
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: same scan-fused CPU shape as sim_topk_bruteforce
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.mips_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+@register(
+    "agg_embedding_centroid_shift",
+    f"""
+    WITH x AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) dims
+    ),
+    ls AS (SELECT label, i, SUM(v) AS s FROM x GROUP BY 1, 2),
+    gs AS (SELECT i, SUM(s) AS g FROM ls GROUP BY i),
+    nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1),
+    dots AS (
+      SELECT ls.label,
+             SUM(ls.s * gs.g) AS dp,
+             SUM(ls.s * ls.s) AS ss,
+             SUM(gs.g * gs.g) AS gg
+      FROM ls JOIN gs USING (i) GROUP BY ls.label
+    )
+    SELECT d.label,
+           CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+           ROUND(dp / (SQRT(ss) * SQRT(gg)), 4) AS cos_to_global
+    FROM dots d JOIN nv USING (label)
+    ORDER BY label
+    """,
+    doc="Per-label centroid alignment with the corpus centroid (cosine, "
+    "4-dp) — the embedding-space drift/cluster-quality audit: a label "
+    "whose mean vector swings away from the corpus mean flags a shifted "
+    "or contaminated slice before any pairwise work. The 1/n "
+    "normalizations cancel inside the cosine, so only PER-DIMENSION "
+    "SUMS ever shuffle (label×dim rows, then dim rows — never vectors); "
+    "the global sums reduce from the label sums, one corpus pass total. "
+    "Same double-sum + ROUND(·,4) tolerance discipline as the cosine "
+    "baseline oracle.",
+)
+def agg_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "v")
+    ).select("label", "i", F.col("v").cast("double").alias("v"))
+    ls = x.groupBy("label", "i").agg(F.sum("v").alias("s")).localCheckpoint(
+        eager=True  # label×dim rows; feeds both the global reduce and dots
+    )
+    gs = ls.groupBy("i").agg(F.sum("s").alias("g"))
+    nv = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dots = (
+        ls.join(F.broadcast(gs), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("g")).alias("dp"),
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.sum(F.col("g") * F.col("g")).alias("gg"),
+        )
+    )
+    return (
+        dots.join(F.broadcast(nv), "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(
+                F.col("dp") / (F.sqrt(F.col("ss")) * F.sqrt(F.col("gg"))), 4
+            ).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )

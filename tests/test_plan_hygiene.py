@@ -25,6 +25,7 @@ CROSS_JOIN_OK = {
     "sim_ann_ivf",
     "sim_random_projection_topk",
     "sim_ann_recall_eval",  # composes the two broadcast scorers above
+    "sim_mips_topk",  # same broadcast-scorer shape, inner-product score
 }
 
 # State-writing queries excluded from the cheap explain pass (they create

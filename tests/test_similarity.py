@@ -277,3 +277,36 @@ def test_ivfpq_exhaustive_probe_equals_full_pq_scan(spark):
         rerank=40,
     )
     assert partial.count() == 50  # 10 queries × top-5, cells never empty
+
+
+def test_mips_augmentation_preserves_inner_product_order(spark):
+    """The MIPS→cosine augmentation (mips_augment): ranking by cosine
+    over AUGMENTED vectors reproduces the exact inner-product top-k ids
+    and order — the property that lets every cosine ANN index serve MIPS
+    unchanged. M is the corpus max norm (one scalar aggregate)."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    m_norm = float(
+        emb.select(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ).alias("n")
+        )
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    exact = S.mips_topk(emb, queries, k=5)
+    aug_v = S.mips_augment(emb, m_norm)
+    aug_q = S.mips_augment(queries, m_norm, is_query=True)
+    via_cosine = S.brute_force_topk(aug_v, aug_q, k=5)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rnk"], r["match_id"]) for r in df.collect()
+        )
+
+    assert rows(exact) == rows(via_cosine)
