@@ -63,6 +63,12 @@ HEADLINE = [
     # degree-oriented triangle counting (same subset rule applies)
     "dedup_setsim_prefix",
     "graph_triangle_counts",
+    # r9 marquee: the deterministic frequent-items summary and the
+    # deterministic synchronous LPA (per the frozen-subset policy above,
+    # cross-round r8 comparisons use value_r8_subset, which excludes
+    # these)
+    "agg_topk_misra_gries",
+    "graph_label_propagation",
 ]
 
 

@@ -2320,3 +2320,73 @@ def agg_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_FK_A, _FK_B, _FK_C = 0.39, 11.8, 15.59  # Flesch-Kincaid grade constants
+
+
+@register(
+    "text_readability",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len({_TOKS}) AS w,
+             GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           CAST(FLOOR(100.0 * (CAST({_FK_A!r} AS DOUBLE) * w / s
+                               + CAST({_FK_B!r} AS DOUBLE) * syl / w
+                               - CAST({_FK_C!r} AS DOUBLE)) + 0.5)
+                AS BIGINT) AS fk_grade_centi
+    FROM d ORDER BY doc_id
+    """,
+    doc="Flesch-Kincaid grade level per document (centigrade integer) "
+    "from three deterministic counts — whitespace words, sentence "
+    "terminators [.!?], and vowel-group syllable approximation — the "
+    "readability gate curation pipelines use to bucket text by audience "
+    "level. Counts are integers on both engines (character-class "
+    "regexes only, no dialect exposure); the grade formula runs in "
+    "IEEE doubles with python-repr'd CAST-AS-DOUBLE constants so "
+    "DuckDB's decimal literal parsing can't diverge, FLOOR(·+0.5) "
+    "half-up. Pure map-side projection + nothing: the only shuffle is "
+    "the output sort.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = F.size(T.tokens(F.col("text")))
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]"), 0)),
+        F.lit(1),
+    )
+    syl = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    )
+    d = docs.select(
+        "doc_id", w.alias("w"), s.alias("s"), syl.alias("syl")
+    )
+    return d.select(
+        "doc_id",
+        F.col("w").cast("long").alias("n_words"),
+        F.col("s").cast("long").alias("n_sentences"),
+        F.col("syl").cast("long").alias("n_syllables"),
+        F.floor(
+            F.lit(100.0)
+            * (
+                F.lit(_FK_A) * F.col("w") / F.col("s")
+                + F.lit(_FK_B) * F.col("syl") / F.col("w")
+                - F.lit(_FK_C)
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("fk_grade_centi"),
+    ).orderBy("doc_id")

@@ -1016,6 +1016,148 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_gini_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    cust AS (
+      SELECT n.n_name AS nation, r.cents, r.o_custkey
+      FROM rev r
+      JOIN customer c ON c.c_custkey = r.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    rk AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, o_custkey) AS i
+      FROM cust
+    ),
+    s AS (
+      SELECT nation, COUNT(*) AS n, SUM(cents) AS sx,
+             SUM(i * cents) AS six
+      FROM rk GROUP BY nation
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS revenue_cents,
+           CAST(FLOOR(10000.0 * CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                      / CAST(n * sx AS DOUBLE) + 0.5) AS BIGINT)
+             AS gini_bp
+    FROM s ORDER BY nation
+    """,
+    doc="Gini coefficient of customer revenue per nation (basis points) — "
+    "the concentration/inequality audit (is one nation's revenue carried "
+    "by a handful of accounts?). Uses the exact rank identity "
+    "G = (2·Σ i·x_(i) − (n+1)·Σx)/(n·Σx) over an ascending "
+    "(cents, custkey) ROW_NUMBER — integer sums end to end, one "
+    "deterministic IEEE division for the half-up bp (numerator "
+    "non-negative by Chebyshev's sum inequality). One per-nation rank "
+    "sort over customer-grain rows (already aggregated from orders "
+    "map-side) + slim dim joins; shuffles carry customer aggregates, "
+    "never order rows.",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    cust = (
+        rev.join(
+            _bcast_if_small(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+                sf_dir,
+                "customer",
+            ),
+            rev.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "cents", "o_custkey")
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    s = (
+        cust.withColumn("i", F.row_number().over(w))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sx"),
+            F.sum(F.col("i") * F.col("cents")).alias("six"),
+        )
+    )
+    return s.select(
+        "nation",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("revenue_cents"),
+        F.floor(
+            F.lit(10000.0)
+            * (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("gini_bp"),
+    ).orderBy("nation")
+
+
+@register(
+    "ts_dow_seasonality",
+    """
+    WITH e AS (
+      SELECT dayofweek(ts) + 1 AS dow,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (SELECT dow, COUNT(*) AS n_d, SUM(cents) AS s_d FROM e GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM e)
+    SELECT dow,
+           CAST(n_d AS BIGINT) AS n_events,
+           CAST(s_d AS BIGINT) AS revenue_cents,
+           CAST((20000 * s_d * t.n + n_d * t.s) // (2 * n_d * t.s)
+                AS BIGINT) AS index_bp
+    FROM d CROSS JOIN t ORDER BY dow
+    """,
+    doc="Day-of-week seasonality index of event revenue: per-dow mean "
+    "value versus the overall mean, as the exact rational "
+    "(S_d·n)/(n_d·S) in half-up basis points (10000 = average day) — "
+    "all-integer, the classic retail/traffic weekly profile. Day "
+    "numbering pinned to Spark's dayofweek (1 = Sunday) with the oracle "
+    "shifted to match DuckDB's 0-based convention. One counting "
+    "aggregate + a 7-row frame joined against a scalar — at any scale "
+    "the shuffle carries 7 rows plus the scalar.",
+)
+def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    d = e.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_d"), F.sum("cents").alias("s_d")
+    ).localCheckpoint(eager=True)  # 7-row frame; scalar derives from it
+    tot = d.agg(F.sum("n_d").alias("n"), F.sum("s_d").alias("s")).first()
+    n, s = int(tot["n"]), int(tot["s"])
+    return d.select(
+        "dow",
+        F.col("n_d").cast("long").alias("n_events"),
+        F.col("s_d").cast("long").alias("revenue_cents"),
+        F.expr(f"(20000 * s_d * {n}L + n_d * {s}L) div (2 * n_d * {s}L)")
+        .cast("long")
+        .alias("index_bp"),
+    ).orderBy("dow")
+
+
+@register(
     "skyline_pareto_parts",
     """
     SELECT p_partkey, p_retailprice, p_size

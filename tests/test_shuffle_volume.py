@@ -932,3 +932,83 @@ def test_misra_gries_truncation_shuffle_register_bounded(spark):
     full.collect()
     s_full = shuffle_stats(full)
     assert s_full["shuffle_records"] < n_occ / 10
+
+
+def test_label_propagation_round_shuffles_vertex_bounded(spark):
+    """LPA: one round's exchanges carry neighbour-label COUNT rows and the
+    WindowGroupLimit-filtered top-1 rows — bounded by edge endpoints and
+    vertices, never all-pairs; and the final labels frame is exactly one
+    row per vertex."""
+    from kinesis_stream_consumer_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select("v"))
+        .distinct()
+        .count()
+    )
+    labels = label_propagation(edges, rounds=1)
+    assert labels.count() == n_nodes
+    s = shuffle_stats(labels)
+    n_parts = edges.rdd.getNumPartitions()
+    # per round: bidir build reads the checkpoint (no shuffle), the join
+    # shuffles <= 2E label rows + V vertex rows, the count aggregate's
+    # map-side combine caps its exchange at distinct (node,label) per
+    # partition <= 2E, and the top-1 WindowGroupLimit ships <= 1 row per
+    # node per map partition
+    assert s["shuffle_records"] <= 5 * n_edges + 2 * n_nodes * max(n_parts, 1)
+
+
+def test_source_novelty_shuffles_carry_keys_not_text(spark):
+    """text_source_novelty: every exchange carries (shingle, doc) keys or
+    counts — the total shuffled row count is bounded by a small multiple
+    of the distinct (doc, shingle) rows, never document text replicated
+    per pair."""
+    from kinesis_stream_consumer_spark.operators import dedup as D
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    docs = _docs(spark).select("doc_id", "text", "source")
+    n_sh = D.shingle_rows(docs, "text", "doc_id", k=3).count()
+    out = QUERIES["text_source_novelty"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    # shingle->min agg (<= distinct shingles per partition), join back
+    # (n_sh probe rows + first-doc rows), doc->source join, source agg
+    assert s["shuffle_records"] <= 6 * n_sh
+
+
+def test_centroid_shift_shuffles_dimension_sums_only(spark):
+    """agg_embedding_centroid_shift: the corpus never re-shuffles — the
+    exchanges carry per-(label, dim) partial sums and the #labels-bounded
+    result, orders of magnitude below the exploded value rows."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_vals = emb.count() * 64
+    n_labels = emb.select("label").distinct().count()
+    out = QUERIES["agg_embedding_centroid_shift"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = emb.rdd.getNumPartitions()
+    # label×dim partial sums per partition + dim sums + label frames
+    assert s["shuffle_records"] <= (n_labels + 2) * 64 * max(n_parts, 1) + 4 * n_labels
+    assert s["shuffle_records"] < n_vals / 10
