@@ -129,6 +129,27 @@ def main() -> None:
         "graph_bfs_levels",
         "scan_orc_roundtrip",
         "curation_quality_prune_sweep",
+        # r9: frequent-items summary, window/audit/robust/ts adds, graph
+        # closers, text statistics, MIPS, centroid drift, curriculum
+        "window_drawdown",
+        "window_streak_lengths",
+        "events_burstiness",
+        "ts_autocorrelation",
+        "audit_null_profile",
+        "audit_outlier_iqr",
+        "agg_mad_robust_z",
+        "graph_degree_assortativity",
+        "graph_kcore_peel",
+        "text_token_entropy",
+        "text_zipf_slope",
+        "text_source_novelty",
+        "text_instruction_heuristics",
+        "sim_mips_topk",
+        "agg_embedding_centroid_shift",
+        "curation_curriculum_schedule",
+        "agg_gini_concentration",
+        "ts_dow_seasonality",
+        "text_readability",
     ]
     sections = [HEADER]
     for name in names:
