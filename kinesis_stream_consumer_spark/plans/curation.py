@@ -405,9 +405,9 @@ def curation_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
-    pt = g.groupBy("phase").agg(F.sum("n_tokens").alias("phase_tokens"))
+    pht = g.groupBy("phase").agg(F.sum("n_tokens").alias("phase_tokens"))
     return (
-        g.join(F.broadcast(pt), "phase")
+        g.join(F.broadcast(pht), "phase")
         .select(
             "phase",
             "source",

@@ -1603,84 +1603,6 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 # --- Categorical association profile (source × language) --------------------
 
 
-@register(
-    "text_source_lang_association",
-    """
-    WITH cells AS (
-      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_cell
-      FROM documents GROUP BY 1, 2
-    ),
-    ms AS (SELECT source, CAST(SUM(n_cell) AS BIGINT) AS n_source
-           FROM cells GROUP BY 1),
-    ml AS (SELECT lang, CAST(SUM(n_cell) AS BIGINT) AS n_lang
-           FROM cells GROUP BY 1),
-    n AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n FROM cells)
-    SELECT c.source, c.lang, c.n_cell, ms.n_source, ml.n_lang,
-           CAST((2 * 10000 * c.n_cell * n.n + ms.n_source * ml.n_lang)
-                  // (2 * ms.n_source * ml.n_lang) AS BIGINT) AS lift_bp,
-           ROUND((CAST(c.n_cell AS DOUBLE)
-                    - CAST(ms.n_source AS DOUBLE) * CAST(ml.n_lang AS DOUBLE)
-                      / CAST(n.n AS DOUBLE))
-                 * (CAST(c.n_cell AS DOUBLE)
-                    - CAST(ms.n_source AS DOUBLE) * CAST(ml.n_lang AS DOUBLE)
-                      / CAST(n.n AS DOUBLE))
-                 / (CAST(ms.n_source AS DOUBLE) * CAST(ml.n_lang AS DOUBLE)
-                    / CAST(n.n AS DOUBLE)), 4) AS chi2_term
-    FROM cells c JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN n
-    ORDER BY source, lang
-    """,
-    doc="Categorical-association profile of the corpus mixture (source × "
-    "language contingency table): observed cell count, marginals, "
-    "association lift P(s,l)/(P(s)P(l)) in exact integer basis points "
-    "(half-up rational — no float in the ranking signal), and the "
-    "per-cell chi-squared contribution (o−e)²/e computed from exact "
-    "integer counts via multiply/divide only — IEEE-correctly-rounded ops "
-    "that are bit-identical cross-engine, unlike log-based MI. The "
-    "data-quality pass behind domain-mixture design: which (source, "
-    "language) cells are over/under-represented vs independence. Scale "
-    "shape: ONE (source, lang) hash aggregate over the corpus (map-side "
-    "combine; shuffle bounded by #cells), marginals derived FROM the "
-    "cell frame (never a second corpus scan), joins over "
-    "#sources/#langs-bounded frames (AQE broadcasts). Int64 bound: "
-    "2·10⁴·n_cell·N < 2⁶³ holds through ~10⁷ docs per cell at 10⁹ total "
-    "(DECIMAL switch documented beyond).",
-)
-def text_source_lang_association(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    cells = (
-        docs.groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_cell"))
-        .localCheckpoint(eager=True)
-    )
-    ms = cells.groupBy("source").agg(F.sum("n_cell").alias("n_source"))
-    ml = cells.groupBy("lang").agg(F.sum("n_cell").alias("n_lang"))
-    n = _table_row_count(sf_dir, "documents")
-    e = (
-        "CAST(n_source AS DOUBLE) * CAST(n_lang AS DOUBLE)"
-        f" / CAST({n} AS DOUBLE)"
-    )
-    return (
-        cells.join(ms, "source")
-        .join(ml, "lang")
-        .select(
-            "source",
-            "lang",
-            "n_cell",
-            "n_source",
-            "n_lang",
-            F.expr(
-                f"CAST((2 * 10000 * n_cell * {n} + n_source * n_lang)"
-                " div (2 * n_source * n_lang) AS BIGINT)"
-            ).alias("lift_bp"),
-            F.expr(
-                f"ROUND((CAST(n_cell AS DOUBLE) - {e})"
-                f" * (CAST(n_cell AS DOUBLE) - {e}) / ({e}), 4)"
-            ).alias("chi2_term"),
-        )
-        .orderBy("source", "lang")
-    )
-
-
 # --- Character-class (script) histogram --------------------------------------
 
 # --- Lexical source classifier (lift-weighted voting) ------------------------
@@ -1761,211 +1683,6 @@ def _nprobe_sweep_oracle() -> str:
 
 
 # --- Vocabulary growth (Heaps' law) ------------------------------------------
-
-
-@register(
-    "text_vocab_growth",
-    f"""
-    WITH toks AS (
-      SELECT source, doc_id, unnest({_TOKS}) AS term FROM documents
-    ),
-    per_doc AS (
-      SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
-      FROM toks GROUP BY 1, 2
-    ),
-    first_occ AS (
-      SELECT source, term, MIN(doc_id) AS doc_id
-      FROM toks GROUP BY 1, 2
-    ),
-    new_per_doc AS (
-      SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
-      FROM first_occ GROUP BY 1, 2
-    )
-    SELECT p.source AS source, p.doc_id AS doc_id,
-           CAST(SUM(p.n_toks) OVER w AS BIGINT) AS cum_tokens,
-           CAST(SUM(COALESCE(n.n_new, 0)) OVER w AS BIGINT) AS cum_vocab
-    FROM per_doc p
-    LEFT JOIN new_per_doc n ON n.source = p.source AND n.doc_id = p.doc_id
-    WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    ORDER BY p.source, p.doc_id
-    """,
-    doc="Heaps'-law vocabulary-growth curve per source: cumulative "
-    "distinct-term count vs cumulative token count in document order — "
-    "the corpus-analytics pass behind tokenizer-vocabulary sizing and "
-    "diminishing-returns estimates for further crawling of a source. "
-    "Spark-first shape: the naive form (count distinct terms over every "
-    "growing prefix) is quadratic; instead each term contributes exactly "
-    "once at its FIRST document (min(doc_id) per (source, term) — one "
-    "hash aggregate, map-side combine), per-doc new-term counts reduce "
-    "to one row per document, and the running sums are windows "
-    "PARTITIONED BY source (parallel across sources, linear per "
-    "partition). Shuffles carry term→first-doc and per-doc count rows "
-    "only — never text.",
-)
-def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
-    )
-    per_doc = toks.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_toks")
-    )
-    first_occ = toks.groupBy("source", "term").agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    new_per_doc = first_occ.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_new")
-    )
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    return (
-        per_doc.join(new_per_doc, ["source", "doc_id"], "left")
-        .select(
-            "source",
-            "doc_id",
-            F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
-            .over(w)
-            .cast("long")
-            .alias("cum_vocab"),
-        )
-        .orderBy("source", "doc_id")
-    )
-
-
-_KMVO_K = 64
-
-
-@register(
-    "text_source_overlap_kmv",
-    f"""
-    WITH toks AS (
-      SELECT source, unnest({_TOKS}) AS tok FROM documents
-    ),
-    hs AS (
-      SELECT DISTINCT source AS g,
-             CAST((md5_number_upper(tok) >> 8) AS BIGINT) AS h
-      FROM toks WHERE tok <> ''
-    ),
-    regs AS (
-      SELECT * FROM (
-        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rank
-        FROM hs)
-      WHERE rank <= {_KMVO_K}
-    ),
-    srcs AS (SELECT DISTINCT source FROM documents),
-    prl AS (
-      SELECT a.source || '|' || b.source AS pair, a.source AS g,
-             1 AS is_a, 0 AS is_b
-      FROM srcs a JOIN srcs b ON a.source < b.source
-      UNION ALL
-      SELECT a.source || '|' || b.source, b.source, 0, 1
-      FROM srcs a JOIN srcs b ON a.source < b.source
-    ),
-    mem AS (
-      SELECT l.pair, r.h, MAX(l.is_a) AS in_a, MAX(l.is_b) AS in_b
-      FROM prl l JOIN regs r ON r.g = l.g
-      GROUP BY 1, 2
-    ),
-    top AS (
-      SELECT * FROM (
-        SELECT pair, h, in_a, in_b,
-               ROW_NUMBER() OVER (PARTITION BY pair ORDER BY h) AS rank
-        FROM mem)
-      WHERE rank <= {_KMVO_K}
-    ),
-    est AS (
-      SELECT pair,
-             CAST(COUNT(*) AS BIGINT) AS n_union_seen,
-             CAST(CASE WHEN COUNT(*) < {_KMVO_K} THEN COUNT(*)
-                  ELSE ({_KMVO_K - 1} * CAST({SK.RSV_SCALE} AS BIGINT))
-                       // GREATEST(MAX(CASE WHEN rank = {_KMVO_K} THEN h END), 1)
-                  END AS BIGINT) AS union_estimate,
-             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
-      FROM top GROUP BY pair
-    )
-    SELECT pair, n_union_seen, union_estimate, n_both,
-           CAST(CASE WHEN n_union_seen < {_KMVO_K} THEN n_both
-                ELSE (n_both * union_estimate) // {_KMVO_K} END AS BIGINT)
-             AS intersection_estimate,
-           CAST((2 * 10000 * n_both + LEAST({_KMVO_K}, n_union_seen))
-                // (2 * LEAST({_KMVO_K}, n_union_seen)) AS BIGINT)
-             AS jaccard_bp
-    FROM est ORDER BY pair
-    """,
-    doc="Pairwise source-vocabulary overlap via KMV registers — the "
-    "set-algebra sketch applied the way a 100 TB curation pipeline uses "
-    "it daily: every pair of sources scored for vocabulary Jaccard "
-    "without ever joining token sets pairwise. ONE tokenize+distinct-hash "
-    "pass builds a k=64 register per source; each register row then "
-    "fans out to its pairs through a #pairs-bounded EQUI-join (the pair "
-    "membership table builds from the driver-collected source list — the "
-    "model-table pattern; an OR-join would plan as the banned "
-    "BroadcastNestedLoopJoin), and all set arithmetic (union KMV, "
-    "both-member share, half-up Jaccard bp) runs on pairs x 2k register "
-    "rows. The corpus is read once; everything downstream is "
-    "register-sized regardless of corpus or vocabulary size.",
-)
-def text_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.col("source").alias("g"),
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
-    ).where(F.col("tok") != "")
-    regs = SK.kmv_registers(toks, "g", F.col("tok"), _KMVO_K)
-    # pair membership table from the driver-collected source list
-    # (#sources-bounded, the model-table pattern)
-    sources = sorted(
-        r["source"] for r in docs.select("source").distinct().collect()
-    )
-    rows = []
-    for i, a in enumerate(sources):
-        for b in sources[i + 1:]:
-            rows.append((f"{a}|{b}", a, 1, 0))
-            rows.append((f"{a}|{b}", b, 0, 1))
-    prl = spark.createDataFrame(
-        rows, schema="pair string, g string, is_a int, is_b int"
-    )
-    mem = (
-        regs.join(F.broadcast(prl), "g")
-        .groupBy("pair", "h")
-        .agg(F.max("is_a").alias("in_a"), F.max("is_b").alias("in_b"))
-    )
-    from pyspark.sql.window import Window
-
-    top = mem.withColumn(
-        "rank", F.row_number().over(Window.partitionBy("pair").orderBy("h"))
-    ).where(F.col("rank") <= _KMVO_K)
-    k = _KMVO_K
-    est = top.groupBy("pair").agg(
-        F.count(F.lit(1)).cast("long").alias("n_union_seen"),
-        F.expr(
-            f"CASE WHEN count(1) < {k} THEN count(1) "
-            f"ELSE ({k - 1} * CAST({SK.RSV_SCALE} AS BIGINT))"
-            f" div GREATEST(MAX(CASE WHEN rank = {k} THEN h END), 1) END"
-        ).cast("long").alias("union_estimate"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
-    )
-    return est.select(
-        "pair",
-        "n_union_seen",
-        "union_estimate",
-        "n_both",
-        F.expr(
-            f"CASE WHEN n_union_seen < {k} THEN n_both "
-            f"ELSE (n_both * union_estimate) div {k} END"
-        ).cast("long").alias("intersection_estimate"),
-        F.expr(
-            f"(2 * 10000 * n_both + LEAST({k}, n_union_seen))"
-            f" div (2 * LEAST({k}, n_union_seen))"
-        ).cast("long").alias("jaccard_bp"),
-    ).orderBy("pair")
 
 
 # --- Tokenizer fertility / compression per language --------------------------
@@ -2298,10 +2015,10 @@ def agg_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls = x.groupBy("label", "i").agg(F.sum("v").alias("s")).localCheckpoint(
         eager=True  # label×dim rows; feeds both the global reduce and dots
     )
-    gs = ls.groupBy("i").agg(F.sum("s").alias("g"))
-    nv = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dimg = ls.groupBy("i").agg(F.sum("s").alias("g"))
+    labn = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     dots = (
-        ls.join(F.broadcast(gs), "i")
+        ls.join(F.broadcast(dimg), "i")
         .groupBy("label")
         .agg(
             F.sum(F.col("s") * F.col("g")).alias("dp"),
@@ -2310,7 +2027,7 @@ def agg_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        dots.join(F.broadcast(nv), "label")
+        dots.join(F.broadcast(labn), "label")
         .select(
             "label",
             F.col("n_vecs").cast("long").alias("n_vecs"),

@@ -216,10 +216,12 @@ def agg_topk_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    tot = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_tot"))
+    langt = counts.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("n_tot")
+    )
     return (
         SK.mg_truncate(counts, _MG_K)
-        .join(F.broadcast(tot), "g")
+        .join(F.broadcast(langt), "g")
         .select(
             F.col("g").alias("lang"),
             F.col("key").alias("token"),
@@ -621,13 +623,13 @@ def audit_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     ).localCheckpoint(eager=True)  # read twice: rank pass + fence count
-    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    etn = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     r = e.select("event_type", "event_id", "cents").withColumn(
         "rn", F.row_number().over(w)
     )
-    q = (
-        r.join(F.broadcast(n), "event_type")
+    etq = (
+        r.join(F.broadcast(etn), "event_type")
         .groupBy("event_type")
         .agg(
             F.max(
@@ -641,7 +643,7 @@ def audit_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        e.join(F.broadcast(q), "event_type")
+        e.join(F.broadcast(etq), "event_type")
         .groupBy(
             "event_type",
             F.col("q1").cast("long").alias("q1_cents"),
@@ -741,13 +743,13 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     ).localCheckpoint(eager=True)  # read 3x: two rank passes + fence count
-    n = e.groupBy("flag").agg(F.count(F.lit(1)).alias("n"))
+    fln = e.groupBy("flag").agg(F.count(F.lit(1)).alias("n"))
     w1 = Window.partitionBy("flag").orderBy(
         "cents", "l_orderkey", "l_linenumber"
     )
-    med = (
+    flmed = (
         e.withColumn("rn", F.row_number().over(w1))
-        .join(F.broadcast(n), "flag")
+        .join(F.broadcast(fln), "flag")
         .groupBy("flag")
         .agg(
             F.max(
@@ -755,7 +757,7 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("med")
         )
     )
-    dv = e.join(F.broadcast(med), "flag").select(
+    dv = e.join(F.broadcast(flmed), "flag").select(
         "flag",
         "l_orderkey",
         "l_linenumber",
@@ -765,9 +767,9 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("flag").orderBy(
         "dev", "l_orderkey", "l_linenumber"
     )
-    mad = (
+    flmad = (
         dv.withColumn("rn", F.row_number().over(w2))
-        .join(F.broadcast(n), "flag")
+        .join(F.broadcast(fln), "flag")
         .groupBy("flag")
         .agg(
             F.max("med").alias("med"),
@@ -777,7 +779,7 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        e.join(F.broadcast(mad), "flag")
+        e.join(F.broadcast(flmad), "flag")
         .groupBy(
             F.col("flag").alias("l_returnflag"),
             F.col("med").cast("long").alias("median_cents"),
@@ -1155,6 +1157,214 @@ def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("index_bp"),
     ).orderBy("dow")
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH e AS (
+      SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, cents, qty,
+             SUM(qty) OVER (PARTITION BY flag
+                            ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM e
+    ),
+    t AS (SELECT flag, SUM(qty) AS w FROM e GROUP BY flag)
+    SELECT c.flag AS l_returnflag,
+           CAST(MIN(CASE WHEN 2 * c.cumw >= t.w THEN c.cents END)
+                AS BIGINT) AS weighted_median_cents,
+           CAST(t.w AS BIGINT) AS total_quantity
+    FROM c JOIN t USING (flag)
+    GROUP BY c.flag, t.w
+    ORDER BY l_returnflag
+    """,
+    doc="Quantity-weighted median price per return flag — the lower "
+    "weighted median: first price (in the deterministic "
+    "(cents, orderkey, linenumber) total order) whose running quantity "
+    "mass reaches half the group total, tested as the integer "
+    "inequality 2·cumw >= W. The aggregation-aware median every pricing "
+    "dashboard wants (a plain median over line items overweights "
+    "single-unit lines). One per-group sort carries the cumulative "
+    "window; the #groups-bounded totals broadcast back; integer-exact "
+    "so both engines agree bit-for-bit where interpolating percentile "
+    "functions would not.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("flag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = e.select("flag", "cents", "qty", F.sum("qty").over(w).alias("cumw"))
+    flw = e.groupBy("flag").agg(F.sum("qty").alias("w"))
+    return (
+        c.join(F.broadcast(flw), "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"), "w")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("w"), F.col("cents"))
+            )
+            .cast("long")
+            .alias("weighted_median_cents")
+        )
+        .select(
+            "l_returnflag",
+            "weighted_median_cents",
+            F.col("w").cast("long").alias("total_quantity"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "events_interarrival_median",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id,
+             us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap_us
+      FROM e
+    ),
+    gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+    n AS (SELECT user_id, COUNT(*) AS n FROM gg GROUP BY 1),
+    r AS (
+      SELECT user_id, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY gap_us, event_id) AS rn
+      FROM gg
+    )
+    SELECT r.user_id,
+           CAST(n.n AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n.n + 1) // 2 THEN gap_us END)
+                AS BIGINT) AS median_interarrival_us
+    FROM r JOIN n USING (user_id)
+    GROUP BY r.user_id, n.n
+    ORDER BY user_id
+    """,
+    doc="Median inter-arrival time per user (microseconds, exact lower "
+    "median) — the time-domain activity signature next to the "
+    "Fano-factor burstiness: LAG over the per-user event order gives the "
+    "gaps, a second deterministic rank pass picks the median with no "
+    "interpolation (bit-exact cross-engine). Timestamps compare as "
+    "epoch microseconds on both engines (the events table's native "
+    "precision). Two per-user sorts; gap rows only ever shuffle keyed "
+    "on user.",
+)
+def events_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        "user_id",
+        "event_id",
+        (F.col("us") - F.lag("us").over(wo)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    n = g.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("user_id").orderBy("gap_us", "event_id")
+    r = g.withColumn("rn", F.row_number().over(wr))
+    # n is per-USER — row-scaled at 100 TB, so no forced broadcast: the
+    # join is user-keyed like the rank window, AQE picks the strategy
+    return (
+        r.join(n, "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us"))
+            )
+            .cast("long")
+            .alias("median_interarrival_us")
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_gaps"),
+            "median_interarrival_us",
+        )
+        .orderBy("user_id")
+    )
+
+
+_CN_CAP = 32
+
+
+@register(
+    "graph_link_prediction",
+    f"""
+    WITH {_COEDGES_SQL},
+    bidir AS (
+      SELECT u AS s, v AS d FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    adj AS (
+      SELECT s, d FROM (
+        SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) AS rn
+        FROM bidir) WHERE rn <= {_CN_CAP}
+    ),
+    wedges AS (
+      SELECT e1.d AS a, e2.d AS b
+      FROM adj e1 JOIN adj e2 ON e1.s = e2.s AND e1.d < e2.d
+    ),
+    cn AS (SELECT a, b, COUNT(*) AS n_common FROM wedges GROUP BY 1, 2),
+    nonadj AS (
+      SELECT cn.a, cn.b, cn.n_common FROM cn
+      LEFT JOIN edges x ON x.u = cn.a AND x.v = cn.b
+      WHERE x.u IS NULL
+    )
+    SELECT a, b, CAST(n_common AS BIGINT) AS n_common, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_common DESC, a, b) AS rnk
+      FROM nonadj
+    ) WHERE rnk <= 20
+    ORDER BY rnk
+    """,
+    doc="Common-neighbour link prediction on the co-purchase graph: the "
+    "top-20 NON-adjacent part pairs by shared-neighbour count — the "
+    "classic recommend-an-edge score. Adjacency is degree-capped at "
+    f"{_CN_CAP} neighbours per apex (deterministic by neighbour id, the "
+    "rank filter plans as WindowGroupLimit), the industrial bound that "
+    "keeps the apex-keyed wedge join under Σ min(d, cap)² whatever the "
+    "hub skew — an uncapped wedge join is Σ d², the quadratic the "
+    "triangle operator avoids by orientation, unavailable here because "
+    "every common neighbour of a pair must count, not just lower-ordered "
+    "ones (both sides apply the identical cap, so parity is exact on "
+    "the capped graph; gate-asserted in test_shuffle_volume). Candidate "
+    "pairs anti-join the edge table; the global top-20 plans as "
+    "TakeOrderedAndProject.",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+    from pyspark.sql.window import Window
+
+    edges = _co_edges(spark, sf_dir).localCheckpoint(eager=True)
+    cn = common_neighbor_pairs(edges, cap=_CN_CAP)
+    top = cn.orderBy(F.col("n_common").desc(), "a", "b").limit(20)
+    w = Window.orderBy(F.col("n_common").desc(), "a", "b")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "a", "b", "n_common", "rnk"
+    ).orderBy("rnk")
 
 
 @register(

@@ -115,9 +115,21 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
     # prl: text_source_overlap_kmv's pair-membership table — 2 rows per
     # source pair, built from the driver-collected source list (the
     # model-table pattern), never row-scaled
+    # r9 additions — all GROUP-CARDINALITY-bounded aggregate frames
+    # (one row per language / event type / return flag / phase / label /
+    # embedding dimension — fixed enumerations, never row-scaled):
+    # langt: agg_topk_misra_gries per-language token totals
+    # etn/etq: audit_outlier_iqr per-event-type counts / quartiles
+    # fln/flmed/flmad: agg_mad_robust_z per-return-flag count/median/MAD
+    # flw: agg_weighted_median per-return-flag quantity totals
+    # dimg/labn: agg_embedding_centroid_shift per-dimension sums (64) /
+    #            per-label counts
+    # pht: curation_curriculum_schedule per-phase token totals (3)
     allowed = {
         "na", "re", "na_asia", "n1", "n2", "qs", "sidx", "idf", "stot",
         "prl",
+        "langt", "etn", "etq", "fln", "flmed", "flmad", "flw",
+        "dimg", "labn", "pht",
     }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):

@@ -1012,3 +1012,46 @@ def test_centroid_shift_shuffles_dimension_sums_only(spark):
     # label×dim partial sums per partition + dim sums + label frames
     assert s["shuffle_records"] <= (n_labels + 2) * 64 * max(n_parts, 1) + 4 * n_labels
     assert s["shuffle_records"] < n_vals / 10
+
+
+def test_link_prediction_wedges_capped(spark):
+    """common_neighbor_pairs: the degree cap bounds the wedge join's
+    output at Σ C(min(d, cap), 2) — hub skew cannot blow it up to Σ d² —
+    and the cap filter itself is WindowGroupLimit register-bounded."""
+    from kinesis_stream_consumer_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    cap = 8
+    bidir = edges.unionAll(edges.select("v", "u"))
+    capped_bound = (
+        bidir.groupBy("u")
+        .agg(F.least(F.count(F.lit(1)), F.lit(cap)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2))
+        .first()[0]
+    )
+    out = common_neighbor_pairs(edges, cap=cap)
+    n_pairs = out.count()
+    assert n_pairs <= capped_bound
+    s = shuffle_stats(out)
+    n_parts = edges.rdd.getNumPartitions()
+    # exchanges: bidir rows into the cap window (<= cap+slack per node
+    # per partition via WindowGroupLimit), wedge pair aggregation
+    # (<= capped_bound per map partition), anti-join probe
+    assert s["shuffle_records"] <= 4 * capped_bound + 4 * bidir.count()
