@@ -150,6 +150,9 @@ def main() -> None:
         "agg_gini_concentration",
         "ts_dow_seasonality",
         "text_readability",
+        "agg_weighted_median",
+        "events_interarrival_median",
+        "graph_link_prediction",
     ]
     sections = [HEADER]
     for name in names:
