@@ -815,24 +815,37 @@ _COEDGES_SQL = """li AS (
     )"""
 
 
+# Same session-scoped cache discipline as llm_pipeline's trained-model
+# cache: the co-purchase edge build (order-pair join + support filter,
+# ~2.4 s warm at sf0.1) is shared by four graph queries; the cached value
+# is the checkpointed slim edge frame, bit-identical to a rebuild.
+_EDGE_CACHE: dict = {}
+
+
 def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-    )
-    return (
-        a.join(b, "ok")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is None:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct()
+        a = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+        )
+        hit = (
+            a.join(b, "ok")
+            .where(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        _EDGE_CACHE[key] = hit
+    return hit
 
 
 @register(
@@ -874,7 +887,7 @@ def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disassortative (hub-leaf) — the typical retail co-purchase shape.",
 )
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _co_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _co_edges(spark, sf_dir)  # session-cached checkpoint
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1358,7 +1371,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    edges = _co_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _co_edges(spark, sf_dir)  # session-cached checkpoint
     cn = common_neighbor_pairs(edges, cap=_CN_CAP)
     top = cn.orderBy(F.col("n_common").desc(), "a", "b").limit(20)
     w = Window.orderBy(F.col("n_common").desc(), "a", "b")
