@@ -702,3 +702,65 @@ def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("shortfall_tokens"),
     ).orderBy("source")
+
+
+# --- parked r9: displaced by scan_partitioned_prune — r8-certified, verbatim ---
+
+
+@register(
+    "curation_temperature_mixture",
+    """
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w,
+                   CAST(SUM(n_docs) AS BIGINT) AS total_n FROM w)
+    SELECT w.source AS source, w.n_docs, w.weight,
+           CAST((2 * 10000 * w.n_docs + tot.total_n)
+                  // (2 * tot.total_n) AS BIGINT) AS natural_bp,
+           CAST((2 * 10000 * w.weight + tot.total_w)
+                  // (2 * tot.total_w) AS BIGINT) AS temp_bp
+    FROM w CROSS JOIN tot
+    ORDER BY w.source
+    """,
+    doc="Temperature-scaled source-mixture weights (T5/PaLM-style α = 0.5 "
+    "upsampling): target share ∝ n_source^0.5, flattening the natural "
+    "distribution so head sources stop drowning the tail. Exactness "
+    "trick: n^0.5 is taken as FLOOR(SQRT(n)) — IEEE sqrt is correctly "
+    "rounded, so the integer floor is bit-identical cross-engine, and "
+    "every share is then an exact half-up integer basis point (no float "
+    "accumulation; contrast log-space temperatures which drift). Output "
+    "pairs the natural share with the temperature share per source — the "
+    "curation table a mixture sampler consumes. Scale shape: ONE corpus "
+    "aggregate (map-side combine) to #sources rows; the total rides as a "
+    "second #sources-bounded aggregate joined back (AQE broadcasts).",
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = counts.withColumn(
+        "weight",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"),
+    ).localCheckpoint(eager=True)
+    total_w, total_n = w.agg(F.sum("weight"), F.sum("n_docs")).collect()[0]
+    return w.select(
+        "source",
+        "n_docs",
+        "weight",
+        F.expr(
+            f"CAST((2 * 10000 * n_docs + {total_n})"
+            f" div (2 * {total_n}) AS BIGINT)"
+        ).alias("natural_bp"),
+        F.expr(
+            f"CAST((2 * 10000 * weight + {total_w})"
+            f" div (2 * {total_w}) AS BIGINT)"
+        ).alias("temp_bp"),
+    ).orderBy("source")

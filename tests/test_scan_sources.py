@@ -130,3 +130,37 @@ def test_dynamodb_stream_seam_reports_missing_connector(spark):
 
     with pytest.raises(RuntimeError, match="DynamoDB Streams connector not on"):
         dynamodb_stream(spark, "my-table", "us-west-2")
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """scan_partitioned_prune: the partition-column predicate reaches the
+    scan as PartitionFilters and the pruned scan selects only the two
+    matching partition directories of five — the plan never touches the
+    other event types; row parity with the flat table proves the
+    partitioned write/read loses nothing."""
+    from tests.conftest import SF_SMOKE
+    from kinesis_stream_consumer_spark.plans import QUERIES
+    from kinesis_stream_consumer_spark.plans.relational import (
+        _PART_LAYOUT_CACHE,
+    )
+
+    df = QUERIES["scan_partitioned_prune"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_type" in plan
+
+    path = _PART_LAYOUT_CACHE[(spark.sparkContext.applicationId, SF_SMOKE)]
+    pruned = spark.read.parquet(path).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    # the executed scan's selected-partition count: 2 of 5 directories
+    scan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "purchase" in scan and "signup" in scan
+    for other in ("click", "view", "error"):
+        assert f"event_type={other}" not in scan
+    flat = spark.read.parquet(f"{SF_SMOKE}/events.parquet").where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    assert pruned.count() == flat.count()
