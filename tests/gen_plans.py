@@ -153,6 +153,7 @@ def main() -> None:
         "agg_weighted_median",
         "events_interarrival_median",
         "graph_link_prediction",
+        "scan_partitioned_prune",
     ]
     sections = [HEADER]
     for name in names:
