@@ -147,133 +147,6 @@ def curation_quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tau_bp")
 
 
-@register(
-    "curation_epoch_shuffle",
-    r"""
-    WITH h AS (
-      SELECT epoch, doc_id,
-             CAST(md5_number_upper(epoch || '#' || CAST(doc_id AS VARCHAR))
-                  >> 8 AS BIGINT) AS hv
-      FROM documents, (VALUES ('0'), ('1')) ep(epoch)
-    )
-    SELECT CAST(epoch AS VARCHAR) AS epoch,
-           CAST(ROW_NUMBER() OVER (PARTITION BY epoch
-                                   ORDER BY hv % 256, hv, doc_id)
-                AS BIGINT) AS position,
-           doc_id
-    FROM h ORDER BY epoch, position
-    """,
-    doc="Deterministic per-epoch training-order shuffle: every epoch "
-    "reorders the corpus by md5(epoch # doc_id) — reproducible across "
-    "reruns and engines (no RNG state), different every epoch, the way "
-    "large training jobs actually randomize shard order. The Spark plan "
-    "is the TERASORT rank pattern, not a global window: rows hash into "
-    "256 buckets (the low bits of the same hash, so bucket order + "
-    "in-bucket hash order IS the global order), ranks are computed by a "
-    "window PARTITIONED BY (epoch, bucket) — parallel — and each "
-    "bucket's global offset comes from a #buckets-bounded running sum "
-    "joined back (AQE broadcasts). No single-partition sort anywhere; "
-    "the oracle's flat ROW_NUMBER proves the distributed rank equals "
-    "the global one.",
-)
-def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
-
-    docs = _t(spark, sf_dir, "documents")
-    h = docs.select(
-        F.explode(F.array(F.lit("0"), F.lit("1"))).alias("epoch"), "doc_id"
-    ).select(
-        "epoch",
-        "doc_id",
-        md5_u56_le(
-            F.concat_ws("#", "epoch", F.col("doc_id").cast("string"))
-        ).alias("hv"),
-    )
-    h = h.withColumn("bucket", F.col("hv") % 256)
-    w_local = W.partitionBy("epoch", "bucket").orderBy("hv", "doc_id")
-    local = h.withColumn("lrank", F.row_number().over(w_local))
-    sizes = h.groupBy("epoch", "bucket").agg(
-        F.count(F.lit(1)).alias("bn")
-    )
-    w_off = (
-        W.partitionBy("epoch")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = sizes.select(
-        "epoch",
-        "bucket",
-        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
-    )
-    return (
-        local.join(offsets, ["epoch", "bucket"])
-        .select(
-            "epoch",
-            (F.col("off") + F.col("lrank")).cast("long").alias("position"),
-            "doc_id",
-        )
-        .orderBy("epoch", "position")
-    )
-
-
-@register(
-    "curation_shard_manifest",
-    r"""
-    WITH d AS (
-      SELECT CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8 AS BIGINT)
-               % 64 AS shard,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS n_toks
-      FROM documents
-    ),
-    per AS (
-      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
-      FROM d GROUP BY 1
-    ),
-    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
-    SELECT shard, n_docs, n_tokens,
-           CAST((2 * 10000 * 64 * n_tokens + tot.t) // (2 * tot.t)
-                AS BIGINT) AS load_bp
-    FROM per CROSS JOIN tot
-    ORDER BY shard
-    """,
-    doc="Export-shard manifest: the corpus hashed into 64 output shards "
-    "(md5 of the id — deterministic, engine-portable) with per-shard doc "
-    "and token totals and the load factor in basis points (10000 = "
-    "perfectly balanced; the table a writer uses to size output files "
-    "and a reader to plan parallelism). ONE corpus aggregate with "
-    "map-side combine — the shuffle carries 64 summary rows; the grand "
-    "total rides a #shards-bounded second aggregate joined back. At "
-    "100 TB this is the manifest the llm-prep writer emits next to its "
-    "shards; hash sharding keeps any doc's placement recomputable "
-    "without the manifest.",
-)
-def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
-
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        (md5_u56_le(F.col("doc_id").cast("string")) % 64).alias("shard"),
-        F.size(T.tokens(F.col("text"))).cast("long").alias("n_toks"),
-    )
-    per = d.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_toks").cast("long").alias("n_tokens"),
-    ).localCheckpoint(eager=True)
-    total = per.agg(F.sum("n_tokens")).collect()[0][0]
-    return per.select(
-        "shard",
-        "n_docs",
-        "n_tokens",
-        F.expr(
-            f"CAST((2 * 10000 * 64 * n_tokens + {total})"
-            f" div (2 * {total}) AS BIGINT)"
-        ).alias("load_bp"),
-    ).orderBy("shard")
-
-
 # --- Deterministic round-robin source interleave (curriculum ordering) ------
 
 _ILV_TOP = 60

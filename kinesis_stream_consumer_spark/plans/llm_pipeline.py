@@ -2107,3 +2107,60 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fk_grade_centi"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH pred AS ({{LANGID_BODY}})
+    , cells AS (
+      SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2
+    ),
+    lt AS (SELECT labeled_lang, SUM(n_docs) AS n_labeled FROM cells GROUP BY 1)
+    SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+           CAST((20000 * c.n_docs + lt.n_labeled) // (2 * lt.n_labeled)
+                AS BIGINT) AS row_share_bp
+    FROM cells c JOIN lt USING (labeled_lang)
+    ORDER BY labeled_lang, predicted_lang
+    """.replace("{LANGID_BODY}", _langid_oracle().strip()),
+    doc="Language-ID confusion matrix — the EVALUATION of the stopword-"
+    "vote classifier against the labeled lang column: per (labeled, "
+    "predicted) cell counts with row-normalized shares in basis points "
+    "(the diagonal is per-language recall; off-diagonal cells say which "
+    "languages the heuristic confuses — the calibration table a curation "
+    "pipeline checks before trusting a language filter). Classifier "
+    "logic is the registered text_langid operator verbatim (two-step "
+    "materialized token projection — the inline form re-runs the regex "
+    "split per language); one counting aggregate to #langs² cells, "
+    "row totals reduce from the cells.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.tokens(F.lower(F.col("text"))).alias("_toks"),
+    )
+    pred = toked.select(
+        "labeled_lang",
+        T.lang_id_from_tokens(F.col("_toks")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    lgt = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("n_labeled")
+    )
+    return (
+        cells.join(F.broadcast(lgt), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr("(20000 * n_docs + n_labeled) div (2 * n_labeled)")
+            .cast("long")
+            .alias("row_share_bp"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

@@ -1440,6 +1440,106 @@ def scan_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_pareto_share",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    cust AS (
+      SELECT n.n_name AS nation, r.cents, r.o_custkey
+      FROM rev r
+      JOIN customer c ON c.c_custkey = r.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    rk AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents DESC, o_custkey) AS i
+      FROM cust
+    ),
+    s AS (SELECT nation, COUNT(*) AS n, SUM(cents) AS sx FROM rk GROUP BY 1),
+    top AS (
+      SELECT rk.nation, SUM(rk.cents) AS top_cents,
+             MAX((s.n + 9) // 10) AS k
+      FROM rk JOIN s USING (nation)
+      WHERE rk.i <= (s.n + 9) // 10
+      GROUP BY rk.nation
+    )
+    SELECT s.nation,
+           CAST(s.n AS BIGINT) AS n_customers,
+           CAST(t.k AS BIGINT) AS top_decile_customers,
+           CAST((20000 * t.top_cents + s.sx) // (2 * s.sx) AS BIGINT)
+             AS top_decile_share_bp
+    FROM s JOIN top t USING (nation)
+    ORDER BY nation
+    """,
+    doc="Pareto (80/20) audit per nation: revenue share held by the top "
+    "decile of customers, in exact half-up basis points — the curve-point "
+    "companion to the Gini coefficient (same customer-grain frame, "
+    "descending rank this time; top-decile size = ceil(n/10) = (n+9) div "
+    "10, integer on both engines). One per-nation rank sort over "
+    "customer aggregates + two #nations-bounded frames joined back; "
+    "shuffles carry customer aggregates, never order rows.",
+)
+def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    cust = (
+        rev.join(
+            _bcast_if_small(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+                sf_dir,
+                "customer",
+            ),
+            rev.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "cents", "o_custkey")
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("cents").desc(), "o_custkey")
+    rk = cust.withColumn("i", F.row_number().over(w)).localCheckpoint(
+        eager=False  # read twice (totals + top slice); lineage flattens
+    )
+    natt = rk.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sx")
+    )
+    nattop = (
+        rk.join(F.broadcast(natt), "nation")
+        .where(F.col("i") <= F.expr("(n + 9) div 10"))
+        .groupBy("nation")
+        .agg(
+            F.sum("cents").alias("top_cents"),
+            F.max(F.expr("(n + 9) div 10")).alias("k"),
+        )
+    )
+    return (
+        natt.join(F.broadcast(nattop), "nation")
+        .select(
+            "nation",
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("k").cast("long").alias("top_decile_customers"),
+            F.expr("(20000 * top_cents + sx) div (2 * sx)")
+            .cast("long")
+            .alias("top_decile_share_bp"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
     "skyline_pareto_parts",
     """
     SELECT p_partkey, p_retailprice, p_size

@@ -154,6 +154,8 @@ def main() -> None:
         "events_interarrival_median",
         "graph_link_prediction",
         "scan_partitioned_prune",
+        "text_langid_confusion",
+        "agg_pareto_share",
     ]
     sections = [HEADER]
     for name in names:

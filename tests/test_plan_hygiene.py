@@ -130,6 +130,10 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
         "prl",
         "langt", "etn", "etq", "fln", "flmed", "flmad", "flw",
         "dimg", "labn", "pht",
+        # lgt: text_langid_confusion per-labeled-language totals (#langs)
+        # natt/nattop: agg_pareto_share per-nation totals / top-decile
+        #              sums (25 rows, nation-derived)
+        "lgt", "natt", "nattop",
     }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
