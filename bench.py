@@ -90,11 +90,9 @@ def wait_for_quiet_box(threshold: float = 1.0, cap_sec: float = 120.0) -> tuple[
     return load, load >= threshold
 
 
-def main() -> None:
-    # Cool-down gate BEFORE the JVM starts, so the measured load is
-    # residual external load, not our own session spin-up.
-    loadavg, load_contaminated = wait_for_quiet_box()
-
+def measure(loadavg: float, load_contaminated: bool) -> dict:
+    """One full measurement pass: fresh SparkSession in, session stopped
+    on exit so a retry (or the A/B arms) starts from a cold JVM."""
     from kinesis_stream_consumer_spark.plans import QUERIES
     from kinesis_stream_consumer_spark.session import get_spark
 
@@ -334,6 +332,65 @@ def main() -> None:
             "msgs_per_sec": round(n_msgs / stream_sec, 1),
         },
     }
+    spark.stop()
+    return out
+
+
+def _engine_paths_changed(base_ref: str) -> list[str]:
+    """Engine-relevant files differing from base_ref (committed or not).
+
+    Gates the A/B (VERDICT r9 #3): when nothing engine-side changed, the
+    instrument is skipped instead of emitting an unresolved-by-default
+    record; when something DID change, it runs with enough passes to
+    resolve a ~1.2x effect on this host.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                "git", "diff", "--name-only", base_ref, "--",
+                "kinesis_stream_consumer_spark/streaming",
+                "kinesis_stream_consumer_spark/sources",
+                "kinesis_stream_consumer_spark/config.py",
+            ],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=30,
+        )
+        if r.returncode != 0:
+            return [f"git-diff-failed: {r.stderr.strip()[:200]}"]
+        return [ln for ln in r.stdout.splitlines() if ln.strip()]
+    except Exception as e:  # pragma: no cover - defensive
+        return [f"git-diff-failed: {e}"]
+
+
+def main() -> None:
+    # Contamination retry policy (VERDICT r9 #1): the r9 official record
+    # was taken at loadavg 2.42 and showed phantom regressions a clean
+    # rerun refuted. Retry the whole wait-and-measure cycle (fresh JVM
+    # each attempt, cool-down gate BEFORE the JVM starts so the measured
+    # load is residual external load) and ship the FIRST uncontaminated
+    # record; only if every attempt is contaminated, ship the fastest one
+    # flagged load_contaminated with the attempt count.
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    attempts: list[dict] = []
+    for i in range(max_attempts):
+        loadavg, load_contaminated = wait_for_quiet_box()
+        rec = measure(loadavg, load_contaminated)
+        rec["attempt"] = i + 1
+        attempts.append(rec)
+        if not load_contaminated:
+            break
+        print(
+            f"bench: attempt {i + 1} load-contaminated (loadavg {loadavg:.2f})"
+            + ("; retrying after cool-down" if i + 1 < max_attempts else ""),
+            file=sys.stderr,
+        )
+    if not attempts[-1]["load_contaminated"]:
+        out = attempts[-1]
+    else:
+        out = min(attempts, key=lambda o: o["value"])
+    out["attempts"] = len(attempts)
 
     # Interleaved A/B of the engine sections vs the pinned base ref
     # (tests/ab_base_ref.txt = last round's final commit; override with
@@ -352,13 +409,25 @@ def main() -> None:
         if os.path.exists(ref_file):
             ab_base = open(ref_file).read().strip()
     if ab_base and os.environ.get("SPARK_GRAFT_AB", "1") != "0":
-        spark.stop()
-        try:
-            from tests.bench_engine_only import ab
+        # A/B gating (VERDICT r9 #3): run only when an engine-side change
+        # exists vs the base ref — then with 4 interleaved passes/arm so
+        # the marks instrument can actually resolve; otherwise record an
+        # explicit skip, never an unresolved-by-default.
+        changed = _engine_paths_changed(ab_base)
+        if not changed:
+            out["engine_ab"] = {
+                "base_ref": ab_base,
+                "skipped": "no engine changes",
+            }
+        else:
+            try:
+                from tests.bench_engine_only import ab
 
-            out["engine_ab"] = ab(ab_base, trials=2)
-        except Exception as e:  # never fail the bench over the A/B extra
-            out["engine_ab"] = {"base_ref": ab_base, "error": str(e)[:500]}
+                passes = int(os.environ.get("SPARK_GRAFT_AB_PASSES", "4"))
+                out["engine_ab"] = ab(ab_base, marks_passes=passes)
+                out["engine_ab"]["changed_files"] = changed[:20]
+            except Exception as e:  # never fail the bench over the A/B extra
+                out["engine_ab"] = {"base_ref": ab_base, "error": str(e)[:500]}
     # Artifact hygiene (VERDICT r8 #1): the fully-attributed record grew
     # past the driver's tail-capture window in r8 and the official bench
     # record became unparseable ("parsed": null). Emit THREE artifacts:
@@ -385,13 +454,14 @@ def main() -> None:
     }
     compact["engine_msgs_per_sec"] = out["engine"]["msgs_per_sec"]
     compact["streaming_msgs_per_sec"] = out["streaming"]["msgs_per_sec"]
+    compact["attempts"] = out.get("attempts", 1)
     ab_out = out.get("engine_ab")
     if isinstance(ab_out, dict):
         compact["engine_ab"] = {
             k: ab_out[k]
             for k in (
                 "marks_ratio", "unresolved", "engine_ratio",
-                "streaming_ratio", "error",
+                "streaming_ratio", "error", "skipped",
             )
             if k in ab_out
         }

@@ -234,7 +234,13 @@ def common_neighbor_pairs(
     a rank-1..cap window that plans as WindowGroupLimit. Counts are
     exact on the capped graph; the oracle applies the identical cap.
     Already-adjacent pairs are anti-joined away (predicting existing
-    edges is pointless)."""
+    edges is pointless).
+
+    PRECONDITION: ``edges`` must be canonically oriented (u < v per row,
+    one row per undirected edge), as ``_co_edges`` guarantees — the
+    existing-edge anti-join probes (a, b) with a < b against that single
+    orientation, so an unordered or bidirectional edge list would leave
+    already-adjacent pairs in the output."""
     from pyspark.sql.window import Window
 
     bidir = (

@@ -1814,15 +1814,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j GROUP BY source ORDER BY source
     """,
     doc="N-gram novelty rolled up per SOURCE (the per-doc profile is "
-    "3-token shingles appear there FIRST (by doc_id order)? The "
-    "text_ngram_novelty): what share of a source's shingle occurrences "
-    "appear there FIRST (min-doc_id trick at shingle granularity) — low "
-    "novelty flags sources that "
-    "mostly re-serve text the corpus already has (mirror/boilerplate "
-    "feeds) — the cheap pre-dedup triage signal. One shingle pass "
-    "(shared linear-time construction), a MIN aggregate keyed on the "
-    "shingle, and a count-carrying join back; shuffles carry (shingle, "
-    "doc) keys and counts, never document text.",
+    "text_ngram_novelty, parked in stable.py): what share of a source's "
+    "3-token shingle occurrences appear in the corpus FIRST there, where "
+    "'first' is the minimum doc_id carrying the shingle — low novelty "
+    "flags sources that mostly re-serve text the corpus already has "
+    "(mirror/boilerplate feeds), the cheap pre-dedup triage signal. One "
+    "shingle pass (shared linear-time construction), a MIN aggregate "
+    "keyed on the shingle, and a count-carrying join back; shuffles "
+    "carry (shingle, doc) keys and counts, never document text.",
 )
 def text_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

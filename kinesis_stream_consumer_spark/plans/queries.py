@@ -32,6 +32,12 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # A silent overwrite here is a certification hazard: parked
+            # stable.py blocks register LAST, so a name collision makes the
+            # driver check one body while the ledger hash-holds another
+            # (the r9 text_ngram_novelty incident). Fail loudly instead.
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -471,10 +471,15 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("tot"))
         .localCheckpoint(eager=True)  # #days rows; read 3x below
     )
+    # Spark `div` truncates, DuckDB `//` floors: identical ONLY because
+    # events.value >= 0 makes sum(tot) non-negative (pinned by the
+    # assert below). A signed series would need the positivity-shift
+    # pattern (see text_rank_correlation's spearman_bp).
     mrow = d.agg(
         F.expr("sum(tot) div count(*)").alias("fm")
     ).first()
     fm = int(mrow["fm"])
+    assert fm >= 0, "floor-mean relies on non-negative event values"
     r = d.select("day", (F.col("tot") - F.lit(fm)).alias("dev")).localCheckpoint(
         eager=True
     )

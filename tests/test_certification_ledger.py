@@ -51,3 +51,27 @@ def test_hashes_are_stable_across_import():
     h1 = current_hashes()
     h2 = current_hashes()
     assert h1 == h2
+
+
+def test_duplicate_registration_is_hard_error():
+    """register() must refuse a name collision (VERDICT r9 #2).
+
+    stable.py parks certified blocks and registers LAST, so a silent
+    overwrite would make the driver check one body while the ledger
+    hash-holds another. The r9 text_ngram_novelty collision was caught
+    only by grep; this pins the loud-failure contract.
+    """
+    import pytest
+
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES, register
+
+    existing = next(iter(QUERIES))
+    before = QUERIES[existing]
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @register(existing, oracle=None)
+        def _collides(spark, sf_dir):  # pragma: no cover - never runs
+            raise AssertionError
+
+    # the registry entry is untouched by the failed attempt
+    assert QUERIES[existing] is before
