@@ -105,63 +105,6 @@ _RSV_N = 8
 _RSV_TOKS = r"len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\w\s]'))"
 
 
-@register(
-    "agg_reservoir_sample",
-    f"""
-    WITH src AS (
-      SELECT lang, doc_id, {_RSV_TOKS} AS n_tok FROM documents
-    ),
-    {{RSV_CTE}}
-    SELECT g AS lang, CAST(rank AS BIGINT) AS rank, id AS doc_id,
-           CAST(w AS BIGINT) AS n_tok, CAST(w_est AS BIGINT) AS w_est
-    FROM rsv_out ORDER BY 1, 2
-    """.replace(
-        "{RSV_CTE}",
-        SK.reservoir_oracle_cte("src", "lang", "doc_id", "n_tok", 8)
-        .lstrip()
-        .rstrip(),
-    ),
-    doc="Mergeable weighted-reservoir (priority) sampling sketch — the "
-    "SAMPLING member of the sketch family (VERDICT r7 #5): a per-language "
-    "weight-proportional sample of documents (weight = BPE-ish token "
-    "count) in the Duffield-Lund-Thorup priority formulation, made "
-    "deterministic and integer-exact via md5-derived uniform draws "
-    "(u = md5_u56_le(doc_id), priority key = u div w, id tiebreak). The "
-    "register is the n+1 smallest keys per group — the sample plus the "
-    "threshold row — and merges across partitions / micro-batches by "
-    "re-taking the n+1 smallest: a MIN-merge, idempotent under "
-    "at-least-once replay (unlike additive CMS deltas). w_est = "
-    "max(w, 2^56 div pri_(n+1)) is the DLT subset-sum estimator: "
-    "SUM(w_est) over the sample estimates the group's total token count "
-    "without a global sort; groups that fit the register are exact. At "
-    "100 TB the rank filter plans as WindowGroupLimit (partial top-(n+1) "
-    "per map partition before the exchange), so the shuffle carries "
-    "registers, never the corpus — the per-source eval-sample pass a "
-    "curation pipeline runs daily.",
-)
-def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_stream_consumer_spark.operators import text as T
-
-    docs = _t(spark, sf_dir, "documents")
-    # The sample branch and the threshold aggregate both read the register
-    # frame; checkpoint it so the corpus scan + window run ONCE — the
-    # checkpointed frame is sketch-sized (≤ n+1 rows per language).
-    regs = SK.reservoir_registers(
-        docs, "lang", "doc_id", T.bpe_ish_token_count(F.col("text")), _RSV_N
-    ).localCheckpoint(eager=True)
-    return (
-        SK.reservoir_sample(regs, _RSV_N)
-        .select(
-            F.col("g").alias("lang"),
-            F.col("rank").cast("long").alias("rank"),
-            F.col("id").alias("doc_id"),
-            F.col("w").alias("n_tok"),
-            F.col("w_est").alias("w_est"),
-        )
-        .orderBy("lang", "rank")
-    )
-
-
 _MG_K = 8
 
 
@@ -3996,7 +3939,6 @@ def agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 # --- RFM segmentation from histogram-sketch thresholds ----------------------
 
 _RFM_W_M = 10_000        # $100 monetary histogram bins (cents)
@@ -4178,7 +4120,6 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 # --- TPC-H q8 analogue: national market share ------------------------------
 
 _Q8_REGION = "ASIA"
@@ -4312,7 +4253,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 # --- Market-basket affinity (association-rule lift) -------------------------
 
 _BASKET_MIN_SUPPORT = 3
@@ -4411,7 +4351,6 @@ def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_bp").desc(), "part_a", "part_b")
         .limit(_BASKET_TOP)
     )
-
 
 
 # --- Sketch aggregates: HyperLogLog cardinality, histogram quantiles -------

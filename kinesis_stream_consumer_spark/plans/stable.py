@@ -72,9 +72,15 @@ from kinesis_stream_consumer_spark.plans.llm_pipeline import (
     _PQ_K,
     _PQ_M,
     _SWEEP_NPROBES,
+    _IMPERATIVES,
+    _FK_A,
+    _FK_B,
+    _FK_C,
 )
 from kinesis_stream_consumer_spark.plans.curation import _HB
 from kinesis_stream_consumer_spark.plans.relational import (
+    _RSV_N,
+    _RSV_TOKS,
     _PAA_BITS,
     _PAA_NG,
     _PAA_TABLES,
@@ -4241,3 +4247,424 @@ def text_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (2 * LEAST({k}, n_union_seen))"
         ).cast("long").alias("jaccard_bp"),
     ).orderBy("pair")
+
+
+# --- Parked r10 (all r9-green, unchanged; displaced by the round-10 insertions) ---
+
+@register(
+    "text_token_entropy",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 4) AS entropy_nats
+    FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document token (Shannon) entropy in nats via the counts "
+    "identity H = ln n − Σ c·ln c / n — the lexical-diversity signal "
+    "curation pipelines pair with TTR: near-zero entropy flags "
+    "one-token-spam docs that a length filter misses. One tokenize pass, "
+    "one (doc, term) counting shuffle with map-side combine, one per-doc "
+    "aggregate; same LN + ROUND(·,4) cross-engine discipline as the "
+    "unigram-LM score.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                4,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH tok AS (SELECT lang, {_TOKS} AS toks FROM documents),
+    t AS (SELECT lang, unnest(toks) AS term FROM tok),
+    freq AS (SELECT lang, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+    rk AS (
+      SELECT lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, term) AS rank
+      FROM freq
+    ),
+    xy AS (SELECT lang, LN(rank) AS x, LN(cnt) AS y FROM rk),
+    s AS (
+      SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS vocab_n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_slope
+    FROM s ORDER BY lang
+    """,
+    doc="Zipf-law exponent per language: OLS slope of ln(frequency) on "
+    "ln(rank) over the token frequency table (natural text ≈ −1; strong "
+    "deviations flag boilerplate or synthetic corpora — a standard "
+    "corpus-health audit). Ranks come from a per-language frequency "
+    "window with deterministic ties (cnt DESC, term); the regression "
+    "runs over vocabulary-sized frames only. Same LN + ROUND(·,4) "
+    "discipline as the unigram-LM score; the rank window's input is the "
+    "vocab table, never token occurrences.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    xy = freq.withColumn("rank", F.row_number().over(w)).select(
+        "lang",
+        F.log("rank").alias("x"),
+        F.log("cnt").alias("y"),
+    )
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("vocab_n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    ).orderBy("lang")
+
+
+@register(
+    "text_instruction_heuristics",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN POSITION('?' IN text) > 0 THEN 1 ELSE 0 END AS q,
+             CASE WHEN lower(regexp_split_to_array(trim(text), '\\s+')[1])
+                       IN ({_IMPERATIVES}) THEN 1 ELSE 0 END AS imper,
+             CASE WHEN POSITION('- ' IN text) > 0
+                    OR POSITION('1.' IN text) > 0 THEN 1 ELSE 0 END AS lst
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((20000 * SUM(q) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS question_bp,
+           CAST((20000 * SUM(imper) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS imperative_bp,
+           CAST((20000 * SUM(lst) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS list_bp
+    FROM d GROUP BY source ORDER BY source
+    """,
+    doc="Instruction-likeness heuristics per source — the cheap triage an "
+    "SFT-data miner runs before an LLM classifier: share of docs with a "
+    "question mark, an imperative/interrogative first token, or a list "
+    "marker, in basis points. Pure map-side boolean projections (literal "
+    "POSITION probes and a first-token membership test — no regex "
+    "dialect exposure) + one counting aggregate; at 100 TB the shuffle "
+    "carries #sources rows.",
+)
+def text_instruction_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = F.lower(
+        F.element_at(F.split(F.trim(F.col("text")), r"\s+"), 1)
+    )
+    d = docs.select(
+        "source",
+        F.when(F.instr(F.col("text"), "?") > 0, 1).otherwise(0).alias("q"),
+        F.when(
+            first_tok.isin(*[t.strip("'") for t in _IMPERATIVES.split(",")]),
+            1,
+        )
+        .otherwise(0)
+        .alias("imper"),
+        F.when(
+            (F.instr(F.col("text"), "- ") > 0)
+            | (F.instr(F.col("text"), "1.") > 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("lst"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("imper").alias("si"),
+        F.sum("lst").alias("sl"),
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("(20000 * sq + n) div (2 * n)").cast("long").alias("question_bp"),
+        F.expr("(20000 * si + n) div (2 * n)").cast("long").alias("imperative_bp"),
+        F.expr("(20000 * sl + n) div (2 * n)").cast("long").alias("list_bp"),
+    ).orderBy("source")
+
+
+@register(
+    "agg_embedding_centroid_shift",
+    f"""
+    WITH x AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) dims
+    ),
+    ls AS (SELECT label, i, SUM(v) AS s FROM x GROUP BY 1, 2),
+    gs AS (SELECT i, SUM(s) AS g FROM ls GROUP BY i),
+    nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1),
+    dots AS (
+      SELECT ls.label,
+             SUM(ls.s * gs.g) AS dp,
+             SUM(ls.s * ls.s) AS ss,
+             SUM(gs.g * gs.g) AS gg
+      FROM ls JOIN gs USING (i) GROUP BY ls.label
+    )
+    SELECT d.label,
+           CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+           ROUND(dp / (SQRT(ss) * SQRT(gg)), 4) AS cos_to_global
+    FROM dots d JOIN nv USING (label)
+    ORDER BY label
+    """,
+    doc="Per-label centroid alignment with the corpus centroid (cosine, "
+    "4-dp) — the embedding-space drift/cluster-quality audit: a label "
+    "whose mean vector swings away from the corpus mean flags a shifted "
+    "or contaminated slice before any pairwise work. The 1/n "
+    "normalizations cancel inside the cosine, so only PER-DIMENSION "
+    "SUMS ever shuffle (label×dim rows, then dim rows — never vectors); "
+    "the global sums reduce from the label sums, one corpus pass total. "
+    "Same double-sum + ROUND(·,4) tolerance discipline as the cosine "
+    "baseline oracle.",
+)
+def agg_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "v")
+    ).select("label", "i", F.col("v").cast("double").alias("v"))
+    ls = x.groupBy("label", "i").agg(F.sum("v").alias("s")).localCheckpoint(
+        eager=True  # label×dim rows; feeds both the global reduce and dots
+    )
+    dimg = ls.groupBy("i").agg(F.sum("s").alias("g"))
+    labn = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dots = (
+        ls.join(F.broadcast(dimg), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("g")).alias("dp"),
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.sum(F.col("g") * F.col("g")).alias("gg"),
+        )
+    )
+    return (
+        dots.join(F.broadcast(labn), "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(
+                F.col("dp") / (F.sqrt(F.col("ss")) * F.sqrt(F.col("gg"))), 4
+            ).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "text_readability",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len({_TOKS}) AS w,
+             GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           CAST(FLOOR(100.0 * (CAST({_FK_A!r} AS DOUBLE) * w / s
+                               + CAST({_FK_B!r} AS DOUBLE) * syl / w
+                               - CAST({_FK_C!r} AS DOUBLE)) + 0.5)
+                AS BIGINT) AS fk_grade_centi
+    FROM d ORDER BY doc_id
+    """,
+    doc="Flesch-Kincaid grade level per document (centigrade integer) "
+    "from three deterministic counts — whitespace words, sentence "
+    "terminators [.!?], and vowel-group syllable approximation — the "
+    "readability gate curation pipelines use to bucket text by audience "
+    "level. Counts are integers on both engines (character-class "
+    "regexes only, no dialect exposure); the grade formula runs in "
+    "IEEE doubles with python-repr'd CAST-AS-DOUBLE constants so "
+    "DuckDB's decimal literal parsing can't diverge, FLOOR(·+0.5) "
+    "half-up. Pure map-side projection + nothing: the only shuffle is "
+    "the output sort.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = F.size(T.tokens(F.col("text")))
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]"), 0)),
+        F.lit(1),
+    )
+    syl = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    )
+    d = docs.select(
+        "doc_id", w.alias("w"), s.alias("s"), syl.alias("syl")
+    )
+    return d.select(
+        "doc_id",
+        F.col("w").cast("long").alias("n_words"),
+        F.col("s").cast("long").alias("n_sentences"),
+        F.col("syl").cast("long").alias("n_syllables"),
+        F.floor(
+            F.lit(100.0)
+            * (
+                F.lit(_FK_A) * F.col("w") / F.col("s")
+                + F.lit(_FK_B) * F.col("syl") / F.col("w")
+                - F.lit(_FK_C)
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("fk_grade_centi"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH pred AS ({{LANGID_BODY}})
+    , cells AS (
+      SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2
+    ),
+    lt AS (SELECT labeled_lang, SUM(n_docs) AS n_labeled FROM cells GROUP BY 1)
+    SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+           CAST((20000 * c.n_docs + lt.n_labeled) // (2 * lt.n_labeled)
+                AS BIGINT) AS row_share_bp
+    FROM cells c JOIN lt USING (labeled_lang)
+    ORDER BY labeled_lang, predicted_lang
+    """.replace("{LANGID_BODY}", _langid_oracle().strip()),
+    doc="Language-ID confusion matrix — the EVALUATION of the stopword-"
+    "vote classifier against the labeled lang column: per (labeled, "
+    "predicted) cell counts with row-normalized shares in basis points "
+    "(the diagonal is per-language recall; off-diagonal cells say which "
+    "languages the heuristic confuses — the calibration table a curation "
+    "pipeline checks before trusting a language filter). Classifier "
+    "logic is the registered text_langid operator verbatim (two-step "
+    "materialized token projection — the inline form re-runs the regex "
+    "split per language); one counting aggregate to #langs² cells, "
+    "row totals reduce from the cells.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.tokens(F.lower(F.col("text"))).alias("_toks"),
+    )
+    pred = toked.select(
+        "labeled_lang",
+        T.lang_id_from_tokens(F.col("_toks")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    lgt = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("n_labeled")
+    )
+    return (
+        cells.join(F.broadcast(lgt), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr("(20000 * n_docs + n_labeled) div (2 * n_labeled)")
+            .cast("long")
+            .alias("row_share_bp"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+@register(
+    "agg_reservoir_sample",
+    f"""
+    WITH src AS (
+      SELECT lang, doc_id, {_RSV_TOKS} AS n_tok FROM documents
+    ),
+    {{RSV_CTE}}
+    SELECT g AS lang, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+           CAST(w AS BIGINT) AS n_tok, CAST(w_est AS BIGINT) AS w_est
+    FROM rsv_out ORDER BY 1, 2
+    """.replace(
+        "{RSV_CTE}",
+        SK.reservoir_oracle_cte("src", "lang", "doc_id", "n_tok", 8)
+        .lstrip()
+        .rstrip(),
+    ),
+    doc="Mergeable weighted-reservoir (priority) sampling sketch — the "
+    "SAMPLING member of the sketch family (VERDICT r7 #5): a per-language "
+    "weight-proportional sample of documents (weight = BPE-ish token "
+    "count) in the Duffield-Lund-Thorup priority formulation, made "
+    "deterministic and integer-exact via md5-derived uniform draws "
+    "(u = md5_u56_le(doc_id), priority key = u div w, id tiebreak). The "
+    "register is the n+1 smallest keys per group — the sample plus the "
+    "threshold row — and merges across partitions / micro-batches by "
+    "re-taking the n+1 smallest: a MIN-merge, idempotent under "
+    "at-least-once replay (unlike additive CMS deltas). w_est = "
+    "max(w, 2^56 div pri_(n+1)) is the DLT subset-sum estimator: "
+    "SUM(w_est) over the sample estimates the group's total token count "
+    "without a global sort; groups that fit the register are exact. At "
+    "100 TB the rank filter plans as WindowGroupLimit (partial top-(n+1) "
+    "per map partition before the exchange), so the shuffle carries "
+    "registers, never the corpus — the per-source eval-sample pass a "
+    "curation pipeline runs daily.",
+)
+def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    # The sample branch and the threshold aggregate both read the register
+    # frame; checkpoint it so the corpus scan + window run ONCE — the
+    # checkpointed frame is sketch-sized (≤ n+1 rows per language).
+    regs = SK.reservoir_registers(
+        docs, "lang", "doc_id", T.bpe_ish_token_count(F.col("text")), _RSV_N
+    ).localCheckpoint(eager=True)
+    return (
+        SK.reservoir_sample(regs, _RSV_N)
+        .select(
+            F.col("g").alias("lang"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("id").alias("doc_id"),
+            F.col("w").alias("n_tok"),
+            F.col("w_est").alias("w_est"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
