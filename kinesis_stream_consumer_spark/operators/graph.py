@@ -267,3 +267,135 @@ def common_neighbor_pairs(
         F.col(u_col).alias("a"), F.col(v_col).alias("b")
     )
     return cn.join(existing, ["a", "b"], "left_anti")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Personalized PageRank with a teleport vector over the seed set,
+    in exact integer micro-units so an unrolled DuckDB CTE chain matches
+    bit-for-bit (the dedup_graph_pagerank arithmetic, restricted
+    teleport): pr_0(v) = 1_000_000·[v ∈ seeds];
+    pr_{i+1}(v) = 150_000·[v ∈ seeds] + (17·Σ_{u~v} pr_i(u) div deg(u))
+    div 20 — damping 0.85 as (17·x) div 20, per-edge contribution an
+    integer division (all masses non-negative, so Spark's truncating
+    `div` and DuckDB's flooring `//` agree). ``seeds`` is a 1-column
+    (node) frame; unknown seed nodes simply hold teleport mass and never
+    propagate (degree join drops them).
+
+    Scale shape: the textbook distributed power iteration — slim
+    checkpointed symmetrized edge list, per round one vertex-keyed
+    equi-join of the CURRENT MASS FRONTIER with edges plus one
+    destination-keyed aggregate (map-side combine), then a full outer
+    join against the #seeds-bounded teleport frame. The mass frame is
+    bounded by the seed set's i-hop reachable neighbourhood, never the
+    whole graph, and every shuffle carries (node, mass) pairs only;
+    per-round checkpoints keep lineage flat (the BFS/components
+    discipline).
+    """
+    bidir = (
+        edges.select(F.col(u_col).alias("s"), F.col(v_col).alias("d"))
+        .unionAll(
+            edges.select(F.col(v_col).alias("s"), F.col(u_col).alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = bidir.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).localCheckpoint(
+        eager=True  # joined every round
+    )
+    tel = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("tel", F.lit(150000).cast("long"))
+        .localCheckpoint(eager=True)  # #seeds rows; reused every round
+    )
+    pr = tel.select("node", F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(rounds):
+        prop = (
+            bidir.join(pr.select(F.col("node").alias("s"), "pr"), "s")
+            .join(deg, "s")
+            .groupBy("d")
+            .agg(
+                F.expr("cast((17 * sum(pr div dg)) div 20 as bigint)").alias(
+                    "prop"
+                )
+            )
+            .select(F.col("d").alias("node"), "prop")
+        )
+        pr = (
+            tel.join(prop, "node", "full")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("tel"), F.lit(0))
+                    + F.coalesce(F.col("prop"), F.lit(0))
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+def adamic_adar_pairs(
+    edges: DataFrame, cap: int = 32, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """(a, b, n_common, aa_micro) Adamic-Adar link-prediction scores over
+    DEGREE-CAPPED adjacency lists: each apex w contributes weight
+    floor(1e6 / ln(deg(w)) + 0.5) — deg is the TRUE (uncapped) degree —
+    to every pair of its first ``cap`` neighbours (by neighbour id), the
+    same deterministic wedge bound as common_neighbor_pairs. The per-apex
+    weight is a single IEEE double op chain (identical both engines) and
+    the pair score is an INTEGER SUM of those micro-unit weights, so
+    ranking never depends on float summation order. Apexes of degree 1
+    cannot form a wedge, so ln(1) = 0 never divides; the weight is
+    guarded to 0 there anyway.
+
+    PRECONDITION: ``edges`` canonically oriented (u < v per row, one row
+    per undirected edge, as _co_edges guarantees) — the existing-edge
+    anti-join probes a single orientation.
+    """
+    from pyspark.sql.window import Window
+
+    bidir = (
+        edges.select(F.col(u_col).alias("s"), F.col(v_col).alias("d"))
+        .unionAll(
+            edges.select(F.col(v_col).alias("s"), F.col(u_col).alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = bidir.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    w = Window.partitionBy("s").orderBy("d")
+    adj = (
+        bidir.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .join(deg, "s")
+        .select(
+            "s",
+            "d",
+            F.when(
+                F.col("dg") >= 2,
+                F.floor(F.lit(1000000.0) / F.log("dg") + F.lit(0.5)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("w_micro"),
+        )
+        .localCheckpoint(eager=True)  # both wedge sides read it
+    )
+    e1 = adj.select("s", F.col("d").alias("a"), "w_micro")
+    e2 = adj.select("s", F.col("d").alias("b"))
+    wedges = e1.join(e2, "s").where(F.col("a") < F.col("b"))
+    aa = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w_micro").cast("long").alias("aa_micro"),
+    )
+    existing = edges.select(
+        F.col(u_col).alias("a"), F.col(v_col).alias("b")
+    )
+    return aa.join(existing, ["a", "b"], "left_anti")

@@ -1300,3 +1300,39 @@ def mips_augment(
         F.col(id_col),
         F.concat(_as_double(F.col(vec_col)), F.array(extra)).alias(vec_col),
     )
+
+
+def brute_force_radius(
+    vectors: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine RANGE search: every corpus vector with rounded cosine
+    >= tau of each query — the threshold dual of brute_force_topk, same
+    broadcast-scorer shape: the tiny query set broadcasts, the corpus is
+    scored map-side and NEVER shuffles; the threshold filter is map-side
+    too, so (unlike top-k) no window exchange exists at all. The
+    comparison uses the ROUNDED cosine so boundary membership is
+    deterministic and reproducible by an oracle applying the identical
+    rounding."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("mvec")
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                cosine(F.col("qvec"), F.col("mvec")), round_digits
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= F.lit(tau))
+    )

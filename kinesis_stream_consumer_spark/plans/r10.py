@@ -1,0 +1,949 @@
+"""Round-10 operators: graph ranking (personalized PageRank, Adamic-Adar),
+behavioral/text information measures, robust & distribution aggregates,
+drift audits, and similarity range search.
+
+Registered between llm_pipeline and engine_queries so every entry sits
+inside the driver's first-50 correctness window this round (certified
+r8/r9 entries displaced by these insertions are hash-held by the ledger).
+Same contracts as every plans module: idiomatic-DataFrame plan + DuckDB
+oracle with identical aliases, identical rounding, no HUGEINT/DECIMAL
+oracle outputs, and the integer-division positivity discipline from
+CLAUDE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_consumer_spark.operators import similarity as S
+from kinesis_stream_consumer_spark.operators import text as T
+from kinesis_stream_consumer_spark.plans.queries import (
+    _bcast_if_small,
+    _t,
+    register,
+)
+from kinesis_stream_consumer_spark.plans.graph_shared import (
+    _COEDGES_SQL,
+    _co_edges,
+)
+
+# --- graph ranking ----------------------------------------------------------
+
+_PPR_BRAND = "Brand#4"
+_PPR_ROUNDS = 3
+_PPR_TOP = 30
+
+
+def _ppr_round_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    p{i} AS (
+      SELECT b.d AS node, (17 * SUM(p.pr // g.dg)) // 20 AS prop
+      FROM bidir b
+      JOIN {prev} p ON p.node = b.s
+      JOIN deg g ON g.s = b.s
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT COALESCE(t.node, p.node) AS node,
+             COALESCE(t.tel, 0) + COALESCE(p.prop, 0) AS pr
+      FROM tel t FULL JOIN p{i} p ON p.node = t.node
+    )"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    f"""
+    WITH {_COEDGES_SQL},
+    bidir AS (
+      SELECT u AS s, v AS d FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT s, COUNT(*) AS dg FROM bidir GROUP BY s),
+    seeds AS (
+      SELECT DISTINCT p_partkey AS node FROM part
+      WHERE p_brand = '{_PPR_BRAND}'
+    ),
+    tel AS (SELECT node, CAST(150000 AS BIGINT) AS tel FROM seeds),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM seeds),
+    {",".join(_ppr_round_sql(i).lstrip() for i in range(1, _PPR_ROUNDS + 1))}
+    SELECT node AS part_id, CAST(pr AS BIGINT) AS ppr_micro, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk
+      FROM r{_PPR_ROUNDS}
+    ) WHERE rnk <= {_PPR_TOP}
+    ORDER BY rnk
+    """,
+    doc="Personalized PageRank over the co-purchase graph with a teleport "
+    f"vector on one brand's parts ({_PPR_BRAND}) — 'rank the catalog by "
+    "proximity to THIS product line', the recommender/expansion query "
+    f"plain PageRank can't answer. {_PPR_ROUNDS} unrolled power "
+    "iterations in exact integer micro-units (teleport 150000 per seed "
+    "per round, damping 0.85 as (17·x) div 20, per-edge mass pr div deg "
+    "— all masses non-negative so truncating and flooring division "
+    "agree), so the DuckDB unrolled-CTE oracle matches bit-for-bit. "
+    "Scale shape: per round one vertex-keyed equi-join of the CURRENT "
+    "mass frontier (bounded by the seed set's i-hop neighbourhood, "
+    "never the whole graph) with the shared checkpointed edge frame + "
+    "one destination-keyed aggregate with map-side combine + a full "
+    "outer join against the #seeds-bounded teleport frame; per-round "
+    "checkpoints keep lineage flat (gate-asserted vertex-bounded round "
+    "shuffles in test_shuffle_volume); global top-30 plans as "
+    "TakeOrderedAndProject.",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = _co_edges(spark, sf_dir)  # session-cached checkpoint
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _PPR_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+        .distinct()
+    )
+    pr = personalized_pagerank(edges, seeds, rounds=_PPR_ROUNDS)
+    top = pr.orderBy(F.col("pr").desc(), "node").limit(_PPR_TOP)
+    w = Window.orderBy(F.col("pr").desc(), "node")
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("pr").alias("ppr_micro"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+_AA_CAP = 32
+_AA_TOP = 20
+
+
+@register(
+    "graph_adamic_adar",
+    f"""
+    WITH {_COEDGES_SQL},
+    bidir AS (
+      SELECT u AS s, v AS d FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    degs AS (SELECT s, COUNT(*) AS dg FROM bidir GROUP BY s),
+    adj AS (
+      SELECT s, d FROM (
+        SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) AS rn
+        FROM bidir) WHERE rn <= {_AA_CAP}
+    ),
+    wadj AS (
+      SELECT a.s, a.d,
+             CASE WHEN g.dg >= 2
+                  THEN CAST(FLOOR(1000000.0 / LN(g.dg) + 0.5) AS BIGINT)
+                  ELSE 0 END AS w_micro
+      FROM adj a JOIN degs g ON g.s = a.s
+    ),
+    wedges AS (
+      SELECT e1.d AS a, e2.d AS b, e1.w_micro
+      FROM wadj e1 JOIN adj e2 ON e1.s = e2.s AND e1.d < e2.d
+    ),
+    aa AS (
+      SELECT a, b, COUNT(*) AS n_common, SUM(w_micro) AS aa_micro
+      FROM wedges GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT aa.a, aa.b, aa.n_common, aa.aa_micro FROM aa
+      LEFT JOIN edges x ON x.u = aa.a AND x.v = aa.b
+      WHERE x.u IS NULL
+    )
+    SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(aa_micro AS BIGINT) AS aa_micro, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY aa_micro DESC, a, b) AS rnk
+      FROM nonadj
+    ) WHERE rnk <= {_AA_TOP}
+    ORDER BY rnk
+    """,
+    doc="Adamic-Adar link prediction on the co-purchase graph: top-20 "
+    "non-adjacent pairs by Σ 1/ln(deg(w)) over common neighbours w — "
+    "the degree-discounted upgrade of the raw common-neighbour count "
+    "(a shared rare part says more than a shared bestseller). Per-apex "
+    "weight floor(1e6/ln(deg)+0.5) is ONE deterministic IEEE op chain; "
+    "pair scores are INTEGER sums of those micro-units, so the ranking "
+    "never depends on float summation order. Same degree-capped wedge "
+    f"bound as graph_link_prediction (first {_AA_CAP} neighbours per "
+    "apex, rank filter plans as WindowGroupLimit, wedge volume under "
+    "Σ C(min(d,cap),2) whatever the hub skew — gate-asserted); true "
+    "(uncapped) degrees feed the weight; candidates anti-join the edge "
+    "table; global top-20 plans as TakeOrderedAndProject.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.graph import (
+        adamic_adar_pairs,
+    )
+
+    edges = _co_edges(spark, sf_dir)  # session-cached checkpoint
+    aa = adamic_adar_pairs(edges, cap=_AA_CAP)
+    top = aa.orderBy(F.col("aa_micro").desc(), "a", "b").limit(_AA_TOP)
+    w = Window.orderBy(F.col("aa_micro").desc(), "a", "b")
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select("a", "b", "n_common", "aa_micro", "rnk")
+        .orderBy("rnk")
+    )
+
+
+# --- behavioral / text information measures ---------------------------------
+
+
+@register(
+    "events_transition_entropy",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT user_id, prev_type, event_type, COUNT(*) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 4) AS entropy_nats
+    FROM tr GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Per-user behavioral entropy over (prev_event_type → event_type) "
+    "transition counts — the predictability signal on top of the "
+    "corpus-level Markov matrix (events_markov_transitions): near-zero "
+    "entropy = scripted/bot-like sessions, high entropy = erratic "
+    "exploration; the per-entity feature a fraud or engagement model "
+    "consumes. The lag is a per-user window with deterministic ordering "
+    "(ts, event_id); entropy uses the same counts identity "
+    "H = ln n − Σ c·ln c / n and LN + ROUND(·,4) discipline as the "
+    "token-entropy query. One user-keyed window shuffle, one counting "
+    "aggregate with map-side combine, one per-user rollup — shuffles "
+    "carry type pairs and counts, never payloads.",
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("user_id", "prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tr.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("n_patterns"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                4,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]')) AS c
+      FROM documents
+    ),
+    cf AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_letters,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_letters,
+           ROUND(LN(SUM(n)) - SUM(n * LN(n)) / SUM(n), 4) AS entropy_nats
+    FROM cf GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document CHARACTER-level entropy over letter frequencies — "
+    "the junk detector token entropy misses: base64 blobs, key-mash and "
+    "ciphertext have near-uniform (maximal) letter entropy while natural "
+    "language sits near its language's signature (~2.9 nats for "
+    "English); repeated-character spam sits near zero. Alphabet is "
+    "bounded (26), so the counting shuffle carries at most 26 rows per "
+    "doc; same counts identity and LN + ROUND(·,4) discipline as the "
+    "token/transition entropies.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]"), 0)
+        ).alias("c"),
+    )
+    cf = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cf.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_letters"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_letters"),
+            F.round(
+                F.log(F.sum("n"))
+                - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
+                4,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_jsd_source_divergence",
+    """
+    WITH t AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    st AS (SELECT source, SUM(c) AS ns FROM tf GROUP BY source),
+    ct AS (SELECT term, SUM(c) AS cc FROM tf GROUP BY term),
+    tot AS (SELECT SUM(c) AS nt FROM tf),
+    terms AS (
+      SELECT tf.source,
+             CAST(tf.c AS DOUBLE) / st.ns AS p,
+             CAST(ct.cc AS DOUBLE) / tot.nt AS q
+      FROM tf
+      JOIN st USING (source)
+      JOIN ct USING (term)
+      CROSS JOIN tot
+    ),
+    s AS (
+      SELECT source,
+             SUM(p * LN(2.0 * p / (p + q))) AS kp,
+             SUM(q * LN(2.0 * q / (p + q))) AS kq,
+             SUM(q) AS qs
+      FROM terms GROUP BY source
+    )
+    SELECT s.source,
+           CAST(st.ns AS BIGINT) AS n_tokens,
+           ROUND(0.5 * (kp + kq + (1.0 - qs) * LN(2.0)), 4) AS jsd_nats
+    FROM s JOIN st USING (source)
+    ORDER BY source
+    """,
+    doc="Jensen-Shannon divergence of each source's unigram distribution "
+    "from the corpus distribution — the mixture-health audit a data-"
+    "composition pipeline tracks (JSD is symmetric and bounded by ln 2, "
+    "unlike KL): a source drifting toward ln 2 contributes vocabulary "
+    "the rest of the corpus never uses. Closed form over the SOURCE'S "
+    "OWN support only: terms the source lacks contribute exactly "
+    "(1 − Σ_{t∈S} q_t)·ln 2 to the q-side sum, so the scored frame is "
+    "per-source vocabularies, never vocab × sources. Corpus counts "
+    "reduce from the same (source, term) frame (tokenize once); "
+    "shuffles carry term counts, never text; same LN + ROUND(·,4) "
+    "discipline as the entropy family.",
+)
+def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = t.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = tf.localCheckpoint(eager=True)  # read 3x: st, ct, terms
+    stot = tf.groupBy("source").agg(F.sum("c").alias("ns"))
+    ct = tf.groupBy("term").agg(F.sum("c").alias("cc"))
+    nt = int(stot.agg(F.sum("ns")).first()[0])
+    terms = (
+        tf.join(ct, "term")
+        .join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("ns")).alias("p"),
+            (F.col("cc").cast("double") / F.lit(nt)).alias("q"),
+        )
+    )
+    s = terms.groupBy("source").agg(
+        F.sum(
+            F.col("p") * F.log(F.lit(2.0) * F.col("p") / (F.col("p") + F.col("q")))
+        ).alias("kp"),
+        F.sum(
+            F.col("q") * F.log(F.lit(2.0) * F.col("q") / (F.col("p") + F.col("q")))
+        ).alias("kq"),
+        F.sum("q").alias("qs"),
+    )
+    return (
+        s.join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(0.5)
+                * (
+                    F.col("kp")
+                    + F.col("kq")
+                    + (F.lit(1.0) - F.col("qs")) * F.log(F.lit(2.0))
+                ),
+                4,
+            ).alias("jsd_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "curation_source_dup_rate",
+    """
+    WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+    hc AS (SELECT th, COUNT(*) AS n FROM h GROUP BY th)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hc.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST((20000 * SUM(CASE WHEN hc.n > 1 THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS dup_bp
+    FROM h JOIN hc USING (th)
+    GROUP BY source ORDER BY source
+    """,
+    doc="Per-source exact-duplicate rate: share of a source's documents "
+    "whose md5(text) occurs more than once ANYWHERE in the corpus, in "
+    "basis points — the triage table that tells you WHICH feed to "
+    "deduplicate (or drop) before paying for near-dup passes; a mirror "
+    "feed shows up as dup_bp ≈ 10000 here long before MinHash runs. One "
+    "hash projection (map-side), one hash-keyed counting aggregate, one "
+    "count-carrying join back — shuffles carry 32-byte hashes and "
+    "counts, never text; integer-exact half-up shares.",
+)
+def curation_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5(F.col("text")).alias("th"))
+    hc = h.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
+    j = h.join(hc, "th").select(
+        "source", F.when(F.col("n") > 1, 1).otherwise(0).alias("dup")
+    )
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("dup").alias("sd")
+    )
+    return g.select(
+        "source",
+        F.col("nd").cast("long").alias("n_docs"),
+        F.col("sd").cast("long").alias("n_dup_docs"),
+        F.expr("(20000 * sd + nd) div (2 * nd)").cast("long").alias("dup_bp"),
+    ).orderBy("source")
+
+
+# --- robust / distribution aggregates ---------------------------------------
+
+
+@register(
+    "agg_skewness_kurtosis",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    m AS (
+      SELECT nation, COUNT(*) AS n,
+             CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mu
+      FROM rev GROUP BY nation
+    ),
+    d AS (
+      SELECT r.nation, m.n,
+             (CAST(r.cents AS DOUBLE) - m.mu) AS dv
+      FROM rev r JOIN m USING (nation)
+    ),
+    s AS (
+      SELECT nation, n,
+             SUM(dv * dv) / n AS m2,
+             SUM(dv * dv * dv) / n AS m3,
+             SUM(dv * dv * dv * dv) / n AS m4
+      FROM d GROUP BY nation, n
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(m3 / POWER(m2, 1.5), 4) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 4) AS excess_kurtosis
+    FROM s ORDER BY nation
+    """,
+    doc="Exact skewness and excess kurtosis of per-nation order totals — "
+    "the distribution-shape audit (heavy right tail? peaked?) behind "
+    "outlier policy and mixture decisions. TWO-PASS central moments: "
+    "pass 1 reduces each nation to (n, mean); pass 2 re-scans with the "
+    "#nations-bounded mean frame broadcast and sums centered powers — "
+    "the numerically stable formulation (raw-moment algebra cancels "
+    "catastrophically at these magnitudes, and BIGINT fourth powers "
+    "would overflow / widen to the banned HUGEINT). Per-row deviations "
+    "are identical IEEE doubles on both engines; the 4-dp rounding "
+    "absorbs summation-order noise (the zipf-slope discipline). "
+    "Shuffles carry nation-keyed partial sums only.",
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.select("o_custkey", (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).cast("long").alias("cents"))
+        .join(_bcast_if_small(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "cents")
+    )
+    natm = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    d = rev.join(F.broadcast(natm), "nation").select(
+        "nation", "n", (F.col("cents").cast("double") - F.col("mu")).alias("dv")
+    )
+    s = d.groupBy("nation", "n").agg(
+        (F.sum(F.col("dv") * F.col("dv")) / F.col("n")).alias("m2"),
+        (F.sum(F.col("dv") * F.col("dv") * F.col("dv")) / F.col("n")).alias("m3"),
+        (
+            F.sum(F.col("dv") * F.col("dv") * F.col("dv") * F.col("dv"))
+            / F.col("n")
+        ).alias("m4"),
+    )
+    return s.select(
+        "nation",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("m3") / F.pow(F.col("m2"), F.lit(1.5)), 4).alias(
+            "skewness"
+        ),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0), 4).alias(
+            "excess_kurtosis"
+        ),
+    ).orderBy("nation")
+
+
+@register(
+    "agg_trimmed_mean",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, o.o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    rk AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, o_orderkey) AS i,
+             COUNT(*) OVER (PARTITION BY nation) AS n
+      FROM rev
+    ),
+    kept AS (
+      SELECT nation, n, cents FROM rk
+      WHERE i > n // 10 AND i <= n - n // 10
+    )
+    SELECT nation,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_trimmed,
+           CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS trimmed_mean_cents
+    FROM kept GROUP BY nation ORDER BY nation
+    """,
+    doc="10% two-sided trimmed mean of per-nation order totals, integer-"
+    "exact in cents — the robust location estimate between the mean "
+    "(outlier-hostage) and the median (information-discarding); the "
+    "winsorized variant clamps instead of dropping (parked "
+    "agg_winsorized_mean). Trim ranks come from a per-nation window "
+    "with deterministic ties (cents, orderkey); k = n div 10 rows drop "
+    "from each side; the kept-sum divides half-up (all values "
+    "non-negative, so truncating and flooring division agree). The "
+    "per-group sort is the price of exact order statistics at scale — "
+    "the sketch tier (qsketch) is the approximate alternative.",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(_bcast_if_small(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "o_orderkey", "cents")
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("nation")
+    rk = rev.select(
+        "nation",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = rk.where(
+        (F.col("i") > F.expr("n div 10"))
+        & (F.col("i") <= F.col("n") - F.expr("n div 10"))
+    )
+    return (
+        kept.groupBy("nation")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_trimmed"),
+            F.expr(
+                "cast((2 * sum(cents) + count(*)) div (2 * count(*)) as bigint)"
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "agg_theil_index",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, o.o_custkey
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(CAST(cents AS DOUBLE) * LN(CAST(cents AS DOUBLE)))
+                   / SUM(CAST(cents AS DOUBLE))
+                 - LN(SUM(CAST(cents AS DOUBLE)) / COUNT(*)), 4)
+             AS theil_index
+    FROM rev GROUP BY nation ORDER BY nation
+    """,
+    doc="Theil T inequality index of customer revenue per nation — the "
+    "decomposable companion to the Gini (agg_gini_concentration): 0 = "
+    "perfect equality, ln n = one customer holds everything; unlike "
+    "Gini it splits exactly into within/between-group terms, which is "
+    "why economics and data-balance audits prefer it for nested "
+    "rollups. Identity T = Σ x·ln x / S − ln(S/n) over exact integer "
+    "cents (customer grain reduces first — shuffles carry per-customer "
+    "sums, never order rows); per-row LN on identical doubles, 4-dp "
+    "rounding absorbs summation order (the zipf discipline). Customers "
+    "with orders all have cents > 0, so LN never sees zero.",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.select(
+            "o_custkey",
+            (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(_bcast_if_small(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    x = F.col("cents").cast("double")
+    return (
+        rev.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum(x * F.log(x)) / F.sum(x)
+                - F.log(F.sum(x) / F.count(F.lit(1))),
+                4,
+            ).alias("theil_index"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "agg_magnitude_histogram",
+    """
+    WITH v AS (
+      SELECT event_type,
+             LENGTH(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR)) AS magnitude
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, magnitude, COUNT(*) AS n FROM v GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(n) AS tot FROM g GROUP BY 1)
+    SELECT g.event_type, CAST(g.magnitude AS BIGINT) AS magnitude,
+           CAST(g.n AS BIGINT) AS n_events,
+           CAST((20000 * g.n + t.tot) // (2 * t.tot) AS BIGINT) AS share_bp
+    FROM g JOIN t USING (event_type)
+    ORDER BY event_type, magnitude
+    """,
+    doc="Order-of-magnitude histogram of event values per type: bucket = "
+    "number of DECIMAL DIGITS of the integer cents amount — the exact, "
+    "engine-portable magnitude bucketing (floor(log10)+1 via string "
+    "length, no floating log whose boundary values could round "
+    "differently across engines; the log2 variant is exactly the trap). "
+    "The fixed-magnitude spread audit that catches unit errors (a 100× "
+    "price bug shifts the whole histogram two buckets right) — "
+    "complements Benford's first-digit audit (parked "
+    "audit_benford_digits). Map-side projection, one (type, magnitude) "
+    "counting aggregate — at most ~19 buckets per type ever cross the "
+    "exchange.",
+)
+def agg_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.length(
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string")
+        ).alias("magnitude"),
+    )
+    g = v.groupBy("event_type", "magnitude").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ttot = g.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        g.join(F.broadcast(ttot), "event_type")
+        .select(
+            "event_type",
+            F.col("magnitude").cast("long").alias("magnitude"),
+            F.col("n").cast("long").alias("n_events"),
+            F.expr("(20000 * n + tot) div (2 * tot)")
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("event_type", "magnitude")
+    )
+
+
+# --- time-series / audit ----------------------------------------------------
+
+
+@register(
+    "ts_seasonal_strength",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    dw AS (SELECT event_type, isodow(day) AS dow, y FROM daily),
+    g AS (
+      SELECT event_type, dow, COUNT(*) AS cnt,
+             CAST(SUM(y) AS DOUBLE) AS sg
+      FROM dw GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, COUNT(*) AS n, CAST(SUM(y) AS DOUBLE) AS s,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy2
+      FROM dw GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(t.n AS BIGINT) AS n_days,
+           ROUND((ssb.v - t.s * t.s / t.n) / (t.sy2 - t.s * t.s / t.n), 4)
+             AS seasonal_strength
+    FROM t JOIN (
+      SELECT event_type, SUM(sg * sg / cnt) AS v FROM g GROUP BY 1
+    ) ssb USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="Day-of-week seasonal strength per event type: the share of "
+    "daily-revenue variance explained by day-of-week means (the R² of "
+    "the one-way DOW ANOVA, SSB/SST) — near 1 means the series is "
+    "weekly-periodic (gate weekly batch jobs on it), near 0 means DOW "
+    "carries no signal (the companion to ts_dow_seasonality's level "
+    "table and ts_autocorrelation's lag-7 probe). Daily totals are "
+    "exact integer cents; the variance ratio runs in doubles over "
+    "#days-bounded frames (BIGINT squares of daily totals would "
+    "overflow at bench scale) with per-row IEEE identical on both "
+    "engines and ROUND(·,4) absorbing summation order. ISO day-of-week "
+    "on both engines (DuckDB isodow = Spark weekday+1). Shuffles carry "
+    "(type, day) then (type, dow) partial sums only.",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y")
+    )
+    dw = daily.select(
+        "event_type", (F.weekday("day") + F.lit(1)).alias("dow"), "y"
+    ).localCheckpoint(eager=True)  # #days×#types rows; read twice
+    g = dw.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").cast("double").alias("sg"),
+    )
+    ssb = g.groupBy("event_type").agg(
+        F.sum(F.col("sg") * F.col("sg") / F.col("cnt")).alias("v")
+    )
+    yd = F.col("y").cast("double")
+    t = dw.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("double").alias("s"),
+        F.sum(yd * yd).alias("sy2"),
+    )
+    return (
+        t.join(F.broadcast(ssb), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(
+                (F.col("v") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("sy2") - F.col("s") * F.col("s") / F.col("n")),
+                4,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "audit_distribution_drift",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0,
+             DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                      MAX(CAST(ts AS DATE))) AS span
+      FROM events
+    ),
+    h AS (
+      SELECT event_type,
+             CASE WHEN 2 * DATEDIFF('day', b.d0, CAST(e.ts AS DATE))
+                       <= b.span
+                  THEN 1 ELSE 2 END AS half
+      FROM events e CROSS JOIN bounds b
+    ),
+    g AS (
+      SELECT event_type,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2
+      FROM h GROUP BY event_type
+    ),
+    t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM g)
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_h1,
+           CAST(n2 AS BIGINT) AS n_h2,
+           CAST((20000 * n1 + t.t1) // (2 * t.t1) AS BIGINT) AS share1_bp,
+           CAST((20000 * n2 + t.t2) // (2 * t.t2) AS BIGINT) AS share2_bp,
+           CAST(ABS((20000 * n2 + t.t2) // (2 * t.t2)
+                    - (20000 * n1 + t.t1) // (2 * t.t1)) AS BIGINT)
+             AS drift_bp
+    FROM g CROSS JOIN t ORDER BY event_type
+    """,
+    doc="Event-mix drift between the first and second half of the "
+    "observed time range: per-type composition shares (bp) in each "
+    "half and their absolute delta — the population-stability check "
+    "(a bounded cousin of PSI) a pipeline runs before assuming "
+    "yesterday's model/filter thresholds still fit today's mix. The "
+    "split day comes from the data's own min/max (no hard-coded "
+    "dates): half = 1 iff 2·(day − d0) ≤ span, integer day arithmetic "
+    "on both engines; the two scalars cross the driver as literals "
+    "(the k-means-model pattern). Shares are exact half-up basis "
+    "points; one counting aggregate, #types rows shuffle.",
+)
+def audit_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("span"),
+    ).first()
+    d0, span = b["d0"], int(b["span"])
+    h = ev.select(
+        "event_type",
+        F.when(
+            2 * F.datediff(F.col("ts").cast("date"), F.lit(d0)) <= F.lit(span),
+            1,
+        )
+        .otherwise(2)
+        .alias("half"),
+    )
+    g = h.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("n2"),
+    ).localCheckpoint(eager=True)  # #types rows; totals + shares read it
+    tot = g.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2")).first()
+    t1, t2 = int(tot["t1"]), int(tot["t2"])
+    return g.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_h1"),
+        F.col("n2").cast("long").alias("n_h2"),
+        F.expr(f"(20000 * n1 + {t1}) div (2 * {t1})")
+        .cast("long")
+        .alias("share1_bp"),
+        F.expr(f"(20000 * n2 + {t2}) div (2 * {t2})")
+        .cast("long")
+        .alias("share2_bp"),
+        F.abs(
+            F.expr(f"(20000 * n2 + {t2}) div (2 * {t2})")
+            - F.expr(f"(20000 * n1 + {t1}) div (2 * {t1})")
+        )
+        .cast("long")
+        .alias("drift_bp"),
+    ).orderBy("event_type")
+
+
+# --- similarity range search -------------------------------------------------
+
+_RADIUS_TAU = 0.32
+
+
+@register(
+    "sim_radius_search",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+             SUM(CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(q.embedding[i] AS DOUBLE)) AS dp
+      FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             ROUND(dp / (nq.nrm * nm.nrm), 4) AS cosine_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nm ON nm.vec_id = match_id
+    )
+    SELECT query_id, match_id, cosine_sim
+    FROM scored
+    WHERE cosine_sim >= CAST({_RADIUS_TAU!r} AS DOUBLE)
+    ORDER BY query_id, cosine_sim DESC, match_id
+    """,
+    doc="Cosine RANGE search (radius query): every corpus vector within "
+    f"cosine ≥ {_RADIUS_TAU} of each query — the threshold dual of "
+    "top-k (top-k answers 'k nearest whatever the quality'; radius "
+    "answers 'everything above the quality bar', the shape retrieval "
+    "filters and dedup candidate generation actually want). Exact "
+    "brute-force tier: queries broadcast, corpus scored map-side with "
+    "zip_with/aggregate dot products (JVM, no UDF), NO top-k window — "
+    "the threshold filter is map-side too, so the only exchange is the "
+    "output sort; the cell-probed tier for selective radii is "
+    "sim_kmeans_cells' assignment reused as a pre-filter. Threshold "
+    "compares the ROUNDED 4-dp cosine via a python-repr'd CAST-AS-"
+    "DOUBLE literal (the decimal-vs-double trap), so boundary "
+    "membership is identical across engines.",
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: every corpus row does 10 dot products map-side with no
+    # exchange before the threshold filter (the brute-force-topk shape)
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_radius(emb, queries, tau=_RADIUS_TAU).orderBy(
+        "query_id", F.col("cosine_sim").desc(), "match_id"
+    )

@@ -752,48 +752,11 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared co-purchase graph (same construction as graph_triangle_counts /
 # graph_bfs_levels, hash-held r8 blocks left untouched): parts are linked
 # when they co-occur in >= 2 orders.
-_COEDGES_SQL = """li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    edges AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    )"""
-
-
-# Same session-scoped cache discipline as llm_pipeline's trained-model
-# cache: the co-purchase edge build (order-pair join + support filter,
-# ~2.4 s warm at sf0.1) is shared by four graph queries; the cached value
-# is the checkpointed slim edge frame, bit-identical to a rebuild.
-_EDGE_CACHE: dict = {}
-
-
-def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _EDGE_CACHE.get(key)
-    if hit is None:
-        li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey"
-        ).distinct()
-        a = li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
-        )
-        b = li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-        )
-        hit = (
-            a.join(b, "ok")
-            .where(F.col("u") < F.col("v"))
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= 2)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        _EDGE_CACHE[key] = hit
-    return hit
+from kinesis_stream_consumer_spark.plans.graph_shared import (  # noqa: F401
+    _COEDGES_SQL,
+    _EDGE_CACHE,
+    _co_edges,
+)
 
 
 @register(

@@ -26,6 +26,7 @@ CROSS_JOIN_OK = {
     "sim_random_projection_topk",
     "sim_ann_recall_eval",  # composes the two broadcast scorers above
     "sim_mips_topk",  # same broadcast-scorer shape, inner-product score
+    "sim_radius_search",  # broadcast scorer, threshold instead of top-k
 }
 
 # State-writing queries excluded from the cheap explain pass (they create
@@ -134,6 +135,13 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
         # natt/nattop: agg_pareto_share per-nation totals / top-decile
         #              sums (25 rows, nation-derived)
         "lgt", "natt", "nattop",
+        # r10 additions — group-cardinality-bounded aggregate frames:
+        # natm: agg_skewness_kurtosis per-nation (n, mean) pass-1 frame
+        # ssb: ts_seasonal_strength per-type between-group sums
+        # ttot: agg_magnitude_histogram per-type totals
+        # stot (already listed): also text_jsd_source_divergence's
+        #     per-source token totals — same #sources bound
+        "natm", "ssb", "ttot",
     }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):

@@ -1055,3 +1055,91 @@ def test_link_prediction_wedges_capped(spark):
     # per partition via WindowGroupLimit), wedge pair aggregation
     # (<= capped_bound per map partition), anti-join probe
     assert s["shuffle_records"] <= 4 * capped_bound + 4 * bidir.count()
+
+
+def test_personalized_pagerank_round_shuffles_vertex_bounded(spark):
+    """PPR: the mass frame is bounded by the seed neighbourhood, and one
+    round's exchanges carry (node, mass) rows — <= 2E join rows plus
+    vertex-bounded aggregate/outer-join rows, never all-pairs."""
+    from kinesis_stream_consumer_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select("v"))
+        .distinct()
+        .count()
+    )
+    seeds = edges.select(F.col("u").alias("node")).distinct().limit(20)
+    pr = personalized_pagerank(edges, seeds, rounds=1)
+    n_mass = pr.count()
+    # the mass frame holds seeds + their frontier, never exceeds V + seeds
+    assert n_mass <= n_nodes + 20
+    s = shuffle_stats(pr)
+    n_parts = edges.rdd.getNumPartitions()
+    # per round: mass join <= 2E + V rows, destination aggregate map-side
+    # combined (<= V per partition), full outer join against the
+    # #seeds-bounded teleport frame
+    assert s["shuffle_records"] <= 4 * n_edges + 3 * n_nodes * max(n_parts, 1)
+
+
+def test_adamic_adar_wedges_capped_and_weights_integer(spark):
+    """adamic_adar_pairs: same Σ C(min(d, cap), 2) wedge bound as the raw
+    common-neighbour operator, and every score is an exact integer sum of
+    per-apex micro-unit weights (no float accumulation in the ranking)."""
+    from kinesis_stream_consumer_spark.operators.graph import (
+        adamic_adar_pairs,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    cap = 8
+    bidir = edges.unionAll(edges.select("v", "u"))
+    capped_bound = (
+        bidir.groupBy("u")
+        .agg(F.least(F.count(F.lit(1)), F.lit(cap)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2))
+        .first()[0]
+    )
+    out = adamic_adar_pairs(edges, cap=cap)
+    rows = out.collect()
+    assert len(rows) <= capped_bound
+    # scores are integer micro-units: each pair's aa_micro is a sum of
+    # n_common per-apex weights, every weight <= 1e6/ln(2)
+    for r in rows:
+        assert isinstance(r["aa_micro"], int)
+        assert 0 <= r["aa_micro"] <= r["n_common"] * 1_442_696
+    s = shuffle_stats(out)
+    assert s["shuffle_records"] <= 4 * capped_bound + 5 * bidir.count()
