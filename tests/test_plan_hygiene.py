@@ -142,6 +142,10 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
         # stot (already listed): also text_jsd_source_divergence's
         #     per-source token totals — same #sources bound
         "natm", "ssb", "ttot",
+        # topk: engine_topk_from_cms candidate register —
+        #     k rows per shard (WindowGroupLimit-truncated,
+        #     checkpointed), never row-scaled
+        "topk",
     }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
