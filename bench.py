@@ -69,6 +69,12 @@ HEADLINE = [
     # these)
     "agg_topk_misra_gries",
     "graph_label_propagation",
+    # r10 marquee: teleport-vector PPR over the shared co-purchase edge
+    # frame, and the per-source unigram JSD (tokenize-once, three reads
+    # of one checkpointed term frame); r9<->r10 comparisons use
+    # value_r9_subset below
+    "graph_personalized_pagerank",
+    "text_jsd_source_divergence",
 ]
 
 
@@ -285,6 +291,20 @@ def measure(loadavg: float, load_contaminated: bool) -> dict:
     }
     # frozen r8 headline membership (25 entries) — the r8↔r9 comparator;
     # explicit so appending r9 entries to HEADLINE can't shift it
+    # frozen r9 headline membership (27 entries) — the r9↔r10 comparator
+    R9_SET = {
+        "q1_pricing_summary", "q5_region_revenue", "q3_top_orders",
+        "window_topk_per_group", "sequencing_chains_per_key",
+        "dedup_replayed_batch", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_embedding_cosine", "text_quality", "llm_prep_pipeline",
+        "sim_topk_bruteforce", "sim_kmeans_cells", "sim_pq_adc_topk",
+        "sim_ivfpq_topk", "dedup_semantic", "curation_contamination",
+        "scalar_datetime_json", "streaming_tumbling_window",
+        "streaming_session_window", "agg_reservoir_sample",
+        "curation_contamination_embedding", "agg_kmv_set_ops",
+        "dedup_setsim_prefix", "graph_triangle_counts",
+        "agg_topk_misra_gries", "graph_label_propagation",
+    }
     R8_SET = {
         "q1_pricing_summary", "q5_region_revenue", "q3_top_orders",
         "window_topk_per_group", "sequencing_chains_per_key",
@@ -313,6 +333,9 @@ def measure(loadavg: float, load_contaminated: bool) -> dict:
         ),
         "value_r8_subset": round(
             sum(v for k, v in timings.items() if k in R8_SET), 3
+        ),
+        "value_r9_subset": round(
+            sum(v for k, v in timings.items() if k in R9_SET), 3
         ),
         "queries": timings,
         "index_timing": index_timing,
@@ -449,7 +472,8 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "unit", "value_r7_subset", "value_r8_subset",
-            "queries", "sf", "loadavg", "load_contaminated",
+            "value_r9_subset", "queries", "sf", "loadavg",
+            "load_contaminated",
         )
     }
     compact["engine_msgs_per_sec"] = out["engine"]["msgs_per_sec"]

@@ -947,3 +947,348 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_radius(emb, queries, tau=_RADIUS_TAU).orderBy(
         "query_id", F.col("cosine_sim").desc(), "match_id"
     )
+
+
+# --- scan matrix: schema evolution -------------------------------------------
+
+_JSON_EVO_CACHE: dict = {}
+
+
+@register(
+    "scan_json_schema_evolution",
+    """
+    WITH src AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_id % 2 = 1
+                  THEN CAST(CAST(ts AS DATE) AS VARCHAR) END AS day
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v2_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_v2
+    FROM src GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Schema-evolution scan roundtrip — the OTHER lake-layout primitive "
+    "next to partition pruning: half the events are written as JSONL in "
+    "schema v1 (event_id, event_type, cents) and half in v2 (adds a day "
+    "column), into one directory; the read unifies the schemas (v1 rows "
+    "surface NULL day — exactly how a real feed evolves without "
+    "rewriting history) and the aggregate must match the oracle's flat-"
+    "parquet CASE-split. Only integers and strings cross the JSON "
+    "boundary (a double roundtrip would expose float-formatting "
+    "differences — cents are derived BEFORE the write). Layout written "
+    "once per session (cached); the read is one directory scan + one "
+    "map-side-combined aggregate.",
+)
+def scan_json_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _JSON_EVO_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ksc-json-evo-")
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+        ev.where(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type", "cents"
+        ).write.mode("append").json(path)
+        ev.where(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", "cents", "day"
+        ).write.mode("append").json(path)
+        _JSON_EVO_CACHE[key] = path
+    back = spark.read.json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("day").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_v2_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.countDistinct("day").cast("long").alias("n_days_v2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- modal value / audience overlap ------------------------------------------
+
+
+@register(
+    "events_modal_type",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1),
+    rk AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT rk.user_id, rk.event_type AS modal_type,
+           CAST(rk.n AS BIGINT) AS n_modal,
+           CAST(t.tot AS BIGINT) AS n_events,
+           CAST((20000 * rk.n + t.tot) // (2 * t.tot) AS BIGINT)
+             AS modal_share_bp
+    FROM rk JOIN t USING (user_id)
+    WHERE rk.rn = 1
+    ORDER BY user_id
+    """,
+    doc="Exact per-user modal event type (most frequent, ties to the "
+    "smallest type string) with its count and share — the exact MODE "
+    "aggregate the SQL standard lacks, the per-entity companion to the "
+    "Misra-Gries corpus summary (exact because the per-user type "
+    "cardinality is bounded; MG is for unbounded key spaces). One "
+    "counting aggregate with map-side combine, then a top-1 rank that "
+    "plans as WindowGroupLimit (≤ 1 row per user per map partition "
+    "crosses the exchange); per-user totals reduce from the same count "
+    "frame. Integer-exact half-up share.",
+)
+def events_modal_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)  # users×types rows; rank + totals read it
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    rk = (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "n")
+    )
+    return (
+        rk.join(t, "user_id")
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").cast("long").alias("n_modal"),
+            F.col("tot").cast("long").alias("n_events"),
+            F.expr("(20000 * n + tot) div (2 * tot)")
+            .cast("long")
+            .alias("modal_share_bp"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_audience_overlap",
+    """
+    WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM m GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM m a JOIN m b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           CAST((20000 * i.n_both + (sa.n + sb.n - i.n_both))
+                // (2 * (sa.n + sb.n - i.n_both)) AS BIGINT) AS jaccard_bp
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+    doc="Pairwise audience overlap between event types: exact Jaccard of "
+    "the user sets for every type pair — the segmentation/cannibalization "
+    "audit ('do signups and purchases reach the same users?'), and the "
+    "exact small-cardinality counterpart of the KMV set-algebra sketch "
+    "(text_source_overlap_kmv) which serves the same question when the "
+    "label space is unbounded. The user-keyed self-join of the distinct "
+    "(type, user) membership frame emits at most C(#types, 2) rows per "
+    "user — #types is a bounded enumeration, so the pair frame is "
+    "O(users), never quadratic in users. Integer-exact half-up Jaccard "
+    "in basis points.",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=True  # membership frame; sizes + both join sides read it
+    )
+    sz = m.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = m.select(F.col("event_type").alias("type_a"), "user_id")
+    b = m.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sza = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    szb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sza), "type_a")
+        .join(F.broadcast(szb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr(
+                "(20000 * n_both + (n_a + n_b - n_both))"
+                " div (2 * (n_a + n_b - n_both))"
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --- audit / time-series closers ---------------------------------------------
+
+
+@register(
+    "audit_pk_uniqueness",
+    """
+    WITH u AS (
+      SELECT 'region' AS tbl, COUNT(*) AS n_rows,
+             COUNT(DISTINCT r_regionkey) AS n_keys FROM region
+      UNION ALL SELECT 'nation', COUNT(*), COUNT(DISTINCT n_nationkey)
+      FROM nation
+      UNION ALL SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey)
+      FROM customer
+      UNION ALL SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey)
+      FROM supplier
+      UNION ALL SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey) FROM part
+      UNION ALL SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey)
+      FROM orders
+      UNION ALL SELECT 'lineitem', COUNT(*),
+             COUNT(DISTINCT l_orderkey * 100 + l_linenumber) FROM lineitem
+      UNION ALL SELECT 'events', COUNT(*), COUNT(DISTINCT event_id)
+      FROM events
+      UNION ALL SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id)
+      FROM documents
+      UNION ALL SELECT 'embeddings', COUNT(*), COUNT(DISTINCT vec_id)
+      FROM embeddings
+    )
+    SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_distinct_keys,
+           CAST(n_rows - n_keys AS BIGINT) AS n_dup_key_rows
+    FROM u ORDER BY tbl
+    """,
+    doc="Primary-key uniqueness audit across ALL TEN tables in one query: "
+    "rows vs distinct declared keys per table (lineitem's key is the "
+    "composite (l_orderkey, l_linenumber), folded into one integer since "
+    "linenumber < 100) — the first data-quality gate any warehouse load "
+    "runs; a nonzero n_dup_key_rows breaks every downstream join "
+    "cardinality assumption. Each leg is one scan + one distinct "
+    "aggregate (map-side partials); legs union to a 10-row frame. At "
+    "100 TB the distinct-count legs are the exact tier — the HLL sketch "
+    "family is the one-pass approximate tier over the same question.",
+)
+def audit_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    legs = []
+    for tbl, key in [
+        ("region", F.col("r_regionkey")),
+        ("nation", F.col("n_nationkey")),
+        ("customer", F.col("c_custkey")),
+        ("supplier", F.col("s_suppkey")),
+        ("part", F.col("p_partkey")),
+        ("orders", F.col("o_orderkey")),
+        ("lineitem", F.col("l_orderkey") * 100 + F.col("l_linenumber")),
+        ("events", F.col("event_id")),
+        ("documents", F.col("doc_id")),
+        ("embeddings", F.col("vec_id")),
+    ]:
+        legs.append(
+            _t(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+            )
+        )
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return u.select(
+        "tbl",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_distinct_keys"),
+        (F.col("n_rows") - F.col("n_keys")).cast("long").alias(
+            "n_dup_key_rows"
+        ),
+    ).orderBy("tbl")
+
+
+@register(
+    "ts_week_over_week",
+    """
+    WITH wk AS (
+      SELECT event_type, date_trunc('week', CAST(ts AS DATE)) AS week,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, week, cents,
+             LAG(cents) OVER (PARTITION BY event_type ORDER BY week)
+               AS prev_cents
+      FROM wk
+    )
+    SELECT event_type, CAST(week AS DATE) AS week,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
+           CAST((2 * 10000 * cents + prev_cents) // (2 * prev_cents)
+                - 10000 AS BIGINT) AS wow_growth_bp
+    FROM lagged WHERE prev_cents IS NOT NULL
+    ORDER BY event_type, week
+    """,
+    doc="Week-over-week revenue growth per event type in signed basis "
+    "points — the KPI-trend staple. Weekly totals are exact integer "
+    "cents (ISO-Monday date_trunc('week') on both engines); the growth "
+    "ratio uses the POSITIVITY-SHIFT form (2·10⁴·cur + prev) div "
+    "(2·prev) − 10⁴ so the half-up division only ever sees a positive "
+    "numerator — a direct (cur − prev) numerator is negative on down "
+    "weeks and Spark's truncating div disagrees with DuckDB's flooring "
+    "// exactly there (the CLAUDE.md signed-division trap). One "
+    "(type, week) aggregate, one #weeks-bounded lag window.",
+)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagged = wk.withColumn("prev_cents", F.lag("cents").over(w))
+    return (
+        lagged.where(F.col("prev_cents").isNotNull())
+        .select(
+            "event_type",
+            "week",
+            F.col("cents").cast("long").alias("cents"),
+            F.col("prev_cents").cast("long").alias("prev_cents"),
+            (
+                F.expr("(2 * 10000 * cents + prev_cents) div (2 * prev_cents)")
+                - F.lit(10000)
+            )
+            .cast("long")
+            .alias("wow_growth_bp"),
+        )
+        .orderBy("event_type", "week")
+    )

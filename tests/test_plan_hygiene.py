@@ -146,6 +146,9 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
         #     k rows per shard (WindowGroupLimit-truncated,
         #     checkpointed), never row-scaled
         "topk",
+        # sza/szb: events_audience_overlap per-type set sizes —
+        #     #event-types rows (bounded enumeration)
+        "sza", "szb",
     }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
