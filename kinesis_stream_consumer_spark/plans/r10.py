@@ -1292,3 +1292,217 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week")
     )
+
+
+# --- final window closers: Lorenz curve, bigram entropy rate, null-safe join
+
+
+@register(
+    "agg_lorenz_curve",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, o.o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, o_custkey) AS i,
+             SUM(cents) OVER (PARTITION BY nation
+                              ORDER BY cents, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER (PARTITION BY nation) AS n,
+             SUM(cents) OVER (PARTITION BY nation) AS tot
+      FROM rev
+    )
+    SELECT nation, CAST(d.d AS BIGINT) AS decile,
+           CAST(i AS BIGINT) AS n_cust,
+           CAST((20000 * cum + tot) // (2 * tot) AS BIGINT) AS cum_share_bp
+    FROM rk CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d) d
+    WHERE (d.d * n) // 10 = i
+    ORDER BY nation, decile
+    """,
+    doc="Lorenz curve points per nation: cumulative revenue share held by "
+    "the bottom d/10 of customers, for each decile — the CURVE the Gini "
+    "coefficient (agg_gini_concentration) integrates and the Pareto "
+    "share (agg_pareto_share) reads one point of; together the three "
+    "close the inequality-analytics family. Customers rank ascending by "
+    "exact integer cents (custkey ties), one per-nation window pass "
+    "computes rank/cumsum/total together, and the decile cuts attach by "
+    "exploding d ∈ 1..10 against (d·n) div 10 = rank — integer on both "
+    "engines, duplicate-free whenever n ≥ 10 per group. Half-up "
+    "basis-point shares against the in-window total; shuffles carry "
+    "customer-grain sums, never order rows.",
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.select(
+            "o_custkey",
+            (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(_bcast_if_small(c, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wo = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    wn = Window.partitionBy("nation")
+    rk = rev.select(
+        "nation",
+        F.row_number().over(wo).alias("i"),
+        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("cents").over(wn).alias("tot"),
+    )
+    d = rk.select(
+        "nation", "i", "cum", "n", "tot",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"),
+    ).where(F.expr("(d * n) div 10") == F.col("i"))
+    return d.select(
+        "nation",
+        F.col("d").cast("long").alias("decile"),
+        F.col("i").cast("long").alias("n_cust"),
+        F.expr("(20000 * cum + tot) div (2 * tot)")
+        .cast("long")
+        .alias("cum_share_bp"),
+    ).orderBy("nation", "decile")
+
+
+@register(
+    "text_bigram_entropy_rate",
+    """
+    WITH tok AS (
+      SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT lang, unnest(toks) AS g FROM tok
+    ),
+    big AS (
+      SELECT lang, concat(toks[i], ' ', toks[i+1]) AS g
+      FROM (SELECT lang, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM tok)
+    ),
+    uc AS (SELECT lang, g, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+    bc AS (SELECT lang, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    h1 AS (
+      SELECT lang, LN(SUM(c)) - SUM(c * LN(c)) / SUM(c) AS h,
+             SUM(c) AS n FROM uc GROUP BY lang
+    ),
+    h2 AS (
+      SELECT lang, LN(SUM(c)) - SUM(c * LN(c)) / SUM(c) AS h,
+             SUM(c) AS n FROM bc GROUP BY lang
+    )
+    SELECT h1.lang,
+           CAST(h2.n AS BIGINT) AS n_bigrams,
+           ROUND(h1.h, 4) AS unigram_entropy_nats,
+           ROUND(h2.h - h1.h, 4) AS entropy_rate_nats
+    FROM h1 JOIN h2 USING (lang)
+    ORDER BY lang
+    """,
+    doc="Bigram entropy rate per language: H(bigram) − H(unigram) ≈ the "
+    "conditional entropy of the next token given the current one — the "
+    "sequence-predictability signal that separates templated/boilerplate "
+    "text (near zero: the next word is determined) from natural prose, "
+    "invisible to any unigram measure; the information-theoretic "
+    "companion to the bigram-LM fluency score. One tokenize pass feeds "
+    "both gram frames (bigrams via an index transform over the token "
+    "array, 1-based on both engines); counting aggregates with map-side "
+    "combine; the counts identity + LN + ROUND(·,4) discipline of the "
+    "entropy family. Shuffles carry gram counts, never text.",
+)
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("lang", T.tokens(F.col("text")).alias("toks"))
+    tok = tok.localCheckpoint(eager=False)  # both gram frames read it
+    uni = tok.select("lang", F.explode("toks").alias("g"))
+    big = tok.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("g"),
+    )
+    def _h(frame):
+        cf = frame.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+        return cf.groupBy("lang").agg(
+            (
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+            ).alias("h"),
+            F.sum("c").alias("n"),
+        )
+    h1 = _h(uni)
+    h2 = _h(big).select(
+        "lang", F.col("h").alias("h2"), F.col("n").alias("n2")
+    )
+    return (
+        h1.join(h2, "lang")
+        .select(
+            "lang",
+            F.col("n2").cast("long").alias("n_bigrams"),
+            F.round(F.col("h"), 4).alias("unigram_entropy_nats"),
+            F.round(F.col("h2") - F.col("h"), 4).alias("entropy_rate_nats"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    """
+    WITH l AS (
+      SELECT NULLIF(c_nationkey % 5, 0) AS seg, COUNT(*) AS nc
+      FROM customer GROUP BY 1
+    ),
+    r AS (
+      SELECT NULLIF(s_nationkey % 5, 0) AS seg, COUNT(*) AS ns
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(CAST(l.seg AS VARCHAR), 'NULL') AS segment,
+           CAST(l.nc AS BIGINT) AS n_customers,
+           CAST(r.ns AS BIGINT) AS n_suppliers,
+           CAST(l.nc * r.ns AS BIGINT) AS n_pairs
+    FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+    ORDER BY segment
+    """,
+    doc="Null-safe equality join (Spark eqNullSafe <=> / SQL IS NOT "
+    "DISTINCT FROM): the relational-completeness entry for the third "
+    "equality semantics — plain = drops NULL keys silently, which is "
+    "the classic silent-row-loss bug when a segmentation column is "
+    "nullable; <=> matches NULL to NULL as one group. Both sides "
+    "pre-aggregate to #segments-bounded count frames BEFORE the join "
+    "(the null-safe key is still an equi-key, so the join plans "
+    "hash/merge, never nested-loop — pinned by the plan-hygiene gate), "
+    "and the NULL segment is rendered as a literal so the output "
+    "carries no NULL keys. At 100 TB this shape joins registers, never "
+    "rows.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    l = c.groupBy(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("nc"))
+    r = s.groupBy(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("ns"))
+    j = l.join(r, l["seg"].eqNullSafe(r["seg"]))
+    return j.select(
+        F.coalesce(l["seg"].cast("string"), F.lit("NULL")).alias("segment"),
+        F.col("nc").cast("long").alias("n_customers"),
+        F.col("ns").cast("long").alias("n_suppliers"),
+        (F.col("nc") * F.col("ns")).cast("long").alias("n_pairs"),
+    ).orderBy("segment")
