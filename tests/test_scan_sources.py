@@ -164,3 +164,23 @@ def test_partitioned_scan_prunes_directories(spark):
         F.col("event_type").isin("purchase", "signup")
     )
     assert pruned.count() == flat.count()
+
+
+def test_json_schema_evolution_unifies_and_nulls_v1(spark):
+    """scan_json_schema_evolution: the unified JSONL read carries BOTH
+    schema versions' columns, v1 rows surface NULL for the v2-only `day`
+    column, and no rows are lost across the two writes."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES, _t
+    from kinesis_stream_consumer_spark.plans.r10 import _JSON_EVO_CACHE
+
+    QUERIES["scan_json_schema_evolution"].fn(spark, SF_CORRECT).collect()
+    path = _JSON_EVO_CACHE[(spark.sparkContext.applicationId, SF_CORRECT)]
+    back = spark.read.json(path)
+    assert {"event_id", "event_type", "cents", "day"} <= set(back.columns)
+    n_total = _t(spark, SF_CORRECT, "events").count()
+    assert back.count() == n_total
+    n_v1 = back.where(F.col("day").isNull()).count()
+    n_even = _t(spark, SF_CORRECT, "events").where(
+        F.col("event_id") % 2 == 0
+    ).count()
+    assert n_v1 == n_even  # every v1 (even-id) row, and only those, is NULL

@@ -1143,3 +1143,39 @@ def test_adamic_adar_wedges_capped_and_weights_integer(spark):
         assert 0 <= r["aa_micro"] <= r["n_common"] * 1_442_696
     s = shuffle_stats(out)
     assert s["shuffle_records"] <= 4 * capped_bound + 5 * bidir.count()
+
+
+def test_personalized_pagerank_teleport_invariants(spark):
+    """PPR semantics pins: every seed holds at least its teleport mass
+    every round; non-seed mass is propagation-only (< any seed's teleport
+    after round 1 only via received mass); all masses non-negative so the
+    truncate-vs-floor division identity holds."""
+    from kinesis_stream_consumer_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    seeds = edges.select(F.col("u").alias("node")).distinct().limit(10)
+    seed_ids = {r["node"] for r in seeds.collect()}
+    pr = personalized_pagerank(edges, seeds, rounds=2)
+    rows = {r["node"]: r["pr"] for r in pr.collect()}
+    assert all(v >= 0 for v in rows.values())
+    for sid in seed_ids:
+        assert rows[sid] >= 150000  # teleport floor every round
+    # total mass never exceeds seeds * (teleport + damped carryover bound)
+    assert sum(rows.values()) <= len(seed_ids) * 2_000_000
