@@ -2358,93 +2358,6 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "graph_triangle_counts",
-    """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    ),
-    deg AS (
-      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
-        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
-      ) GROUP BY 1
-    ),
-    oe AS (
-      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
-               AS src,
-             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
-               AS dst,
-             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
-               AS dst_d
-      FROM edges e
-      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
-    ),
-    wedges AS (
-      SELECT e1.src, e1.dst AS v, e2.dst AS w
-      FROM oe e1 JOIN oe e2
-        ON e1.src = e2.src AND ((e1.dst_d, e1.dst) < (e2.dst_d, e2.dst))
-    ),
-    tri AS (
-      SELECT wedges.src, wedges.v, wedges.w
-      FROM wedges JOIN oe ON oe.src = wedges.v AND oe.dst = wedges.w
-    ),
-    per_node AS (
-      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-        SELECT src AS node FROM tri
-        UNION ALL SELECT v FROM tri
-        UNION ALL SELECT w FROM tri
-      ) GROUP BY 1
-    )
-    SELECT p.node AS node, d.d AS degree, p.n_triangles
-    FROM per_node p JOIN deg d ON d.node = p.node
-    ORDER BY n_triangles DESC, node LIMIT 20
-    """,
-    doc="Triangle counting over the part co-purchase graph (parts "
-    "co-ordered in ≥2 orders) via the degree-oriented wedge join — the "
-    "classic distributed triangle algorithm. Orientation (each edge "
-    "points from its lower-(degree, id) endpoint) caps every out-degree "
-    "at O(√E), so wedge volume is O(E^1.5) regardless of hub skew — the "
-    "naive wedge join is Σd² and melts on a skewed graph (gate-asserted: "
-    "the oriented wedge count stays under half the unoriented bound). "
-    "All stages are vertex-keyed equi-joins; each triangle counts once "
-    "at its lowest-ordered apex. Output: top-20 parts by triangle "
-    "participation with degree — the clustering-density analytics behind "
-    "bundle detection. Edge generation is per-order pairs (bounded by "
-    "basket size, the agg_basket_affinity pattern) with a support floor.",
-)
-def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_stream_consumer_spark.operators.graph import (
-        triangle_participation,
-    )
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, "ok")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("u", "v")
-    )
-    return (
-        triangle_participation(edges)
-        .orderBy(F.col("n_triangles").desc(), "node")
-        .limit(20)
-    )
-
-
-@register(
     "events_attribution",
     """
     WITH e AS (

@@ -4668,3 +4668,47 @@ def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- Parked r10 (late): certified r9 sim_mips_topk displaced by the
+# shared-edge-frame triangle rewrite. Hash held — ledger-checked.
+
+@register(
+    "sim_mips_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+             SUM(CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(q.embedding[i] AS DOUBLE)) AS dp
+      FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, {_DIM})) AS i) dims
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, match_id, ROUND(dp, 4) AS inner_product FROM dots
+    )
+    SELECT query_id, match_id, inner_product, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY inner_product DESC, match_id)
+                  AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="Exact maximum-inner-product top-5 — the recommender-serving "
+    "score (user·item raw dot product, where cosine's normalization "
+    "would erase popularity). Same scale shape as the cosine baseline: "
+    "queries broadcast, the corpus never shuffles, per-query top-k "
+    "reduces map-side. The scale path is the MIPS→cosine augmentation "
+    "(operators/similarity.mips_augment, Bachrach et al. 2014): one "
+    "extra dimension sqrt(M²−‖x‖²) makes every existing cosine ANN "
+    "index (IVF/LSH/PQ) serve MIPS order-identically — pinned in "
+    "tests/test_similarity.py; this exact scan is that path's recall "
+    "baseline.",
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: same scan-fused CPU shape as sim_topk_bruteforce
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.mips_topk(emb, queries, k=5).orderBy("query_id", "rnk")
