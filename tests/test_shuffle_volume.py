@@ -1179,3 +1179,99 @@ def test_personalized_pagerank_teleport_invariants(spark):
         assert rows[sid] >= 150000  # teleport floor every round
     # total mass never exceeds seeds * (teleport + damped carryover bound)
     assert sum(rows.values()) <= len(seed_ids) * 2_000_000
+
+
+def _ppr_reference(edge_list, seed_ids, rounds):
+    """Pure-python mirror of the PPR integer recurrence — a THIRD
+    implementation (next to the Spark plan and the DuckDB oracle, which
+    share only the formula spec): pr0 = 1e6 per seed; pr_{i+1}(v) =
+    150000*[v in seeds] + (17 * sum_u pr_i(u)//deg(u)) // 20 over the
+    symmetrized graph."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    deg = defaultdict(int)
+    for u, v in edge_list:
+        adj[u].append(v)
+        adj[v].append(u)
+        deg[u] += 1
+        deg[v] += 1
+    pr = {s: 1_000_000 for s in seed_ids}
+    for _ in range(rounds):
+        prop = defaultdict(int)
+        for u, mass in pr.items():
+            if u in deg:
+                share = mass // deg[u]
+                for v in adj[u]:
+                    prop[v] += share
+        nxt = {}
+        for v, p in prop.items():
+            nxt[v] = (17 * p) // 20
+        for s in seed_ids:
+            nxt[s] = nxt.get(s, 0) + 150_000
+        pr = nxt
+    return pr
+
+
+def _aa_reference(edge_list, cap):
+    """Pure-python mirror of capped Adamic-Adar: per apex, first `cap`
+    neighbours by id; weight floor(1e6/ln(true_deg)+0.5); pair scores are
+    integer sums; existing (u<v) edges excluded."""
+    import math
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edge_list:
+        adj[u].append(v)
+        adj[v].append(u)
+    existing = {(u, v) for u, v in edge_list}
+    scores = defaultdict(lambda: [0, 0])  # (a,b) -> [n_common, aa_micro]
+    for s, nbrs in adj.items():
+        d = len(nbrs)
+        w = int(math.floor(1_000_000.0 / math.log(d) + 0.5)) if d >= 2 else 0
+        capped = sorted(nbrs)[:cap]
+        for i in range(len(capped)):
+            for j in range(i + 1, len(capped)):
+                a, b = capped[i], capped[j]
+                if (a, b) in existing:
+                    continue
+                scores[(a, b)][0] += 1
+                scores[(a, b)][1] += w
+    return scores
+
+
+def test_ppr_and_adamic_adar_match_python_reference(spark):
+    """Third-implementation check on a small deterministic graph: the
+    distributed operators reproduce a from-scratch python computation of
+    the same integer recurrences exactly (not just the mirrored oracle)."""
+    from kinesis_stream_consumer_spark.operators.graph import (
+        adamic_adar_pairs,
+        personalized_pagerank,
+    )
+
+    # deterministic pseudo-random graph: 40 nodes, u<v edges via a hash rule
+    edge_list = sorted(
+        {
+            (u, v)
+            for u in range(40)
+            for v in range(u + 1, 40)
+            if (u * 7919 + v * 104729) % 7 == 0
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    seeds_ids = [n for n in range(40) if n % 9 == 0]
+    seeds = spark.createDataFrame([(s,) for s in seeds_ids], "node bigint")
+
+    got = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(edges, seeds, rounds=3).collect()
+    }
+    want = _ppr_reference(edge_list, seeds_ids, rounds=3)
+    assert got == want
+
+    got_aa = {
+        (r["a"], r["b"]): (r["n_common"], r["aa_micro"])
+        for r in adamic_adar_pairs(edges, cap=5).collect()
+    }
+    want_aa = {k: tuple(v) for k, v in _aa_reference(edge_list, cap=5).items()}
+    assert got_aa == want_aa
