@@ -1336,3 +1336,59 @@ def brute_force_radius(
         )
         .where(F.col("cosine_sim") >= F.lit(tau))
     )
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact hard-negative mining: per query, the top-k most similar
+    corpus vectors with a DIFFERENT label — the contrastive-training
+    data miner (the highest-scoring wrong-label neighbours are exactly
+    the negatives a contrastive or reranker objective learns most from).
+    Same broadcast-scorer shape as brute_force_topk: the query set
+    broadcasts with its labels, the corpus is scored map-side and never
+    shuffles, the label-mismatch filter is map-side, and the per-query
+    top-k reduces through a rank window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("match_id"),
+        F.col(label_col).alias("match_label"),
+        F.col(vec_col).alias("mvec"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("match_id") != F.col("query_id"))
+            & (F.col("match_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "match_id",
+            "match_label",
+            F.round(
+                cosine(F.col("qvec"), F.col("mvec")), round_digits
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id", "query_label", "match_id", "match_label",
+            "cosine_sim", "rnk",
+        )
+    )

@@ -1584,3 +1584,260 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )
+
+
+# --- late-r10: hard negatives, centroid classifier eval, normalized dedup ---
+
+
+@register(
+    "sim_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id < 10),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             e.vec_id AS match_id, e.label AS match_label,
+             SUM(CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(q.embedding[i] AS DOUBLE)) AS dp
+      FROM q JOIN embeddings e
+        ON e.vec_id != q.vec_id AND e.label != q.label
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+             match_id, CAST(match_label AS BIGINT) AS match_label,
+             ROUND(dp / (nq.nrm * nm.nrm), 4) AS cosine_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nm ON nm.vec_id = match_id
+    )
+    SELECT query_id, query_label, match_id, match_label, cosine_sim, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, match_id)
+                  AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    ORDER BY query_id, rnk
+    """,
+    doc="Exact hard-negative mining: per query, the top-3 most similar "
+    "corpus vectors with a DIFFERENT label — the contrastive-training "
+    "data miner (high-similarity wrong-label neighbours are the "
+    "negatives a contrastive/reranker objective learns most from; "
+    "random negatives are too easy). Same broadcast-scorer scale shape "
+    "as the cosine baseline: queries broadcast WITH their labels, the "
+    "corpus never shuffles, the label-mismatch filter is map-side, "
+    "per-query top-k reduces through the rank window. The ANN tier "
+    "serves the same mining at scale by probing the trained IVF cells "
+    "and post-filtering labels.",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance: same scan-fused CPU shape as sim_topk_bruteforce
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    return (
+        S.hard_negative_topk(emb, queries, k=3)
+        .select(
+            "query_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            "match_id",
+            F.col("match_label").cast("long").alias("match_label"),
+            "cosine_sim",
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+_CC_LABELS = 16  # argmin encoding base: labels are 0-9, strictly < 16
+
+
+@register(
+    "sim_centroid_confusion",
+    f"""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    qr AS (
+      SELECT vec_id, label, i.i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings CROSS JOIN dims i
+    ),
+    cents AS (
+      SELECT label AS clabel, pos,
+             CAST(FLOOR((2 * SUM(qx) + COUNT(*)) / (2.0 * COUNT(*)))
+                  AS BIGINT) AS qc
+      FROM qr GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT q.vec_id, q.label, c.clabel,
+             SUM((q.qx - c.qc) * (q.qx - c.qc)) AS dist
+      FROM qr q JOIN cents c ON c.pos = q.pos
+      GROUP BY 1, 2, 3
+    ),
+    am AS (
+      SELECT vec_id, label, MIN(dist * {_CC_LABELS} + clabel) AS m
+      FROM d GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT CAST(label AS BIGINT) AS true_label,
+             CAST(m % {_CC_LABELS} AS BIGINT) AS predicted_label
+      FROM am
+    ),
+    cells AS (
+      SELECT true_label, predicted_label, COUNT(*) AS n_vecs
+      FROM pred GROUP BY 1, 2
+    ),
+    rt AS (SELECT true_label, SUM(n_vecs) AS n_true FROM cells GROUP BY 1)
+    SELECT c.true_label, c.predicted_label,
+           CAST(c.n_vecs AS BIGINT) AS n_vecs,
+           CAST((20000 * c.n_vecs + rt.n_true) // (2 * rt.n_true)
+                AS BIGINT) AS row_share_bp
+    FROM cells c JOIN rt USING (true_label)
+    ORDER BY true_label, predicted_label
+    """,
+    doc="Nearest-centroid classifier confusion matrix over the embedding "
+    "labels — the embedding-space analogue of text_langid_confusion and "
+    "the cheapest label-quality audit (a mislabeled or drifted slice "
+    "shows up as off-diagonal mass before any model training): each "
+    "vector is assigned to its nearest per-label centroid and the "
+    "(true, predicted) cells report resubstitution counts with "
+    "row-share bp (the diagonal is per-label separability). EXACT "
+    "integer end-to-end via the repo's quantized-arithmetic discipline: "
+    "milli-unit components (floor(x·1000+0.5)), centroid means by the "
+    "half-up identity floor((2Σ+n)/(2·n)) computed through one IEEE "
+    "double division (identical both engines, floors correctly for "
+    "NEGATIVE sums — the distributed form of the driver-side Lloyd "
+    "rounding), squared-L2 in exact longs, and the argmin as ONE "
+    f"primitive long aggregate min(dist·{_CC_LABELS} + label) decoded "
+    "by modulus (the _argmin_cell pattern — lexicographic (dist, label) "
+    "because label < 16, HashAggregate guaranteed). Shuffles carry "
+    "(label, dim) sums and per-vector distance rows, never raw vectors "
+    "to a window.",
+)
+def sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qr = S.quantized_vector_rows(emb)
+    lab = emb.select(F.col("vec_id").alias("vid"), "label")
+    qrl = qr.join(_bcast_if_small(lab, sf_dir, "embeddings"), "vid")
+    qrl = qrl.localCheckpoint(eager=True)  # read twice: centroids + dists
+    centq = (
+        qrl.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "clabel",
+            "pos",
+            F.floor(
+                (2 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))
+            )
+            .cast("long")
+            .alias("qc"),
+        )
+    )
+    d = (
+        qrl.join(F.broadcast(centq), "pos")
+        .groupBy("vid", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+            ).alias("dist")
+        )
+    )
+    am = d.groupBy("vid", "label").agg(
+        F.min(F.col("dist") * _CC_LABELS + F.col("clabel")).alias("m")
+    )
+    pred = am.select(
+        F.col("label").cast("long").alias("true_label"),
+        (F.col("m") % _CC_LABELS).cast("long").alias("predicted_label"),
+    )
+    cells = pred.groupBy("true_label", "predicted_label").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    rowt = cells.groupBy("true_label").agg(F.sum("n_vecs").alias("n_true"))
+    return (
+        cells.join(F.broadcast(rowt), "true_label")
+        .select(
+            "true_label",
+            "predicted_label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr("(20000 * n_vecs + n_true) div (2 * n_true)")
+            .cast("long")
+            .alias("row_share_bp"),
+        )
+        .orderBy("true_label", "predicted_label")
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                 '\\s+', ' ', 'g'))) AS nmd5,
+             md5(text) AS rmd5
+      FROM documents
+    ),
+    g AS (
+      SELECT nmd5,
+             COUNT(*) AS n_docs,
+             MIN(doc_id) AS keep_doc_id,
+             MAX(doc_id) AS max_doc_id,
+             COUNT(DISTINCT rmd5) AS n_raw_variants
+      FROM norm GROUP BY nmd5 HAVING COUNT(*) >= 2
+    )
+    SELECT keep_doc_id, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_raw_variants AS BIGINT) AS n_raw_variants,
+           max_doc_id
+    FROM g ORDER BY keep_doc_id
+    """,
+    doc="Normalization-aware exact dedup — the 'fuzzy-exact' tier between "
+    "raw-hash dedup and MinHash: documents hash AFTER lowercasing, "
+    "punctuation stripping, and whitespace collapsing, so trivially "
+    "perturbed mirrors (case changes, reflowed whitespace, stripped "
+    "markup punctuation) collapse into one group that raw md5 misses — "
+    "n_raw_variants > 1 on a group is exactly the set this tier catches "
+    "(the standard C4/RefinedWeb normalization step before expensive "
+    "near-dup passes). Map-side normalize+hash projection, one "
+    "hash-keyed aggregate; shuffles carry 32-byte hashes; keep-rule is "
+    "min doc_id, the repo's deterministic keeper convention.",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"[^a-z0-9\s]", ""
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ).alias("nmd5"),
+        F.md5(F.col("text")).alias("rmd5"),
+    )
+    g = (
+        norm.groupBy("nmd5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.countDistinct("rmd5").alias("n_raw_variants"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return g.select(
+        "keep_doc_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_raw_variants").cast("long").alias("n_raw_variants"),
+        "max_doc_id",
+    ).orderBy("keep_doc_id")

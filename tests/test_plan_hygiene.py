@@ -27,6 +27,7 @@ CROSS_JOIN_OK = {
     "sim_ann_recall_eval",  # composes the two broadcast scorers above
     "sim_mips_topk",  # same broadcast-scorer shape, inner-product score
     "sim_radius_search",  # broadcast scorer, threshold instead of top-k
+    "sim_hard_negatives",  # broadcast scorer + map-side label filter
 }
 
 # State-writing queries excluded from the cheap explain pass (they create
@@ -149,6 +150,9 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
         # sza/szb: events_audience_overlap per-type set sizes —
         #     #event-types rows (bounded enumeration)
         "sza", "szb",
+        # centq/rowt: sim_centroid_confusion per-(label,dim) centroid
+        #     frame (10x64 rows) / per-label row totals — bounded
+        "centq", "rowt",
     }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
