@@ -366,92 +366,6 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ts_autocorrelation",
-    """
-    WITH e AS (
-      SELECT CAST(ts AS DATE) AS day,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events
-    ),
-    d AS (SELECT day, SUM(cents) AS tot FROM e GROUP BY day),
-    m AS (SELECT SUM(tot) // COUNT(*) AS fm FROM d),
-    r AS (SELECT day, tot - (SELECT fm FROM m) AS dev FROM d),
-    den AS (SELECT SUM(dev * dev) AS dd FROM r),
-    lags AS (SELECT unnest([1, 2, 3, 7]) AS lag),
-    p AS (
-      SELECT l.lag, SUM(a.dev * b.dev) AS num, COUNT(*) AS n_pairs
-      FROM lags l
-      CROSS JOIN r a
-      JOIN r b ON b.day = a.day + l.lag
-      GROUP BY l.lag
-    )
-    SELECT lag,
-           CAST(n_pairs AS BIGINT) AS n_pairs,
-           CAST(FLOOR(10000.0 * CAST(num AS DOUBLE)
-                      / CAST((SELECT dd FROM den) AS DOUBLE) + 0.5)
-                AS BIGINT) AS acf_bp
-    FROM p ORDER BY lag
-    """,
-    doc="Autocorrelation of the daily-revenue series at lags 1/2/3/7 (the "
-    "weekly-seasonality probe), in basis points: cents are demeaned by "
-    "the FLOOR of the series mean (integer, so both engines agree on the "
-    "residuals bit-for-bit), the lag products come from an equi-join of "
-    "the residual series against itself shifted by day+lag, and "
-    "acf = Σ dev_t·dev_(t+k) / Σ dev² is computed over exact integer "
-    "sums, converted to double only for the final rounded division "
-    "(identical IEEE conversion + division both engines; numerators may "
-    "be negative, FLOOR(x+0.5) is the shared half-up). The daily frame "
-    "is checkpointed once and the two scalars (floor-mean, denominator) "
-    "cross the driver as literals — the k-means-model pattern; the "
-    "corpus scans once, every later frame is #days-bounded.",
-)
-def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    d = (
-        ev.select(F.col("ts").cast("date").alias("day"), cents.alias("c"))
-        .groupBy("day")
-        .agg(F.sum("c").alias("tot"))
-        .localCheckpoint(eager=True)  # #days rows; read 3x below
-    )
-    # Spark `div` truncates, DuckDB `//` floors: identical ONLY because
-    # events.value >= 0 makes sum(tot) non-negative (pinned by the
-    # assert below). A signed series would need the positivity-shift
-    # pattern (see text_rank_correlation's spearman_bp).
-    mrow = d.agg(
-        F.expr("sum(tot) div count(*)").alias("fm")
-    ).first()
-    fm = int(mrow["fm"])
-    assert fm >= 0, "floor-mean relies on non-negative event values"
-    r = d.select("day", (F.col("tot") - F.lit(fm)).alias("dev")).localCheckpoint(
-        eager=True
-    )
-    dd = int(r.agg(F.sum(F.col("dev") * F.col("dev")).alias("dd")).first()["dd"])
-    lags = r.select(
-        "day", "dev", F.explode(F.array(*[F.lit(x) for x in (1, 2, 3, 7)])).alias("lag")
-    )
-    b = r.select(F.col("day").alias("bday"), F.col("dev").alias("bdev"))
-    p = (
-        lags.join(b, F.expr("date_add(day, lag) = bday"))
-        .groupBy("lag")
-        .agg(
-            F.sum(F.col("dev") * F.col("bdev")).alias("num"),
-            F.count(F.lit(1)).alias("n_pairs"),
-        )
-    )
-    return p.select(
-        "lag",
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        F.floor(
-            F.lit(10000.0) * F.col("num").cast("double") / F.lit(float(dd))
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("acf_bp"),
-    ).orderBy("lag")
-
-
-@register(
     "audit_null_profile",
     """
     WITH u AS (

@@ -1275,3 +1275,57 @@ def test_ppr_and_adamic_adar_match_python_reference(spark):
     }
     want_aa = {k: tuple(v) for k, v in _aa_reference(edge_list, cap=5).items()}
     assert got_aa == want_aa
+
+
+def test_poisson_bootstrap_explode_never_reaches_shuffle(spark):
+    """agg_poisson_bootstrap_ci: the 32x replicate explode combines
+    map-side into 32 (replicate, sums) groups — the wire carries at most
+    32 rows per input partition plus the 32-row order-statistics frame,
+    never the exploded fact rows."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    n_exploded = orders.count() * 32
+    out = QUERIES["agg_poisson_bootstrap_ci"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = orders.rdd.getNumPartitions()
+    assert s["shuffle_records"] <= 32 * max(n_parts, 1) + 3 * 32 + 8
+    assert s["shuffle_records"] < n_exploded / 100
+
+
+def test_ks_two_sample_shuffles_value_grid_not_order_rows(spark):
+    """agg_ks_two_sample: after the map-side (nation, cents) pair-count
+    combine, every exchange is bounded by the distinct value grid — the
+    cumulative-CDF window and the final per-nation aggregate never see
+    raw order rows replicated."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    out = QUERIES["agg_ks_two_sample"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    # distinct (nation, cents) rows upper-bound: the 2-segment order subset
+    n_pairs = orders.count()  # grid <= segment order rows (~2/5 of orders)
+    # pair-count agg + window exchange + final agg, each grid-bounded
+    assert s["shuffle_records"] <= 3 * n_pairs + 100
+    assert s["shuffle_bytes"] < n_pairs * 3 * 120
+
+
+def test_changepoint_shuffles_daily_grain_only(spark):
+    """ts_changepoint_rate: the event scan reduces map-side to (type, day)
+    counts; the cumulative window, candidate aggregate, and decode join
+    all run on the #days-per-type-bounded frame."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_daily = events.select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).distinct().count()
+    out = QUERIES["ts_changepoint_rate"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = events.rdd.getNumPartitions()
+    assert s["shuffle_records"] <= n_daily * (max(n_parts, 1) + 4) + 100
+    assert s["shuffle_records"] < n_events / 10
