@@ -2487,3 +2487,399 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- r10 continuation batch 2: Markov stationary state, kNN label eval,
+# bigram LM perplexity, matrix-free power iteration --------------------------
+
+_MKV_ROUNDS = 6
+
+
+def _mkv_round_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    r{i} AS (
+      SELECT t.to_type AS node, SUM((p.p * t.n) // t.n_out) AS p
+      FROM trn t JOIN {prev} p ON p.node = t.from_type
+      GROUP BY 1
+    )"""
+
+
+@register(
+    "events_markov_stationary",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_out FROM tr GROUP BY 1),
+    trn AS (
+      SELECT tr.from_type, tr.to_type, tr.n, tot.n_out
+      FROM tr JOIN tot USING (from_type)
+    ),
+    r0 AS (
+      SELECT from_type AS node,
+             1000000 // (SELECT COUNT(*) FROM tot) AS p
+      FROM tot
+    ),
+    {",".join(_mkv_round_sql(i) for i in range(1, _MKV_ROUNDS + 1))}
+    SELECT node AS event_type, CAST(p AS BIGINT) AS p_micro
+    FROM r{_MKV_ROUNDS} ORDER BY event_type
+    """,
+    doc="Stationary distribution of the per-user event-type Markov chain "
+    "(the long-run share of attention each event type captures), by "
+    f"{_MKV_ROUNDS} unrolled power-iteration rounds in exact integer "
+    "micro-units — the same per-round floor-division recurrence "
+    "discipline as graph_personalized_pagerank, so a DuckDB unrolled-CTE "
+    "oracle matches bit-for-bit (every numerator positive; mass lost to "
+    "flooring is deterministic). The transition model reduces from ONE "
+    "per-user LAG window (the events_markov_transitions construction, "
+    "ts/event_id ordered) into a |types|²-bounded frame that is "
+    "checkpointed once; every round is a join + aggregate over that "
+    "tiny frame, so the only data-scaled exchange at 100 TB is the "
+    "initial per-user window partition.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    trn = tr.join(tot, "from_type").localCheckpoint(eager=True)  # <= |types|^2
+    k = trn.select("from_type").distinct().count()
+    p = trn.select(F.col("from_type").alias("node")).distinct().select(
+        "node", (F.lit(1000000) / F.lit(k)).cast("long").alias("p")
+    )
+    for _ in range(_MKV_ROUNDS):
+        p = (
+            trn.join(p, trn.from_type == p.node)
+            .groupBy(F.col("to_type").alias("nxt"))
+            .agg(F.sum(F.expr("(p * n) div n_out")).alias("p"))
+            .select(F.col("nxt").alias("node"), "p")
+            .localCheckpoint(eager=True)  # |types| rows, keeps lineage flat
+        )
+    return p.select(
+        F.col("node").alias("event_type"), F.col("p").cast("long").alias("p_micro")
+    ).orderBy("event_type")
+
+
+@register(
+    "sim_knn_label_eval",
+    f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+             SUM(CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(q.embedding[i] AS DOUBLE)) AS dp
+      FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             ROUND(dp / (nq.nrm * nm.nrm), 4) AS cosine_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nm ON nm.vec_id = match_id
+    ),
+    topn AS (
+      SELECT query_id, match_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, match_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS v
+      FROM topn t JOIN embeddings e ON e.vec_id = t.match_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id,
+             1023 - MAX(v * 1024 + (1023 - label)) % 1024 AS pred_label
+      FROM votes GROUP BY 1
+    )
+    SELECT q.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((20000 * SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0
+                             END) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS accuracy_bp
+    FROM pred p JOIN q ON q.vec_id = p.query_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Leave-one-out 5-NN label-prediction accuracy per class — the "
+    "embedding-quality eval a retrieval pipeline runs before trusting a "
+    "space for dedup or clustering (labels that 5-NN can't recover mean "
+    "cosine neighborhoods don't respect the class structure; compare "
+    "sim_centroid_confusion's linear baseline). Query set is the "
+    "deterministic vec_id%5 sample (bounded at any corpus size); "
+    "scoring reuses brute_force_topk — broadcast queries, corpus never "
+    "shuffles, per-query WindowGroupLimit top-5 with the established "
+    "ROUND(cos,4)/match-id tiebreak. Majority vote is the encode-decode "
+    "argmax (votes·1024 + (1023−label), labels < 1024) so vote ties "
+    "break to the smallest label identically on both engines; per-class "
+    "accuracy in half-up bp over positive counts.",
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+    top = S.brute_force_topk(emb, queries, k=5).select("query_id", "match_id")
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        top.join(labels, top.match_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        (F.lit(1023) - F.max(F.expr("v * 1024 + (1023 - label)")) % 1024).alias(
+            "pred_label"
+        )
+    )
+    truth = queries.select(F.col("vec_id").alias("qid"), F.col("label").alias("tl"))
+    return (
+        pred.join(truth, pred.query_id == truth.qid)
+        .groupBy(F.col("tl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("pred_label") == F.col("tl"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "(20000 * sum(CASE WHEN pred_label = tl THEN 1 ELSE 0 END)"
+                " + count(*)) div (2 * count(*))"
+            )
+            .cast("long")
+            .alias("accuracy_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "text_bigram_perplexity",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source,
+             toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 4096)) AS i) g
+      WHERE i < len(toks)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM big
+           WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c) AS c FROM c2 GROUP BY 1),
+    voc AS (
+      SELECT COUNT(DISTINCT term) AS v FROM (
+        SELECT unnest(toks) AS term FROM tok WHERE doc_id % 2 = 0
+      )
+    ),
+    scored AS (
+      SELECT b.source,
+             LN((COALESCE(c2.c, 0) + 1.0)
+                / (COALESCE(c1.c, 0) + (SELECT v FROM voc))) AS lp
+      FROM big b
+      LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      LEFT JOIN c1 ON c1.w1 = b.w1
+      WHERE b.doc_id % 2 = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(lp) / COUNT(*), 4) AS ce_nats
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="Held-out bigram-LM cross-entropy per source — the real perplexity "
+    "gate (text_unigram_logprob is the cheap tier): an add-one-smoothed "
+    "bigram model trains on even doc_ids and scores the odd ones, so the "
+    "score is honest generalization, not memorization. ln p(w2|w1) = "
+    "ln((c(w1,w2)+1)/(c(w1·)+V)) with context counts REDUCED FROM the "
+    "bigram frame (one tokenize pass per split; the materialized token "
+    "array keeps element_at O(1) — the CLAUDE.md shingle discipline) and "
+    "the vocabulary size crossing as a driver literal (k-means-model "
+    "pattern). Unseen contexts coalesce to the uniform 1/V floor. "
+    "Shuffles carry bigram/context counts keyed on token pairs, never "
+    "document text; the model table is vocabulary-bounded at any corpus "
+    "size. Docs are capped at 4097 tokens by the oracle's index grid "
+    "(generous for the ~60-token corpus; a longer corpus raises the "
+    "constant).",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    big = toked.where(F.size("toks") >= 2).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "explode(transform(sequence(1, size(toks) - 1),"
+            " i -> struct(element_at(toks, i) AS w1,"
+            " element_at(toks, i + 1) AS w2)))"
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+    train = big.where(F.col("doc_id") % 2 == 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2c").alias("c1c"))
+    vocab = int(
+        toked.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("toks").alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+        .first()["v"]
+    )
+    test = big.where(F.col("doc_id") % 2 == 1)
+    scored = (
+        test.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            "source",
+            F.log(
+                (F.coalesce(F.col("c2c"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1c"), F.lit(0)) + F.lit(vocab))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.sum("lp") / F.count(F.lit(1)), 4).alias("ce_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+_PI_ROUNDS = 3
+_PI_SCALE = 100000  # loading resolution (1e5)
+_PI_QUANT = 10000  # embedding component quantization (1e4)
+
+
+def _pi_round_sql(i: int) -> str:
+    prev = f"v{i - 1}"
+    return f"""
+    y{i} AS (
+      SELECT g.d1 AS d, SUM(g.gv * v.v) AS y
+      FROM gram g JOIN {prev} v ON v.d = g.d2
+      GROUP BY 1
+    ),
+    m{i} AS (SELECT MAX(ABS(y)) AS m FROM y{i}),
+    v{i} AS (
+      SELECT d,
+             (y + (SELECT m FROM m{i}))
+               // ((SELECT m FROM m{i}) // {_PI_SCALE}) - {_PI_SCALE} AS v
+      FROM y{i}
+    )"""
+
+
+@register(
+    "sim_pca_power_iteration",
+    f"""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    eq AS (
+      SELECT e.vec_id, i.i AS d,
+             CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * {_PI_QUANT}
+                        + 0.5) AS BIGINT) AS q
+      FROM embeddings e CROSS JOIN dims i
+    ),
+    gram AS (
+      SELECT a.d AS d1, b.d AS d2, SUM(a.q * b.q) AS gv
+      FROM eq a JOIN eq b ON b.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT i AS d, {_PI_SCALE} AS v FROM dims),
+    {",".join(_pi_round_sql(i) for i in range(1, _PI_ROUNDS + 1))}
+    SELECT d - 1 AS dim, CAST(v AS BIGINT) AS loading_e5
+    FROM v{_PI_ROUNDS} ORDER BY dim
+    """,
+    doc="Top principal direction of the embedding matrix by matrix-free "
+    f"power iteration ({_PI_ROUNDS} rounds) — the embedding-space QA "
+    "primitive behind anisotropy checks and whitening (a space whose "
+    "top direction hoards the mass retrieves badly; compare "
+    "agg_magnitude_histogram). Components quantize ONCE to exact "
+    f"integer 1e-4 units, the 64×64 GRAM MATRIX reduces in a single "
+    "corpus pass (per-row transform² explodes 4096 (d,d',q·q) terms "
+    "that combine map-side — the wire carries ≤ dim² rows per "
+    "partition, never the corpus), and every iteration is a "
+    "dim²-bounded join-aggregate: y = G·v in pure long arithmetic "
+    "(|q|≤6k, |v|≤1.1e5 ⇒ |y| < 64·|G|max·1.1e5, within int64 through "
+    "sf1). Per-round renormalization divides by the driver-collected "
+    "max|y| with the POSITIVITY SHIFT (y+M) div (M div 1e5) − 1e5 — "
+    "y is signed and Spark div truncates where DuckDB // floors, so "
+    "the shift keeps every numerator positive (CLAUDE.md trap). "
+    "Uncentered PCA (top right-singular direction of the raw matrix); "
+    "deterministic all-ones start, sign fixed by the iteration itself.",
+)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
+    gram = (
+        emb.select(
+            F.expr(
+                f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+                f" * {_PI_QUANT} + 0.5) AS BIGINT))"
+            ).alias("qa")
+        )
+        .select(
+            F.expr(
+                "explode(flatten(transform(qa, (x1, i1) ->"
+                " transform(qa, (x2, i2) ->"
+                " struct(i1 + 1 AS d1, i2 + 1 AS d2, x1 * x2 AS p)))))"
+            ).alias("t")
+        )
+        .groupBy(F.col("t.d1").alias("d1"), F.col("t.d2").alias("d2"))
+        .agg(F.sum("t.p").alias("gv"))
+        .localCheckpoint(eager=True)  # dim^2 rows; read every round
+    )
+    vdim = None  # 64-row loading frame, broadcast each round
+    spark_ = gram.sparkSession
+    rows = [(i, _PI_SCALE) for i in range(1, 65)]
+    vdim = spark_.createDataFrame(rows, "d INT, v LONG")
+    for _ in range(_PI_ROUNDS):
+        y = (
+            gram.join(F.broadcast(vdim), vdim.d == gram.d2)
+            .groupBy(F.col("d1").alias("dd"))
+            .agg(F.sum(F.col("gv") * F.col("v")).alias("y"))
+        ).localCheckpoint(eager=True)  # 64 rows
+        m = int(y.agg(F.max(F.abs(F.col("y"))).alias("m")).first()["m"])
+        assert m >= _PI_SCALE, "degenerate embedding matrix"
+        # exact long arithmetic end to end: (y+M) div (M div 1e5) - 1e5 —
+        # a double quotient here would lose ulps above 2^53 and drift
+        # from the oracle's integer //
+        vdim = y.select(
+            F.col("dd").alias("d"),
+            F.expr(f"((y + {m}L) div {m // _PI_SCALE}L) - {_PI_SCALE}")
+            .cast("long")
+            .alias("v"),
+        )
+    return vdim.select(
+        (F.col("d") - 1).cast("long").alias("dim"),
+        F.col("v").cast("long").alias("loading_e5"),
+    ).orderBy("dim")

@@ -28,6 +28,8 @@ CROSS_JOIN_OK = {
     "sim_mips_topk",  # same broadcast-scorer shape, inner-product score
     "sim_radius_search",  # broadcast scorer, threshold instead of top-k
     "sim_hard_negatives",  # broadcast scorer + map-side label filter
+    "sim_knn_label_eval",  # reuses the brute-force broadcast scorer on the
+    # deterministic vec_id%5 query sample (bounded at any corpus size)
 }
 
 # State-writing queries excluded from the cheap explain pass (they create
@@ -136,6 +138,10 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
         # natt/nattop: agg_pareto_share per-nation totals / top-decile
         #              sums (25 rows, nation-derived)
         "lgt", "natt", "nattop",
+        # vdim: sim_pca_power_iteration's 64-row loading frame (one row
+        # per embedding dimension, rebuilt each power-iteration round —
+        # dimension-bounded, never row-scaled)
+        "vdim",
         # r10 additions — group-cardinality-bounded aggregate frames:
         # natm: agg_skewness_kurtosis per-nation (n, mean) pass-1 frame
         # ssb: ts_seasonal_strength per-type between-group sums

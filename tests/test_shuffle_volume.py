@@ -1329,3 +1329,39 @@ def test_changepoint_shuffles_daily_grain_only(spark):
     n_parts = events.rdd.getNumPartitions()
     assert s["shuffle_records"] <= n_daily * (max(n_parts, 1) + 4) + 100
     assert s["shuffle_records"] < n_events / 10
+
+
+def test_pca_gram_reduction_is_dimension_squared_bounded(spark):
+    """sim_pca_power_iteration: the per-row transform² explodes n·4096
+    (d, d', q·q) terms, but the Gram aggregate combines them map-side —
+    the wire carries at most dim² rows per partition plus the 64-row
+    per-round frames, never the exploded corpus terms."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_terms = emb.count() * 64 * 64
+    out = QUERIES["sim_pca_power_iteration"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = 32  # rebalance=True spreads the scan to defaultParallelism
+    assert s["shuffle_records"] <= 64 * 64 * (n_parts + 2) + 12 * 64
+    assert s["shuffle_records"] < n_terms / 10
+
+
+def test_markov_stationary_rounds_are_type_vocabulary_bounded(spark):
+    """events_markov_stationary: one per-user window partition exchange is
+    the only data-scaled shuffle; every power-iteration round moves at
+    most |types|² transition rows + |types| mass rows."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_types = events.select("event_type").distinct().count()
+    out = QUERIES["events_markov_stationary"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = events.rdd.getNumPartitions()
+    # window partition exchange (<= event rows) + transition combine +
+    # 6 rounds of (types^2 join rows + types mass rows)
+    bound = n_events + n_types * n_types * (max(n_parts, 1) + 8) + 10 * n_types
+    assert s["shuffle_records"] <= bound
