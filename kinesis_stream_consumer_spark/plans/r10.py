@@ -2883,3 +2883,246 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") - 1).cast("long").alias("dim"),
         F.col("v").cast("long").alias("loading_e5"),
     ).orderBy("dim")
+
+
+_PG_PERIODS = tuple(range(2, 11))
+_PG_PI = "3.141592653589793"
+
+
+@register(
+    "ts_periodogram",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS tot
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT SUM(tot) // COUNT(*) AS fm FROM d),
+    r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS t,
+             tot - (SELECT fm FROM m) AS dev
+      FROM d
+    ),
+    terms AS (
+      SELECT p.p,
+             SUM(dev * COS(2 * {_PG_PI} * (t % p.p) / p.p)) AS c,
+             SUM(dev * SIN(2 * {_PG_PI} * (t % p.p) / p.p)) AS s
+      FROM r CROSS JOIN (SELECT unnest([{", ".join(map(str, _PG_PERIODS))}])
+                         AS p) p
+      GROUP BY 1
+    ),
+    pw AS (SELECT p, c * c + s * s AS power FROM terms)
+    SELECT CAST(p AS BIGINT) AS period,
+           ROUND(power / SUM(power) OVER (), 4) AS power_share
+    FROM pw ORDER BY period
+    """,
+    doc="Coarse periodogram of the daily-revenue series: spectral power at "
+    "candidate periods 2..10 days as a share of total candidate power — "
+    "the period DISCOVERY probe (ts_seasonal_strength tests the known "
+    "weekly period by ANOVA; the DFT sweep finds unknown ones). The "
+    "series demeans by the integer floor-mean (driver literal, "
+    "non-negative values — the ts_autocorrelation discipline) so the DC "
+    "component can't drown the spectrum; angles form as "
+    "2π·(t mod p)/p with exact-integer t mod p, so both engines "
+    "evaluate cos/sin on bit-identical arguments; the share ROUND(·,4) "
+    "absorbs summation order (entropy-family discipline). One #days-"
+    "bounded frame does everything after the daily reduce: the ×9 "
+    "period explode combines map-side into 9 (cos, sin) pairs.",
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("tot"))
+        .localCheckpoint(eager=True)  # #days rows; read twice
+    )
+    fm = int(d.agg(F.expr("sum(tot) div count(*)").alias("fm")).first()["fm"])
+    assert fm >= 0, "floor-mean relies on non-negative event values"
+    r = d.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        (F.col("tot") - F.lit(fm)).alias("dev"),
+    )
+    terms = (
+        r.select(
+            "t",
+            "dev",
+            F.explode(F.array(*[F.lit(p) for p in _PG_PERIODS])).alias("p"),
+        )
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.col("dev")
+                * F.cos(F.lit(2.0) * F.lit(float(_PG_PI)) * (F.col("t") % F.col("p")) / F.col("p"))
+            ).alias("c"),
+            F.sum(
+                F.col("dev")
+                * F.sin(F.lit(2.0) * F.lit(float(_PG_PI)) * (F.col("t") % F.col("p")) / F.col("p"))
+            ).alias("s"),
+        )
+    )
+    pw = terms.select("p", (F.col("c") * F.col("c") + F.col("s") * F.col("s")).alias("power"))
+    return pw.select(
+        F.col("p").cast("long").alias("period"),
+        F.round(F.col("power") / F.sum("power").over(Window.partitionBy()), 4).alias(
+            "power_share"
+        ),
+    ).orderBy("period")
+
+
+@register(
+    "window_rolling_median",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             MEDIAN(cents) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS med
+      FROM daily
+    )
+    SELECT event_type, CAST(day AS DATE) AS day,
+           CAST(med AS BIGINT) AS med_cents
+    FROM w WHERE rn >= 7
+    ORDER BY event_type, day
+    """,
+    doc="Trailing 7-day rolling MEDIAN of daily revenue per event type — "
+    "the robust smoother a monitoring pipeline overlays on spiky "
+    "series (window_ewma_smoothing follows spikes; the rolling median "
+    "ignores up to 3 outlier days entirely). Only FULL windows emit "
+    "(rn ≥ 7), so every median sees exactly 7 integers — an odd count "
+    "— and both engines' interpolating quantile returns the exact "
+    "middle element, no interpolation ambiguity (cast back to exact "
+    "cents). One (type, day) reduce feeds one per-type ordered window; "
+    "frames are #days-per-type-bounded at any corpus size.",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    w = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("rn"),
+        F.expr("percentile(cents, 0.5)")
+        .over(wo.rowsBetween(-6, 0))
+        .alias("med"),
+    )
+    return (
+        w.where(F.col("rn") >= 7)
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            F.col("med").cast("long").alias("med_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "agg_qq_deciles",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    rk AS (
+      SELECT seg, cents,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM j
+    ),
+    cuts AS (
+      SELECT d.d AS decile, rk.seg, rk.cents
+      FROM rk CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+      WHERE rk.rn = (d.d * rk.n + 9) // 10
+    )
+    SELECT decile,
+           CAST(MAX(CASE WHEN seg = 'BUILDING' THEN cents END) AS BIGINT)
+             AS building_cents,
+           CAST(MAX(CASE WHEN seg = 'MACHINERY' THEN cents END) AS BIGINT)
+             AS machinery_cents,
+           CAST((2 * 10000 * MAX(CASE WHEN seg = 'MACHINERY' THEN cents END)
+                 + MAX(CASE WHEN seg = 'BUILDING' THEN cents END))
+                // (2 * MAX(CASE WHEN seg = 'BUILDING' THEN cents END))
+                - 10000 AS BIGINT) AS gap_bp
+    FROM cuts GROUP BY decile ORDER BY decile
+    """,
+    doc="Quantile-quantile table between the BUILDING and MACHINERY "
+    "segments' order values: the exact ceil(d·n/10)-th order statistic "
+    "of each distribution at deciles 1..9, side by side — WHERE the "
+    "distributions diverge, where agg_ks_two_sample says THAT they do. "
+    "Order statistics are exact integer cents selected by rank "
+    "((d·n+9) div 10, positive integers both engines; duplicate values "
+    "share ranks harmlessly since the value at a rank is tie-invariant); "
+    "the gap is a ratio in signed bp via the POSITIVITY-SHIFT form "
+    "(2·10⁴·m + b) div (2·b) − 10⁴ — a direct difference numerator "
+    "goes negative where machinery runs cheaper and Spark's truncating "
+    "div would disagree with DuckDB's flooring //. The per-segment "
+    "ranking window is the honest order-statistic cost (pre-aggregate "
+    "the cents grid to bound it at scale, as agg_ks_two_sample does).",
+)
+def agg_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = o.join(_bcast_if_small(c, sf_dir, "customer"), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ws = Window.partitionBy("seg")
+    rk = j.select(
+        "seg",
+        "cents",
+        F.row_number().over(ws.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    cuts = rk.select(
+        "seg",
+        "cents",
+        "rn",
+        "n",
+        F.explode(F.array(*[F.lit(i) for i in range(1, 10)])).alias("decile"),
+    ).where(F.expr("rn = (decile * n + 9) div 10"))
+    return (
+        cuts.groupBy("decile")
+        .agg(
+            F.max(F.when(F.col("seg") == "BUILDING", F.col("cents")))
+            .cast("long")
+            .alias("building_cents"),
+            F.max(F.when(F.col("seg") == "MACHINERY", F.col("cents")))
+            .cast("long")
+            .alias("machinery_cents"),
+            F.expr(
+                "(2 * 10000 * max(CASE WHEN seg = 'MACHINERY' THEN cents END)"
+                " + max(CASE WHEN seg = 'BUILDING' THEN cents END))"
+                " div (2 * max(CASE WHEN seg = 'BUILDING' THEN cents END))"
+                " - 10000"
+            )
+            .cast("long")
+            .alias("gap_bp"),
+        )
+        .orderBy("decile")
+    )
