@@ -2275,7 +2275,10 @@ def audit_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
 
-    o = _t(spark, sf_dir, "orders")
+    # rebalance: 32 md5 hashes per order fuse onto the scan with NO
+    # exchange before the 32-group combine — the single-row-group local
+    # files would pin all that CPU to one task (the CLAUDE.md criterion)
+    o = _t(spark, sf_dir, "orders", rebalance=True)
     base = o.select(
         F.col("o_orderkey").cast("string").alias("k"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
