@@ -210,3 +210,110 @@ def test_pca_power_iteration_matches_python_reference(spark):
         for r in QUERIES["sim_pca_power_iteration"].fn(spark, SF).collect()
     }
     assert got == {i: v[i] for i in range(dim)}
+
+
+def test_rolling_median_matches_python_reference(spark):
+    ev = _tbl("events")
+    daily: Counter = Counter()
+    for ts, et, v in zip(ev["ts"], ev["event_type"], ev["value"]):
+        daily[(et, ts.date())] += math.floor(v * 100 + 0.5)
+    by_type: dict = defaultdict(list)
+    for (et, day), c in sorted(daily.items()):
+        by_type[et].append((day, c))
+    want = {}
+    for et, rows in by_type.items():
+        for i in range(6, len(rows)):
+            window = sorted(c for _, c in rows[i - 6 : i + 1])
+            want[(et, rows[i][0])] = window[3]  # odd count: exact middle
+    got = {
+        (r["event_type"], r["day"]): r["med_cents"]
+        for r in QUERIES["window_rolling_median"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_qq_deciles_matches_python_reference(spark):
+    cust = _tbl("customer")
+    seg_of = {
+        ck: s
+        for ck, s in zip(cust["c_custkey"], cust["c_mktsegment"])
+        if s in ("BUILDING", "MACHINERY")
+    }
+    o = _tbl("orders")
+    series: dict = defaultdict(list)
+    for ck, v in zip(o["o_custkey"], o["o_totalprice"]):
+        if ck in seg_of:
+            series[seg_of[ck]].append(math.floor(v * 100 + 0.5))
+    for s in series:
+        series[s].sort()
+    want = {}
+    for d in range(1, 10):
+        b = series["BUILDING"][(d * len(series["BUILDING"]) + 9) // 10 - 1]
+        m = series["MACHINERY"][(d * len(series["MACHINERY"]) + 9) // 10 - 1]
+        want[d] = (b, m, (2 * 10000 * m + b) // (2 * b) - 10000)
+    got = {
+        r["decile"]: (r["building_cents"], r["machinery_cents"], r["gap_bp"])
+        for r in QUERIES["agg_qq_deciles"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_functional_dependency_matches_python_reference(spark):
+    tables = {"customer": _tbl("customer"), "lineitem": _tbl("lineitem"),
+              "orders": _tbl("orders")}
+    cands = (
+        ("c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+        ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+        ("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+        ("o_custkey->o_orderpriority", "orders", "o_custkey",
+         "o_orderpriority"),
+    )
+    want = {}
+    for name, table, det, dep in cands:
+        t = tables[table]
+        groups: dict = defaultdict(lambda: (set(), 0))
+        for k, v in zip(t[det], t[dep]):
+            s, c = groups[k]
+            s.add(v)
+            groups[k] = (s, c + 1)
+        n_groups = len(groups)
+        vg = sum(1 for s, _ in groups.values() if len(s) > 1)
+        vr = sum(c for s, c in groups.values() if len(s) > 1)
+        tot = sum(c for _, c in groups.values())
+        want[name] = (n_groups, vg, vr, (20000 * vr + tot) // (2 * tot))
+    got = {
+        r["fd"]: (
+            r["n_groups"],
+            r["n_violating_groups"],
+            r["n_violating_rows"],
+            r["violation_bp"],
+        )
+        for r in QUERIES["audit_functional_dependency"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_relational_division_matches_python_reference(spark):
+    o = _tbl("orders")
+    cust = _tbl("customer")
+    nat = _tbl("nation")
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nation_of = {
+        ck: nname[nk]
+        for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    prios: dict = defaultdict(set)
+    for ck, pr in zip(o["o_custkey"], o["o_orderpriority"]):
+        prios[ck].add(pr)
+    all_p = set(pr for pr in o["o_orderpriority"])
+    want: dict = {}
+    for ck, ps in prios.items():
+        if ps == all_p:
+            nation = nation_of[ck]
+            n, mn = want.get(nation, (0, None))
+            want[nation] = (n + 1, ck if mn is None else min(mn, ck))
+    got = {
+        r["nation"]: (r["n_covering_customers"], r["min_custkey"])
+        for r in QUERIES["join_relational_division"].fn(spark, SF).collect()
+    }
+    assert got == want
