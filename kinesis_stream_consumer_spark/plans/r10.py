@@ -2266,11 +2266,14 @@ def audit_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines via md5_number_upper>>8 ≡ md5_u56_le. Per-replicate means "
     "are exact half-up integer cents over positive sums; the interval "
     "is ORDER STATISTICS over the 32 replicate means (2nd/31st ≈ 94% "
-    "coverage, median as the exact 500·(m16+m17) milli-cents). The "
-    "explode-by-32 never reaches a shuffle: the per-replicate aggregate "
-    "combines map-side into 32 groups, so 32 rows per partition cross "
-    "the wire; the point estimate crosses as driver literals "
-    "(k-means-model pattern — a one-row cross join would plan as BNLJ).",
+    "coverage, median as the exact 500·(m16+m17) milli-cents). The slim "
+    "(key, cents) projection rebalances across cores once (32 md5s per "
+    "row would otherwise pin to the single-row-group scan task); the "
+    "explode-by-32 itself never reaches a shuffle — per-replicate "
+    "aggregates combine map-side into 32 groups, so only 32 rows per "
+    "partition follow the rebalance over the wire (gate-asserted); the "
+    "point estimate crosses as driver literals (k-means-model pattern — "
+    "a one-row cross join would plan as BNLJ).",
 )
 def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
@@ -2861,10 +2864,9 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("t.p").alias("gv"))
         .localCheckpoint(eager=True)  # dim^2 rows; read every round
     )
-    vdim = None  # 64-row loading frame, broadcast each round
-    spark_ = gram.sparkSession
+    # 64-row loading frame, broadcast to every round's join
     rows = [(i, _PI_SCALE) for i in range(1, 65)]
-    vdim = spark_.createDataFrame(rows, "d INT, v LONG")
+    vdim = gram.sparkSession.createDataFrame(rows, "d INT, v LONG")
     for _ in range(_PI_ROUNDS):
         y = (
             gram.join(F.broadcast(vdim), vdim.d == gram.d2)
