@@ -2012,6 +2012,11 @@ def ts_changepoint_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wa).alias("s"),
         F.sum(F.col("c") * F.col("c")).over(wa).alias("q"),
     ).localCheckpoint(eager=True)  # #(type, day) rows; read 2x below
+    # encode-decode capacity: (1023 - i) must stay non-negative or the
+    # argmax decodes the wrong split silently (scale claims are asserted,
+    # not narrated); one cheap agg on the checkpointed #days frame
+    max_days = int(cum.agg(F.max("n").alias("mx")).first()["mx"] or 0)
+    assert max_days < 1024, "changepoint encode supports < 1024 days/type"
     cand = cum.where(F.col("i") < F.col("n")).select(
         "event_type",
         "day",
@@ -2553,10 +2558,8 @@ def _mkv_round_sql(i: int) -> str:
     "initial per-user window partition.",
 )
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
     )
@@ -2910,8 +2913,10 @@ _PG_PI = "3.141592653589793"
     ),
     terms AS (
       SELECT p.p,
-             SUM(dev * COS(2 * {_PG_PI} * (t % p.p) / p.p)) AS c,
-             SUM(dev * SIN(2 * {_PG_PI} * (t % p.p) / p.p)) AS s
+             SUM(dev * COS(2 * CAST({_PG_PI} AS DOUBLE)
+                           * (t % p.p) / p.p)) AS c,
+             SUM(dev * SIN(2 * CAST({_PG_PI} AS DOUBLE)
+                           * (t % p.p) / p.p)) AS s
       FROM r CROSS JOIN (SELECT unnest([{", ".join(map(str, _PG_PERIODS))}])
                          AS p) p
       GROUP BY 1
@@ -2929,7 +2934,11 @@ _PG_PI = "3.141592653589793"
     "non-negative values — the ts_autocorrelation discipline) so the DC "
     "component can't drown the spectrum; angles form as "
     "2π·(t mod p)/p with exact-integer t mod p, so both engines "
-    "evaluate cos/sin on bit-identical arguments; the share ROUND(·,4) "
+    "evaluate cos/sin on bit-identical arguments — the pi literal is "
+    "CAST AS DOUBLE in the oracle because DuckDB parses bare decimal "
+    "literals as DECIMAL and carries exact arithmetic into the "
+    "division, drifting ulps from Spark's double path (the CLAUDE.md "
+    "float-literal rule); the share ROUND(·,4) "
     "absorbs summation order (entropy-family discipline). One #days-"
     "bounded frame does everything after the daily reduce: the ×9 "
     "period explode combines map-side into 9 (cos, sin) pairs.",

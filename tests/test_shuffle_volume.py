@@ -1290,7 +1290,8 @@ def test_poisson_bootstrap_explode_never_reaches_shuffle(spark):
     out = QUERIES["agg_poisson_bootstrap_ci"].fn(spark, SF_CORRECT)
     out.collect()
     s = shuffle_stats(out)
-    n_parts = 32  # rebalance=True spreads the md5-heavy scan across cores
+    # rebalance=True spreads the md5-heavy scan to defaultParallelism
+    n_parts = spark.sparkContext.defaultParallelism
     # one rebalance exchange of slim (key, cents) rows + the 32-group
     # combine + the 32-row order-statistics frame — the 32x explode
     # itself NEVER crosses the wire
@@ -1347,7 +1348,8 @@ def test_pca_gram_reduction_is_dimension_squared_bounded(spark):
     out = QUERIES["sim_pca_power_iteration"].fn(spark, SF_CORRECT)
     out.collect()
     s = shuffle_stats(out)
-    n_parts = 32  # rebalance=True spreads the scan to defaultParallelism
+    # rebalance=True spreads the scan to defaultParallelism
+    n_parts = spark.sparkContext.defaultParallelism
     assert s["shuffle_records"] <= 64 * 64 * (n_parts + 2) + 12 * 64
     assert s["shuffle_records"] < n_terms / 10
 
