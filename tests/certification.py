@@ -75,10 +75,40 @@ def stale_out_of_window() -> list[str]:
     return bad
 
 
-def update() -> None:
+def _dirty_tracked_sources() -> list[str]:
+    """Tracked, modified files under the source trees the hashes derive
+    from. update() stamps CURRENT hashes, so running it over an edited
+    tree would launder uncertified bodies as certified — the exact
+    scenario the ledger exists to prevent. The fold must be the FIRST
+    action of a round, on a clean checkout of the driver-checked code."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "status", "--porcelain", "--untracked-files=no", "--",
+         "kinesis_stream_consumer_spark", "tests", "__spark_entry__.py"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if out.returncode != 0:  # not a git checkout: nothing to guard
+        return []
+    return [line for line in out.stdout.splitlines() if line.strip()]
+
+
+def update(force: bool = False) -> None:
     """Fold the latest green driver rows into the manifest. A query gets
     (round, current-hash) when its latest driver row is green; rows from
-    older rounds are kept only while the hash still matches."""
+    older rounds are kept only while the hash still matches.
+
+    Refuses to run over a dirty source tree unless ``force`` — see
+    ``_dirty_tracked_sources``."""
+    if not force:
+        dirty = _dirty_tracked_sources()
+        if dirty:
+            raise SystemExit(
+                "certification.py update: tracked source files are modified;"
+                " the fold must run BEFORE any edits (current hashes would be"
+                " laundered as driver-certified). Commit/stash first, or pass"
+                " --i-know-what-im-doing.\n  " + "\n  ".join(dirty)
+            )
     manifest = load_manifest()
     hashes = current_hashes()
     rounds = sorted(
@@ -112,7 +142,7 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "update":
-        update()
+        update(force="--i-know-what-im-doing" in sys.argv[2:])
     else:
         bad = stale_out_of_window()
         order = registration_order()

@@ -53,6 +53,33 @@ def test_hashes_are_stable_across_import():
     assert h1 == h2
 
 
+def test_update_refuses_dirty_source_tree(tmp_path, monkeypatch):
+    """certification.py update must refuse to stamp hashes over an edited
+    tree (VERDICT r10 #1): update() records CURRENT hashes as certified,
+    so a post-edit fold would launder uncertified bodies. The guard keys
+    on `git status --porcelain` of the source trees the hashes derive
+    from; `--i-know-what-im-doing` (force=True) bypasses it."""
+    import pytest
+
+    from tests import certification
+
+    monkeypatch.setattr(
+        certification, "_dirty_tracked_sources", lambda: [" M plans/x.py"]
+    )
+    with pytest.raises(SystemExit, match="laundered"):
+        certification.update()
+
+    # force path skips the guard entirely and writes a manifest
+    monkeypatch.setattr(
+        certification,
+        "_dirty_tracked_sources",
+        lambda: (_ for _ in ()).throw(AssertionError("guard ran under force")),
+    )
+    monkeypatch.setattr(certification, "MANIFEST", tmp_path / "manifest.json")
+    certification.update(force=True)
+    assert (tmp_path / "manifest.json").exists()
+
+
 def test_duplicate_registration_is_hard_error():
     """register() must refuse a name collision (VERDICT r9 #2).
 
