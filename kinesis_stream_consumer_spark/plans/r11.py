@@ -14,7 +14,356 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_stream_consumer_spark.operators import similarity as S
 from kinesis_stream_consumer_spark.plans.queries import (
     _t,
     register,
 )
+
+# --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
+# driver window because their bodies changed (capacity asserts + exact
+# integer seed). Original docstring citations retained. ----------------------
+
+_MKV_ROUNDS = 6
+
+
+def _mkv_round_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    r{i} AS (
+      SELECT t.to_type AS node, SUM((p.p * t.n) // t.n_out) AS p
+      FROM trn t JOIN {prev} p ON p.node = t.from_type
+      GROUP BY 1
+    )"""
+
+
+@register(
+    "ts_changepoint_rate",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS si,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(c) OVER (PARTITION BY event_type) AS s,
+             SUM(c * c) OVER (PARTITION BY event_type) AS q
+      FROM e
+    ),
+    cand AS (
+      SELECT event_type, day, i, si, n, s, q,
+             n*(n-i)*si*si + n*i*(s-si)*(s-si) - i*(n-i)*s*s AS obj
+      FROM w WHERE i < n
+    ),
+    best AS (
+      SELECT event_type, MAX(obj * 1024 + (1023 - i)) AS enc
+      FROM cand GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(c.n AS BIGINT) AS n_days,
+           CAST(c.day AS DATE) AS split_day,
+           CAST(c.i AS BIGINT) AS left_days,
+           CAST((2000 * c.si + c.i) // (2 * c.i) AS BIGINT)
+             AS left_rate_milli,
+           CAST((2000 * (c.s - c.si) + (c.n - c.i)) // (2 * (c.n - c.i))
+                AS BIGINT) AS right_rate_milli,
+           CAST((20000 * c.obj + c.i*(c.n-c.i)*(c.n*c.q - c.s*c.s))
+                // (2 * (c.i*(c.n-c.i)*(c.n*c.q - c.s*c.s))) AS BIGINT)
+             AS gain_bp
+    FROM best b
+    JOIN cand c ON c.event_type = b.event_type
+               AND c.i = 1023 - b.enc % 1024
+    WHERE c.i*(c.n-c.i)*(c.n*c.q - c.s*c.s) > 0
+    ORDER BY c.event_type
+    """,
+    doc="Exact single change-point per event type over the daily event-rate "
+    "series (binary segmentation, first split): the day that maximizes "
+    "the between-segment SSE reduction, found in ONE pass over per-type "
+    "daily counts. The objective is cross-multiplied to the EXACT "
+    "integer n·i·(n−i)·reduction = n(n−i)Si² + ni(S−Si)² − i(n−i)S² "
+    "(non-negative by Cauchy-Schwarz), so no engine ever compares "
+    "doubles; the argmax-with-smallest-day tiebreak is the "
+    "encode-decode long aggregate from CLAUDE.md (obj·1024 + (1023−i), "
+    "#days per type < 1024). Both the day-capacity bound AND the int64 "
+    "capacity of every cross-multiplied intermediate (obj ≤ 2·n²·S², its "
+    "1024× encode, the 20000×-scaled gain numerator and its i(n−i)(nQ−S²) "
+    "denominator) are ASSERTED from the same cheap agg on the "
+    "checkpointed cumulative frame — beyond them Spark would wrap longs "
+    "silently while DuckDB widens to HUGEINT (ADVICE r10; switch to the "
+    "double objective past ~3e6 events/type·1024 days). gain_bp is the "
+    "reduction as a share of n·SST = i(n−i)(nQ − S²), all factors "
+    "positive so truncating and flooring half-up division agree. "
+    "Shuffles carry (type, day) counts only — never event rows; windows "
+    "are bounded by days-per-type; the #days-bounded cumulative frame is "
+    "checkpointed once and read by the candidate scan and the decode "
+    "join.",
+)
+def ts_changepoint_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("i"),
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("si"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+        F.sum("c").over(wa).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(wa).alias("q"),
+    ).localCheckpoint(eager=True)  # #(type, day) rows; read 2x below
+    # Capacity asserts (scale claims are asserted, not narrated): ONE cheap
+    # agg on the checkpointed #days frame guards (a) the encode slot —
+    # (1023 - i) must stay non-negative — and (b) int64 for every
+    # cross-multiplied intermediate, since Spark wraps silently past 2^63
+    # while DuckDB widens to HUGEINT (ADVICE r10). obj <= 2·n²·s² (sum of
+    # its two non-negative terms); the decode denominator
+    # i(n−i)(nq − s²) <= (n²/4)·n·q.
+    caps = cum.agg(
+        F.max("n").alias("mx_n"), F.max("s").alias("mx_s"), F.max("q").alias("mx_q")
+    ).first()
+    max_days = int(caps["mx_n"] or 0)
+    mx_s, mx_q = int(caps["mx_s"] or 0), int(caps["mx_q"] or 0)
+    obj_bound = 2 * max_days * max_days * mx_s * mx_s
+    denom_bound = max_days * max_days * max_days * mx_q // 4
+    assert max_days < 1024, "changepoint encode supports < 1024 days/type"
+    assert obj_bound * 1024 + 1023 < 2**63, (
+        "changepoint encode exceeds int64 — rerun with the double objective"
+    )
+    assert 20000 * obj_bound + denom_bound < 2**63, (
+        "changepoint gain_bp numerator exceeds int64 — rerun with the "
+        "double objective"
+    )
+    cand = cum.where(F.col("i") < F.col("n")).select(
+        "event_type",
+        "day",
+        "i",
+        "si",
+        "n",
+        "s",
+        "q",
+        F.expr("n*(n-i)*si*si + n*i*(s-si)*(s-si) - i*(n-i)*s*s").alias("obj"),
+    )
+    best = cand.groupBy("event_type").agg(
+        F.max(F.expr("obj * 1024 + (1023 - i)")).alias("enc")
+    )
+    j = best.alias("b").join(
+        cand.alias("c"),
+        (F.col("c.event_type") == F.col("b.event_type"))
+        & (F.col("c.i") == F.lit(1023) - F.col("b.enc") % F.lit(1024)),
+    )
+    d_expr = "c.i*(c.n-c.i)*(c.n*c.q - c.s*c.s)"
+    return (
+        j.where(F.expr(f"{d_expr} > 0"))
+        .select(
+            F.col("c.event_type").alias("event_type"),
+            F.col("c.n").cast("long").alias("n_days"),
+            F.col("c.day").cast("date").alias("split_day"),
+            F.col("c.i").cast("long").alias("left_days"),
+            F.expr("(2000 * c.si + c.i) div (2 * c.i)")
+            .cast("long")
+            .alias("left_rate_milli"),
+            F.expr("(2000 * (c.s - c.si) + (c.n - c.i)) div (2 * (c.n - c.i))")
+            .cast("long")
+            .alias("right_rate_milli"),
+            F.expr(f"(20000 * c.obj + {d_expr}) div (2 * ({d_expr}))")
+            .cast("long")
+            .alias("gain_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_markov_stationary",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_out FROM tr GROUP BY 1),
+    trn AS (
+      SELECT tr.from_type, tr.to_type, tr.n, tot.n_out
+      FROM tr JOIN tot USING (from_type)
+    ),
+    r0 AS (
+      SELECT from_type AS node,
+             1000000 // (SELECT COUNT(*) FROM tot) AS p
+      FROM tot
+    ),
+    {",".join(_mkv_round_sql(i) for i in range(1, _MKV_ROUNDS + 1))}
+    SELECT node AS event_type, CAST(p AS BIGINT) AS p_micro
+    FROM r{_MKV_ROUNDS} ORDER BY event_type
+    """,
+    doc="Stationary distribution of the per-user event-type Markov chain "
+    "(the long-run share of attention each event type captures), by "
+    f"{_MKV_ROUNDS} unrolled power-iteration rounds in exact integer "
+    "micro-units — the same per-round floor-division recurrence "
+    "discipline as graph_personalized_pagerank, so a DuckDB unrolled-CTE "
+    "oracle matches bit-for-bit (every numerator positive; mass lost to "
+    "flooring is deterministic; the seed is 1000000 // k computed in "
+    "Python and embedded as a literal, integer division by construction "
+    "on BOTH sides — ADVICE r10 closed the truncated-double-quotient "
+    "seed). The transition model reduces from ONE per-user LAG window "
+    "(the events_markov_transitions construction, ts/event_id ordered) "
+    "into a |types|²-bounded frame that is checkpointed once; every "
+    "round is a join + aggregate over that tiny frame, so the only "
+    "data-scaled exchange at 100 TB is the initial per-user window "
+    "partition.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    trn = tr.join(tot, "from_type").localCheckpoint(eager=True)  # <= |types|^2
+    k = trn.select("from_type").distinct().count()
+    p = trn.select(F.col("from_type").alias("node")).distinct().select(
+        "node", F.lit(1000000 // k).cast("long").alias("p")
+    )
+    for _ in range(_MKV_ROUNDS):
+        p = (
+            trn.join(p, trn.from_type == p.node)
+            .groupBy(F.col("to_type").alias("nxt"))
+            .agg(F.sum(F.expr("(p * n) div n_out")).alias("p"))
+            .select(F.col("nxt").alias("node"), "p")
+            .localCheckpoint(eager=True)  # |types| rows, keeps lineage flat
+        )
+    return p.select(
+        F.col("node").alias("event_type"), F.col("p").cast("long").alias("p_micro")
+    ).orderBy("event_type")
+
+
+@register(
+    "sim_knn_label_eval",
+    f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS match_id,
+             SUM(CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(q.embedding[i] AS DOUBLE)) AS dp
+      FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             ROUND(dp / (nq.nrm * nm.nrm), 4) AS cosine_sim
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nm ON nm.vec_id = match_id
+    ),
+    topn AS (
+      SELECT query_id, match_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, match_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS v
+      FROM topn t JOIN embeddings e ON e.vec_id = t.match_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id,
+             1023 - MAX(v * 1024 + (1023 - label)) % 1024 AS pred_label
+      FROM votes GROUP BY 1
+    )
+    SELECT q.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((20000 * SUM(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0
+                             END) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS accuracy_bp
+    FROM pred p JOIN q ON q.vec_id = p.query_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Leave-one-out 5-NN label-prediction accuracy per class — the "
+    "embedding-quality eval a retrieval pipeline runs before trusting a "
+    "space for dedup or clustering (labels that 5-NN can't recover mean "
+    "cosine neighborhoods don't respect the class structure; compare "
+    "sim_centroid_confusion's linear baseline). Query set is the "
+    "deterministic vec_id%5 sample (bounded at any corpus size); "
+    "scoring reuses brute_force_topk — broadcast queries, corpus never "
+    "shuffles, per-query WindowGroupLimit top-5 with the established "
+    "ROUND(cos,4)/match-id tiebreak. Majority vote is the encode-decode "
+    "argmax (votes·1024 + (1023−label)); the label ∈ [0, 1024) capacity "
+    "that decode correctness rests on is ASSERTED via one slim "
+    "column-pruned agg on the labels frame (ADVICE r10 — an out-of-range "
+    "label would decode the wrong prediction identically on both "
+    "engines, invisible to the oracle), so vote ties break to the "
+    "smallest label identically on both engines; per-class accuracy in "
+    "half-up bp over positive counts.",
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings", rebalance=True)
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+    top = S.brute_force_topk(emb, queries, k=5).select("query_id", "match_id")
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # Encode capacity (asserted, not narrated — mirrors the changepoint
+    # guard): labels outside [0, 1024) would silently decode a wrong
+    # pred_label on BOTH engines. One slim 2-column scan.
+    lab = labels.agg(F.min("label").alias("lo"), F.max("label").alias("hi")).first()
+    assert lab["lo"] is None or (0 <= int(lab["lo"]) and int(lab["hi"]) < 1024), (
+        "knn vote encode supports labels in [0, 1024)"
+    )
+    votes = (
+        top.join(labels, top.match_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        (F.lit(1023) - F.max(F.expr("v * 1024 + (1023 - label)")) % 1024).alias(
+            "pred_label"
+        )
+    )
+    truth = queries.select(F.col("vec_id").alias("qid"), F.col("label").alias("tl"))
+    return (
+        pred.join(truth, pred.query_id == truth.qid)
+        .groupBy(F.col("tl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("pred_label") == F.col("tl"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "(20000 * sum(CASE WHEN pred_label = tl THEN 1 ELSE 0 END)"
+                " + count(*)) div (2 * count(*))"
+            )
+            .cast("long")
+            .alias("accuracy_bp"),
+        )
+        .orderBy("label")
+    )
