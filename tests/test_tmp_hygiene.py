@@ -1,0 +1,47 @@
+"""Session temp hygiene (VERDICT r10 #3): all ksc-* scratch layouts root
+under one per-process dir that an atexit handler removes, so pytest/bench
+sessions leave /tmp as they found them."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import kinesis_stream_consumer_spark as pkg
+
+
+def test_mkdtemp_lands_under_session_root():
+    d = tempfile.mkdtemp(prefix="ksc-hygiene-")
+    assert os.path.dirname(d) == pkg._KSC_TMP_ROOT
+    assert os.path.basename(pkg._KSC_TMP_ROOT).startswith("ksc-session-")
+
+
+def test_root_is_lazy_no_litter_from_import_only():
+    """Spark workers import the package but never mkdtemp; they must not
+    create a session root (they're hard-killed, atexit never runs)."""
+    code = "import kinesis_stream_consumer_spark as pkg; print(pkg._KSC_TMP_ROOT)"
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "None"
+
+
+def test_session_root_removed_at_interpreter_exit():
+    """A fresh interpreter that imports the package and creates scratch
+    dirs must remove its whole session root on clean exit."""
+    code = (
+        "import tempfile, kinesis_stream_consumer_spark as pkg;"
+        "tempfile.mkdtemp(prefix='ksc-x-');"
+        "print(pkg._KSC_TMP_ROOT)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr
+    root = out.stdout.strip().splitlines()[-1]
+    assert root and not os.path.exists(root)
