@@ -30,6 +30,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # R{N}_SET and emit `value_r{N}_subset` forever after — BENCH_rM vs
 # BENCH_rM-1 is then a mechanical same-set comparison.
 #
+# HEADLINE CAP (VERDICT r10 #4): the headline is FROZEN at the 29 entries
+# below. New rounds do not append; a new marquee entry may only ROTATE IN by
+# replacing a cheap certified entry (keeping the count at 29), and the
+# replaced entry's membership stays frozen in the R{N}_SET it belongs to so
+# the cross-round subset chain never breaks. The ever-growing-total failure
+# mode this closes: `value` summing 25 -> 27 -> 29 -> ... entries reads as a
+# regression while actually measuring more work.
+#
 # Representative spread: scan-agg, broadcast join, window, stream parity,
 # dedup (hash + LSH), text, similarity.
 HEADLINE = [
@@ -213,6 +221,32 @@ def measure(loadavg: float, load_contaminated: bool) -> dict:
     eng.process_batch(recs, 1)
     engine_sec = round(time.perf_counter() - t0, 3)
 
+    # Drift-immune engine number (VERDICT r10 #2): end-to-end msg/s swings
+    # ±40% with host drift, so round-over-round engine claims adjudicate on
+    # the steady-batch MARKS median — recorded here in the official
+    # artifact next to msg/s. Reuses the warmed session/workers; its own
+    # engine + state dir; first 2 batches are warm-ups per the instrument.
+    from tests.bench_engine_marks import BATCH_SIZE as MARKS_BATCH_SIZE
+    from tests.bench_engine_marks import N_BATCHES as MARKS_BATCHES
+    from tests.bench_engine_marks import run_marks
+
+    n_ev_avail = (
+        _t(spark, SF_DIR, "events")
+        .where(F.col("event_id") < MARKS_BATCHES * MARKS_BATCH_SIZE)
+        .count()
+    )
+    if n_ev_avail >= 3 * MARKS_BATCH_SIZE:  # >= 2 warm + 1 steady batch
+        engine_marks = run_marks(
+            spark,
+            SF_DIR,
+            n_batches=min(MARKS_BATCHES, n_ev_avail // MARKS_BATCH_SIZE),
+        )
+    else:
+        engine_marks = {
+            "skipped": f"only {n_ev_avail} events at this sf; need "
+            f"{3 * MARKS_BATCH_SIZE} for a steady batch"
+        }
+
     # sustained STREAMING throughput: the same lifecycle attached via
     # writeStream.foreachBatch, 4 micro-batches of 5k messages each
     # (availableNow) through a fresh checkpoint — measures the steady
@@ -317,6 +351,10 @@ def measure(loadavg: float, load_contaminated: bool) -> dict:
         "curation_contamination_embedding", "agg_kmv_set_ops",
         "dedup_setsim_prefix", "graph_triangle_counts",
     }
+    # frozen r10 headline membership (29 entries) — the r10↔r11 comparator.
+    # Equal to the full capped HEADLINE while no entry has rotated out; the
+    # explicit frozen copy keeps the comparison mechanical once one does.
+    R10_SET = R9_SET | {"graph_personalized_pagerank", "text_jsd_source_divergence"}
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -337,6 +375,9 @@ def measure(loadavg: float, load_contaminated: bool) -> dict:
         "value_r9_subset": round(
             sum(v for k, v in timings.items() if k in R9_SET), 3
         ),
+        "value_r10_subset": round(
+            sum(v for k, v in timings.items() if k in R10_SET), 3
+        ),
         "queries": timings,
         "index_timing": index_timing,
         "model_build_marks": model_build_marks,
@@ -348,6 +389,7 @@ def measure(loadavg: float, load_contaminated: bool) -> dict:
             "sec": engine_sec,
             "msgs_per_sec": round(n_msgs / engine_sec, 1),
         },
+        "engine_marks": engine_marks,
         "streaming": {
             "messages": n_msgs,
             "micro_batches": 4,
@@ -472,12 +514,16 @@ def main() -> None:
         k: out[k]
         for k in (
             "metric", "value", "unit", "value_r7_subset", "value_r8_subset",
-            "value_r9_subset", "queries", "sf", "loadavg",
+            "value_r9_subset", "value_r10_subset", "queries", "sf", "loadavg",
             "load_contaminated",
         )
     }
     compact["engine_msgs_per_sec"] = out["engine"]["msgs_per_sec"]
     compact["streaming_msgs_per_sec"] = out["streaming"]["msgs_per_sec"]
+    marks = out.get("engine_marks", {})
+    if "steady_median" in marks:
+        compact["engine_marks_median"] = marks["steady_median"]
+        compact["engine_marks_range"] = marks["steady_range"]
     compact["attempts"] = out.get("attempts", 1)
     ab_out = out.get("engine_ab")
     if isinstance(ab_out, dict):

@@ -36,22 +36,24 @@ BATCH_SIZE = int(os.environ.get("SPARK_GRAFT_MARKS_BATCH_SIZE", "5000"))
 WARM_BATCHES = 2  # first = cold workers + codegen, second = first revive
 
 
-def main() -> None:
-    from bench import wait_for_quiet_box
-
-    loadavg_pre, load_contaminated = wait_for_quiet_box()
-
+def run_marks(
+    spark,
+    sf_dir: str = SF_DIR,
+    n_batches: int = N_BATCHES,
+    batch_size: int = BATCH_SIZE,
+) -> dict:
+    """Drive N distinct steady batches through one engine on an existing
+    session and return the marks record (no quiet-box gate, no
+    spark.stop — the caller owns session lifecycle). Also callable from
+    bench.py so the official per-round record carries the drift-immune
+    steady-batch median next to msg/s (VERDICT r10 #2)."""
     from pyspark.sql import functions as F
 
     from kinesis_stream_consumer_spark.config import EngineConfig
     from kinesis_stream_consumer_spark.plans.queries import _t
-    from kinesis_stream_consumer_spark.session import get_spark
     from kinesis_stream_consumer_spark.sources import events_as_kinesis_records
     from kinesis_stream_consumer_spark.streaming import Engine, TaskDef
     from kinesis_stream_consumer_spark.streaming.tasks import TaskRejectedError
-
-    spark = get_spark("bench-engine-marks")
-    spark.sparkContext.setLogLevel("ERROR")
 
     def validate(message, task):
         if message["k2"] == "error":
@@ -65,15 +67,15 @@ def main() -> None:
     )
     # N consecutive DISTINCT batches sliced by event_id range, each
     # checkpointed up front so batch construction never rides the clock.
-    ev = _t(spark, SF_DIR, "events", rebalance=True).where(
-        F.col("event_id") < BATCH_SIZE * N_BATCHES
+    ev = _t(spark, sf_dir, "events", rebalance=True).where(
+        F.col("event_id") < batch_size * n_batches
     )
     recs_all = events_as_kinesis_records(ev).localCheckpoint(eager=True)
     batches = []
-    for i in range(N_BATCHES):
+    for i in range(n_batches):
         ev_i = ev.where(
-            (F.col("event_id") >= i * BATCH_SIZE)
-            & (F.col("event_id") < (i + 1) * BATCH_SIZE)
+            (F.col("event_id") >= i * batch_size)
+            & (F.col("event_id") < (i + 1) * batch_size)
         )
         batches.append(
             events_as_kinesis_records(ev_i).localCheckpoint(eager=True)
@@ -107,18 +109,30 @@ def main() -> None:
         )
         for k in section_rows[-1]
     }
-    out = {
+    return {
         "batch_totals": batch_totals,
         "wall_totals": wall_totals,
         "steady_totals": steady,
         "steady_median": round(statistics.median(steady), 3),
         "steady_range": [min(steady), max(steady)],
         "steady_sections": steady_sections,
-        "batches": N_BATCHES,
-        "batch_size": BATCH_SIZE,
-        "loadavg_pre": round(loadavg_pre, 2),
-        "load_contaminated": load_contaminated,
+        "batches": n_batches,
+        "batch_size": batch_size,
     }
+
+
+def main() -> None:
+    from bench import wait_for_quiet_box
+
+    loadavg_pre, load_contaminated = wait_for_quiet_box()
+
+    from kinesis_stream_consumer_spark.session import get_spark
+
+    spark = get_spark("bench-engine-marks")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run_marks(spark)
+    out["loadavg_pre"] = round(loadavg_pre, 2)
+    out["load_contaminated"] = load_contaminated
     spark.stop()
     print(json.dumps(out))
 
