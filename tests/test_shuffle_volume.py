@@ -1371,3 +1371,29 @@ def test_markov_stationary_rounds_are_type_vocabulary_bounded(spark):
     # 6 rounds of (types^2 join rows + types mass rows)
     bound = n_events + n_types * n_types * (max(n_parts, 1) + 8) + 10 * n_types
     assert s["shuffle_records"] <= bound
+
+
+def test_sequence_patterns_shuffles_are_vocab_bounded(spark):
+    """events_sequence_patterns: the per-user window partition exchange is
+    the only event-scaled shuffle. The gram explode fans out 2x event
+    rows, but both aggregates combine map-side, so the candidate exchange
+    carries at most users x 2·vocab³ per-user pattern rows and the final
+    pattern exchange at most 2·vocab³ — never raw gram occurrences."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_types = events.select("event_type").distinct().count()
+    n_users = events.select("user_id").distinct().count()
+    out = QUERIES["events_sequence_patterns"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    vocab_k = n_types**2 + n_types**3
+    # window partition (<= event rows) + per-(k,pattern,user) candidates
+    # (the map-side combine caps per-partition duplicates) + pattern agg
+    # + the 20-row top-k window exchange
+    bound = n_events + n_users * vocab_k + 2 * vocab_k + 40
+    assert s["shuffle_records"] <= bound
+    # the explode generated ~2 rows/event, none of which crossed a wire raw
+    assert s["generated_rows"] >= 2 * n_events - 4 * n_users
+    assert s["shuffle_records"] < s["generated_rows"]
