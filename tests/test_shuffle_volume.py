@@ -1397,3 +1397,54 @@ def test_sequence_patterns_shuffles_are_vocab_bounded(spark):
     # the explode generated ~2 rows/event, none of which crossed a wire raw
     assert s["generated_rows"] >= 2 * n_events - 4 * n_users
     assert s["shuffle_records"] < s["generated_rows"]
+
+
+def test_deletion_neighborhood_shuffles_are_vocab_bounded(spark):
+    """dedup_deletion_neighborhood: exchanges carry vocabulary-scaled
+    rows (word counts, deletion variants, candidate pairs) — never part
+    rows. Variant volume <= vocab x (maxlen+1); the verify join probes
+    the tiny freq frame."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    part = spark.read.parquet(f"{SF_CORRECT}/part.parquet")
+    n_parts = part.count()
+    words = part.select(F.explode(F.split("p_name", " ")).alias("w"))
+    vocab = words.select("w").distinct().count()
+    max_len = words.agg(F.max(F.length("w"))).first()[0]
+    out = QUERIES["dedup_deletion_neighborhood"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_scan_parts = part.rdd.getNumPartitions()
+    # word-count combine (<= vocab/partition) + variant distinct +
+    # candidate join/distinct + 2 freq probes + the output sort
+    var_rows = vocab * (max_len + 1)
+    bound = (
+        vocab * (max(n_scan_parts, 1) + 4)  # freq combine + 2 probes + sort
+        + 4 * var_rows  # variant distinct in + out, both join sides
+        + 8 * vocab  # candidate pairs (dist<=1 pairs are vocab-sparse)
+    )
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_parts * 5  # never word OCCURRENCES
+
+
+def test_intra_class_cohesion_shuffles_are_label_dim_bounded(spark):
+    """sim_intra_class_cohesion: the pairwise-cosine identity runs in ONE
+    corpus pass; exchanges carry |labels| x 64 partial dim-sums and
+    |labels| counts — never vectors, never pairs."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_vec = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    out = QUERIES["sim_intra_class_cohesion"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_scan_parts = emb.rdd.getNumPartitions()
+    bound = n_labels * 64 * (max(n_scan_parts, 1) + 2) + n_labels * (
+        max(n_scan_parts, 1) + 6
+    )
+    assert s["shuffle_records"] <= bound
+    # the all-pairs construction this replaces would cross n^2/2 rows
+    assert s["shuffle_records"] < n_vec * 64
