@@ -409,6 +409,311 @@ def sim_intra_class_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+# --- r11: robust trend statistics over the daily event-rate series ----------
+
+
+@register(
+    "ts_kendall_tau",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS concordant,
+             SUM(CASE WHEN b.c < a.c THEN 1 ELSE 0 END) AS discordant,
+             SUM(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) AS tied,
+             COUNT(*) AS n0
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CAST(tied AS BIGINT) AS tied_pairs,
+           ROUND((concordant - discordant)
+                 / sqrt(CAST(n0 AS DOUBLE) * (n0 - tied)), 4) AS tau_b
+    FROM pairs WHERE n0 > tied
+    ORDER BY event_type
+    """,
+    doc="Exact Kendall tau-b monotone-trend test per event type over the "
+    "daily event-rate series: concordant/discordant/tied pair counts "
+    "from the full pairwise comparison, tau-b correcting for ties in the "
+    "counts (days are distinct, so only the y-side correction applies: "
+    "tau_b = (C−D)/sqrt(n0(n0−T))). The pair join LOOKS quadratic but is "
+    "keyed on event_type over the DAYS-BOUNDED daily frame — pairs are "
+    "generated inside the join and collapse map-side to one row per "
+    "type, so exchanges carry (type, day) counts and |types| result "
+    "rows, never event rows or pairs (gate shared with ts_theil_sen "
+    "below). The distribution-free complement to agg_regression_trend's "
+    "least-squares slope; all counts integer-exact, tau rounded "
+    "identically on both engines.",
+)
+def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select("event_type", F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("c2") > F.col("c1"), 1).otherwise(0)).alias(
+                "concordant"
+            ),
+            F.sum(F.when(F.col("c2") < F.col("c1"), 1).otherwise(0)).alias(
+                "discordant"
+            ),
+            F.sum(F.when(F.col("c2") == F.col("c1"), 1).otherwise(0)).alias(
+                "tied"
+            ),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    return (
+        pairs.where(F.col("n0") > F.col("tied"))
+        .select(
+            "event_type",
+            F.col("concordant").cast("long").alias("concordant"),
+            F.col("discordant").cast("long").alias("discordant"),
+            F.col("tied").cast("long").alias("tied_pairs"),
+            F.round(
+                (F.col("concordant") - F.col("discordant"))
+                / F.sqrt(
+                    F.col("n0").cast("double") * (F.col("n0") - F.col("tied"))
+                ),
+                4,
+            ).alias("tau_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Positivity shift for the signed half-up milli-slope: slopes are bounded
+# by the max daily count (<= total events per type), far below the shift,
+# and 2*D*SHIFT stays well inside int64 at the 1024-day capacity.
+_TS_SHIFT = 2_000_000_000
+
+
+@register(
+    "ts_theil_sen_trend",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (2000 * (b.c - a.c) + (b.i - a.i)
+              + 2 * (b.i - a.i) * CAST({_TS_SHIFT} AS BIGINT))
+               // (2 * (b.i - a.i)) - {_TS_SHIFT} AS slope_milli
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.i < b.i
+    ),
+    ranked AS (
+      SELECT event_type, slope_milli,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope_milli) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(slope_milli AS BIGINT) AS theil_sen_slope_milli
+    FROM ranked WHERE r = (np + 1) // 2
+    ORDER BY event_type
+    """,
+    doc="Theil–Sen robust trend per event type: the LOWER MEDIAN of all "
+    "pairwise slopes (c_j − c_i)/(j − i) over the day-indexed daily "
+    "series, in half-up milli-units. Slopes can be NEGATIVE, so the "
+    "half-up division applies the positivity shift from CLAUDE.md "
+    "((num + 2·D·SHIFT) div (2·D) − SHIFT) — DuckDB floors and Spark "
+    "truncates signed integer division, and the shift makes both sides "
+    "floor by construction. The lower median (position (n+1)//2 ordered "
+    "by value) is deterministic without a tiebreak because the SELECTED "
+    "VALUE at a rank is unique under value ordering. Pair volume is "
+    "days²-bounded per type (the changepoint capacity), generated inside "
+    "a type-keyed join of the tiny daily frame: exchanges carry daily "
+    "rows in and per-type slope rows between the join and the median "
+    "window — never event rows. Breakdown point 29%: one anomalous "
+    "week can't flip the sign the way it flips least squares.",
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type", "c", F.row_number().over(wo).alias("i")
+    )
+    a = idx.select("event_type", F.col("c").alias("c1"), F.col("i").alias("i1"))
+    b = idx.select("event_type", F.col("c").alias("c2"), F.col("i").alias("i2"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("i1") < F.col("i2"))
+        .select(
+            "event_type",
+            F.expr(
+                f"(2000 * (c2 - c1) + (i2 - i1)"
+                f" + 2 * (i2 - i1) * CAST({_TS_SHIFT} AS BIGINT))"
+                f" div (2 * (i2 - i1)) - {_TS_SHIFT}"
+            ).alias("slope_milli"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_milli")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_milli",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("np"),
+    )
+    return (
+        ranked.where(F.expr("r = (np + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("slope_milli").cast("long").alias("theil_sen_slope_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- r11: bucketed numeric band join -----------------------------------------
+
+
+@register(
+    "join_value_band",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM orders o JOIN lineitem l
+      ON abs(l.l_extendedprice - o.o_totalprice / 20) <= CAST(50.0 AS DOUBLE)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Numeric band join: match every order to lineitems (any order) "
+    "whose extended price lies within ±50 of o_totalprice/20 — the "
+    "price-comparable-basket probe. The ORACLE states the semantics as "
+    "the raw inequality join (DuckDB's IEJoin handles it); the Spark "
+    "plan NEVER builds the banned BroadcastNestedLoopJoin that predicate "
+    "would produce: both sides bucket on floor(price/50), the order side "
+    "probes its bucket ±1 via a 3-element explode (full coverage: the "
+    "±δ window spans at most the adjacent buckets), the join is a plain "
+    "shuffled EQUI-join on bucket id, and the exact |price − target| ≤ δ "
+    "filter verifies inside the join — the classic band-join reduction. "
+    "At 100 TB exchanges are keyed on ~price/δ buckets and each probe "
+    "meets only its band's rows (candidate volume = band density × 3, "
+    "not |orders|×|lineitem|); per-order match counts combine before the "
+    "tiny priority rollup. Plan hygiene gate proves no BNLJ/Cartesian.",
+)
+def join_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    delta = 50.0
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") / 20).alias("target"),
+    )
+    probes = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "target",
+        F.explode(
+            F.array(
+                F.floor(F.col("target") / delta) - 1,
+                F.floor(F.col("target") / delta),
+                F.floor(F.col("target") / delta) + 1,
+            )
+        ).alias("bucket"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        F.floor(F.col("l_extendedprice") / delta).alias("bucket"),
+    )
+    matched = probes.join(li, "bucket").where(
+        F.abs(F.col("price") - F.col("target")) <= delta
+    )
+    per_order = matched.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders_matched"),
+            F.sum("m").cast("long").alias("n_pairs"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- r11: gaps-and-islands id audit (anti-join form, no global window) -------
+
+
+@register(
+    "audit_id_gaps",
+    """
+    WITH ids AS (SELECT DISTINCT event_id FROM events),
+    flagged AS (
+      SELECT a.event_id,
+             CASE WHEN b.event_id IS NULL THEN 1 ELSE 0 END AS island_end
+      FROM ids a LEFT JOIN ids b ON b.event_id = a.event_id + 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(SUM(island_end) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end) - 1 AS BIGINT) AS n_gaps,
+           CAST((20000 * COUNT(*) + (MAX(event_id) - MIN(event_id) + 1))
+                // (2 * (MAX(event_id) - MIN(event_id) + 1)) AS BIGINT)
+             AS coverage_bp
+    FROM flagged
+    """,
+    doc="Gaps-and-islands completeness audit over the event_id sequence — "
+    "did ingestion drop ids? — WITHOUT the classic global ORDER BY "
+    "window, which would funnel 100 TB through one task: an id ends an "
+    "island iff id+1 is absent, detected by a self EQUI-join on id+1 "
+    "(fully parallel, hash-partitioned on id), so islands = COUNT of "
+    "island-ends (the max id always ends one), gaps = islands − 1, and "
+    "coverage_bp = ids present / id span in half-up basis points — all "
+    "in ONE aggregate over the flagged frame. Exchanges carry distinct "
+    "ids twice (both join sides) and one combined row per partition; "
+    "the sequencing analogue of the reference's seqNo-chain continuity "
+    "checks (sequencing.js ordering contract) applied corpus-wide.",
+)
+def audit_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ids = ev.select("event_id").distinct()
+    nxt = ids.select((F.col("event_id") - 1).alias("event_id"), F.lit(1).alias("has_next"))
+    flagged = ids.join(nxt, "event_id", "left").select(
+        "event_id",
+        F.when(F.col("has_next").isNull(), 1).otherwise(0).alias("island_end"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+        F.sum("island_end").cast("long").alias("n_islands"),
+        (F.sum("island_end") - 1).cast("long").alias("n_gaps"),
+        F.expr(
+            "(20000 * count(*) + (max(event_id) - min(event_id) + 1))"
+            " div (2 * (max(event_id) - min(event_id) + 1))"
+        )
+        .cast("long")
+        .alias("coverage_bp"),
+    )
+
+
 # --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
 # driver window because their bodies changed (capacity asserts + exact
 # integer seed). Original docstring citations retained. ----------------------

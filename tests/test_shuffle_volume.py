@@ -1448,3 +1448,71 @@ def test_intra_class_cohesion_shuffles_are_label_dim_bounded(spark):
     assert s["shuffle_records"] <= bound
     # the all-pairs construction this replaces would cross n^2/2 rows
     assert s["shuffle_records"] < n_vec * 64
+
+
+def test_trend_pair_joins_shuffle_daily_rows_not_pairs(spark):
+    """ts_kendall_tau / ts_theil_sen_trend: the pairwise comparison is
+    generated INSIDE a type-keyed join of the days-bounded daily frame;
+    exchanges carry (type, day) rows in and per-type (or per-pair-slope)
+    rows out — never event rows."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    daily = (
+        events.groupBy("event_type", F.col("ts").cast("date"))
+        .count()
+        .count()
+    )
+    n_parts = events.rdd.getNumPartitions()
+    for name, pair_rows_out in [
+        ("ts_kendall_tau", 0),  # collapses to one row per type map-side
+        ("ts_theil_sen_trend", daily * daily),  # slope rows enter a window
+    ]:
+        out = QUERIES[name].fn(spark, SF_CORRECT)
+        out.collect()
+        s = shuffle_stats(out)
+        bound = (
+            daily * (max(n_parts, 1) + 6)  # daily combine + both join sides
+            + pair_rows_out
+            + 10 * max(n_parts, 1)
+        )
+        assert s["shuffle_records"] <= bound, name
+        assert s["shuffle_records"] < n_events, name
+
+
+def test_value_band_join_is_bucketed_equi_join(spark):
+    """join_value_band: the inequality predicate never becomes a
+    BNLJ/Cartesian (hygiene gate) and exchanges carry 3 probes/order +
+    lineitem bucket rows + per-order combines — candidate volume is band
+    density x 3, not |orders| x |lineitem|."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    n_orders, n_li = orders.count(), li.count()
+    out = QUERIES["join_value_band"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = max(orders.rdd.getNumPartitions(), li.rdd.getNumPartitions())
+    bound = 3 * n_orders + n_li + 2 * n_orders + 10 * max(n_parts, 1)
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_orders * n_li / 100
+
+
+def test_id_gaps_audit_avoids_global_window(spark):
+    """audit_id_gaps: islands via the id+1 anti-pattern equi-join — two
+    id-keyed exchanges plus one combined row per partition; the global
+    ORDER BY window this replaces would serialize the corpus through one
+    task."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_ids = events.select("event_id").distinct().count()
+    out = QUERIES["audit_id_gaps"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = events.rdd.getNumPartitions()
+    assert s["shuffle_records"] <= 3 * n_ids + 8 * max(n_parts, 1) + 64
