@@ -714,6 +714,278 @@ def audit_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: transition lift vs independence ------------------------------------
+
+
+@register(
+    "events_transition_lift",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    fm AS (SELECT from_type, SUM(n) AS nf FROM tr GROUP BY 1),
+    tm AS (SELECT to_type, SUM(n) AS nt FROM tr GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM tr)
+    SELECT tr.from_type, tr.to_type,
+           CAST(tr.n AS BIGINT) AS n_obs,
+           ROUND(CAST(tr.n AS DOUBLE) * tot.total / (fm.nf * tm.nt), 4)
+             AS lift
+    FROM tr
+    JOIN fm USING (from_type) JOIN tm USING (to_type) CROSS JOIN tot
+    ORDER BY from_type, to_type
+    """,
+    doc="Lift of each consecutive event-type transition vs independence: "
+    "lift(f→t) = P(t|f)/P(t) = n_ft·N/(n_f·n_t) over the per-user "
+    "ordered chains — the sequence analogue of agg_basket_affinity's "
+    "co-occurrence lift (which is order-blind over orders). lift > 1 "
+    "marks funnels, < 1 marks repellent transitions; the "
+    "events_markov_transitions row probabilities can't show this because "
+    "they bake in the destination's base rate. ONE per-user window "
+    "exchange builds the |types|²-bounded transition frame; marginals "
+    "and the scalar total reduce from it map-side, and all joins are "
+    "keyed on the tiny type vocabulary (the cross join is 1-row "
+    "broadcast-able and AQE plans it as such at any scale). lift is a "
+    "SINGLE double expression over exact integer counts (no "
+    "order-dependent summation), rounded identically on both engines — "
+    "the integer-milli form would need n_ft·N < 2^63, which a 100 TB "
+    "event log exceeds.",
+)
+def events_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # <= |types|^2 rows; read 4x below
+    )
+    fm = tr.groupBy("from_type").agg(F.sum("n").alias("nf"))
+    tm = tr.groupBy("to_type").agg(F.sum("n").alias("nt"))
+    # scalar total via the k-means-model pattern: one-row driver literal,
+    # not a crossJoin(broadcast(...)) that plans as BNLJ
+    total = int(tr.agg(F.sum("n")).first()[0])
+    return (
+        tr.join(fm, "from_type")
+        .join(tm, "to_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(
+                F.col("n").cast("double") * F.lit(total) / (F.col("nf") * F.col("nt")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --- r11: conversion-latency cohorts -----------------------------------------
+
+
+@register(
+    "events_latency_between_types",
+    """
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+      SELECT su.user_id, su.s, MIN(e.ts) AS p
+      FROM su JOIN events e
+        ON e.user_id = su.user_id AND e.event_type = 'purchase'
+           AND e.ts >= su.s
+      GROUP BY 1, 2
+    ),
+    lat AS (
+      SELECT CAST(date_trunc('week', s) AS DATE) AS cohort_week,
+             epoch_us(p) - epoch_us(s) AS latency_us
+      FROM conv
+    ),
+    med AS (
+      SELECT cohort_week, latency_us FROM (
+        SELECT cohort_week, latency_us,
+               ROW_NUMBER() OVER (PARTITION BY cohort_week
+                                  ORDER BY latency_us) AS r,
+               COUNT(*) OVER (PARTITION BY cohort_week) AS n
+        FROM lat
+      ) WHERE r = (n + 1) // 2
+    ),
+    coh AS (
+      SELECT CAST(date_trunc('week', s) AS DATE) AS cohort_week,
+             COUNT(*) AS n_signups
+      FROM su GROUP BY 1
+    ),
+    cc AS (
+      SELECT cohort_week, COUNT(*) AS n_converted FROM lat GROUP BY 1
+    )
+    SELECT coh.cohort_week,
+           CAST(coh.n_signups AS BIGINT) AS n_signups,
+           CAST(cc.n_converted AS BIGINT) AS n_converted,
+           CAST((20000 * cc.n_converted + coh.n_signups)
+                // (2 * coh.n_signups) AS BIGINT) AS conversion_bp,
+           CAST(med.latency_us AS BIGINT) AS median_latency_us
+    FROM coh JOIN cc USING (cohort_week) JOIN med USING (cohort_week)
+    ORDER BY cohort_week
+    """,
+    doc="Signup→purchase conversion latency by weekly signup cohort: for "
+    "each user, first signup and first purchase AT OR AFTER it; per "
+    "cohort the conversion share (half-up bp) and the LOWER-MEDIAN "
+    "latency in exact integer microseconds (epoch_us/unix_micros on "
+    "both engines — no fractional-second truncation ambiguity; the "
+    "rank-(n+1)//2 value under value ordering is deterministic without "
+    "a tiebreak). The time-to-event analytics behind activation "
+    "dashboards; complements events_funnel (which counts stage "
+    "reachability, not latency). All exchanges are user-keyed "
+    "aggregates/joins then cohort-keyed rollups — the purchase probe "
+    "joins ON user_id, so at 100 TB it is a co-partitioned hash join, "
+    "never a time-range scan per user.",
+)
+def events_latency_between_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        su.join(pu, "user_id")
+        .where(F.col("ts") >= F.col("s"))
+        .groupBy("user_id", "s")
+        .agg(F.min("ts").alias("p"))
+    )
+    lat = conv.select(
+        F.date_trunc("week", "s").cast("date").alias("cohort_week"),
+        (F.unix_micros("p") - F.unix_micros("s")).alias("latency_us"),
+    )
+    wr = Window.partitionBy("cohort_week").orderBy("latency_us")
+    wc = Window.partitionBy("cohort_week")
+    med = (
+        lat.select(
+            "cohort_week",
+            "latency_us",
+            F.row_number().over(wr).alias("r"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .where(F.expr("r = (n + 1) div 2"))
+        .select("cohort_week", "latency_us")
+    )
+    coh = su.groupBy(
+        F.date_trunc("week", "s").cast("date").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).alias("n_signups"))
+    cc = lat.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_converted"))
+    return (
+        coh.join(cc, "cohort_week")
+        .join(med, "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("n_signups").cast("long").alias("n_signups"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.expr("(20000 * n_converted + n_signups) div (2 * n_signups)")
+            .cast("long")
+            .alias("conversion_bp"),
+            F.col("latency_us").cast("long").alias("median_latency_us"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+# --- r11: dedup survivorship attribution -------------------------------------
+
+
+@register(
+    "curation_survivorship",
+    """
+    WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+    canon AS (SELECT th, MIN(doc_id) AS keep_id FROM h GROUP BY 1),
+    cs AS (
+      SELECT c.th, c.keep_id, hk.source AS keep_source
+      FROM canon c JOIN h hk ON hk.doc_id = c.keep_id
+    ),
+    j AS (
+      SELECT h.source,
+             CASE WHEN h.doc_id = cs.keep_id THEN 1 ELSE 0 END AS kept,
+             CASE WHEN h.doc_id != cs.keep_id
+                       AND h.source != cs.keep_source THEN 1 ELSE 0 END
+               AS lost_cross_source
+      FROM h JOIN cs USING (th)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_purged,
+           CAST(SUM(lost_cross_source) AS BIGINT) AS n_lost_cross_source,
+           CAST((20000 * (COUNT(*) - SUM(kept)) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS purge_bp
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    doc="Exact-dedup survivorship attribution per source: under the "
+    "deterministic keep-lowest-doc_id policy, how many of a source's "
+    "documents survive dedup, how many are purged, and how many are "
+    "lost specifically to a canonical copy held by ANOTHER source — the "
+    "table that distinguishes a self-duplicating feed (high purge, low "
+    "cross-source loss) from a mirror of someone else's corpus (high "
+    "cross-source loss). Complements curation_source_dup_rate, which "
+    "counts dup membership but not who wins. Shuffles carry 32-byte "
+    "hashes, ids, and source tags — never text; the canonical-source "
+    "resolution is one id-keyed join back to the slim hash frame, and "
+    "min(doc_id) stays a HashAggregate (primitive min, the CLAUDE.md "
+    "discipline).",
+)
+def curation_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("th")
+    ).localCheckpoint(eager=False)  # slim hash frame; read 3x below
+    canon = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    hk = h.select(F.col("doc_id").alias("keep_id"), F.col("source").alias("keep_source"))
+    cs = canon.join(hk, "keep_id")
+    j = h.join(cs, "th").select(
+        "source",
+        F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0).alias("kept"),
+        F.when(
+            (F.col("doc_id") != F.col("keep_id"))
+            & (F.col("source") != F.col("keep_source")),
+            1,
+        )
+        .otherwise(0)
+        .alias("lost_cross_source"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("kept").alias("nk"),
+            F.sum("lost_cross_source").alias("nx"),
+        )
+        .select(
+            "source",
+            F.col("nd").cast("long").alias("n_docs"),
+            F.col("nk").cast("long").alias("n_kept"),
+            (F.col("nd") - F.col("nk")).cast("long").alias("n_purged"),
+            F.col("nx").cast("long").alias("n_lost_cross_source"),
+            F.expr("(20000 * (nd - nk) + nd) div (2 * nd)")
+            .cast("long")
+            .alias("purge_bp"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
 # driver window because their bodies changed (capacity asserts + exact
 # integer seed). Original docstring citations retained. ----------------------

@@ -1516,3 +1516,64 @@ def test_id_gaps_audit_avoids_global_window(spark):
     s = shuffle_stats(out)
     n_parts = events.rdd.getNumPartitions()
     assert s["shuffle_records"] <= 3 * n_ids + 8 * max(n_parts, 1) + 64
+
+
+def test_transition_lift_rounds_are_vocab_bounded(spark):
+    """events_transition_lift: one per-user window exchange; marginals and
+    probes all run over the checkpointed |types|²-bounded transition
+    frame."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_types = events.select("event_type").distinct().count()
+    out = QUERIES["events_transition_lift"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = events.rdd.getNumPartitions()
+    bound = n_events + n_types * n_types * (max(n_parts, 1) + 10) + 64
+    assert s["shuffle_records"] <= bound
+
+
+def test_latency_cohorts_shuffle_user_keyed_slim_rows(spark):
+    """events_latency_between_types: user-keyed min/join rows + cohort
+    rollups; never more than the type-filtered event slices cross a
+    wire."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_su = events.where(F.col("event_type") == "signup").count()
+    n_pu = events.where(F.col("event_type") == "purchase").count()
+    n_users = events.select("user_id").distinct().count()
+    out = QUERIES["events_latency_between_types"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = events.rdd.getNumPartitions()
+    # signup combine + purchase probe + conv combine + cohort/median frames
+    bound = (
+        n_users * (max(n_parts, 1) + 2)
+        + n_pu
+        + 6 * n_users
+        + 10 * max(n_parts, 1)
+    )
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < (n_su + n_pu) * 3
+
+
+def test_survivorship_shuffles_hashes_never_text(spark):
+    """curation_survivorship: exchanges carry 32-byte digests, ids and
+    source tags from the checkpointed hash frame — never document
+    text."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    n_docs = docs.count()
+    out = QUERIES["curation_survivorship"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = docs.rdd.getNumPartitions()
+    assert s["shuffle_records"] <= 6 * n_docs + 10 * max(n_parts, 1)
+    # ~100 B/row of digest+tag payload; text rows would be ~10x wider
+    assert s["shuffle_bytes"] < 6 * n_docs * 200
