@@ -986,6 +986,187 @@ def curation_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: local-maxima peak detection ----------------------------------------
+
+
+@register(
+    "events_daily_peaks",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, day, c,
+             LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS prv,
+             LEAD(c) OVER (PARTITION BY event_type ORDER BY day) AS nxt,
+             SUM(c) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    )
+    SELECT event_type, CAST(day AS DATE) AS day,
+           CAST(c AS BIGINT) AS n_events,
+           CAST((2000 * c * n + 2 * s) // (4 * s) AS BIGINT)
+             AS vs_mean_milli
+    FROM stats
+    WHERE prv IS NOT NULL AND nxt IS NOT NULL
+      AND c > prv AND c > nxt AND c * n > s
+    ORDER BY event_type, day
+    """,
+    doc="Daily-rate peak detection per event type: days that are STRICT "
+    "local maxima of the daily count series (above both neighbours) AND "
+    "above the type's mean rate — the alerting primitive behind spike "
+    "dashboards. vs_mean_milli = 1000·c/(s/n) = 1000·c·n/s in half-up "
+    "milli-units, all-positive integer arithmetic so floor and truncate "
+    "agree; edge days are excluded on BOTH engines by the explicit "
+    "lag/lead NULL guards rather than by NULL-comparison coincidence. "
+    "One (type, day) count aggregate (map-side combined from event rows) "
+    "then windows over the days-bounded daily frame — event volume never "
+    "crosses a second exchange.",
+)
+def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.lag("c").over(wo).alias("prv"),
+        F.lead("c").over(wo).alias("nxt"),
+        F.sum("c").over(wa).alias("s"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    return (
+        stats.where(
+            F.col("prv").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("c") > F.col("prv"))
+            & (F.col("c") > F.col("nxt"))
+            & (F.col("c") * F.col("n") > F.col("s"))
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            F.col("c").cast("long").alias("n_events"),
+            F.expr("(2000 * c * n + 2 * s) div (4 * s)")
+            .cast("long")
+            .alias("vs_mean_milli"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --- r11: event-time disorder audit ------------------------------------------
+
+
+@register(
+    "audit_out_of_order_rate",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+           CAST((20000 * SUM(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                                  THEN 1 ELSE 0 END) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS ooo_bp
+    FROM seq GROUP BY 1 ORDER BY 1
+    """,
+    doc="Event-time disorder audit: per event type, the share of events "
+    "that arrived (event_id order — the ingestion sequence, the "
+    "reference's seqNo axis) with an event-time EARLIER than the "
+    "previous arrival in the same user's stream — the late-data rate "
+    "that sizes Structured Streaming watermarks (a watermark shorter "
+    "than the observed disorder horizon silently drops these rows; see "
+    "plans/streaming_windows.py). ONE per-user window partitioned on "
+    "user_id and ordered by arrival; the per-type rollup combines "
+    "map-side. Half-up bp over positive counts.",
+)
+def audit_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    late = F.when(
+        F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts")), 1
+    ).otherwise(0)
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("ne"),
+            F.sum(late).alias("nl"),
+        )
+        .select(
+            "event_type",
+            F.col("ne").cast("long").alias("n_events"),
+            F.col("nl").cast("long").alias("n_out_of_order"),
+            F.expr("(20000 * nl + ne) div (2 * ne)").cast("long").alias("ooo_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- r11: parquet codec roundtrip (scan-matrix leg) ---------------------------
+
+
+@register(
+    "scan_parquet_codec_roundtrip",
+    """
+    WITH agg AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             SUM(epoch_us(ts)) AS sum_ts_us, SUM(user_id) AS sum_user
+      FROM events GROUP BY 1
+    )
+    SELECT codec, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum_ts_us AS BIGINT) AS sum_ts_us,
+           CAST(sum_user AS BIGINT) AS sum_user
+    FROM agg CROSS JOIN (SELECT unnest(['gzip', 'zstd']) AS codec) c
+    ORDER BY codec, event_type
+    """,
+    doc="Parquet compression-codec roundtrip, completing the scan matrix "
+    "alongside the ORC/CSV/JSONL/schema-evolution legs: the events table "
+    "is written once with gzip and once with zstd (the two codecs a "
+    "100 TB lake actually debates — zstd ~2x faster decode at parity "
+    "ratio, the default recommendation since Spark 3.2) and both copies "
+    "are read back and aggregated; equality against the ORIGINAL-table "
+    "oracle proves lossless roundtrip of timestamps (as epoch micros) "
+    "and longs through each codec path. Scratch layouts live under the "
+    "session temp root (removed at exit). Codec choice is a pure "
+    "storage-layer concern — pushdown/pruning claims carry over "
+    "unchanged, which is exactly what this pins.",
+)
+def scan_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    flat = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="ksc-codec-")
+    outs = []
+    for codec in ("gzip", "zstd"):
+        path = f"{base}/{codec}"
+        flat.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("ts_us").cast("long").alias("sum_ts_us"),
+                F.sum("user_id").cast("long").alias("sum_user"),
+            ).select(F.lit(codec).alias("codec"), "*")
+        )
+    return outs[0].unionAll(outs[1]).orderBy("codec", "event_type")
+
+
 # --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
 # driver window because their bodies changed (capacity asserts + exact
 # integer seed). Original docstring citations retained. ----------------------

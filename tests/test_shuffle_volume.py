@@ -1577,3 +1577,22 @@ def test_survivorship_shuffles_hashes_never_text(spark):
     assert s["shuffle_records"] <= 6 * n_docs + 10 * max(n_parts, 1)
     # ~100 B/row of digest+tag payload; text rows would be ~10x wider
     assert s["shuffle_bytes"] < 6 * n_docs * 200
+
+
+def test_daily_peaks_and_ooo_window_volume(spark):
+    """events_daily_peaks / audit_out_of_order_rate: one event-scaled
+    exchange each (the count combine / user window partition); everything
+    downstream is days- or types-bounded."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_parts = events.rdd.getNumPartitions()
+    for name, extra in [
+        ("events_daily_peaks", 1024 * 8),  # daily frame into the windows
+        ("audit_out_of_order_rate", 8 * max(n_parts, 1)),  # type rollup
+    ]:
+        out = QUERIES[name].fn(spark, SF_CORRECT)
+        out.collect()
+        s = shuffle_stats(out)
+        assert s["shuffle_records"] <= n_events + extra + 64, name
