@@ -57,3 +57,99 @@ def test_sequence_patterns_match_python_reference(spark):
         for r in QUERIES["events_sequence_patterns"].fn(spark, SF).collect()
     ]
     assert got == want
+
+
+def _daily_counts() -> dict:
+    ev = _tbl("events")
+    daily: Counter = Counter()
+    for ts, et in zip(ev["ts"], ev["event_type"]):
+        daily[(et, ts.date())] += 1
+    by_type: dict = defaultdict(list)
+    for (et, day), c in sorted(daily.items()):
+        by_type[et].append(c)
+    return by_type
+
+
+def test_kendall_tau_matches_python_reference(spark):
+    """Brute-force O(n²) pair comparison per type, tau-b with the y-only
+    tie correction."""
+    import math
+
+    want = {}
+    for et, cs in _daily_counts().items():
+        n = len(cs)
+        conc = disc = tied = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if cs[j] > cs[i]:
+                    conc += 1
+                elif cs[j] < cs[i]:
+                    disc += 1
+                else:
+                    tied += 1
+        n0 = n * (n - 1) // 2
+        if n0 > tied:
+            tau = (conc - disc) / math.sqrt(n0 * (n0 - tied))
+            want[et] = (conc, disc, tied, round(tau, 4))
+    got = {
+        r["event_type"]: (
+            r["concordant"],
+            r["discordant"],
+            r["tied_pairs"],
+            float(r["tau_b"]),
+        )
+        for r in QUERIES["ts_kendall_tau"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_theil_sen_matches_python_reference(spark):
+    """All pairwise milli-slopes with the positivity-shift half-up
+    division, lower median by value order."""
+    from kinesis_stream_consumer_spark.plans.r11 import _TS_SHIFT
+
+    want = {}
+    for et, cs in _daily_counts().items():
+        slopes = []
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                d = j - i
+                s = (
+                    2000 * (cs[j] - cs[i]) + d + 2 * d * _TS_SHIFT
+                ) // (2 * d) - _TS_SHIFT
+                slopes.append(s)
+        slopes.sort()
+        want[et] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
+    got = {
+        r["event_type"]: (r["n_pairs"], r["theil_sen_slope_milli"])
+        for r in QUERIES["ts_theil_sen_trend"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_id_gaps_matches_python_reference(spark):
+    ev = _tbl("events")
+    ids = sorted(set(ev["event_id"]))
+    islands = 1
+    for a, b in zip(ids, ids[1:]):
+        if b != a + 1:
+            islands += 1
+    span = ids[-1] - ids[0] + 1
+    want = (
+        len(ids),
+        ids[0],
+        ids[-1],
+        islands,
+        islands - 1,
+        (20000 * len(ids) + span) // (2 * span),
+    )
+    r = QUERIES["audit_id_gaps"].fn(spark, SF).collect()[0]
+    got = (
+        r["n_ids"],
+        r["min_id"],
+        r["max_id"],
+        r["n_islands"],
+        r["n_gaps"],
+        r["coverage_bp"],
+    )
+    assert got == want
