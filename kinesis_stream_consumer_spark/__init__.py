@@ -38,14 +38,22 @@ _REAL_MKDTEMP = _tempfile.mkdtemp
 
 def _session_tmp_root() -> str:
     global _KSC_TMP_ROOT
-    if _KSC_TMP_ROOT is None:
+    # re-validate: a tmp reaper (systemd-tmpfiles age cleanup) can remove
+    # the root mid-session; recreate rather than hand a dead dir= to the
+    # real mkdtemp
+    if _KSC_TMP_ROOT is None or not _os.path.isdir(_KSC_TMP_ROOT):
         _KSC_TMP_ROOT = _REAL_MKDTEMP(prefix="ksc-session-")
         _atexit.register(_shutil.rmtree, _KSC_TMP_ROOT, ignore_errors=True)
     return _KSC_TMP_ROOT
 
 
 def _ksc_mkdtemp(suffix=None, prefix=None, dir=None):
-    if dir is None:
+    # Scope the reroot to THIS package's scratch layouts (every internal
+    # call site uses a ksc-* prefix — many inside certified hash-held
+    # query bodies, which is why the redirect lives here and not at the
+    # call sites). Foreign callers in the same process keep vanilla
+    # mkdtemp semantics: their dirs are neither rerooted nor deleted.
+    if dir is None and prefix is not None and prefix.startswith("ksc-"):
         try:
             dir = _session_tmp_root()
         except OSError:  # pragma: no cover - degraded environment

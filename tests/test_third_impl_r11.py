@@ -127,6 +127,35 @@ def test_theil_sen_matches_python_reference(spark):
     assert got == want
 
 
+def test_daily_peaks_matches_python_reference(spark):
+    """Strict local maxima above the type mean; vs_mean_milli = half-up
+    1000·c·n/s — the formula a mirrored oracle bug halved once (review
+    r11), which is exactly why this third implementation exists."""
+    ev = _tbl("events")
+    daily: Counter = Counter()
+    for ts, et in zip(ev["ts"], ev["event_type"]):
+        daily[(et, ts.date())] += 1
+    by_type: dict = defaultdict(list)
+    for (et, day), c in sorted(daily.items()):
+        by_type[et].append((day, c))
+    want = []
+    for et in sorted(by_type):
+        rows = by_type[et]
+        s = sum(c for _, c in rows)
+        n = len(rows)
+        for i in range(1, n - 1):
+            day, c = rows[i]
+            if c > rows[i - 1][1] and c > rows[i + 1][1] and c * n > s:
+                want.append((et, day, c, (2000 * c * n + s) // (2 * s)))
+    got = [
+        (r["event_type"], r["day"], r["n_events"], r["vs_mean_milli"])
+        for r in QUERIES["events_daily_peaks"].fn(spark, SF).collect()
+    ]
+    assert got == want
+    # every reported peak is strictly above the mean => ratio > 1000
+    assert all(v > 1000 for *_, v in got)
+
+
 def test_id_gaps_matches_python_reference(spark):
     ev = _tbl("events")
     ids = sorted(set(ev["event_id"]))

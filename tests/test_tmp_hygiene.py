@@ -18,6 +18,32 @@ def test_mkdtemp_lands_under_session_root():
     assert os.path.basename(pkg._KSC_TMP_ROOT).startswith("ksc-session-")
 
 
+def test_foreign_mkdtemp_untouched():
+    """Non-ksc prefixes keep vanilla semantics: not rerooted, not
+    deleted at exit — the redirect is scoped to this package's scratch
+    layouts only."""
+    root = pkg._session_tmp_root()
+    d = tempfile.mkdtemp(prefix="other-lib-")
+    try:
+        assert os.path.dirname(d) != root
+        assert os.path.dirname(d) == os.path.dirname(root)
+    finally:
+        os.rmdir(d)
+
+
+def test_root_recreated_after_external_reaping():
+    """A tmp reaper removing the session root mid-session must not break
+    subsequent mkdtemp calls."""
+    import shutil
+
+    root = pkg._session_tmp_root()
+    shutil.rmtree(root)
+    d = tempfile.mkdtemp(prefix="ksc-reap-")
+    assert os.path.isdir(d)
+    assert os.path.dirname(d) == pkg._KSC_TMP_ROOT
+    assert pkg._KSC_TMP_ROOT != root
+
+
 def test_root_is_lazy_no_litter_from_import_only():
     """Spark workers import the package but never mkdtemp; they must not
     create a session root (they're hard-killed, atexit never runs)."""
