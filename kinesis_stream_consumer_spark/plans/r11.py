@@ -1199,6 +1199,380 @@ def scan_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionAll(outs[1]).orderBy("codec", "event_type")
 
 
+# --- r11: between-class centroid separation (pairs with the cohesion op) -----
+
+
+@register(
+    "sim_class_separation",
+    """
+    WITH norms AS (
+      SELECT vec_id, label,
+             sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+      GROUP BY 1, 2
+    ),
+    dims AS (
+      SELECT e.label, i.pos,
+             SUM(CAST(e.embedding[i.pos] AS DOUBLE) / n.nrm) AS s
+      FROM embeddings e
+      JOIN norms n ON n.vec_id = e.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) i
+      GROUP BY 1, 2
+    ),
+    mag AS (SELECT label, sqrt(SUM(s * s)) AS m FROM dims GROUP BY 1)
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           ROUND(SUM(a.s * b.s) / (ma.m * mb.m), 4) AS centroid_cos
+    FROM dims a
+    JOIN dims b ON b.pos = a.pos AND a.label < b.label
+    JOIN mag ma ON ma.label = a.label
+    JOIN mag mb ON mb.label = b.label
+    GROUP BY a.label, b.label, ma.m, mb.m
+    ORDER BY label_a, label_b
+    """,
+    doc="Between-class separation: cosine between every pair of label "
+    "centroids over UNIT-NORMALIZED vectors — read together with "
+    "sim_intra_class_cohesion it is the Fisher-style within/between "
+    "split that says whether the space separates classes (high cohesion "
+    "+ low centroid cosine = separable). Cosine is scale-invariant, so "
+    "the per-label normalized SUM vector stands in for the mean and no "
+    "count division happens at all. Same one-corpus-pass shape as the "
+    "cohesion op: (label, dim)-keyed partial sums are the only "
+    "data-scaled exchange; the pair join runs on |labels|x64 rows and "
+    "emits C(|labels|,2) rows. Naive pairwise between-class cosine is "
+    "O(n²·dim); this is exact and corpus-linear.",
+)
+def sim_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    dims = (
+        emb.select("label", nrm.alias("nrm"), "embedding")
+        .select("label", "nrm", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("x").cast("double") / F.col("nrm")).alias("s"))
+        .localCheckpoint(eager=True)  # |labels| x 64 rows; read 3x below
+    )
+    mag = dims.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("m")
+    )
+    a = dims.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    ma = mag.select(F.col("label").alias("label_a"), F.col("m").alias("ma"))
+    mb = mag.select(F.col("label").alias("label_b"), F.col("m").alias("mb"))
+    return (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+        .join(ma, "label_a")
+        .join(mb, "label_b")
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            F.round(F.col("dot") / (F.col("ma") * F.col("mb")), 4).alias(
+                "centroid_cos"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# --- r11: vocabulary coverage curve ------------------------------------------
+
+
+@register(
+    "text_coverage_curve",
+    """
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tc AS (SELECT term, COUNT(*) AS c FROM t GROUP BY 1),
+    rk AS (
+      SELECT term, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r,
+             SUM(c) OVER () AS total,
+             COUNT(*) OVER () AS vocab
+      FROM tc
+    ),
+    ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(LEAST(ks.k, MAX(rk.vocab)) AS BIGINT) AS vocab_used,
+           CAST((20000 * SUM(CASE WHEN rk.r <= ks.k THEN rk.c ELSE 0 END)
+                 + MAX(rk.total)) // (2 * MAX(rk.total)) AS BIGINT)
+             AS coverage_bp
+    FROM rk CROSS JOIN ks
+    GROUP BY ks.k ORDER BY k
+    """,
+    doc="Vocabulary coverage curve: what share of total token mass the "
+    "top-k most frequent terms cover, at k = 1/5/10/20 — the "
+    "tokenizer-budget question (how small can a vocab be before OOV "
+    "mass explodes), the cumulative complement to text_zipf_slope's "
+    "rank-frequency exponent. Term counts combine map-side to the "
+    "vocabulary-bounded frame; the rank window is unpartitioned but "
+    "runs over VOCAB rows (the curation-planning precedent — safe at "
+    "any corpus size); the k fan-out is an EXPLODE of a 4-element "
+    "literal array per vocab row, never a cross JOIN that would plan as "
+    "BNLJ. Half-up bp over positive totals; ranking ties break "
+    "(count desc, term asc) identically on both engines.",
+)
+def text_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), "term")
+    w_all = Window.partitionBy()
+    rk = tc.select(
+        "c",
+        F.row_number().over(w_rank).alias("r"),
+        F.sum("c").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("vocab"),
+    )
+    fan = rk.select(
+        "c",
+        "r",
+        "total",
+        "vocab",
+        F.explode(F.array(*[F.lit(k) for k in (1, 5, 10, 20)])).alias("k"),
+    )
+    return (
+        fan.groupBy("k")
+        .agg(
+            F.least(F.col("k"), F.max("vocab")).cast("long").alias("vocab_used"),
+            F.expr(
+                "(20000 * sum(CASE WHEN r <= k THEN c ELSE 0 END) + max(total))"
+                " div (2 * max(total))"
+            )
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "vocab_used", "coverage_bp")
+        .orderBy("k")
+    )
+
+
+# --- r11: multi-rule value-sanity audit ---------------------------------------
+
+
+@register(
+    "audit_value_rules",
+    """
+    WITH j AS (
+      SELECT l.l_quantity, l.l_discount, l.l_extendedprice,
+             l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS r1,
+             SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS r2,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                      THEN 1 ELSE 0 END) AS r3,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS r4
+      FROM j
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_checked,
+           CAST(v AS BIGINT) AS n_violations,
+           CAST((20000 * v + n) // (2 * n) AS BIGINT) AS violation_bp
+    FROM (
+      SELECT 'ship_before_order' AS rule, n, r1 AS v FROM agg
+      UNION ALL SELECT 'nonpositive_quantity', n, r2 FROM agg
+      UNION ALL SELECT 'discount_out_of_range', n, r3 FROM agg
+      UNION ALL SELECT 'nonpositive_price', n, r4 FROM agg
+    )
+    ORDER BY rule
+    """,
+    doc="Multi-rule value-sanity audit over the order lines: temporal "
+    "consistency (shipped before its order was placed — needs the "
+    "orderkey-keyed equi-join, co-partitioned at scale), plus three "
+    "single-table domain rules (non-positive quantity/price, discount "
+    "outside [0,1]). ONE pass computes all four violation counts as "
+    "indicator sums in a single aggregate (map-side combined to one row "
+    "per partition), then the 1-row result unpivots to a rule-per-row "
+    "report via stack — the audit analogue of the reference's "
+    "reason-unusable partition (P1), where a record failing ANY rule is "
+    "individually attributable. Complements audit_referential_integrity "
+    "(key reachability) and audit_functional_dependency (determinism): "
+    "this is the VALUE-domain leg.",
+)
+def audit_value_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+        ).alias("r1"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("r2"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        ).alias("r3"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("r4"),
+    )
+    rules = agg.select(
+        "n",
+        F.expr(
+            "stack(4, 'ship_before_order', r1, 'nonpositive_quantity', r2,"
+            " 'discount_out_of_range', r3, 'nonpositive_price', r4)"
+            " AS (rule, v)"
+        ),
+    )
+    return rules.select(
+        "rule",
+        F.col("n").cast("long").alias("n_checked"),
+        F.col("v").cast("long").alias("n_violations"),
+        F.expr("(20000 * v + n) div (2 * n)").cast("long").alias("violation_bp"),
+    ).orderBy("rule")
+
+
+# --- r11: waterfilling token-budget allocation --------------------------------
+
+_WF_BUDGET = 20000
+
+
+@register(
+    "curation_budget_waterfill",
+    f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(text,
+                  '[A-Za-z]+|\\d+|[^\\w\\s]'))) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY 1
+    ),
+    srt AS (
+      SELECT source, avail_tokens,
+             ROW_NUMBER() OVER (ORDER BY avail_tokens, source) AS i,
+             COUNT(*) OVER () AS n,
+             COALESCE(SUM(avail_tokens) OVER (
+               ORDER BY avail_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM avail
+    ),
+    sat AS (
+      SELECT *,
+             CASE WHEN avail_tokens * (n - i + 1)
+                       <= {_WF_BUDGET} - cum_before
+                  THEN 1 ELSE 0 END AS full_take
+      FROM srt
+    ),
+    pool AS (
+      SELECT *,
+             CAST({_WF_BUDGET} - SUM(full_take * avail_tokens) OVER ()
+                  AS BIGINT) AS remaining,
+             CAST(SUM(1 - full_take) OVER () AS BIGINT) AS m,
+             ROW_NUMBER() OVER (ORDER BY full_take, source) AS split_rank
+      FROM sat
+    )
+    SELECT source, avail_tokens,
+           CAST(CASE WHEN full_take = 1 THEN avail_tokens
+                     ELSE remaining // m
+                          + CASE WHEN split_rank <= remaining % m
+                                 THEN 1 ELSE 0 END END AS BIGINT)
+             AS alloc_tokens,
+           CAST(full_take AS BIGINT) AS fully_taken
+    FROM pool ORDER BY source
+    """,
+    doc="Waterfilling token-budget allocation across sources: every "
+    "source whose full inventory fits under the waterline takes all of "
+    "it, and the remaining budget splits EQUALLY among the larger "
+    "sources (floor share + largest-remainder units, ties to source "
+    "name) — the max-min-fair complement to curation_token_budget_mix's "
+    "weight-proportional Hamilton apportionment (that answers 'fill at "
+    "these mixture weights'; this answers 'balance sources as evenly as "
+    "the budget allows'). The classic iterative waterline search "
+    "collapses to ONE closed-form pass because sources sorted by "
+    "availability satisfy the full-take predicate as a prefix: "
+    "avail_i·(n−i+1) ≤ B − cum_before_i. Allocations are exact integers "
+    "summing to min(B, total); the unpartitioned windows run over the "
+    "#sources-bounded frame (the established curation-planning "
+    "precedent); per-doc token counts are the map-side BPE-ish regex "
+    "count, no explode.",
+)
+def curation_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(r"[A-Za-z]+|\d+|[^\w\s]"), F.lit(0)
+                )
+            )
+        )
+        .cast("long")
+        .alias("avail_tokens")
+    )
+    w_sort = W.orderBy("avail_tokens", "source")
+    w_all = W.partitionBy()
+    srt = avail.select(
+        "source",
+        "avail_tokens",
+        F.row_number().over(w_sort).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.coalesce(
+            F.sum("avail_tokens").over(
+                w_sort.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    sat = srt.select(
+        "*",
+        F.when(
+            F.col("avail_tokens") * (F.col("n") - F.col("i") + 1)
+            <= F.lit(_WF_BUDGET) - F.col("cum_before"),
+            1,
+        )
+        .otherwise(0)
+        .alias("full_take"),
+    )
+    w_split = W.orderBy("full_take", "source")
+    pool = sat.select(
+        "*",
+        (
+            F.lit(_WF_BUDGET)
+            - F.sum(F.col("full_take") * F.col("avail_tokens")).over(w_all)
+        )
+        .cast("long")
+        .alias("remaining"),
+        F.sum(F.lit(1) - F.col("full_take")).over(w_all).cast("long").alias("m"),
+        F.row_number().over(w_split).alias("split_rank"),
+    )
+    return pool.select(
+        "source",
+        "avail_tokens",
+        F.expr(
+            f"CASE WHEN full_take = 1 THEN avail_tokens"
+            f" ELSE remaining div m"
+            f" + CASE WHEN split_rank <= remaining % m THEN 1 ELSE 0 END END"
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+        F.col("full_take").cast("long").alias("fully_taken"),
+    ).orderBy("source")
+
+
 # --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
 # driver window because their bodies changed (capacity asserts + exact
 # integer seed). Original docstring citations retained. ----------------------

@@ -1596,3 +1596,40 @@ def test_daily_peaks_and_ooo_window_volume(spark):
         out.collect()
         s = shuffle_stats(out)
         assert s["shuffle_records"] <= n_events + extra + 64, name
+
+
+def test_class_separation_shuffles_are_label_dim_bounded(spark):
+    """sim_class_separation: one corpus pass to (label, dim) sums; the
+    pair join runs on |labels| x 64 rows."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_vec = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    out = QUERIES["sim_class_separation"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = emb.rdd.getNumPartitions()
+    dims_rows = n_labels * 64
+    bound = (
+        dims_rows * (max(n_parts, 1) + 6)  # partial sums + joins/checkpoint
+        + n_labels * n_labels * 8  # pair aggregate + magnitude probes
+        + 64
+    )
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_vec * 64
+
+
+def test_value_rules_single_pass_one_row(spark):
+    """audit_value_rules: the four indicator sums combine map-side to ONE
+    row per partition; only the orderkey join moves data-scaled rows."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    n = li.count() + orders.count()
+    out = QUERIES["audit_value_rules"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = max(li.rdd.getNumPartitions(), orders.rdd.getNumPartitions())
+    assert s["shuffle_records"] <= n + 16 * max(n_parts, 1) + 64

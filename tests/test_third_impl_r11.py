@@ -156,6 +156,55 @@ def test_daily_peaks_matches_python_reference(spark):
     assert all(v > 1000 for *_, v in got)
 
 
+def test_budget_waterfill_matches_python_reference(spark):
+    """Brute-force iterative waterline (the algorithm the closed-form
+    prefix predicate replaces): repeatedly give every unsatisfied source
+    an equal share until no source's availability binds, then split the
+    remainder with largest-remainder units."""
+    import re
+
+    from kinesis_stream_consumer_spark.plans.r11 import _WF_BUDGET
+
+    docs = _tbl("documents")
+    avail: Counter = Counter()
+    tok = re.compile(r"[A-Za-z]+|\d+|[^\w\s]")
+    for src, text in zip(docs["source"], docs["text"]):
+        avail[src] += len(tok.findall(text))
+    full = set()
+    budget = _WF_BUDGET
+    # iterate: any source whose inventory fits under an equal split of
+    # the remaining budget takes all of it
+    changed = True
+    while changed:
+        changed = False
+        rest = [s for s in avail if s not in full]
+        if not rest:
+            break
+        share = (budget - sum(avail[s] for s in full)) // len(rest)
+        for s in sorted(rest):
+            if avail[s] <= share:
+                full.add(s)
+                changed = True
+    rest = sorted(s for s in avail if s not in full)
+    remaining = budget - sum(avail[s] for s in full)
+    alloc = {s: avail[s] for s in full}
+    if rest:
+        base, extra = divmod(remaining, len(rest))
+        for i, s in enumerate(rest):
+            alloc[s] = base + (1 if i < extra else 0)
+    want = [
+        (s, avail[s], alloc[s], 1 if s in full else 0) for s in sorted(avail)
+    ]
+    got = [
+        (r["source"], r["avail_tokens"], r["alloc_tokens"], r["fully_taken"])
+        for r in QUERIES["curation_budget_waterfill"].fn(spark, SF).collect()
+    ]
+    assert got == want
+    assert sum(a for _, _, a, _ in got) == min(
+        _WF_BUDGET, sum(avail.values())
+    )
+
+
 def test_id_gaps_matches_python_reference(spark):
     ev = _tbl("events")
     ids = sorted(set(ev["event_id"]))
