@@ -56,3 +56,23 @@ def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _EDGE_CACHE[key] = hit
     return hit
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(i: int) -> str:
+    prev = f"l{i - 1}" if i > 1 else "l0"
+    return f"""
+    c{i} AS (
+      SELECT b.d AS node, p.label, COUNT(*) AS c
+      FROM bidir b JOIN {prev} p ON p.node = b.s
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1
+    )"""

@@ -747,24 +747,14 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LPA_ROUNDS = 3
-
-
-def _lpa_round_sql(i: int) -> str:
-    prev = f"l{i - 1}" if i > 1 else "l0"
-    return f"""
-    c{i} AS (
-      SELECT b.d AS node, p.label, COUNT(*) AS c
-      FROM bidir b JOIN {prev} p ON p.node = b.s
-      GROUP BY 1, 2
-    ),
-    l{i} AS (
-      SELECT node, label FROM (
-        SELECT node, label,
-               ROW_NUMBER() OVER (PARTITION BY node
-                                  ORDER BY c DESC, label) AS rn
-        FROM c{i}) WHERE rn = 1
-    )"""
+# _LPA_ROUNDS / _lpa_round_sql live in plans/graph_shared.py (helper-only
+# module) so plans modules that register BEFORE this one can reuse the
+# unrolled-LPA oracle fragment without tripping the import-order trap; the
+# rendered SQL is byte-identical, so certified hashes are unchanged.
+from kinesis_stream_consumer_spark.plans.graph_shared import (  # noqa: E402
+    _LPA_ROUNDS,
+    _lpa_round_sql,
+)
 
 
 @register(

@@ -1633,3 +1633,52 @@ def test_value_rules_single_pass_one_row(spark):
     s = shuffle_stats(out)
     n_parts = max(li.rdd.getNumPartitions(), orders.rdd.getNumPartitions())
     assert s["shuffle_records"] <= n + 16 * max(n_parts, 1) + 64
+
+
+def test_lsh_recall_eval_cost_is_the_two_generators(spark):
+    """dedup_lsh_recall_eval: the eval adds one pair-keyed join on the
+    truth frame + a 4x literal explode — shuffle stays in the same order
+    as running the two generators it audits."""
+    from kinesis_stream_consumer_spark.operators import dedup as D
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    truth = D.prefix_filter_jaccard_pairs(docs, "text", "doc_id", 3, 0.2)
+    truth.collect()
+    t_stats = shuffle_stats(truth)
+    cand = D.minhash_lsh_candidate_pairs(docs, "text", "doc_id", 3, 2)
+    cand.collect()
+    c_stats = shuffle_stats(cand)
+    n_true = truth.count()
+    out = QUERIES["dedup_lsh_recall_eval"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    # generators (their own shuffles, rebalanced scans add ~docs rows)
+    # + pair join both sides + 4x explode aggregate
+    base = t_stats["shuffle_records"] + c_stats["shuffle_records"]
+    n_docs = docs.count()
+    assert s["shuffle_records"] <= base + 4 * n_docs + 12 * n_true + 256
+
+
+def test_modularity_joins_are_node_and_edge_bounded(spark):
+    """graph_modularity: LPA rounds + two label-keyed edge joins +
+    community-bounded aggregates — nothing beyond edges/nodes crosses a
+    wire."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    out = QUERIES["graph_modularity"].fn(spark, SF_CORRECT)
+    rows = out.collect()
+    s = shuffle_stats(out)
+    from kinesis_stream_consumer_spark.plans.graph_shared import _co_edges
+
+    edges = _co_edges(spark, SF_CORRECT)
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select("u").union(edges.select("v")).distinct().count()
+    )
+    n_parts = max(edges.rdd.getNumPartitions(), 1)
+    # 3 LPA rounds (bidir join + vote agg + argmax window per round) +
+    # degree agg + 2 label probes of the edge frame + community aggs
+    bound = (3 + 2) * 2 * 2 * n_edges + 12 * n_nodes * (n_parts + 2) + 256
+    assert s["shuffle_records"] <= bound
+    assert len(rows) <= 10
