@@ -1800,6 +1800,292 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: censoring-aware conversion horizons ---------------------------------
+
+
+@register(
+    "events_conversion_horizon",
+    """
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    su AS (
+      SELECT user_id, MIN(ts) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+      SELECT su.user_id, MIN(epoch_us(e.ts) - epoch_us(su.s)) AS lat_us
+      FROM su JOIN events e
+        ON e.user_id = su.user_id AND e.event_type = 'purchase'
+           AND e.ts >= su.s
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT su.user_id,
+             epoch_us(mx.mts) - epoch_us(su.s) AS obs_us,
+             c.lat_us
+      FROM su CROSS JOIN mx LEFT JOIN conv c ON c.user_id = su.user_id
+    ),
+    h AS (SELECT unnest([7, 14, 30]) AS horizon_days)
+    SELECT CAST(h.horizon_days AS BIGINT) AS horizon_days,
+           CAST(COUNT(*) AS BIGINT) AS n_eligible,
+           CAST(SUM(CASE WHEN b.lat_us IS NOT NULL
+                          AND b.lat_us <= h.horizon_days * 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST((20000 * SUM(CASE WHEN b.lat_us IS NOT NULL
+                          AND b.lat_us <= h.horizon_days * 86400000000
+                         THEN 1 ELSE 0 END) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS conversion_bp
+    FROM base b CROSS JOIN h
+    WHERE b.obs_us >= h.horizon_days * 86400000000
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Censoring-aware conversion rate by horizon: share of signups "
+    "that purchase within 7/14/30 days, counting ONLY users whose "
+    "observation window (first signup → corpus max event time) covers "
+    "the horizon — the right-censoring denominator discipline a naive "
+    "conversion rate gets wrong (recent signups can't have converted "
+    "within 30 days yet and must leave the denominator, not count as "
+    "failures; the fixed-horizon slice of a Kaplan-Meier survival "
+    "curve, computed in exact integer microseconds with no float "
+    "product chain). Complements events_latency_between_types (median "
+    "latency among converters) with the population-level rate. The "
+    "corpus max timestamp is one column-pruned agg pulled as a driver "
+    "literal (k-means-model pattern); user frames are user-keyed "
+    "aggregates; the horizon fan-out is a 3-element literal explode.",
+)
+def events_conversion_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mts = ev.agg(F.max(F.unix_micros("ts")).alias("m")).first()["m"]
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        su.join(pu, "user_id")
+        .where(F.col("ts") >= F.col("s"))
+        .select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros("s")).alias("lat"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("lat").alias("lat_us"))
+    )
+    base = (
+        su.select(
+            "user_id", (F.lit(int(mts)) - F.unix_micros("s")).alias("obs_us")
+        )
+        .join(conv, "user_id", "left")
+    )
+    day_us = 86400000000
+    fan = base.select(
+        "obs_us",
+        "lat_us",
+        F.explode(F.array(*[F.lit(h) for h in (7, 14, 30)])).alias(
+            "horizon_days"
+        ),
+    ).where(F.col("obs_us") >= F.col("horizon_days") * day_us)
+    hit = F.when(
+        F.col("lat_us").isNotNull()
+        & (F.col("lat_us") <= F.col("horizon_days") * day_us),
+        1,
+    ).otherwise(0)
+    return (
+        fan.groupBy("horizon_days")
+        .agg(F.count(F.lit(1)).alias("ne"), F.sum(hit).alias("nc"))
+        .select(
+            F.col("horizon_days").cast("long").alias("horizon_days"),
+            F.col("ne").cast("long").alias("n_eligible"),
+            F.col("nc").cast("long").alias("n_converted"),
+            F.expr("(20000 * nc + ne) div (2 * ne)")
+            .cast("long")
+            .alias("conversion_bp"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+# --- r11: Mann-Whitney U (rank companion to the KS row) -----------------------
+
+
+@register(
+    "agg_mann_whitney",
+    """
+    WITH j AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    g AS (
+      SELECT nation, cents,
+             SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+      FROM j GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT nation, c1, c2,
+             SUM(c1) OVER (PARTITION BY nation ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) - c1 AS less1,
+             SUM(c2) OVER (PARTITION BY nation ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) - c2 AS less2,
+             SUM(c1) OVER (PARTITION BY nation) AS n1,
+             SUM(c2) OVER (PARTITION BY nation) AS n2
+      FROM g
+    ),
+    u AS (
+      SELECT nation, MAX(n1) AS n1, MAX(n2) AS n2,
+             SUM(c1 * (2 * (less1 + less2) + (c1 + c2 + 1)))
+               - MAX(n1) * (MAX(n1) + 1) AS u1_x2
+      FROM w WHERE n1 > 0 AND n2 > 0
+      GROUP BY nation
+    )
+    SELECT nation,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(u1_x2 AS BIGINT) AS u1_x2,
+           CAST((20000 * u1_x2 + 2 * n1 * n2) // (2 * 2 * n1 * n2)
+                AS BIGINT) AS effect_bp
+    FROM u ORDER BY nation
+    """,
+    doc="Exact Mann-Whitney U per nation between the BUILDING and "
+    "MACHINERY order-value distributions — the rank-based companion to "
+    "agg_ks_two_sample on the SAME segment pairs (KS finds the largest "
+    "CDF gap; U measures stochastic dominance P(X>Y)). Tie handling is "
+    "the textbook average rank, kept integer-exact by carrying 2×ranks: "
+    "each value's 2·avgrank = 2·(count strictly less) + (ties + 1), so "
+    "2·R1 accumulates as one sum over the distinct-cents grid and "
+    "u1_x2 = 2R1 − n1(n1+1) = 2·U1 exactly. effect_bp is the "
+    "common-language effect size U1/(n1·n2) in half-up bp (all factors "
+    "positive). Same scale shape as the KS row: one grid aggregate, "
+    "windows over the distinct-cents frame, never order rows; int64 "
+    "holds while 4·10⁴·n1·n2 < 2⁶³ — asserted from the orders footer "
+    "row count, the zero-cost stats source.",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
+
+    n_orders = _table_row_count(sf_dir, "orders")
+    assert 40000 * n_orders * n_orders < 2**63, (
+        "mann-whitney bp arithmetic supports < ~1.5e7 orders/segment — "
+        "rerun with the double effect size"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents")
+    )
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+            "cents",
+        )
+    )
+    g = j.groupBy("nation", "cents").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("c2"),
+    )
+    wo = Window.partitionBy("nation").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy("nation")
+    w = g.select(
+        "nation",
+        "c1",
+        "c2",
+        (F.sum("c1").over(wo) - F.col("c1")).alias("less1"),
+        (F.sum("c2").over(wo) - F.col("c2")).alias("less2"),
+        F.sum("c1").over(wa).alias("n1"),
+        F.sum("c2").over(wa).alias("n2"),
+    )
+    u = (
+        w.where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("nation")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            (
+                F.sum(
+                    F.col("c1")
+                    * (2 * (F.col("less1") + F.col("less2")) + (F.col("c1") + F.col("c2") + 1))
+                )
+                - F.max("n1") * (F.max("n1") + 1)
+            ).alias("u1_x2"),
+        )
+    )
+    return u.select(
+        "nation",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("u1_x2").cast("long").alias("u1_x2"),
+        F.expr("(20000 * u1_x2 + 2 * n1 * n2) div (2 * 2 * n1 * n2)")
+        .cast("long")
+        .alias("effect_bp"),
+    ).orderBy("nation")
+
+
+# --- r11: DAU/WAU stickiness ---------------------------------------------------
+
+
+@register(
+    "events_stickiness_ratio",
+    """
+    WITH dd AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events
+    ),
+    dau AS (SELECT week, COUNT(*) AS dau_sum FROM dd GROUP BY 1),
+    dw AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+      FROM events
+    ),
+    wau AS (SELECT week, COUNT(*) AS wau FROM dw GROUP BY 1)
+    SELECT dau.week,
+           CAST(dau.dau_sum AS BIGINT) AS dau_sum,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST((2000 * dau.dau_sum + 7 * wau.wau)
+                // (2 * 7 * wau.wau) AS BIGINT) AS stickiness_milli
+    FROM dau JOIN wau USING (week) ORDER BY week
+    """,
+    doc="DAU/WAU stickiness per week: mean daily actives over weekly "
+    "actives (Σ daily-distinct users / (7·weekly-distinct users)) in "
+    "half-up milli-units — the engagement-intensity product metric "
+    "(1000 = every weekly user active every day). Distinctness reduces "
+    "map-side to (week, day, user) / (week, user) key sets before any "
+    "counting aggregate, so exchanges carry identity rows bounded by "
+    "active (user, day) pairs, never raw events; edge weeks keep the "
+    "fixed 7-day denominator (conservative, identical on both "
+    "engines). Complements events_burstiness (within-user temporal "
+    "concentration) with the population-level cadence.",
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").cast("date").alias("week")
+    dd = ev.select(week, F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    dau = dd.groupBy("week").agg(F.count(F.lit(1)).alias("dau_sum"))
+    dw = ev.select(week, "user_id").distinct()
+    wau = dw.groupBy("week").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "week")
+        .select(
+            "week",
+            F.col("dau_sum").cast("long").alias("dau_sum"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("(2000 * dau_sum + 7 * wau) div (2 * 7 * wau)")
+            .cast("long")
+            .alias("stickiness_milli"),
+        )
+        .orderBy("week")
+    )
+
+
 # --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
 # driver window because their bodies changed (capacity asserts + exact
 # integer seed). Original docstring citations retained. ----------------------

@@ -1682,3 +1682,48 @@ def test_modularity_joins_are_node_and_edge_bounded(spark):
     bound = (3 + 2) * 2 * 2 * n_edges + 12 * n_nodes * (n_parts + 2) + 256
     assert s["shuffle_records"] <= bound
     assert len(rows) <= 10
+
+
+def test_mann_whitney_shuffles_value_grid_not_orders(spark):
+    """agg_mann_whitney: same contract as the KS row — the rank windows
+    run over the distinct-cents grid; order rows cross a wire only into
+    the grid-combine."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    n_orders = orders.count()
+    grid = (
+        orders.selectExpr(
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents"
+        )
+        .distinct()
+        .count()
+    )
+    out = QUERIES["agg_mann_whitney"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = orders.rdd.getNumPartitions()
+    # join sides (orders slice + dims) + grid combine + windows + nation agg
+    bound = 2 * n_orders + 3 * grid + 40 * max(n_parts, 1) + 256
+    assert s["shuffle_records"] <= bound
+
+
+def test_stickiness_shuffles_identity_pairs(spark):
+    """events_stickiness_ratio: distinctness reduces to (week, day, user)
+    / (week, user) key sets before counting; raw events never cross a
+    second exchange."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_pairs = (
+        events.selectExpr("CAST(ts AS DATE) AS d", "user_id").distinct().count()
+    )
+    out = QUERIES["events_stickiness_ratio"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = events.rdd.getNumPartitions()
+    # two distinct passes (partial distinct map-side) + week aggregates
+    bound = 4 * n_pairs + 30 * max(n_parts, 1) + 128
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < 2 * n_events

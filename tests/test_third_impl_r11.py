@@ -205,6 +205,52 @@ def test_budget_waterfill_matches_python_reference(spark):
     )
 
 
+def test_mann_whitney_matches_python_reference(spark):
+    """From-scratch rank-sum: sort each nation's combined sample, assign
+    textbook average ranks (as 2x integers), U1 = R1 - n1(n1+1)/2."""
+    orders = _tbl("orders")
+    cust = _tbl("customer")
+    nation = _tbl("nation")
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    cnat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    samples: dict = defaultdict(list)
+    for ck, tp in zip(orders["o_custkey"], orders["o_totalprice"]):
+        s = seg.get(ck)
+        if s in ("BUILDING", "MACHINERY"):
+            cents = int(tp * 100 + 0.5) if tp >= 0 else -int(-tp * 100 + 0.5)
+            samples[nname[cnat[ck]]].append((s, cents))
+    want = {}
+    for nat, rows in samples.items():
+        rows.sort(key=lambda r: r[1])
+        n1 = sum(1 for s, _ in rows if s == "BUILDING")
+        n2 = len(rows) - n1
+        if n1 == 0 or n2 == 0:
+            continue
+        # 2x average ranks by value group
+        r1_x2 = 0
+        i = 0
+        while i < len(rows):
+            j = i
+            while j < len(rows) and rows[j][1] == rows[i][1]:
+                j += 1
+            avg2 = (i + 1) + j  # 2*avg of ranks i+1..j
+            r1_x2 += sum(avg2 for s, _ in rows[i:j] if s == "BUILDING")
+            i = j
+        u1_x2 = r1_x2 - n1 * (n1 + 1)
+        want[nat] = (
+            n1,
+            n2,
+            u1_x2,
+            (20000 * u1_x2 + 2 * n1 * n2) // (4 * n1 * n2),
+        )
+    got = {
+        r["nation"]: (r["n1"], r["n2"], r["u1_x2"], r["effect_bp"])
+        for r in QUERIES["agg_mann_whitney"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
 def test_id_gaps_matches_python_reference(spark):
     ev = _tbl("events")
     ids = sorted(set(ev["event_id"]))
