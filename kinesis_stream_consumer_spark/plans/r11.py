@@ -2086,6 +2086,102 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: forecast backtest (naive vs seasonal-naive) --------------------------
+
+
+@register(
+    "ts_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+             LAG(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7
+      FROM daily
+    ),
+    test AS (
+      SELECT event_type,
+             COUNT(*) AS n_test,
+             SUM(ABS(c - p1)) AS ae1,
+             SUM(ABS(c - p7)) AS ae7
+      FROM idx WHERE i > n // 2 AND p7 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_test AS BIGINT) AS n_test_days,
+           CAST((2000 * ae1 + n_test) // (2 * n_test) AS BIGINT)
+             AS mae_naive_milli,
+           CAST((2000 * ae7 + n_test) // (2 * n_test) AS BIGINT)
+             AS mae_seasonal_milli,
+           CAST(CASE WHEN ae7 < ae1 THEN 1 ELSE 0 END AS BIGINT)
+             AS seasonal_wins
+    FROM test WHERE n_test > 0
+    ORDER BY event_type
+    """,
+    doc="Forecast backtest per event type over the daily series: mean "
+    "absolute error of the naive (yesterday) vs the seasonal-naive "
+    "(same weekday last week) one-step forecaster on the held-out "
+    "second half of days — the capacity-planning eval that says "
+    "whether the weekly cycle ts_seasonal_strength detects is strong "
+    "enough to be WORTH exploiting (the standard M-competition "
+    "baseline pair; any real model must beat both). Absolute errors "
+    "of integer counts stay integer, MAE in half-up milli-units over "
+    "positive counts; lag features come from the SAME per-type window "
+    "pass as the split index, so the only event-scaled exchange is the "
+    "daily count combine. The days-bounded frame discipline of the "
+    "changepoint/Kendall/Theil-Sen family.",
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "c",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+        F.lag("c", 1).over(wo).alias("p1"),
+        F.lag("c", 7).over(wo).alias("p7"),
+    )
+    test = (
+        idx.where(
+            (F.col("i") > F.expr("n div 2")) & F.col("p7").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.abs(F.col("c") - F.col("p1"))).alias("ae1"),
+            F.sum(F.abs(F.col("c") - F.col("p7"))).alias("ae7"),
+        )
+    )
+    return (
+        test.where(F.col("n_test") > 0)
+        .select(
+            "event_type",
+            F.col("n_test").cast("long").alias("n_test_days"),
+            F.expr("(2000 * ae1 + n_test) div (2 * n_test)")
+            .cast("long")
+            .alias("mae_naive_milli"),
+            F.expr("(2000 * ae7 + n_test) div (2 * n_test)")
+            .cast("long")
+            .alias("mae_seasonal_milli"),
+            F.when(F.col("ae7") < F.col("ae1"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("seasonal_wins"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
 # driver window because their bodies changed (capacity asserts + exact
 # integer seed). Original docstring citations retained. ----------------------
