@@ -2182,6 +2182,72 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: per-source NEAR-dup rate (the LSH complement to the exact-dup row) --
+
+
+@register(
+    "curation_near_dup_rate",
+    f"""
+    WITH pairs AS ({_minhash_lsh_oracle().rsplit("ORDER BY", 1)[0]}),
+    nd AS (
+      SELECT doc_a AS doc_id FROM pairs
+      WHERE jaccard_sim >= CAST(0.8 AS DOUBLE)
+      UNION
+      SELECT doc_b FROM pairs WHERE jaccard_sim >= CAST(0.8 AS DOUBLE)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_near_dup_docs,
+           CAST((20000 * SUM(CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS near_dup_bp
+    FROM documents d LEFT JOIN nd ON nd.doc_id = d.doc_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Per-source NEAR-duplicate rate: share of each source's documents "
+    "that sit in at least one verified MinHash-LSH pair (shingle "
+    "Jaccard ≥ 0.8) — the fuzzy complement to curation_source_dup_rate's "
+    "exact-hash triage (a feed that paraphrases or lightly edits its "
+    "plagiarism shows up HERE and not there). Candidates come from the "
+    "banded equi-join (never all-pairs); membership reduces to a "
+    "distinct doc-id set UNIONed from both pair ends, and the rollup is "
+    "one id-keyed left join + source aggregate over slim id/tag rows — "
+    "the dedup cost is the LSH generator this composes, everything "
+    "added is id-bounded. Together the two rates and "
+    "dedup_lsh_recall_eval form the dedup triage dashboard: how much "
+    "exact, how much fuzzy, how trustworthy the fuzzy detector.",
+)
+def curation_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    pairs = D.minhash_lsh_candidate_pairs(docs, "text", "doc_id", 3, 2).where(
+        F.col("jaccard_sim") >= 0.8
+    )
+    nd = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("near", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(nd, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("nd_"),
+            F.sum(F.coalesce(F.col("near"), F.lit(0))).alias("nn"),
+        )
+        .select(
+            "source",
+            F.col("nd_").cast("long").alias("n_docs"),
+            F.col("nn").cast("long").alias("n_near_dup_docs"),
+            F.expr("(20000 * nn + nd_) div (2 * nd_)")
+            .cast("long")
+            .alias("near_dup_bp"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
 # driver window because their bodies changed (capacity asserts + exact
 # integer seed). Original docstring citations retained. ----------------------
