@@ -2248,6 +2248,123 @@ def curation_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r11: user growth curve (first-seen trick, no quadratic distinct) ---------
+
+
+@register(
+    "events_user_growth_curve",
+    """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY 1
+    ),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS n_new FROM fs GROUP BY 1
+    )
+    SELECT CAST(day AS DATE) AS day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily ORDER BY day
+    """,
+    doc="Daily user-acquisition growth curve: new users per day and the "
+    "running total — computed via the FIRST-SEEN trick (each user "
+    "reduces to min(day) in one user-keyed aggregate, then new-user "
+    "counts cumulate over the days-bounded frame), NOT the naive "
+    "running COUNT(DISTINCT) whose every prefix re-scans history "
+    "(quadratic, and not window-expressible anyway). The events-table "
+    "analogue of text_vocab_growth's Heaps curve. The cumulative window "
+    "is unpartitioned but runs over #days rows — the bounded-frame "
+    "precedent; the only event-scaled exchange is the per-user min "
+    "combine.",
+)
+def events_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("date").alias("day"),
+        F.col("n_new").cast("long").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+# --- r11: token impact of exact dedup ------------------------------------------
+
+
+@register(
+    "curation_dedup_impact",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\w\\s]'))
+               AS toks,
+             md5(text) AS th
+      FROM documents
+    ),
+    canon AS (SELECT th, MIN(doc_id) AS keep_id FROM h GROUP BY 1)
+    SELECT h.source,
+           CAST(SUM(h.toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN h.doc_id = c.keep_id THEN h.toks ELSE 0 END)
+                AS BIGINT) AS tokens_after_dedup,
+           CAST((20000 * SUM(CASE WHEN h.doc_id = c.keep_id THEN 0
+                                  ELSE h.toks END) + SUM(h.toks))
+                // (2 * SUM(h.toks)) AS BIGINT) AS savings_bp
+    FROM h JOIN canon c USING (th)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Token impact of exact dedup per source: total BPE-ish tokens, "
+    "tokens surviving the keep-lowest-id policy, and the savings share "
+    "in half-up bp — the capacity-planning number dedup decisions are "
+    "actually made on (curation_survivorship counts DOCUMENTS; storage "
+    "and training cost scale with TOKENS, and a source whose few dups "
+    "are its longest docs looks cheap there and expensive here). Token "
+    "counts are the map-side regex count; shuffles carry (digest, "
+    "token-count, tag) rows, never text; one hash-keyed canonical "
+    "aggregate + one digest join, the survivorship plan shape.",
+)
+def curation_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|\d+|[^\w\s]"), F.lit(0)
+            )
+        ).alias("toks"),
+        F.md5(F.col("text")).alias("th"),
+    ).localCheckpoint(eager=False)  # slim digest frame; read 2x below
+    canon = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    j = h.join(canon, "th")
+    kept = F.when(F.col("doc_id") == F.col("keep_id"), F.col("toks")).otherwise(0)
+    purged = F.when(F.col("doc_id") == F.col("keep_id"), 0).otherwise(
+        F.col("toks")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("toks").alias("tt"),
+            F.sum(kept).alias("tk"),
+            F.sum(purged).alias("tp"),
+        )
+        .select(
+            "source",
+            F.col("tt").cast("long").alias("tokens_total"),
+            F.col("tk").cast("long").alias("tokens_after_dedup"),
+            F.expr("(20000 * tp + tt) div (2 * tt)")
+            .cast("long")
+            .alias("savings_bp"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- ADVICE r10 fixes: three blocks moved from plans/r10.py back into the
 # driver window because their bodies changed (capacity asserts + exact
 # integer seed). Original docstring citations retained. ----------------------
