@@ -16,6 +16,17 @@ A ground-up re-expression of the capabilities of
 
 Nothing here is a port: the reference is a single-threaded Node.js runtime;
 this package declares logical plans and lets Catalyst/Tungsten execute them.
+
+PROCESS-WIDE SIDE EFFECT (documented per ADVICE r11): importing this package
+wraps stdlib ``tempfile.mkdtemp``. The wrapper only changes behavior for
+calls whose prefix starts with ``"ksc-"`` (this package's scratch layouts —
+many inside certified hash-held query bodies, which is why the redirect
+lives here and not at the call sites): those dirs are rerooted under one
+per-process session root that is removed at interpreter exit. A foreign
+library in the same process that happens to use a ``ksc-`` prefix would be
+rerooted too. Planned migration: an explicit internal helper
+(``kinesis_stream_consumer_spark.util.mkdtemp``) adopted call-site-by-
+call-site as each certified block next re-enters the correctness window.
 """
 
 import atexit as _atexit
@@ -36,13 +47,52 @@ _KSC_TMP_ROOT = None
 _REAL_MKDTEMP = _tempfile.mkdtemp
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        _os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - alive, other user
+        return True
+    except (OverflowError, ValueError):  # pragma: no cover
+        return False
+    return True
+
+
+def _sweep_stale_session_roots(tmp_dir: str) -> None:
+    """Remove ksc-session-* roots left by hard-killed drivers (VERDICT r11
+    #4: SIGKILL skips atexit, leaking one dir per killed session). The
+    owning pid is stamped into the dir name; a dead pid means the session
+    is gone and its scratch is garbage. Best-effort — concurrent sessions
+    each guard their own (live) pid, races with another sweeper are
+    harmless (rmtree ignore_errors)."""
+    try:
+        entries = _os.listdir(tmp_dir)
+    except OSError:  # pragma: no cover - degraded environment
+        return
+    for name in entries:
+        if not name.startswith("ksc-session-"):
+            continue
+        pid_part = name[len("ksc-session-"):].split("-", 1)[0]
+        if not pid_part.isdigit():
+            # pre-r12 roots carry no pid stamp; age out manually
+            continue
+        if int(pid_part) != _os.getpid() and not _pid_alive(int(pid_part)):
+            _shutil.rmtree(_os.path.join(tmp_dir, name), ignore_errors=True)
+
+
 def _session_tmp_root() -> str:
     global _KSC_TMP_ROOT
     # re-validate: a tmp reaper (systemd-tmpfiles age cleanup) can remove
     # the root mid-session; recreate rather than hand a dead dir= to the
     # real mkdtemp
     if _KSC_TMP_ROOT is None or not _os.path.isdir(_KSC_TMP_ROOT):
-        _KSC_TMP_ROOT = _REAL_MKDTEMP(prefix="ksc-session-")
+        if _KSC_TMP_ROOT is None:
+            # first creation in this process: sweep siblings whose owner
+            # died (lazy like the root itself — import-only processes,
+            # e.g. Spark workers, neither create nor scan anything)
+            _sweep_stale_session_roots(_tempfile.gettempdir())
+        _KSC_TMP_ROOT = _REAL_MKDTEMP(prefix=f"ksc-session-{_os.getpid()}-")
         _atexit.register(_shutil.rmtree, _KSC_TMP_ROOT, ignore_errors=True)
     return _KSC_TMP_ROOT
 

@@ -56,6 +56,69 @@ def test_root_is_lazy_no_litter_from_import_only():
     assert out.stdout.strip().splitlines()[-1] == "None"
 
 
+def test_stale_dead_pid_session_root_swept():
+    """VERDICT r11 #4: a SIGKILL'd driver leaves its session root behind
+    (atexit never runs). The pid is stamped into the dir name; the next
+    session's first root creation sweeps siblings whose pid is dead."""
+    import shutil
+
+    tmp = tempfile.gettempdir()
+    # a plausibly-dead pid: max pid space is far below 2**22+7 on default
+    # kernels, but verify rather than assume
+    dead_pid = 4194311
+    while pkg._pid_alive(dead_pid):  # pragma: no cover - astronomically rare
+        dead_pid += 1
+    stale = os.path.join(tmp, f"ksc-session-{dead_pid}-deadbeef")
+    os.makedirs(os.path.join(stale, "inner"), exist_ok=True)
+    live = os.path.join(tmp, f"ksc-session-{os.getpid()}-selfcheck")
+    os.makedirs(live, exist_ok=True)
+    unstamped = os.path.join(tmp, "ksc-session-legacyformat")
+    os.makedirs(unstamped, exist_ok=True)
+    try:
+        pkg._sweep_stale_session_roots(tmp)
+        assert not os.path.exists(stale)  # dead pid: swept, recursively
+        assert os.path.isdir(live)  # own/live pid: untouched
+        assert os.path.isdir(unstamped)  # no pid stamp: left alone
+    finally:
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(unstamped, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_fresh_process_sweeps_dead_sessions_on_first_mkdtemp():
+    """End-to-end: a fresh interpreter's FIRST ksc mkdtemp removes a
+    dead-pid session root; import alone must not (workers import too)."""
+    import shutil
+
+    tmp = tempfile.gettempdir()
+    dead_pid = 4194311
+    while pkg._pid_alive(dead_pid):  # pragma: no cover
+        dead_pid += 1
+    stale = os.path.join(tmp, f"ksc-session-{dead_pid}-e2e")
+    os.makedirs(stale, exist_ok=True)
+    cwd = os.path.dirname(os.path.dirname(__file__))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import kinesis_stream_consumer_spark"],
+            capture_output=True, text=True, cwd=cwd,
+        )
+        assert out.returncode == 0, out.stderr
+        assert os.path.isdir(stale)  # import-only: no sweep, no litter
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import tempfile, kinesis_stream_consumer_spark;"
+                "tempfile.mkdtemp(prefix='ksc-sweep-e2e-')",
+            ],
+            capture_output=True, text=True, cwd=cwd,
+        )
+        assert out.returncode == 0, out.stderr
+        assert not os.path.exists(stale)  # first mkdtemp swept it
+    finally:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def test_session_root_removed_at_interpreter_exit():
     """A fresh interpreter that imports the package and creates scratch
     dirs must remove its whole session root on clean exit."""
