@@ -1727,3 +1727,90 @@ def test_stickiness_shuffles_identity_pairs(spark):
     bound = 4 * n_pairs + 30 * max(n_parts, 1) + 128
     assert s["shuffle_records"] <= bound
     assert s["shuffle_records"] < 2 * n_events
+
+
+def test_gapped_sequence_patterns_shuffles_are_vocab_bounded(spark):
+    """events_sequence_patterns_gapped: same contract as the contiguous
+    miner — the per-user window partition exchange is the only
+    event-scaled shuffle; the W-way gram explode fans out in place and
+    both aggregates combine map-side, so candidate exchanges carry at
+    most users x vocab² per-user pattern rows and the final pattern
+    exchange at most vocab² — never raw skip-gram occurrences."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+    from kinesis_stream_consumer_spark.plans.r12 import _GAP_W
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_types = events.select("event_type").distinct().count()
+    n_users = events.select("user_id").distinct().count()
+    out = QUERIES["events_sequence_patterns_gapped"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    vocab2 = n_types**2
+    # window partition (<= event rows) + per-(pattern,user) candidates
+    # (map-side combine caps per-partition duplicates) + pattern agg +
+    # the 15-row top-k window exchange
+    bound = n_events + n_users * vocab2 + 2 * vocab2 + 30
+    assert s["shuffle_records"] <= bound
+    # the explode generated ~W rows/event, none of which crossed a wire raw
+    assert s["generated_rows"] >= _GAP_W * (n_events - _GAP_W * n_users)
+    assert s["shuffle_records"] < s["generated_rows"]
+
+
+def test_chi_square_shuffles_cell_counts_not_events(spark):
+    """agg_chi_square_independence: the contingency groupBy combines
+    map-side (<= types x 7 cells per map partition); the marginal frames
+    broadcast; nothing event-scaled crosses a wire."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_types = events.select("event_type").distinct().count()
+    n_parts = events.rdd.getNumPartitions()
+    out = QUERIES["agg_chi_square_independence"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    cells = n_types * 7
+    # cell combine per map partition + marginal/one-row aggregates
+    bound = cells * max(n_parts, 1) + 4 * cells + 64
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_events
+
+
+def test_hodges_lehmann_pairs_are_sample_bounded(spark):
+    """agg_hodges_lehmann: Walsh pairs generate inside the type-keyed
+    equi-join over the DETERMINISTIC bounded sample — pair volume is
+    capped by the per-type sample sizes (~constant at ANY corpus size via
+    the corpus-derived modulus), and the rank window shuffles exactly
+    those pairs, never corpus rows."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+    from kinesis_stream_consumer_spark.plans.r12 import _HL_SAMPLE_TARGET
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    m = max(1, n_events // _HL_SAMPLE_TARGET)
+    per_type = (
+        events.where(
+            (F.pmod(F.col("event_id"), F.lit(m)) == 0)
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    n_sample = sum(r["count"] for r in per_type)
+    n_pairs = sum(r["count"] * (r["count"] + 1) // 2 for r in per_type)
+    out = QUERIES["agg_hodges_lehmann"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    # join sides (2x sample) + pair rank window + per-type aggregates
+    bound = 3 * n_sample + n_pairs + 128
+    assert s["shuffle_records"] <= bound
+    # the scale claim: pair volume is capped by the CORPUS-INDEPENDENT
+    # sample target (the modulus grows with the corpus), so the shuffle
+    # ceiling is a constant ~target² at any sf — at tiny local sf the
+    # pair frame may exceed event count; at 100 TB it is a rounding error
+    assert n_pairs <= _HL_SAMPLE_TARGET**2
+    assert s["shuffle_records"] <= 3 * n_sample + _HL_SAMPLE_TARGET**2 + 128
