@@ -724,3 +724,507 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- r12: Wald-Wolfowitz runs test on the daily series -------------------------
+
+
+@register(
+    "ts_runs_test",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day,
+             c - LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS diff
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, day,
+             CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+      FROM d WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    runs_rows AS (
+      SELECT event_type, sgn,
+             CASE WHEN LAG(sgn) OVER (PARTITION BY event_type ORDER BY day)
+                       IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS boundary
+      FROM s
+    ),
+    t AS (
+      SELECT event_type,
+             SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n2,
+             SUM(boundary) AS runs
+      FROM runs_rows GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_up,
+           CAST(n2 AS BIGINT) AS n_down,
+           CAST(runs AS BIGINT) AS runs,
+           CAST((2000 * ((n1 + n2) + 2 * n1 * n2) + (n1 + n2))
+                // (2 * (n1 + n2)) AS BIGINT) AS e_runs_milli,
+           ROUND((CAST(runs AS DOUBLE)
+                  - CAST((n1 + n2) + 2 * n1 * n2 AS DOUBLE) / (n1 + n2))
+                 / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                             AS DOUBLE)
+                        / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+                               AS DOUBLE)), 6) AS z_score
+    FROM t
+    WHERE n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > (n1 + n2)
+    ORDER BY event_type
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of the daily count "
+    "series per event type: signs of day-over-day changes (zeros "
+    "dropped, the standard treatment), observed runs vs the exact null "
+    "expectation E[R] = 1 + 2·n1·n2/n in half-up milli-units, and the "
+    "normal-approximation z-score — the drift screen that catches "
+    "trending or oscillating load a mean-level test misses (pairs with "
+    "events_cusum_drift: CUSUM localizes a level shift, this tests the "
+    "sign-pattern randomness globally). All counting is exact integer; "
+    "runs count as 1 + sign boundaries via IS DISTINCT FROM so the "
+    "first row (NULL lag) starts run one identically on both engines "
+    "— boundary sums to R-1... the first row's NULL lag IS DISTINCT "
+    "from its sign, so the sum counts the first run too: R exactly. "
+    "z derives from the same exact integers with single literal "
+    "divisions (IEEE-identical cross-engine); the numerator "
+    "2n1n2(2n1n2−n) fits int64 through a ~100-year daily series "
+    "(~4e17 at n=36500). Two window passes over the days-bounded "
+    "per-type frame; the only event-scaled exchange is the daily "
+    "combine (map-side).",
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type", "day", (F.col("c") - F.lag("c").over(wo)).alias("diff")
+    )
+    s = d.where(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "event_type",
+        "day",
+        F.when(F.col("diff") > 0, 1).otherwise(-1).alias("sgn"),
+    )
+    runs_rows = s.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(wo).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0).alias("boundary"),
+    )
+    t = runs_rows.groupBy("event_type").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum("boundary").alias("runs"),
+    )
+    return (
+        t.where(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (2 * F.col("n1") * F.col("n2") > F.col("n1") + F.col("n2"))
+        )
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n_up"),
+            F.col("n2").cast("long").alias("n_down"),
+            F.col("runs").cast("long").alias("runs"),
+            F.expr(
+                "(2000 * ((n1 + n2) + 2 * n1 * n2) + (n1 + n2))"
+                " div (2 * (n1 + n2))"
+            ).cast("long").alias("e_runs_milli"),
+            F.round(
+                (
+                    F.col("runs").cast("double")
+                    - F.expr(
+                        "CAST((n1 + n2) + 2 * n1 * n2 AS DOUBLE) / (n1 + n2)"
+                    )
+                )
+                / F.sqrt(
+                    F.expr(
+                        "CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) "
+                        "AS DOUBLE)"
+                    )
+                    / F.expr(
+                        "CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) "
+                        "AS DOUBLE)"
+                    )
+                ),
+                6,
+            ).alias("z_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- r12: turning-point test (companion randomness screen) --------------------
+
+
+@register(
+    "ts_turning_points",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, c,
+             LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS p,
+             LEAD(c) OVER (PARTITION BY event_type ORDER BY day) AS f,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    t AS (
+      SELECT event_type, MAX(n) AS n_days,
+             SUM(CASE WHEN (p < c AND f < c) OR (p > c AND f > c)
+                      THEN 1 ELSE 0 END) AS tp
+      FROM w WHERE p IS NOT NULL AND f IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(tp AS BIGINT) AS turning_points,
+           CAST((20000 * tp + (n_days - 2)) // (2 * (n_days - 2))
+                AS BIGINT) AS tp_rate_bp,
+           CAST((2000 * 2 * (n_days - 2) + 3) // (2 * 3) AS BIGINT)
+             AS expected_milli,
+           CAST((2000 * (16 * n_days - 29) + 90) // (2 * 90) AS BIGINT)
+             AS variance_milli
+    FROM t WHERE n_days > 2
+    ORDER BY event_type
+    """,
+    doc="Turning-point test per event type: count of STRICT local "
+    "maxima/minima in the daily series (ties break neither way — "
+    "documented, identical on both engines) against the i.i.d. null "
+    "E[T] = 2(n−2)/3, Var[T] = (16n−29)/90, all in exact half-up "
+    "milli/bp integer units — the second classical randomness screen "
+    "next to ts_runs_test (runs sees sign PERSISTENCE, turning points "
+    "see alternation EXCESS; an oscillating series passes one and "
+    "fails the other). One days-bounded per-type window pass supplies "
+    "lag and lead; the only event-scaled exchange is the daily combine.",
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    w = daily.select(
+        "event_type",
+        "c",
+        F.lag("c").over(wo).alias("p"),
+        F.lead("c").over(wo).alias("f"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    t = (
+        w.where(F.col("p").isNotNull() & F.col("f").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum(
+                F.when(
+                    ((F.col("p") < F.col("c")) & (F.col("f") < F.col("c")))
+                    | ((F.col("p") > F.col("c")) & (F.col("f") > F.col("c"))),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+        )
+    )
+    return (
+        t.where(F.col("n_days") > 2)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("tp").cast("long").alias("turning_points"),
+            F.expr(
+                "(20000 * tp + (n_days - 2)) div (2 * (n_days - 2))"
+            ).cast("long").alias("tp_rate_bp"),
+            F.expr("(2000 * 2 * (n_days - 2) + 3) div (2 * 3)")
+            .cast("long")
+            .alias("expected_milli"),
+            F.expr("(2000 * (16 * n_days - 29) + 90) div (2 * 90)")
+            .cast("long")
+            .alias("variance_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- r12: Simpson diversity of the token distribution per source --------------
+
+
+@register(
+    "text_simpson_diversity",
+    """
+    WITH tok AS (
+      SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    t AS (SELECT source, unnest(toks) AS term FROM tok),
+    tf AS (SELECT source, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS vocab,
+             SUM(c) AS n_tokens,
+             SUM(CAST(c AS HUGEINT) * (c - 1)) AS s2
+      FROM tf GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST((2 * 1000000::HUGEINT * s2
+                 + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                // (2 * CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+             AS BIGINT) AS simpson_micro,
+           ROUND(CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE)
+                 / CAST(s2 AS DOUBLE), 4) AS inv_simpson
+    FROM agg WHERE n_tokens > 1 AND s2 > 0
+    ORDER BY source
+    """,
+    doc="Simpson concentration (repeat probability) of each source's "
+    "token distribution: λ = Σ nᵢ(nᵢ−1) / (N(N−1)) in half-up integer "
+    "MICRO-units, plus the inverse-Simpson effective vocabulary (the "
+    "Hill number ²D — 'this source behaves like K equally-common "
+    "words'). The concentration dual of text_token_entropy's "
+    "per-document Shannon diversity, at the source grain the curation "
+    "mixers operate on: a boilerplate-heavy feed shows high λ / tiny "
+    "effective vocabulary long before eyeballing. Per-term products "
+    "nᵢ(nᵢ−1) and their sum run in wide integers on BOTH engines "
+    "(DuckDB HUGEINT, Spark DECIMAL(38,0) — a single stopword at "
+    "nᵢ~1e10 already breaks int64), int64 only at the output cast; "
+    "inv_simpson derives from the same exact integers with one double "
+    "division. One tokenize pass, one (source, term) combine, one "
+    "source-bounded aggregate — shuffles carry counts, never text.",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    agg = tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).alias("s2"),
+    )
+    return (
+        agg.where((F.col("n_tokens") > 1) & (F.col("s2") > 0))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.expr(
+                "(2 * CAST(1000000 AS DECIMAL(38,0)) * s2"
+                " + CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+                " div (2 * CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+            ).cast("long").alias("simpson_micro"),
+            F.round(
+                F.expr(
+                    "CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1) "
+                    "AS DOUBLE)"
+                )
+                / F.col("s2").cast("double"),
+                4,
+            ).alias("inv_simpson"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- r12: Kruskal-Wallis H (k-group extension of the MWU row) ------------------
+
+
+@register(
+    "agg_kruskal_wallis",
+    """
+    WITH j AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+      SELECT nation, cents, seg, COUNT(*) AS c
+      FROM j GROUP BY 1, 2, 3
+    ),
+    tv AS (
+      SELECT nation, cents, SUM(c) AS tot FROM g GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT nation, cents, tot,
+             2 * (SUM(tot) OVER (PARTITION BY nation ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) - tot)
+               + tot + 1 AS avgrank2x
+      FROM tv
+    ),
+    rj AS (
+      SELECT g.nation, g.seg,
+             SUM(g.c) AS n_j,
+             SUM(CAST(g.c AS HUGEINT) * grid.avgrank2x) AS r2_j
+      FROM g JOIN grid ON grid.nation = g.nation AND grid.cents = g.cents
+      GROUP BY 1, 2
+    ),
+    pern AS (
+      SELECT nation,
+             COUNT(*) AS k_groups,
+             SUM(n_j) AS n,
+             SUM((2 * 1000000000::HUGEINT * r2_j * r2_j
+                  + 4 * CAST(n_j AS HUGEINT))
+                 // (2 * 4 * CAST(n_j AS HUGEINT))) AS t_nano
+      FROM rj GROUP BY 1
+    ),
+    ties AS (
+      SELECT nation,
+             SUM(CAST(tot AS HUGEINT) * tot * tot - tot) AS tie_term
+      FROM tv GROUP BY 1
+    )
+    SELECT p.nation,
+           CAST(p.k_groups AS BIGINT) AS k_groups,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(p.t_nano AS BIGINT) AS t_nano,
+           CAST(t.tie_term AS BIGINT) AS tie_term,
+           ROUND((3.0 * (CAST(p.t_nano AS DOUBLE) / 1000000000.0)
+                  / (CAST(p.n AS DOUBLE) * (p.n + 1)) - 3.0 * (p.n + 1))
+                 / (1.0 - CAST(t.tie_term AS DOUBLE)
+                          / (CAST(p.n AS DOUBLE) * p.n * p.n - p.n)), 6)
+             AS h_corrected
+    FROM pern p JOIN ties t ON t.nation = p.nation
+    WHERE p.k_groups > 1 AND p.n > p.k_groups
+      AND t.tie_term < CAST(p.n AS HUGEINT) * p.n * p.n - p.n
+    ORDER BY p.nation
+    """,
+    doc="Kruskal-Wallis H test per nation across ALL market segments on "
+    "order value — the k-group extension of agg_mann_whitney (MWU "
+    "answers 'do these TWO segments differ'; KW answers 'does ANY of "
+    "the k differ' with one rank statistic, the nonparametric one-way "
+    "ANOVA). Tie handling is the same 2×average-rank trick on the "
+    "distinct-cents grid; the rank-sum squares R²ⱼ/nⱼ exceed int64 at "
+    "~80k orders/nation, so the per-group term is computed half-up in "
+    "NANO-units in wide integers (DuckDB HUGEINT / Spark DECIMAL(38,0), "
+    "capacity 1e9·4N⁴ < 10³⁸ ⟹ N < ~2e7 orders per nation ASSERTED "
+    "from the orders footer count), summed exactly, and only the final "
+    "H = 3·(T/1e9)/(N(N+1)) − 3(N+1) with the textbook tie correction "
+    "1 − ΣT/(N³−N) runs in doubles — derived from the same exact "
+    "integers on both sides, so cross-engine doubles are bit-equal. "
+    "Same scale shape as MWU: one grid aggregate, per-nation windows "
+    "over distinct cents, exchanges bounded by the value grid — never "
+    "order rows (gate-asserted).",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import (
+        _bcast_if_small,
+        _table_row_count,
+    )
+
+    n_orders = _table_row_count(sf_dir, "orders")
+    # per-nation N <= total orders; 1e9 * 4N^4 must fit DECIMAL(38,0)
+    assert 4 * 10**9 * n_orders**4 < 10**38, (
+        "kruskal-wallis nano-unit arithmetic supports < ~2e7 orders per "
+        "nation — rerun with the double objective"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    j = (
+        orders.join(
+            _bcast_if_small(cust, sf_dir, "customer"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    g = j.groupBy("nation", "cents", "seg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = g.localCheckpoint(eager=True)  # grid-bounded; read twice below
+    tv = g.groupBy("nation", "cents").agg(F.sum("c").alias("tot"))
+    wo = Window.partitionBy("nation").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = tv.select(
+        "nation",
+        "cents",
+        "tot",
+        (
+            2 * (F.sum("tot").over(wo) - F.col("tot"))
+            + F.col("tot")
+            + 1
+        ).alias("avgrank2x"),
+    )
+    rj = (
+        g.join(grid.select("nation", "cents", "avgrank2x"), ["nation", "cents"])
+        .groupBy("nation", "seg")
+        .agg(
+            F.sum("c").alias("n_j"),
+            F.sum(
+                F.expr("CAST(c AS DECIMAL(38,0)) * avgrank2x")
+            ).alias("r2_j"),
+        )
+    )
+    pern = rj.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("n_j").alias("n"),
+        F.sum(
+            F.expr(
+                "(2 * CAST(1000000000 AS DECIMAL(38,0)) * r2_j * r2_j"
+                " + 4 * CAST(n_j AS DECIMAL(38,0)))"
+                " div (2 * 4 * CAST(n_j AS DECIMAL(38,0)))"
+            )
+        ).alias("t_nano"),
+    )
+    ties = tv.groupBy("nation").agg(
+        F.sum(
+            F.expr("CAST(tot AS DECIMAL(38,0)) * tot * tot - tot")
+        ).alias("tie_term")
+    )
+    return (
+        pern.join(ties, "nation")
+        .where(
+            (F.col("k_groups") > 1)
+            & (F.col("n") > F.col("k_groups"))
+            & (
+                F.col("tie_term")
+                < F.expr("CAST(n AS DECIMAL(38,0)) * n * n - n")
+            )
+        )
+        .select(
+            "nation",
+            F.col("k_groups").cast("long").alias("k_groups"),
+            F.col("n").cast("long").alias("n"),
+            F.col("t_nano").cast("long").alias("t_nano"),
+            F.col("tie_term").cast("long").alias("tie_term"),
+            F.round(
+                (
+                    F.lit(3.0)
+                    * (F.col("t_nano").cast("double") / F.lit(1000000000.0))
+                    / (
+                        F.col("n").cast("double")
+                        * (F.col("n") + 1)
+                    )
+                    - F.lit(3.0) * (F.col("n") + 1)
+                )
+                / (
+                    F.lit(1.0)
+                    - F.col("tie_term").cast("double")
+                    / (
+                        F.col("n").cast("double") * F.col("n") * F.col("n")
+                        - F.col("n")
+                    )
+                ),
+                6,
+            ).alias("h_corrected"),
+        )
+        .orderBy("nation")
+    )

@@ -1814,3 +1814,85 @@ def test_hodges_lehmann_pairs_are_sample_bounded(spark):
     # pair frame may exceed event count; at 100 TB it is a rounding error
     assert n_pairs <= _HL_SAMPLE_TARGET**2
     assert s["shuffle_records"] <= 3 * n_sample + _HL_SAMPLE_TARGET**2 + 128
+
+
+def test_runs_and_turning_point_shuffles_are_days_bounded(spark):
+    """ts_runs_test / ts_turning_points: the only event-scaled exchange
+    is the daily combine (map-side); every window pass runs over the
+    days x types frame."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_cells = (
+        events.selectExpr("event_type", "CAST(ts AS DATE) AS d")
+        .distinct()
+        .count()
+    )
+    n_parts = events.rdd.getNumPartitions()
+    for name, passes in (("ts_runs_test", 3), ("ts_turning_points", 2)):
+        out = QUERIES[name].fn(spark, SF_CORRECT)
+        out.collect()
+        s = shuffle_stats(out)
+        # daily combine (<= cells per map partition) + window passes over
+        # the days frame + per-type aggregates
+        bound = n_cells * max(n_parts, 1) + passes * n_cells + 64
+        assert s["shuffle_records"] <= bound, name
+        assert s["shuffle_records"] < n_events, name
+
+
+def test_simpson_diversity_shuffles_counts_not_text(spark):
+    """text_simpson_diversity: the tokenize explode fans out in place;
+    the (source, term) combine is the only token-scaled exchange and it
+    carries counts, never text payloads."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    n_pairs = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("t"),
+        )
+        .distinct()
+        .count()
+    )
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    n_parts = docs.rdd.getNumPartitions()
+    out = QUERIES["text_simpson_diversity"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    # (source, term) partial-combined rows + the source rollup
+    bound = n_pairs * max(n_parts, 1) + 4 * n_pairs + 64
+    assert s["shuffle_records"] <= bound
+    assert s["generated_rows"] >= n_tokens  # the explode ran in place
+    assert s["shuffle_records"] < n_tokens  # ...but combined before the wire
+
+
+def test_kruskal_wallis_shuffles_value_grid_not_orders(spark):
+    """agg_kruskal_wallis: same contract as the MWU gate — exchanges
+    carry the distinct-cents grid (plus the join sides), never a
+    per-order rank row."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    n_orders = orders.count()
+    grid = (
+        orders.selectExpr(
+            "o_custkey", "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c"
+        )
+        .select("c")
+        .distinct()
+        .count()
+    )
+    out = QUERIES["agg_kruskal_wallis"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = orders.rdd.getNumPartitions()
+    # order->customer join side + (nation,cents,seg) combine + grid window
+    # + rank join + per-nation aggregates
+    bound = 2 * n_orders + 6 * grid * 5 + 40 * max(n_parts, 1) + 512
+    assert s["shuffle_records"] <= bound

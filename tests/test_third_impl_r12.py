@@ -159,3 +159,193 @@ def test_hodges_lehmann_matches_python_reference(spark):
         for r in QUERIES["agg_hodges_lehmann"].fn(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_runs_test_matches_python_reference(spark):
+    """Sign-sequence runs recomputed from the raw events: daily counts,
+    day-over-day signs (zeros dropped), run boundaries, and the exact
+    half-up milli expectation + the double z-score formula."""
+    ev = _tbl("events")
+    daily: Counter = Counter()
+    for ts, et in zip(ev["ts"], ev["event_type"]):
+        daily[(et, ts.date())] += 1
+    by_type: dict = defaultdict(list)
+    for (et, day), c in daily.items():
+        by_type[et].append((day, c))
+    want = []
+    for et in sorted(by_type):
+        series = [c for _, c in sorted(by_type[et])]
+        signs = []
+        for a, b in zip(series, series[1:]):
+            if b != a:
+                signs.append(1 if b > a else -1)
+        n1 = signs.count(1)
+        n2 = signs.count(-1)
+        n = n1 + n2
+        if n1 == 0 or n2 == 0 or 2 * n1 * n2 <= n:
+            continue
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        e_milli = (2000 * (n + 2 * n1 * n2) + n) // (2 * n)
+        z = round(
+            (runs - (n + 2 * n1 * n2) / n)
+            / math.sqrt(
+                (2 * n1 * n2 * (2 * n1 * n2 - n)) / (n * n * (n - 1))
+            ),
+            6,
+        )
+        want.append((et, n1, n2, runs, e_milli, z))
+    got = [
+        (
+            r["event_type"],
+            r["n_up"],
+            r["n_down"],
+            r["runs"],
+            r["e_runs_milli"],
+            r["z_score"],
+        )
+        for r in QUERIES["ts_runs_test"].fn(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_turning_points_match_python_reference(spark):
+    ev = _tbl("events")
+    daily: Counter = Counter()
+    for ts, et in zip(ev["ts"], ev["event_type"]):
+        daily[(et, ts.date())] += 1
+    by_type: dict = defaultdict(list)
+    for (et, day), c in daily.items():
+        by_type[et].append((day, c))
+    want = []
+    for et in sorted(by_type):
+        series = [c for _, c in sorted(by_type[et])]
+        n = len(series)
+        if n <= 2:
+            continue
+        tp = sum(
+            1
+            for i in range(1, n - 1)
+            if (series[i - 1] < series[i] > series[i + 1])
+            or (series[i - 1] > series[i] < series[i + 1])
+        )
+        want.append(
+            (
+                et,
+                n,
+                tp,
+                (20000 * tp + (n - 2)) // (2 * (n - 2)),
+                (2000 * 2 * (n - 2) + 3) // 6,
+                (2000 * (16 * n - 29) + 90) // 180,
+            )
+        )
+    got = [
+        (
+            r["event_type"],
+            r["n_days"],
+            r["turning_points"],
+            r["tp_rate_bp"],
+            r["expected_milli"],
+            r["variance_milli"],
+        )
+        for r in QUERIES["ts_turning_points"].fn(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_simpson_diversity_matches_python_reference(spark):
+    """Exact-integer Simpson concentration with Python bigints (no
+    overflow) and the SAME whitespace tokenizer as the query pair."""
+    import re
+
+    docs = _tbl("documents")
+    counts: dict = defaultdict(Counter)
+    for src, text in zip(docs["source"], docs["text"]):
+        if text is None:
+            continue
+        for term in re.split(r"\s+", text.strip()):
+            counts[src][term] += 1
+    want = []
+    for src in sorted(counts):
+        tf = counts[src]
+        n = sum(tf.values())
+        s2 = sum(c * (c - 1) for c in tf.values())
+        if n <= 1 or s2 <= 0:
+            continue
+        d = n * (n - 1)
+        want.append(
+            (
+                src,
+                n,
+                len(tf),
+                (2 * 1000000 * s2 + d) // (2 * d),
+                round(d / s2, 4),
+            )
+        )
+    got = [
+        (
+            r["source"],
+            r["n_tokens"],
+            r["vocab"],
+            r["simpson_micro"],
+            r["inv_simpson"],
+        )
+        for r in QUERIES["text_simpson_diversity"].fn(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_kruskal_wallis_matches_python_reference(spark):
+    """Exact 2x-average-rank Kruskal-Wallis with Python bigints: grid
+    ranks, per-group half-up nano terms, tie correction, and the final
+    double H — pinning the HUGEINT/DECIMAL recurrence end to end."""
+    orders = _tbl("orders")
+    cust = _tbl("customer")
+    nat = _tbl("nation")
+    seg_by_cust = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    nat_by_cust = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    name_by_nat = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    rows: dict = defaultdict(list)  # nation -> [(cents, seg)]
+    for ck, price in zip(orders["o_custkey"], orders["o_totalprice"]):
+        nation = name_by_nat[nat_by_cust[ck]]
+        cents = int(math.floor(price * 100 + 0.5))
+        rows[nation].append((cents, seg_by_cust[ck]))
+    want = []
+    for nation in sorted(rows):
+        vals = rows[nation]
+        tot: Counter = Counter(c for c, _ in vals)
+        grid = {}
+        cum = 0
+        for cents in sorted(tot):
+            grid[cents] = 2 * cum + tot[cents] + 1
+            cum += tot[cents]
+        groups: dict = defaultdict(lambda: [0, 0])  # seg -> [n_j, r2_j]
+        for cents, seg in vals:
+            groups[seg][0] += 1
+            groups[seg][1] += grid[cents]
+        k = len(groups)
+        n = len(vals)
+        if k <= 1 or n <= k:
+            continue
+        t_nano = sum(
+            (2 * 10**9 * r2 * r2 + 4 * nj) // (2 * 4 * nj)
+            for nj, r2 in groups.values()
+        )
+        tie_term = sum(t**3 - t for t in tot.values())
+        if tie_term >= n**3 - n:
+            continue
+        h = (
+            3.0 * (t_nano / 1e9) / (float(n) * (n + 1)) - 3.0 * (n + 1)
+        ) / (1.0 - tie_term / (float(n) * n * n - n))
+        want.append((nation, k, n, t_nano, tie_term, round(h, 6)))
+    got = [
+        (
+            r["nation"],
+            r["k_groups"],
+            r["n"],
+            r["t_nano"],
+            r["tie_term"],
+            r["h_corrected"],
+        )
+        for r in QUERIES["agg_kruskal_wallis"].fn(spark, SF).collect()
+    ]
+    assert got == want
