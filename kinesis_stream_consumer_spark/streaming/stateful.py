@@ -236,3 +236,65 @@ def streaming_misra_gries(keyed_stream: DataFrame, k: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SEQPAT_OUT_SCHEMA = "user_id bigint, event_id bigint, pattern string, b bigint"
+_SEQPAT_STATE_SCHEMA = "us bigint, eid bigint, typ string, b bigint"
+
+
+def _update_seq_bigrams(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of events_sequence_patterns' contiguous bigrams
+    (the r11 verdict's named extension): per user, state is ONE event —
+    (us, event_id, type) of the last event seen — so the miner is
+    bounded-memory forever; each arriving event emits the bigram
+    last>current. NULL event types follow the batch query's
+    null-propagating concat semantics exactly: a NULL-typed event emits
+    no bigram on either side but still ADVANCES the chain (it occupies
+    a position, so a>NULL and NULL>b both vanish while a>NULL>b never
+    fuses to a>b). Events are ordered (us, event_id) within the batch;
+    cross-batch order is the source's responsibility (time-sliced
+    micro-batches), the same contract as the engine's per-chain
+    sequencing and the CUSUM keeper above."""
+    if state.exists:
+        us, eid, typ, b = state.get
+    else:
+        us, eid, typ, b = None, None, None, 0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for e, u, t in zip(pdf["event_id"], pdf["us"], pdf["event_type"]):
+            cur = None if t is None or (isinstance(t, float)) else str(t)
+            if us is not None and typ is not None and cur is not None:
+                out.append((int(e), f"{typ}>{cur}"))
+            elif us is not None and cur is not None:
+                pass  # prior was NULL-typed: chain advanced, bigram vanishes
+            us, eid, typ = int(u), int(e), cur
+    b += 1
+    state.update((us, eid, typ, b))
+    yield pd.DataFrame(
+        [
+            {"user_id": key[0], "event_id": e, "pattern": p, "b": b}
+            for e, p in out
+        ]
+    )
+
+
+def streaming_sequence_bigrams(keyed_stream: DataFrame) -> DataFrame:
+    """Live sequential-pattern feed: input rows
+    (user_id, event_id, us, event_type) in time-sliced micro-batches;
+    output one row per contiguous bigram occurrence as it happens.
+    Downstream the rows aggregate exactly like the batch miner's gram
+    frame (support = distinct users per pattern, occurrences = row
+    count) — pinned equal to the batch window query in
+    tests/test_streaming_sequence.py. State per user is one event
+    (two longs + a short string): a billion-user stream holds state
+    linear in USERS, never in history length."""
+    return keyed_stream.groupBy("user_id").applyInPandasWithState(
+        _update_seq_bigrams,
+        outputStructType=SEQPAT_OUT_SCHEMA,
+        stateStructType=_SEQPAT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
