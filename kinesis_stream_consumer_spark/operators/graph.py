@@ -399,3 +399,60 @@ def adamic_adar_pairs(
         F.col(u_col).alias("a"), F.col(v_col).alias("b")
     )
     return aa.join(existing, ["a", "b"], "left_anti")
+
+
+def triangle_edge_counts(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Per-EDGE triangle counts (common-neighbor counts) via the same
+    degree-oriented wedge join as triangle_participation — each closed
+    triangle (a, b, c) contributes one count to each of its three edges,
+    re-canonicalized to the undirected (least, greatest) form so the
+    output joins back onto the canonical edge list. Same O(|E|^{3/2})
+    wedge bound under any hub skew; returns (u, v, common) for edges on
+    >= 1 triangle."""
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias(
+                "dst_d"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oe.select("src", F.col("dst").alias("v"), F.col("dst_d").alias("vd"))
+    e2 = oe.select("src", F.col("dst").alias("w"), F.col("dst_d").alias("wd"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("vd") < F.col("wd"))
+        | ((F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w")))
+    )
+    closing = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
+    pair = lambda a, b: [
+        F.least(F.col(a), F.col(b)).alias("u"),
+        F.greatest(F.col(a), F.col(b)).alias("v"),
+    ]
+    pairs3 = (
+        tri.select(*pair("src", "v"))
+        .unionAll(tri.select(*pair("src", "w")))
+        .unionAll(tri.select(*pair("v", "w")))
+    )
+    return pairs3.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common")
+    )

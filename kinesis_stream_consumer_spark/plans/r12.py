@@ -34,6 +34,10 @@ from kinesis_stream_consumer_spark.plans.graph_shared import (
     _co_edges,
     _lpa_round_sql,
 )
+# llm_pipeline registers FIRST in plans/queries.py, so a module-level
+# import from it cannot reorder the driver window (the import-order trap
+# only bites when importing from a module that registers LATER).
+from kinesis_stream_consumer_spark.plans.llm_pipeline import _langid_oracle
 from kinesis_stream_consumer_spark.plans.queries import (
     _t,
     register,
@@ -1228,3 +1232,413 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- r12: neighborhood Jaccard of co-purchase edges ----------------------------
+
+
+@register(
+    "graph_neighbor_jaccard",
+    f"""
+    WITH {_COEDGES_SQL},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY 1
+    ),
+    oe AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+               AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+               AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
+               AS dst_d
+      FROM edges e
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    wedges AS (
+      SELECT e1.src, e1.dst AS v, e2.dst AS w
+      FROM oe e1 JOIN oe e2
+        ON e1.src = e2.src AND ((e1.dst_d, e1.dst) < (e2.dst_d, e2.dst))
+    ),
+    tri AS (
+      SELECT wedges.src, wedges.v, wedges.w
+      FROM wedges JOIN oe ON oe.src = wedges.v AND oe.dst = wedges.w
+    ),
+    pairs3 AS (
+      SELECT LEAST(src, v) AS u, GREATEST(src, v) AS v2 FROM tri
+      UNION ALL SELECT LEAST(src, w), GREATEST(src, w) FROM tri
+      UNION ALL SELECT LEAST(v, w), GREATEST(v, w) FROM tri
+    ),
+    et AS (SELECT u, v2 AS v, COUNT(*) AS common FROM pairs3 GROUP BY 1, 2)
+    SELECT e.u, e.v,
+           CAST(du.d AS BIGINT) AS deg_u,
+           CAST(dv.d AS BIGINT) AS deg_v,
+           CAST(COALESCE(et.common, 0) AS BIGINT) AS common_neighbors,
+           CAST((20000 * COALESCE(et.common, 0)
+                 + ((du.d - 1) + (dv.d - 1) - COALESCE(et.common, 0)))
+                // (2 * ((du.d - 1) + (dv.d - 1) - COALESCE(et.common, 0)))
+             AS BIGINT) AS jaccard_bp
+    FROM edges e
+    JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    LEFT JOIN et ON et.u = e.u AND et.v = e.v
+    WHERE (du.d - 1) + (dv.d - 1) - COALESCE(et.common, 0) > 0
+    ORDER BY jaccard_bp DESC, e.u, e.v LIMIT 20
+    """,
+    doc="Neighborhood Jaccard similarity of each co-purchase EDGE: "
+    "|N(u)∩N(v)| / |N(u)∪N(v)| over endpoint-excluded neighborhoods "
+    "(= common/(d(u)−1 + d(v)−1 − common)) in half-up basis points — "
+    "the edge-strength dual of graph_clustering_coefficient (that row "
+    "normalizes triangles per NODE; this one scores each TIE: a "
+    "high-Jaccard edge joins two products whose buyers are the same "
+    "crowd, the substitutable/bundle signal; graph_adamic_adar ranks "
+    "NON-edges for prediction, this scores existing edges for "
+    "strength). Common-neighbor counts are per-edge triangle counts "
+    "from the SAME degree-oriented wedge join (out-degree capped "
+    "O(√E), wedge volume O(E^1.5) under any hub skew, gate-asserted) "
+    "on the session-cached shared edge frame; each triangle fans back "
+    "to its three canonical edges and combines map-side. All-positive "
+    "integer bp arithmetic — truncate and floor agree. Top-20 with "
+    "(jaccard_bp, u, v) tie-break.",
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators.graph import (
+        triangle_edge_counts,
+    )
+
+    edges = _co_edges(spark, sf_dir)
+    et = triangle_edge_counts(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    j = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .join(et, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            "deg_u",
+            "deg_v",
+            F.coalesce(F.col("common"), F.lit(0)).alias("common_neighbors"),
+        )
+        .withColumn(
+            "uni",
+            (F.col("deg_u") - 1)
+            + (F.col("deg_v") - 1)
+            - F.col("common_neighbors"),
+        )
+    )
+    return (
+        j.where(F.col("uni") > 0)
+        .select(
+            "u",
+            "v",
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            F.expr("(20000 * common_neighbors + uni) div (2 * uni)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .orderBy(F.col("jaccard_bp").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+# --- r12: per-term burstiness (Church-Gale) ------------------------------------
+
+
+@register(
+    "text_term_burstiness",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    stats AS (
+      SELECT term, SUM(c) AS cf, COUNT(*) AS df, MAX(c) AS max_in_doc
+      FROM tf GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term,
+           CAST(cf AS BIGINT) AS cf,
+           CAST(df AS BIGINT) AS df,
+           CAST(max_in_doc AS BIGINT) AS max_in_doc,
+           CAST((200 * cf + df) // (2 * df) AS BIGINT) AS burstiness_centi,
+           CAST((20000 * df + n.n_docs) // (2 * n.n_docs) AS BIGINT)
+             AS df_rate_bp
+    FROM stats CROSS JOIN n
+    WHERE df >= 5
+    ORDER BY burstiness_centi DESC, cf DESC, term
+    LIMIT 20
+    """,
+    doc="Church-Gale term burstiness: for each term with document "
+    "frequency >= 5, the mean occurrences PER CONTAINING DOCUMENT "
+    "(cf/df, half-up centi-units) next to its document-frequency rate — "
+    "the classic observation that content words are bursty (high cf/df: "
+    "absent from most docs, repeated where they appear) while function "
+    "words spread evenly (cf/df ~ df_rate). The per-TERM dual of "
+    "events_burstiness (per-user Fano) and text_token_entropy (per-doc "
+    "diversity): this one ranks the vocabulary itself, the signal "
+    "keyword extractors and stopword-list builders read. Top-20 by "
+    "(burstiness, cf, term) — boilerplate-template terms surface "
+    "instantly. One tokenize pass, one (doc, term) combine, one "
+    "term-bounded aggregate; shuffles carry counts, never text.",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators import text as T
+    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _table_row_count(sf_dir, "documents")  # footer stats, no job
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    stats = tf.groupBy("term").agg(
+        F.sum("c").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+        F.max("c").alias("max_in_doc"),
+    )
+    return (
+        stats.where(F.col("df") >= 5)
+        .select(
+            "term",
+            F.col("cf").cast("long").alias("cf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("max_in_doc").cast("long").alias("max_in_doc"),
+            F.expr("(200 * cf + df) div (2 * df)")
+            .cast("long")
+            .alias("burstiness_centi"),
+            F.expr(f"(20000 * df + {n_docs}) div (2 * {n_docs})")
+            .cast("long")
+            .alias("df_rate_bp"),
+        )
+        .orderBy(
+            F.col("burstiness_centi").desc(), F.col("cf").desc(), "term"
+        )
+        .limit(20)
+    )
+
+
+# --- r12: cohort LTV triangle ---------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             date_diff('day', f.cohort_week,
+                       CAST(date_trunc('week', e.ts) AS DATE)) // 7
+               AS age_weeks,
+             e.user_id,
+             CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT cohort_week, age_weeks,
+             COUNT(DISTINCT user_id) AS n_active,
+             SUM(cents) AS revenue_cents
+      FROM rev GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM firsts GROUP BY 1)
+    SELECT c.cohort_week, CAST(c.age_weeks AS BIGINT) AS age_weeks,
+           CAST(sz.cohort_users AS BIGINT) AS cohort_users,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           CAST(c.revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(SUM(c.revenue_cents) OVER (
+                  PARTITION BY c.cohort_week ORDER BY c.age_weeks
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents,
+           CAST((2 * SUM(c.revenue_cents) OVER (
+                  PARTITION BY c.cohort_week ORDER BY c.age_weeks
+                  ROWS UNBOUNDED PRECEDING) + sz.cohort_users)
+                // (2 * sz.cohort_users) AS BIGINT) AS ltv_cents_per_user
+    FROM cell c JOIN sz ON sz.cohort_week = c.cohort_week
+    ORDER BY c.cohort_week, c.age_weeks
+    """,
+    doc="Cohort LTV triangle: purchase revenue by (first-seen week, weeks "
+    "since first seen), with running cumulative revenue and cumulative "
+    "LTV per cohort member in half-up cents — the revenue companion to "
+    "events_retention_cohorts (retention counts who CAME BACK; LTV sums "
+    "what they SPENT, the number acquisition budgets are set against). "
+    "Money stays exact integer cents end to end (FLOOR(value·100+0.5) "
+    "both engines, int64 to ~9e16 cents). Both week columns are "
+    "week-truncated so the age division is exact; the first-seen frame "
+    "is one user-keyed aggregate (the events_user_growth_curve trick), "
+    "the join is user-keyed, cells combine map-side, and the cumulative "
+    "window runs over the cohorts x ages frame — weeks-bounded, never "
+    "event-scaled.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("long").alias("age_weeks"),
+            "user_id",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    cell = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    sz = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(sz, "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.sum("revenue_cents").over(wc).cast("long").alias(
+                "cum_revenue_cents"
+            ),
+            F.expr(
+                "(2 * SUM(revenue_cents) OVER (PARTITION BY cohort_week "
+                "ORDER BY age_weeks ROWS UNBOUNDED PRECEDING) "
+                "+ cohort_users) div (2 * cohort_users)"
+            ).cast("long").alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+# --- r12: Cohen's kappa for the language-ID heuristic ---------------------------
+
+
+@register(
+    "text_langid_kappa",
+    """
+    WITH pred AS ({LANGID_BODY}),
+    cells AS (
+      SELECT labeled_lang, predicted_lang, COUNT(*) AS o
+      FROM pred GROUP BY 1, 2
+    ),
+    n AS (SELECT SUM(o) AS n FROM cells),
+    diag AS (
+      SELECT COALESCE(SUM(o), 0) AS d FROM cells
+      WHERE labeled_lang = predicted_lang
+    ),
+    rows_ AS (SELECT labeled_lang AS l, SUM(o) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT predicted_lang AS l, SUM(o) AS c FROM cells GROUP BY 1),
+    pe AS (
+      SELECT COALESCE(SUM(CAST(rows_.r AS HUGEINT) * cols_.c), 0) AS rc
+      FROM rows_ JOIN cols_ ON cols_.l = rows_.l
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_docs,
+           CAST(diag.d AS BIGINT) AS n_agree,
+           CAST(pe.rc AS BIGINT) AS chance_weight,
+           CAST((2 * 1000000::HUGEINT * (n.n * diag.d - pe.rc)
+                 + (CAST(n.n AS HUGEINT) * n.n - pe.rc)
+                 + 2 * (CAST(n.n AS HUGEINT) * n.n - pe.rc) * 2000000)
+                // (2 * (CAST(n.n AS HUGEINT) * n.n - pe.rc)) - 2000000
+             AS BIGINT) AS kappa_micro
+    FROM n CROSS JOIN diag CROSS JOIN pe
+    WHERE CAST(n.n AS HUGEINT) * n.n > pe.rc
+    """.replace("{LANGID_BODY}", _langid_oracle().strip()),
+    doc="Cohen's kappa of the stopword language-ID heuristic against the "
+    "labeled lang column: chance-corrected agreement "
+    "κ = (p_o − p_e)/(1 − p_e) = (N·diag − Σ r_l·c_l)/(N² − Σ r_l·c_l) "
+    "in half-up MICRO-units — the one-number summary of "
+    "text_langid_confusion's matrix (raw accuracy flatters a skewed "
+    "label mix; kappa subtracts what marginal-matching guessing would "
+    "score). κ is SIGNED (worse-than-chance is negative), so the "
+    "division takes the standard positivity shift (shift 2e6 > |κ|max "
+    "in micro-units) — the graph_modularity discipline — and runs in "
+    "wide integers (DuckDB HUGEINT / Spark DECIMAL(38,0): 1e6·N² "
+    "breaks int64 at ~3e6 docs), int64 only at the output cast. The "
+    "prediction rides the SAME lang_id_from_tokens operator / oracle "
+    "fragment as the certified langid rows (one materialized "
+    "lowercase-token projection, per-language stopword hit counts); "
+    "everything after it is a labels²-bounded cell aggregate.",
+)
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    # tokens inline would re-split per language (CollapseProject trap) —
+    # materialize the token array first
+    pred = docs.select(
+        "lang", T.tokens(F.lower(F.col("text"))).alias("ltoks")
+    ).select(
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id_from_tokens(F.col("ltoks")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    cells = cells.localCheckpoint(eager=True)  # labels²-bounded, read 4x
+    n = cells.agg(F.sum("o")).first()[0] or 0
+    diag = (
+        cells.where(F.col("labeled_lang") == F.col("predicted_lang"))
+        .agg(F.coalesce(F.sum("o"), F.lit(0)))
+        .first()[0]
+    )
+    rows_ = cells.groupBy(F.col("labeled_lang").alias("l")).agg(
+        F.sum("o").alias("r")
+    )
+    cols_ = cells.groupBy(F.col("predicted_lang").alias("l")).agg(
+        F.sum("o").alias("c")
+    )
+    rc = (
+        rows_.join(cols_, "l")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * c")), F.lit(0)
+            )
+        )
+        .first()[0]
+    )
+    rc = int(rc)
+    # assert the shifted numerator fits DECIMAL(38,0): ~ 5e6 * N^2
+    assert 5_000_000 * n * n < 10**38, "kappa arithmetic needs wider type"
+    return spark.createDataFrame(
+        [(int(n), int(diag), rc)], "n_docs long, n_agree long, cw long"
+    ).select(
+        F.col("n_docs"),
+        F.col("n_agree"),
+        F.col("cw").alias("chance_weight"),
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0))"
+            f" * (CAST({n} AS DECIMAL(38,0)) * {diag} - {rc})"
+            f" + (CAST({n} AS DECIMAL(38,0)) * {n} - {rc})"
+            f" + 2 * (CAST({n} AS DECIMAL(38,0)) * {n} - {rc}) * 2000000)"
+            f" div (2 * (CAST({n} AS DECIMAL(38,0)) * {n} - {rc}))"
+            f" - 2000000 AS BIGINT)"
+        ).alias("kappa_micro"),
+    ).where(F.lit(n * n > rc))

@@ -1896,3 +1896,120 @@ def test_kruskal_wallis_shuffles_value_grid_not_orders(spark):
     # + rank join + per-nation aggregates
     bound = 2 * n_orders + 6 * grid * 5 + 40 * max(n_parts, 1) + 512
     assert s["shuffle_records"] <= bound
+
+
+def test_neighbor_jaccard_wedges_are_orientation_capped(spark):
+    """graph_neighbor_jaccard: common-neighbor counts ride the
+    degree-oriented wedge join (out-degree capped O(sqrt E)); exchanges
+    carry edges/degrees/triangle-fanout rows, never unoriented wedges."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.graph_shared import _co_edges
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    edges = _co_edges(spark, SF_CORRECT)
+    n_edges = edges.count()
+    # oriented wedge ceiling: sum over nodes of C(outdeg, 2) with the
+    # degree orientation — computed exactly the way the operator orients
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    out_deg = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src")
+        )
+        .groupBy("src")
+        .count()
+    )
+    n_wedges = out_deg.select(
+        F.sum(F.expr("count * (count - 1) / 2"))
+    ).first()[0]
+    out = QUERIES["graph_neighbor_jaccard"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    # degree/orientation joins (edge-scaled) + wedge closing + 3x triangle
+    # fanout + edge joins for the output
+    bound = 12 * n_edges + 2 * int(n_wedges) + 512
+    assert s["shuffle_records"] <= bound
+
+
+def test_term_burstiness_shuffles_counts_not_text(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    n_pairs = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+        )
+        .distinct()
+        .count()
+    )
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    n_parts = docs.rdd.getNumPartitions()
+    out = QUERIES["text_term_burstiness"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    bound = n_pairs * max(n_parts, 1) + 4 * n_pairs + 128
+    assert s["shuffle_records"] <= bound
+    assert s["generated_rows"] >= n_tokens
+    assert s["shuffle_records"] < n_tokens
+
+
+def test_cohort_ltv_shuffles_are_user_and_cell_bounded(spark):
+    """events_cohort_ltv: the first-seen aggregate and the cohort join
+    are user-keyed; cells combine map-side; the cumulative window runs
+    over the cohorts x ages frame."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    n_purch = events.where(F.col("event_type") == "purchase").count()
+    out = QUERIES["events_cohort_ltv"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    n_parts = events.rdd.getNumPartitions()
+    # first-seen combine (user-bounded per partition) + purchase join
+    # sides + distinct-user cell pass + cell/window frames
+    bound = (
+        n_users * max(n_parts, 1)
+        + 2 * n_purch
+        + 3 * n_users
+        + 2 * n_purch
+        + 1024
+    )
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < 3 * n_events
+
+
+def test_langid_kappa_shuffles_label_cells_only(spark):
+    """text_langid_kappa: after the one scan that tokenizes and predicts,
+    everything that crosses a wire is labels x labels cells."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    n_docs = docs.count()
+    n_parts = docs.rdd.getNumPartitions()
+    out = QUERIES["text_langid_kappa"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    cells = 5 * 5  # 4 languages + 'und'
+    bound = cells * max(n_parts, 1) + 8 * cells + 64
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_docs

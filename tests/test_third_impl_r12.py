@@ -349,3 +349,194 @@ def test_kruskal_wallis_matches_python_reference(spark):
         for r in QUERIES["agg_kruskal_wallis"].fn(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_neighbor_jaccard_matches_python_reference(spark):
+    """Brute-force neighborhood Jaccard: build the co-purchase edge set
+    (distinct order-part pairs, support >= 2), full adjacency sets, and
+    score every edge — no orientation tricks, so the wedge-join plan is
+    pinned against the naive definition."""
+    li = _tbl("lineitem")
+    order_parts: dict = defaultdict(set)
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        order_parts[ok].add(pk)
+    pair_count: Counter = Counter()
+    for parts in order_parts.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(ps[i], ps[j])] += 1
+    edges = {p for p, c in pair_count.items() if c >= 2}
+    adj: dict = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = []
+    for u, v in edges:
+        common = len((adj[u] - {v}) & (adj[v] - {u}))
+        uni = (len(adj[u]) - 1) + (len(adj[v]) - 1) - common
+        if uni <= 0:
+            continue
+        jbp = (20000 * common + uni) // (2 * uni)
+        want.append((jbp, u, v, len(adj[u]), len(adj[v]), common))
+    want.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = [
+        (u, v, du, dv, c, jbp) for jbp, u, v, du, dv, c in want[:20]
+    ]
+    got = [
+        (
+            r["u"],
+            r["v"],
+            r["deg_u"],
+            r["deg_v"],
+            r["common_neighbors"],
+            r["jaccard_bp"],
+        )
+        for r in QUERIES["graph_neighbor_jaccard"].fn(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_term_burstiness_matches_python_reference(spark):
+    import re
+
+    docs = _tbl("documents")
+    tf: dict = defaultdict(Counter)
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        for term in re.split(r"\s+", text.strip()):
+            tf[term][did] += 1
+    n_docs = len(docs["doc_id"])
+    rows = []
+    for term, per_doc in tf.items():
+        cf = sum(per_doc.values())
+        df = len(per_doc)
+        if df < 5:
+            continue
+        rows.append(
+            (
+                (200 * cf + df) // (2 * df),
+                cf,
+                term,
+                df,
+                max(per_doc.values()),
+                (20000 * df + n_docs) // (2 * n_docs),
+            )
+        )
+    rows.sort(key=lambda r: (-r[0], -r[1], r[2]))
+    want = [(t, cf, df, mx, b, dr) for b, cf, t, df, mx, dr in rows[:20]]
+    got = [
+        (
+            r["term"],
+            r["cf"],
+            r["df"],
+            r["max_in_doc"],
+            r["burstiness_centi"],
+            r["df_rate_bp"],
+        )
+        for r in QUERIES["text_term_burstiness"].fn(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_cohort_ltv_matches_python_reference(spark):
+    import datetime
+
+    ev = _tbl("events")
+    firsts: dict = {}
+    for uid, ts in zip(ev["user_id"], ev["ts"]):
+        if uid not in firsts or ts < firsts[uid]:
+            firsts[uid] = ts
+
+    def week_start(ts):
+        d = ts.date()
+        return d - datetime.timedelta(days=d.weekday())
+
+    cohort = {u: week_start(t) for u, t in firsts.items()}
+    cell_rev: Counter = Counter()
+    cell_users: dict = defaultdict(set)
+    for uid, ts, et, v in zip(
+        ev["user_id"], ev["ts"], ev["event_type"], ev["value"]
+    ):
+        if et != "purchase":
+            continue
+        cw = cohort[uid]
+        age = (week_start(ts) - cw).days // 7
+        cents = int(math.floor(v * 100 + 0.5))
+        cell_rev[(cw, age)] += cents
+        cell_users[(cw, age)].add(uid)
+    sz: Counter = Counter(cohort.values())
+    want = []
+    for cw in sorted({c for c, _ in cell_rev}):
+        cum = 0
+        for age in sorted(a for c, a in cell_rev if c == cw):
+            cum += cell_rev[(cw, age)]
+            want.append(
+                (
+                    cw,
+                    age,
+                    sz[cw],
+                    len(cell_users[(cw, age)]),
+                    cell_rev[(cw, age)],
+                    cum,
+                    (2 * cum + sz[cw]) // (2 * sz[cw]),
+                )
+            )
+    got = [
+        (
+            r["cohort_week"],
+            r["age_weeks"],
+            r["cohort_users"],
+            r["n_active"],
+            r["revenue_cents"],
+            r["cum_revenue_cents"],
+            r["ltv_cents_per_user"],
+        )
+        for r in QUERIES["events_cohort_ltv"].fn(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_langid_kappa_matches_python_reference(spark):
+    """Cohen's kappa recomputed with Python bigints and an independent
+    reimplementation of the stopword language-ID heuristic (same
+    stopword lists, same en>es>de>fr tie-break, 'und' on zero hits)."""
+    import re
+
+    from kinesis_stream_consumer_spark.operators.text import LANG_STOPWORDS
+
+    docs = _tbl("documents")
+    cells: Counter = Counter()
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = re.split(r"\s+", (text or "").strip().lower())
+        hits = {
+            lg: sum(1 for t in toks if t in set(ws))
+            for lg, ws in LANG_STOPWORDS.items()
+        }
+        best = max(hits.values())
+        pred = "und"
+        for lg in LANG_STOPWORDS:  # first in declaration order wins ties
+            if hits[lg] > 0 and hits[lg] == best:
+                pred = lg
+                break
+        cells[(lang, pred)] += 1
+    n = sum(cells.values())
+    diag = sum(c for (a, b), c in cells.items() if a == b)
+    rows_: Counter = Counter()
+    cols_: Counter = Counter()
+    for (a, b), c in cells.items():
+        rows_[a] += c
+        cols_[b] += c
+    rc = sum(rows_[l] * cols_[l] for l in rows_ if l in cols_)
+    den = n * n - rc
+    assert den > 0
+    shift = 2000000
+    kappa_micro = (
+        2 * 1000000 * (n * diag - rc) + den + 2 * den * shift
+    ) // (2 * den) - shift
+    row = QUERIES["text_langid_kappa"].fn(spark, SF).collect()[0]
+    assert row["n_docs"] == n
+    assert row["n_agree"] == diag
+    assert row["chance_weight"] == rc
+    assert row["kappa_micro"] == kappa_micro
