@@ -1642,3 +1642,183 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - 2000000 AS BIGINT)"
         ).alias("kappa_micro"),
     ).where(F.lit(n * n > rc))
+
+
+# --- r12: Ljung-Box portmanteau test (closes the randomness triptych) ----------
+
+_LB_LAGS = 7
+
+
+@register(
+    "ts_ljung_box",
+    f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (SELECT day, SUM(cents) AS tot FROM e GROUP BY day),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    m AS (SELECT SUM(tot) // COUNT(*) AS fm FROM d),
+    r AS (SELECT day, tot - (SELECT fm FROM m) AS dev FROM d),
+    den AS (SELECT SUM(dev * dev) AS dd FROM r),
+    lags AS (SELECT unnest(generate_series(1, {_LB_LAGS})) AS lag),
+    p AS (
+      SELECT l.lag, COALESCE(SUM(a.dev * b.dev), 0) AS num
+      FROM lags l
+      LEFT JOIN r a ON TRUE
+      LEFT JOIN r b ON b.day = a.day + CAST(l.lag AS INTEGER)
+      GROUP BY l.lag
+    ),
+    terms AS (
+      SELECT p.lag,
+             (2 * 1000000::HUGEINT * nn.n * (nn.n + 2)
+                * CAST(p.num AS HUGEINT) * p.num
+              + CAST(den.dd AS HUGEINT) * den.dd * (nn.n - p.lag))
+             // (2 * CAST(den.dd AS HUGEINT) * den.dd * (nn.n - p.lag))
+               AS t_micro
+      FROM p CROSS JOIN nn CROSS JOIN den
+      WHERE nn.n > p.lag AND den.dd > 0
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_days,
+           CAST({_LB_LAGS} AS BIGINT) AS m_lags,
+           CAST(SUM(terms.t_micro) AS BIGINT) AS q_micro
+    FROM terms CROSS JOIN nn
+    GROUP BY nn.n
+    """,
+    doc="Ljung-Box portmanteau test on the daily-revenue series: "
+    f"Q = n(n+2)·Σ_{{k=1..{_LB_LAGS}}} r_k²/(n−k) in half-up integer "
+    "MICRO-units — the third classical randomness screen next to "
+    "ts_runs_test (sign persistence) and ts_turning_points (alternation "
+    "excess): Q aggregates the ACF the ts_autocorrelation row reports "
+    "into one white-noise verdict (χ²_m under the null). Residuals ride "
+    "the SAME integer floor-demean as the ACF row, so r_k's numerator "
+    "and the denominator Σdev² are exact integers; each lag term is a "
+    "half-up division in wide integers (DuckDB HUGEINT / Spark "
+    "DECIMAL(38,0)) and the per-lag micro terms SUM exactly — no float "
+    "summation order anywhere. Capacity 2e6·n(n+2)·dd² < 10³⁸ "
+    "(dd < ~2e13) is ASSERTED from the denominator scalar the plan "
+    "already pulls as a driver literal. The lag products are the ACF "
+    "row's day+lag equi-join; every frame after the daily combine is "
+    "#days-bounded.",
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("tot"))
+        .localCheckpoint(eager=True)  # #days rows; read 3x below
+    )
+    row = d.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("sum(tot) div count(*)").alias("fm")
+    ).first()
+    n = int(row["n"])
+    fm = int(row["fm"] or 0)
+    assert fm >= 0, "floor-mean relies on non-negative event values"
+    r = d.select(
+        "day", (F.col("tot") - F.lit(fm)).alias("dev")
+    ).localCheckpoint(eager=True)
+    dd = int(r.agg(F.sum(F.col("dev") * F.col("dev"))).first()[0] or 0)
+    assert 2_000_000 * n * (n + 2) * dd * dd < 10**38, (
+        "ljung-box micro arithmetic needs a wider type at this variance "
+        "scale — rerun with the double objective"
+    )
+    if dd == 0 or n <= _LB_LAGS:
+        return spark.createDataFrame(
+            [], "n_days long, m_lags long, q_micro long"
+        )
+    lags = r.select(
+        "day",
+        "dev",
+        F.explode(
+            F.array(*[F.lit(x) for x in range(1, _LB_LAGS + 1)])
+        ).alias("lag"),
+    )
+    b = r.select(F.col("day").alias("bday"), F.col("dev").alias("bdev"))
+    p = (
+        lags.join(b, F.expr("date_add(day, lag) = bday"), "left")
+        .groupBy("lag")
+        .agg(F.coalesce(F.sum(F.col("dev") * F.col("bdev")), F.lit(0)).alias("num"))
+    )
+    terms = p.select(
+        F.expr(
+            f"(2 * CAST(1000000 AS DECIMAL(38,0)) * {n} * {n + 2}"
+            f" * CAST(num AS DECIMAL(38,0)) * num"
+            f" + CAST({dd} AS DECIMAL(38,0)) * {dd} * ({n} - lag))"
+            f" div (2 * CAST({dd} AS DECIMAL(38,0)) * {dd} * ({n} - lag))"
+        ).alias("t_micro")
+    )
+    return terms.agg(
+        F.lit(n).cast("long").alias("n_days"),
+        F.lit(_LB_LAGS).cast("long").alias("m_lags"),
+        F.sum("t_micro").cast("long").alias("q_micro"),
+    )
+
+
+# --- r12: user lifespan distribution --------------------------------------------
+
+
+@register(
+    "events_user_lifespan",
+    """
+    WITH span AS (
+      SELECT user_id,
+             date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS days
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT days // 7 AS lifespan_weeks, COUNT(*) AS n_users
+      FROM span GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_users) AS total FROM b)
+    SELECT CAST(b.lifespan_weeks AS BIGINT) AS lifespan_weeks,
+           CAST(b.n_users AS BIGINT) AS n_users,
+           CAST((20000 * b.n_users + t.total) // (2 * t.total) AS BIGINT)
+             AS share_bp,
+           CAST(SUM(b.n_users) OVER (ORDER BY b.lifespan_weeks
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM b CROSS JOIN t
+    ORDER BY lifespan_weeks
+    """,
+    doc="User lifespan distribution: whole weeks between each user's "
+    "first and last event, bucketed — the churn-horizon histogram that "
+    "sits between events_user_growth_curve (when users ARRIVE) and "
+    "events_retention_cohorts (whether a cohort RETURNS at week k): "
+    "this one reads how long an engagement lasts end to end, the "
+    "number session-budget and retention-target planning starts from. "
+    "One user-keyed min/max aggregate (map-side combined), then a "
+    "weeks-bounded histogram with exact half-up share and a running "
+    "cumulative over the tiny bucket frame (the global window is "
+    "weeks-bounded — never event- or user-scaled).",
+)
+def events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("days")
+    )
+    b = span.groupBy(F.expr("days div 7").alias("lifespan_weeks")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = int(b.agg(F.sum("n_users")).first()[0] or 0)
+    if total == 0:
+        return spark.createDataFrame(
+            [],
+            "lifespan_weeks long, n_users long, share_bp long, cum_users long",
+        )
+    wc = Window.orderBy("lifespan_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return b.select(
+        F.col("lifespan_weeks").cast("long").alias("lifespan_weeks"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr(f"(20000 * n_users + {total}) div (2 * {total})")
+        .cast("long")
+        .alias("share_bp"),
+        F.sum("n_users").over(wc).cast("long").alias("cum_users"),
+    ).orderBy("lifespan_weeks")

@@ -2013,3 +2013,42 @@ def test_langid_kappa_shuffles_label_cells_only(spark):
     bound = cells * max(n_parts, 1) + 8 * cells + 64
     assert s["shuffle_records"] <= bound
     assert s["shuffle_records"] < n_docs
+
+
+def test_ljung_box_shuffles_are_days_bounded(spark):
+    """ts_ljung_box: one daily combine, then every frame (#residuals,
+    lag fan-out, per-lag terms) is days-bounded."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+    from kinesis_stream_consumer_spark.plans.r12 import _LB_LAGS
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_days = events.selectExpr("CAST(ts AS DATE) AS d").distinct().count()
+    n_parts = events.rdd.getNumPartitions()
+    out = QUERIES["ts_ljung_box"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    bound = (
+        n_days * max(n_parts, 1)
+        + (_LB_LAGS + 4) * n_days
+        + _LB_LAGS * 4
+        + 64
+    )
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_events
+
+
+def test_user_lifespan_shuffles_are_user_bounded(spark):
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    n_parts = events.rdd.getNumPartitions()
+    out = QUERIES["events_user_lifespan"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    # user min/max combine + weeks-bucket aggregate + the tiny window
+    bound = n_users * max(n_parts, 1) + 2 * n_users + 256
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_events

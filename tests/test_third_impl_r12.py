@@ -540,3 +540,71 @@ def test_langid_kappa_matches_python_reference(spark):
     assert row["n_agree"] == diag
     assert row["chance_weight"] == rc
     assert row["kappa_micro"] == kappa_micro
+
+
+def test_ljung_box_matches_python_bigint_reference(spark):
+    """Q recomputed with Python bigints: integer floor-demeaned daily
+    cents, exact lag products, per-lag half-up micro terms — no width
+    limits, so the HUGEINT/DECIMAL recurrence is pinned end to end."""
+    from kinesis_stream_consumer_spark.plans.r12 import _LB_LAGS
+
+    ev = _tbl("events")
+    daily: Counter = Counter()
+    for ts, v in zip(ev["ts"], ev["value"]):
+        daily[ts.date()] += int(math.floor(v * 100 + 0.5))
+    days = sorted(daily)
+    tot = [daily[d] for d in days]
+    n = len(tot)
+    fm = sum(tot) // n
+    dev = {d: daily[d] - fm for d in days}
+    dd = sum(x * x for x in dev.values())
+    q_micro = 0
+    import datetime
+
+    for k in range(1, _LB_LAGS + 1):
+        num = sum(
+            dev[d] * dev[d + datetime.timedelta(days=k)]
+            for d in days
+            if d + datetime.timedelta(days=k) in dev
+        )
+        den = dd * dd * (n - k)
+        q_micro += (
+            2 * 1000000 * n * (n + 2) * num * num + den
+        ) // (2 * den)
+    row = QUERIES["ts_ljung_box"].fn(spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert row["m_lags"] == _LB_LAGS
+    assert row["q_micro"] == q_micro
+
+
+def test_user_lifespan_matches_python_reference(spark):
+    ev = _tbl("events")
+    lo: dict = {}
+    hi: dict = {}
+    for uid, ts in zip(ev["user_id"], ev["ts"]):
+        d = ts.date()
+        if uid not in lo or d < lo[uid]:
+            lo[uid] = d
+        if uid not in hi or d > hi[uid]:
+            hi[uid] = d
+    buckets: Counter = Counter(
+        (hi[u] - lo[u]).days // 7 for u in lo
+    )
+    total = sum(buckets.values())
+    want = []
+    cum = 0
+    for wk in sorted(buckets):
+        cum += buckets[wk]
+        want.append(
+            (
+                wk,
+                buckets[wk],
+                (20000 * buckets[wk] + total) // (2 * total),
+                cum,
+            )
+        )
+    got = [
+        (r["lifespan_weeks"], r["n_users"], r["share_bp"], r["cum_users"])
+        for r in QUERIES["events_user_lifespan"].fn(spark, SF).collect()
+    ]
+    assert got == want
