@@ -570,8 +570,8 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
     ).agg(F.count(F.lit(1)).alias("o"))
     cells = cells.localCheckpoint(eager=True)  # <= types*7 rows, read 4x
-    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
-    cols_ = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    etm = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    dowm = cells.groupBy("dow").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").alias("n")).first()
     n = int(tot["n"] or 0)
     # 2e6 * num^2 + den with |num| <= N^2 must fit DECIMAL(38,0)
@@ -579,11 +579,11 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi-square micro-unit arithmetic supports < ~1.5e8 events — "
         "rerun with the double objective"
     )
-    n_types = rows_.count()
-    n_dows = cols_.count()
+    n_types = etm.count()
+    n_dows = dowm.count()
     contrib = (
-        cells.join(F.broadcast(rows_), "event_type")
-        .join(F.broadcast(cols_), "dow")
+        cells.join(F.broadcast(etm), "event_type")
+        .join(F.broadcast(dowm), "dow")
         .select(
             F.expr(
                 f"CAST(o AS DECIMAL(38,0)) * {n} "
@@ -1134,13 +1134,13 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    nat = _t(spark, sf_dir, "nation")
+    na = _t(spark, sf_dir, "nation")
     j = (
         orders.join(
             _bcast_if_small(cust, sf_dir, "customer"),
             orders.o_custkey == cust.c_custkey,
         )
-        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(na), cust.c_nationkey == na.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
             F.col("c_mktsegment").alias("seg"),

@@ -159,6 +159,10 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
         # centq/rowt: sim_centroid_confusion per-(label,dim) centroid
         #     frame (10x64 rows) / per-label row totals — bounded
         "centq", "rowt",
+        # r12 additions — group-cardinality-bounded aggregate frames:
+        # etm/dowm: agg_chi_square_independence marginals — one row per
+        #     event type / per ISO weekday (<= 7), never row-scaled
+        "etm", "dowm",
     }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
