@@ -402,7 +402,10 @@ def adamic_adar_pairs(
 
 
 def triangle_edge_counts(
-    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Per-EDGE triangle counts (common-neighbor counts) via the same
     degree-oriented wedge join as triangle_participation — each closed
@@ -410,15 +413,18 @@ def triangle_edge_counts(
     re-canonicalized to the undirected (least, greatest) form so the
     output joins back onto the canonical edge list. Same O(|E|^{3/2})
     wedge bound under any hub skew; returns (u, v, common) for edges on
-    >= 1 triangle."""
+    >= 1 triangle. ``deg`` lets a caller that already materialized the
+    (node, d) degree frame pass it in instead of paying a second
+    edge-scan aggregate (it must be the degree frame OF ``edges``)."""
     e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=True)
-    )
+    if deg is None:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     lower_first = (F.col("du") < F.col("dv")) | (

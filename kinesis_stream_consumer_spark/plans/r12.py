@@ -670,8 +670,11 @@ _HL_SAMPLE_TARGET = 1000  # corpus-wide sample rows; pairs <= ~target^2/types
     "the sample ~fixed at ANY corpus size (the train_sample_modulus "
     "discipline — both engines derive the SAME modulus, Spark from "
     "footer stats as a literal, the oracle via a one-row CTE), so "
-    "pair volume is capped ~sample²/types regardless of scale "
-    "(gate-asserted). Pairs generate inside the type-keyed equi-join "
+    "pair volume is capped regardless of scale — honestly at "
+    "~(2·target)²/2 ≈ 2·target² pairs, since the sample reaches up to "
+    "~2·target−1 rows just below a modulus step (gate-asserted; the "
+    "r12 review tightened this from a false ~target² claim). Pairs "
+    "generate inside the type-keyed equi-join "
     "(never all-pairs across types); the lower nearest-rank median "
     "((n+1)//2, the audit_outlier_iqr convention) reads the Walsh SUM "
     "and halves only at output, so rank comparisons are exact-double "
@@ -1093,7 +1096,7 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.n AS BIGINT) AS n,
            CAST(p.t_nano AS BIGINT) AS t_nano,
            CAST(t.tie_term AS BIGINT) AS tie_term,
-           ROUND((3.0 * (CAST(p.t_nano AS DOUBLE) / 1000000000.0)
+           ROUND((12.0 * (CAST(p.t_nano AS DOUBLE) / 1000000000.0)
                   / (CAST(p.n AS DOUBLE) * (p.n + 1)) - 3.0 * (p.n + 1))
                  / (1.0 - CAST(t.tie_term AS DOUBLE)
                           / (CAST(p.n AS DOUBLE) * p.n * p.n - p.n)), 6)
@@ -1113,8 +1116,13 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NANO-units in wide integers (DuckDB HUGEINT / Spark DECIMAL(38,0), "
     "capacity 1e9·4N⁴ < 10³⁸ ⟹ N < ~2e7 orders per nation ASSERTED "
     "from the orders footer count), summed exactly, and only the final "
-    "H = 3·(T/1e9)/(N(N+1)) − 3(N+1) with the textbook tie correction "
-    "1 − ΣT/(N³−N) runs in doubles — derived from the same exact "
+    "H = 12·(T/1e9)/(N(N+1)) − 3(N+1) with the textbook tie correction "
+    "1 − ΣT/(N³−N) runs in doubles (T/1e9 = Σ(2Rⱼ)²/(4nⱼ) = ΣRⱼ²/nⱼ, "
+    "so the coefficient stays the textbook 12 — the round's code "
+    "review caught a shipped 3 that double-counted the /4 already "
+    "inside the nano term, wrong by 4×, mirrored into oracle AND "
+    "third impl; verified against the textbook example H({1},{2,3}) "
+    "= 1.5) — derived from the same exact "
     "integers on both sides, so cross-engine doubles are bit-equal. "
     "Same scale shape as MWU: one grid aggregate, per-nation windows "
     "over distinct cents, exchanges bounded by the value grid — never "
@@ -1211,7 +1219,7 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tie_term").cast("long").alias("tie_term"),
             F.round(
                 (
-                    F.lit(3.0)
+                    F.lit(12.0)
                     * (F.col("t_nano").cast("double") / F.lit(1000000000.0))
                     / (
                         F.col("n").cast("double")
@@ -1307,13 +1315,14 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = _co_edges(spark, sf_dir)
-    et = triangle_edge_counts(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)  # read 3x: operator + both probes
     )
+    et = triangle_edge_counts(edges, deg=deg)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
     j = (
@@ -1625,8 +1634,11 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()[0]
     )
     rc = int(rc)
-    # assert the shifted numerator fits DECIMAL(38,0): ~ 5e6 * N^2
-    assert 5_000_000 * n * n < 10**38, "kappa arithmetic needs wider type"
+    # assert the shifted numerator fits DECIMAL(38,0): worst case
+    # 2e6*|N*d - rc| + den + 4e6*den <= (6e6 + 1) * N^2 — coefficient
+    # derived from the actual terms (r12 review: 5e6 understated it,
+    # the same defect class ADVICE r11 found in graph_modularity)
+    assert 7_000_000 * n * n < 10**38, "kappa arithmetic needs wider type"
     return spark.createDataFrame(
         [(int(n), int(diag), rc)], "n_docs long, n_agree long, cw long"
     ).select(
@@ -1712,11 +1724,19 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # #days rows; read 3x below
     )
     row = d.agg(
-        F.count(F.lit(1)).alias("n"), F.expr("sum(tot) div count(*)").alias("fm")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tot").alias("s"),
+        F.expr("sum(tot) div count(*)").alias("fm"),
     ).first()
     n = int(row["n"])
+    # guard the RAW sum, not fm: a slightly-negative sum truncates to
+    # fm=0 on Spark but floors to -1 on DuckDB — the divergence must
+    # trip loudly, not slip past a >= 0 check on the truncated value
+    # (r12 review finding)
+    assert int(row["s"] or 0) >= 0, (
+        "floor-mean relies on non-negative event values"
+    )
     fm = int(row["fm"] or 0)
-    assert fm >= 0, "floor-mean relies on non-negative event values"
     r = d.select(
         "day", (F.col("tot") - F.lit(fm)).alias("dev")
     ).localCheckpoint(eager=True)
@@ -1725,16 +1745,18 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ljung-box micro arithmetic needs a wider type at this variance "
         "scale — rerun with the double objective"
     )
-    if dd == 0 or n <= _LB_LAGS:
+    # mirror the oracle's per-lag n > lag filter so short series (2 <=
+    # n <= LAGS) emit the same partial-sum row instead of diverging
+    # (r12 review finding)
+    live_lags = [x for x in range(1, _LB_LAGS + 1) if x < n]
+    if dd == 0 or not live_lags:
         return spark.createDataFrame(
             [], "n_days long, m_lags long, q_micro long"
         )
     lags = r.select(
         "day",
         "dev",
-        F.explode(
-            F.array(*[F.lit(x) for x in range(1, _LB_LAGS + 1)])
-        ).alias("lag"),
+        F.explode(F.array(*[F.lit(x) for x in live_lags])).alias("lag"),
     )
     b = r.select(F.col("day").alias("bday"), F.col("dev").alias("bdev"))
     p = (

@@ -153,9 +153,17 @@ def _update_cusum(
     it from the full series; a live monitor ships it as config)."""
     pfx, mn, b = state.get if state.exists else (0, 0, 0)
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["us", "event_id"])
-        for eid, cents, ku in zip(pdf["event_id"], pdf["cents"], pdf["ku"]):
+    # Concatenate BEFORE sorting: a group larger than one Arrow batch
+    # arrives as multiple pdfs in arbitrary post-shuffle order; per-chunk
+    # sorting would interleave non-adjacent events (r12 review finding —
+    # same fix as the bigram keeper below).
+    chunks = list(pdfs)
+    batch = pd.concat(chunks) if chunks else None
+    if batch is not None and len(batch):
+        batch = batch.sort_values(["us", "event_id"])
+        for eid, cents, ku in zip(
+            batch["event_id"], batch["cents"], batch["ku"]
+        ):
             pfx += int(cents) - int(ku)
             mn = min(mn, pfx)
             out.append((int(eid), pfx - min(mn, 0)))
@@ -239,7 +247,7 @@ def streaming_misra_gries(keyed_stream: DataFrame, k: int) -> DataFrame:
 
 
 SEQPAT_OUT_SCHEMA = "user_id bigint, event_id bigint, pattern string, b bigint"
-_SEQPAT_STATE_SCHEMA = "us bigint, eid bigint, typ string, b bigint"
+_SEQPAT_STATE_SCHEMA = "us bigint, typ string, b bigint"
 
 
 def _update_seq_bigrams(
@@ -247,7 +255,7 @@ def _update_seq_bigrams(
 ) -> Iterator[pd.DataFrame]:
     """Streaming twin of events_sequence_patterns' contiguous bigrams
     (the r11 verdict's named extension): per user, state is ONE event —
-    (us, event_id, type) of the last event seen — so the miner is
+    (us, type) of the last event seen — so the miner is
     bounded-memory forever; each arriving event emits the bigram
     last>current. NULL event types follow the batch query's
     null-propagating concat semantics exactly: a NULL-typed event emits
@@ -258,21 +266,29 @@ def _update_seq_bigrams(
     micro-batches), the same contract as the engine's per-chain
     sequencing and the CUSUM keeper above."""
     if state.exists:
-        us, eid, typ, b = state.get
+        us, typ, b = state.get
     else:
-        us, eid, typ, b = None, None, None, 0
+        us, typ, b = None, None, 0
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["us", "event_id"])
-        for e, u, t in zip(pdf["event_id"], pdf["us"], pdf["event_type"]):
+    # Concatenate BEFORE sorting (r12 review finding): a group larger
+    # than one Arrow batch arrives as multiple pdfs in arbitrary
+    # post-shuffle order; a per-chunk sort would pair non-adjacent
+    # events and store a wrong last-event state.
+    chunks = list(pdfs)
+    batch = pd.concat(chunks) if chunks else None
+    if batch is not None and len(batch):
+        batch = batch.sort_values(["us", "event_id"])
+        for e, u, t in zip(
+            batch["event_id"], batch["us"], batch["event_type"]
+        ):
             cur = None if t is None or (isinstance(t, float)) else str(t)
             if us is not None and typ is not None and cur is not None:
                 out.append((int(e), f"{typ}>{cur}"))
             elif us is not None and cur is not None:
                 pass  # prior was NULL-typed: chain advanced, bigram vanishes
-            us, eid, typ = int(u), int(e), cur
+            us, typ = int(u), cur
     b += 1
-    state.update((us, eid, typ, b))
+    state.update((us, typ, b))
     yield pd.DataFrame(
         [
             {"user_id": key[0], "event_id": e, "pattern": p, "b": b}
@@ -289,7 +305,7 @@ def streaming_sequence_bigrams(keyed_stream: DataFrame) -> DataFrame:
     frame (support = distinct users per pattern, occurrences = row
     count) — pinned equal to the batch window query in
     tests/test_streaming_sequence.py. State per user is one event
-    (two longs + a short string): a billion-user stream holds state
+    (one long + a short string): a billion-user stream holds state
     linear in USERS, never in history length."""
     return keyed_stream.groupBy("user_id").applyInPandasWithState(
         _update_seq_bigrams,

@@ -18,6 +18,25 @@ def test_streaming_bigrams_match_batch_window(spark, tmp_path):
         streaming_sequence_bigrams,
     )
 
+    # Force multi-chunk groups: with a tiny Arrow batch size, any user
+    # with >3 events in a micro-batch arrives as MULTIPLE pdfs, pinning
+    # the concat-before-sort path (r12 review: a per-chunk sort would
+    # pair non-adjacent events and corrupt the carried state).
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        _run_bigram_parity(spark, tmp_path)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow
+        )
+
+
+def _run_bigram_parity(spark, tmp_path):
+    from kinesis_stream_consumer_spark.streaming.stateful import (
+        streaming_sequence_bigrams,
+    )
+
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     base = ev.select(
         "user_id",

@@ -333,8 +333,11 @@ def test_kruskal_wallis_matches_python_reference(spark):
         tie_term = sum(t**3 - t for t in tot.values())
         if tie_term >= n**3 - n:
             continue
+        # textbook coefficient 12: t_nano/1e9 = sum((2Rj)^2/(4nj))
+        # = sum(Rj^2/nj) already includes the /4 (the round's review
+        # caught a mirrored-everywhere 3 that was wrong by 4x)
         h = (
-            3.0 * (t_nano / 1e9) / (float(n) * (n + 1)) - 3.0 * (n + 1)
+            12.0 * (t_nano / 1e9) / (float(n) * (n + 1)) - 3.0 * (n + 1)
         ) / (1.0 - tie_term / (float(n) * n * n - n))
         want.append((nation, k, n, t_nano, tie_term, round(h, 6)))
     got = [
@@ -608,3 +611,30 @@ def test_user_lifespan_matches_python_reference(spark):
         for r in QUERIES["events_user_lifespan"].fn(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_kruskal_wallis_textbook_ground_truth():
+    """EXTERNAL ground truth (not a mirrored formula): groups {1} and
+    {2, 3} have ranks 1 | 2,3, no ties, and the textbook statistic is
+    H = 12/(N(N+1))·ΣRj²/nj − 3(N+1) = 12/12·13.5 − 12 = 1.5. The
+    round's code review caught all three mirrored implementations
+    shipping coefficient 3 (H = −8.625 here); this pin makes the
+    recurrence falsifiable against a published value."""
+    groups = {"a": [1.0], "b": [2.0, 3.0]}
+    tot = Counter(v for vs in groups.values() for v in vs)
+    grid = {}
+    cum = 0
+    for v in sorted(tot):
+        grid[v] = 2 * cum + tot[v] + 1
+        cum += tot[v]
+    n = sum(tot.values())
+    t_nano = 0
+    for vs in groups.values():
+        r2 = sum(grid[v] for v in vs)
+        nj = len(vs)
+        t_nano += (2 * 10**9 * r2 * r2 + 4 * nj) // (2 * 4 * nj)
+    tie_term = sum(t**3 - t for t in tot.values())
+    h = (
+        12.0 * (t_nano / 1e9) / (float(n) * (n + 1)) - 3.0 * (n + 1)
+    ) / (1.0 - tie_term / (float(n) * n * n - n))
+    assert round(h, 6) == 1.5
