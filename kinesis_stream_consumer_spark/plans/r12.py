@@ -37,7 +37,11 @@ from kinesis_stream_consumer_spark.plans.graph_shared import (
 # llm_pipeline registers FIRST in plans/queries.py, so a module-level
 # import from it cannot reorder the driver window (the import-order trap
 # only bites when importing from a module that registers LATER).
-from kinesis_stream_consumer_spark.plans.llm_pipeline import _langid_oracle
+from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+    _coarse_model,
+    _kmeans_ctes,
+    _langid_oracle,
+)
 from kinesis_stream_consumer_spark.plans.queries import (
     _t,
     register,
@@ -1844,3 +1848,105 @@ def events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_bp"),
         F.sum("n_users").over(wc).cast("long").alias("cum_users"),
     ).orderBy("lifespan_weeks")
+
+
+# --- r12: simplified-silhouette eval of the trained k-means partition ----------
+
+@register(
+    "sim_silhouette_eval",
+    f"""
+    WITH {_kmeans_ctes()},
+    b AS (
+      SELECT fd.vid, MIN(fd.dist) AS b
+      FROM fd JOIN fa ON fa.vid = fd.vid
+      WHERE fd.cell <> fa.cell
+      GROUP BY fd.vid
+    ),
+    s AS (
+      SELECT fa.cell,
+             (2000 * (b.b - fa.dist) + GREATEST(b.b, fa.dist, 1))
+               // (2 * GREATEST(b.b, fa.dist, 1)) AS s_milli
+      FROM fa JOIN b ON b.vid = fa.vid
+    )
+    SELECT CAST(cell AS BIGINT) AS cell_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST((2 * SUM(s_milli) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS mean_silhouette_milli,
+           CAST(SUM(CASE WHEN s_milli < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary
+    FROM s GROUP BY cell
+    ORDER BY cell_id
+    """,
+    doc="Simplified-silhouette quality of the TRAINED k-means partition "
+    "(Hruschka et al.'s centroid variant): per vector, a = squared "
+    "distance to its own (argmin) centroid, b = min squared distance to "
+    "any OTHER centroid, s = (b−a)/max(a,b) in half-up milli-units — "
+    "s ≈ 0 flags boundary vectors (ambiguous cells, the IVF recall "
+    "risk), s → 1000 means well-separated cells. Completes the "
+    "index-quality dashboard: the recall evals (sim_ann_recall_eval, "
+    "dedup_lsh_recall_eval) score RETRIEVAL against exact ground truth; "
+    "this row scores the PARTITION the IVF index routes through, per "
+    "cell (a cell with many boundary vectors wants a higher nprobe — "
+    "read next to sim_nprobe_recall_sweep). O(corpus × k): the distance "
+    "frame is the SAME broadcast-join shape as the assignment pass "
+    "(centroids are model literals; the corpus never shuffles), b is "
+    "one vid-keyed aggregate over the k-bounded frame, and because the "
+    "assignment IS the argmin, b ≥ a always — every term is "
+    "non-negative exact integer (quantized milli-space, the trained "
+    "model's own metric; GREATEST(...,1) guards the degenerate "
+    "point-equals-two-centroids zero). Reuses the session-cached "
+    "trained model (plans.llm_pipeline._coarse_model) and the SAME "
+    "Lloyd CTE chain as the certified sim_kmeans_cells oracle.",
+)
+def sim_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators import similarity as S
+
+    fit, cents = _coarse_model(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = S.quantized_vector_rows(emb)
+    fd = (
+        q.join(F.broadcast(cents), "pos")
+        .groupBy("vid", "cell")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+            ).alias("dist")
+        )
+    )
+    own = fit.select(
+        F.col("vec_id").alias("vid"),
+        F.col("cell_id").alias("own_cell"),
+        F.col("dist").alias("a"),
+    )
+    b = (
+        fd.join(own.select("vid", "own_cell"), "vid")
+        .where(F.col("cell") != F.col("own_cell"))
+        .groupBy("vid")
+        .agg(F.min("dist").alias("b"))
+    )
+    s = own.join(b, "vid").select(
+        F.col("own_cell").alias("cell"),
+        F.expr(
+            "(2000 * (b - a) + GREATEST(b, a, 1))"
+            " div (2 * GREATEST(b, a, 1))"
+        ).alias("s_milli"),
+    )
+    return (
+        s.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s_milli").alias("ssum"),
+            F.sum(F.when(F.col("s_milli") < 100, 1).otherwise(0)).alias(
+                "nb"
+            ),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell_id"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.expr("(2 * ssum + n) div (2 * n)")
+            .cast("long")
+            .alias("mean_silhouette_milli"),
+            F.col("nb").cast("long").alias("n_boundary"),
+        )
+        .orderBy("cell_id")
+    )

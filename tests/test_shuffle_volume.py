@@ -2059,3 +2059,27 @@ def test_user_lifespan_shuffles_are_user_bounded(spark):
     bound = n_users * max(n_parts, 1) + 2 * n_users + 256
     assert s["shuffle_records"] <= bound
     assert s["shuffle_records"] < n_events
+
+
+def test_silhouette_shuffles_are_k_bounded(spark):
+    """sim_silhouette_eval: centroids broadcast; the exploded component
+    rows (corpus x dim) combine to (vid, cell) partials before the wire,
+    so every exchange carries <= corpus x k rows, and the raw corpus
+    never shuffles."""
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import _KMEANS_K
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_corpus = emb.count()
+    n_parts = emb.rdd.getNumPartitions()
+    out = QUERIES["sim_silhouette_eval"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    k = _KMEANS_K
+    # distance combine (corpus x k) + argmin/own join sides + b aggregate
+    # + per-cell rollup (model-training shuffles are session-cached and
+    # may or may not be included depending on cache state; bound both)
+    bound = 6 * n_corpus * k + 4 * n_corpus + 64 * max(n_parts, 1) + 512
+    assert s["shuffle_records"] <= bound
+    # the component explode (corpus x 64) runs in place, never on a wire
+    assert s["generated_rows"] >= 64 * n_corpus

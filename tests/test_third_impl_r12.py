@@ -638,3 +638,89 @@ def test_kruskal_wallis_textbook_ground_truth():
         12.0 * (t_nano / 1e9) / (float(n) * (n + 1)) - 3.0 * (n + 1)
     ) / (1.0 - tie_term / (float(n) * n * n - n))
     assert round(h, 6) == 1.5
+
+
+def test_silhouette_matches_python_lloyd_reference(spark):
+    """From-scratch pure-Python Lloyd (quantize -> id-modulus sample ->
+    k-smallest-id init -> argmin-with-lowest-cell ties -> half-up integer
+    centroid means, 2 iterations) + full-corpus assignment + simplified
+    silhouette — an independent implementation of the ENTIRE trained
+    pipeline, so neither the numpy trainer nor the SQL CTE chain can
+    hide a shared bug."""
+    from kinesis_stream_consumer_spark.operators.similarity import (
+        KMEANS_QUANT_SCALE,
+        TRAIN_POINTS_PER_CENTROID,
+    )
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        _KMEANS_ITER,
+        _KMEANS_K,
+    )
+
+    emb = _tbl("embeddings")
+    k, n_iter = _KMEANS_K, _KMEANS_ITER
+    vecs = {
+        int(vid): [
+            int(math.floor(float(x) * KMEANS_QUANT_SCALE + 0.5)) for x in v
+        ]
+        for vid, v in zip(emb["vec_id"], emb["embedding"])
+    }
+    n = len(vecs)
+    s_mod = max(1, n // (TRAIN_POINTS_PER_CENTROID * k))
+    train = {vid: q for vid, q in vecs.items() if vid % s_mod == 0}
+    # init: the k smallest TRAINING ids, cell = vid div s_mod
+    cents = {
+        vid // s_mod: list(train[vid])
+        for vid in sorted(train)
+        if vid < k * s_mod
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for _ in range(n_iter):
+        assign: dict = defaultdict(list)
+        for vid in sorted(train):
+            best = min(
+                ((d2(train[vid], c), cell) for cell, c in cents.items())
+            )
+            assign[best[1]].append(vid)
+        new_cents = {}
+        for cell, vids in assign.items():
+            dim = len(train[vids[0]])
+            new_cents[cell] = [
+                (2 * sum(train[v][p] for v in vids) + len(vids))
+                // (2 * len(vids))
+                for p in range(dim)
+            ]
+        cents = new_cents  # empty cells drop
+    # full-corpus assignment + simplified silhouette
+    per_cell: dict = defaultdict(lambda: [0, 0, 0])  # n, ssum, nb
+    for vid in sorted(vecs):
+        dists = sorted((d2(vecs[vid], c), cell) for cell, c in cents.items())
+        a, own = dists[0]
+        b = min(d for d, cell in dists if cell != own)
+        mx = max(b, a, 1)
+        s_milli = (2000 * (b - a) + mx) // (2 * mx)
+        agg = per_cell[own]
+        agg[0] += 1
+        agg[1] += s_milli
+        agg[2] += 1 if s_milli < 100 else 0
+    want = [
+        (
+            cell,
+            nn,
+            (2 * ssum + nn) // (2 * nn),
+            nb,
+        )
+        for cell, (nn, ssum, nb) in sorted(per_cell.items())
+    ]
+    got = [
+        (
+            r["cell_id"],
+            r["n_vectors"],
+            r["mean_silhouette_milli"],
+            r["n_boundary"],
+        )
+        for r in QUERIES["sim_silhouette_eval"].fn(spark, SF).collect()
+    ]
+    assert got == want
