@@ -41,6 +41,7 @@ from kinesis_stream_consumer_spark.plans.llm_pipeline import (
     _coarse_model,
     _kmeans_ctes,
     _langid_oracle,
+    _pq_ctes,
 )
 from kinesis_stream_consumer_spark.plans.queries import (
     _t,
@@ -1949,4 +1950,102 @@ def sim_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nb").cast("long").alias("n_boundary"),
         )
         .orderBy("cell_id")
+    )
+
+
+# --- r12: PQ codebook distortion eval (sibling of the silhouette row) ----------
+
+
+@register(
+    "sim_pq_distortion_eval",
+    """
+    WITH {PQ_CTES},
+    dm AS (SELECT vid, sub, MIN(dist) AS d FROM fd GROUP BY 1, 2),
+    en AS (SELECT sub, SUM(CAST(qx AS HUGEINT) * qx) AS e FROM q GROUP BY 1),
+    ds AS (
+      SELECT sub, COUNT(*) AS n, SUM(CAST(d AS HUGEINT)) AS sd,
+             MAX(d) AS mx
+      FROM dm GROUP BY 1
+    )
+    SELECT CAST(ds.sub AS BIGINT) AS sub,
+           CAST(ds.n AS BIGINT) AS n_vectors,
+           CAST((2 * ds.sd + ds.n) // (2 * ds.n) AS BIGINT)
+             AS mean_distortion,
+           CAST(ds.mx AS BIGINT) AS max_distortion,
+           CAST((2 * 10000::HUGEINT * ds.sd + en.e) // (2 * en.e)
+             AS BIGINT) AS err_bp
+    FROM ds JOIN en USING (sub)
+    WHERE en.e > 0
+    ORDER BY sub
+    """.replace("{PQ_CTES}", _pq_ctes().strip()),
+    doc="Per-subspace quantization distortion of the trained PQ codebook: "
+    "mean/max squared error between each vector's subspace components "
+    "and its NEAREST codeword (the assignment distance, so no code "
+    "unpacking needed — distortion = min over cells), plus err_bp = "
+    "Σdistortion / Σ‖x_sub‖² in half-up basis points, the "
+    "quantization-error fraction from the PQ paper (Jégou et al. 2011 "
+    "§ quantization MSE) — the PQ-side sibling of sim_silhouette_eval: "
+    "silhouette scores the IVF routing partition, this scores the "
+    "compression codebook (a subspace with high err_bp dominates ADC "
+    "ranking noise and wants more bits — read next to "
+    "sim_nprobe_recall_sweep and sim_ann_recall_eval, which measure the "
+    "composed effect). All integer-exact in the model's quantized "
+    "milli-space; the energy/distortion sums run in wide integers "
+    "(DuckDB HUGEINT / Spark DECIMAL(38,0) — 2e4·Σd only nears the "
+    "DECIMAL(38) ceiling past ~1e25 vectors, documented not asserted). "
+    "Reuses the session-cached PQ model; the codebook broadcasts into "
+    "one corpus pass whose exchanges carry (vid, sub, cell) partials — "
+    "corpus×m×k-bounded, never raw components (gate-asserted).",
+)
+def sim_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators import similarity as S
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        _DIM,
+        _PQ_M,
+        _pq_model,
+    )
+
+    _, cents = _pq_model(spark, sf_dir)
+    sub_dim = _DIM // _PQ_M
+    emb = _t(spark, sf_dir, "embeddings")
+    q = S.quantized_vector_rows(emb).select(
+        "vid",
+        F.expr(f"CAST(pos div {sub_dim} AS INT)").alias("sub"),
+        F.expr(f"pos % {sub_dim}").alias("pos"),
+        "qx",
+    )
+    q = q.localCheckpoint(eager=False)  # read twice: distances + energy
+    fd = (
+        q.join(F.broadcast(cents), ["sub", "pos"])
+        .groupBy("vid", "sub", "cell")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+            ).alias("dist")
+        )
+    )
+    dm = fd.groupBy("vid", "sub").agg(F.min("dist").alias("d"))
+    en = q.groupBy("sub").agg(
+        F.sum(F.expr("CAST(qx AS DECIMAL(38,0)) * qx")).alias("e")
+    )
+    ds = dm.groupBy("sub").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0))")).alias("sd"),
+        F.max("d").alias("mx"),
+    )
+    return (
+        ds.join(en, "sub")
+        .where(F.col("e") > 0)
+        .select(
+            F.col("sub").cast("long").alias("sub"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.expr("(2 * sd + n) div (2 * n)")
+            .cast("long")
+            .alias("mean_distortion"),
+            F.col("mx").cast("long").alias("max_distortion"),
+            F.expr(
+                "(2 * CAST(10000 AS DECIMAL(38,0)) * sd + e) div (2 * e)"
+            ).cast("long").alias("err_bp"),
+        )
+        .orderBy("sub")
     )

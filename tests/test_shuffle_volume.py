@@ -2083,3 +2083,33 @@ def test_silhouette_shuffles_are_k_bounded(spark):
     assert s["shuffle_records"] <= bound
     # the component explode (corpus x 64) runs in place, never on a wire
     assert s["generated_rows"] >= 64 * n_corpus
+
+
+def test_pq_distortion_shuffles_are_mk_bounded(spark):
+    """sim_pq_distortion_eval: the codebook broadcasts; component rows
+    combine to (vid, sub, cell) partials before any wire, then reduce to
+    (vid, sub) minima and m-row aggregates."""
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        _PQ_K,
+        _PQ_M,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    n_corpus = emb.count()
+    n_parts = emb.rdd.getNumPartitions()
+    out = QUERIES["sim_pq_distortion_eval"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    # distance combine (corpus x m x k) + per-(vid,sub) minima + energy
+    # partials + m-row rollups (+ session-cached training when cold)
+    bound = (
+        3 * n_corpus * _PQ_M * _PQ_K
+        + 4 * n_corpus * _PQ_M
+        + 64 * max(n_parts, 1)
+        + 512
+    )
+    assert s["shuffle_records"] <= bound
+    # (no generated_rows floor here: the component rows sit behind a
+    # lazy localCheckpoint, so the generate node's metrics live in the
+    # checkpoint-materialization subtree, not the final plan)

@@ -724,3 +724,94 @@ def test_silhouette_matches_python_lloyd_reference(spark):
         for r in QUERIES["sim_silhouette_eval"].fn(spark, SF).collect()
     ]
     assert got == want
+
+
+def test_pq_distortion_matches_python_lloyd_reference(spark):
+    """From-scratch pure-Python per-subspace Lloyd (the PQ trainer's
+    recurrence re-derived independently: subspace split, id-modulus
+    sample, k-smallest-id init, argmin/half-up-mean iterations) + exact
+    distortion and energy sums with Python bigints."""
+    from kinesis_stream_consumer_spark.operators.similarity import (
+        KMEANS_QUANT_SCALE,
+        TRAIN_POINTS_PER_CENTROID,
+    )
+    from kinesis_stream_consumer_spark.plans.llm_pipeline import (
+        _DIM,
+        _PQ_ITER,
+        _PQ_K,
+        _PQ_M,
+    )
+
+    emb = _tbl("embeddings")
+    sub_dim = _DIM // _PQ_M
+    vecs = {
+        int(vid): [
+            int(math.floor(float(x) * KMEANS_QUANT_SCALE + 0.5)) for x in v
+        ]
+        for vid, v in zip(emb["vec_id"], emb["embedding"])
+    }
+    n = len(vecs)
+    s_mod = max(1, n // (TRAIN_POINTS_PER_CENTROID * _PQ_K))
+    train = {vid: q for vid, q in vecs.items() if vid % s_mod == 0}
+
+    def subv(q, sub):
+        return q[sub * sub_dim : (sub + 1) * sub_dim]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    per_sub = []
+    for sub in range(_PQ_M):
+        cents = {
+            vid // s_mod: list(subv(train[vid], sub))
+            for vid in sorted(train)
+            if vid < _PQ_K * s_mod
+        }
+        for _ in range(_PQ_ITER):
+            assign: dict = defaultdict(list)
+            for vid in sorted(train):
+                best = min(
+                    (d2(subv(train[vid], sub), c), cell)
+                    for cell, c in cents.items()
+                )
+                assign[best[1]].append(vid)
+            cents = {
+                cell: [
+                    (2 * sum(subv(train[v], sub)[p] for v in vids) + len(vids))
+                    // (2 * len(vids))
+                    for p in range(sub_dim)
+                ]
+                for cell, vids in assign.items()
+            }
+        nn = 0
+        sd = 0
+        mx = 0
+        e = 0
+        for vid in sorted(vecs):
+            x = subv(vecs[vid], sub)
+            d = min(d2(x, c) for c in cents.values())
+            nn += 1
+            sd += d
+            mx = max(mx, d)
+            e += sum(c * c for c in x)
+        if e > 0:
+            per_sub.append(
+                (
+                    sub,
+                    nn,
+                    (2 * sd + nn) // (2 * nn),
+                    mx,
+                    (2 * 10000 * sd + e) // (2 * e),
+                )
+            )
+    got = [
+        (
+            r["sub"],
+            r["n_vectors"],
+            r["mean_distortion"],
+            r["max_distortion"],
+            r["err_bp"],
+        )
+        for r in QUERIES["sim_pq_distortion_eval"].fn(spark, SF).collect()
+    ]
+    assert got == per_sub
