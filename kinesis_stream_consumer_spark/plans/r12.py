@@ -2049,3 +2049,107 @@ def sim_pq_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub")
     )
+
+
+# --- r12: McNemar test — langid heuristic vs the majority baseline -------------
+
+
+@register(
+    "text_langid_mcnemar",
+    """
+    WITH pred AS ({LANGID_BODY}),
+    mb AS (
+      SELECT labeled_lang AS m FROM pred
+      GROUP BY 1 ORDER BY COUNT(*) DESC, labeled_lang LIMIT 1
+    ),
+    flags AS (
+      SELECT CASE WHEN predicted_lang = labeled_lang THEN 1 ELSE 0 END AS h,
+             CASE WHEN mb.m = labeled_lang THEN 1 ELSE 0 END AS base
+      FROM pred CROSS JOIN mb
+    ),
+    t AS (
+      SELECT COUNT(*) AS n,
+             SUM(h) AS nh, SUM(base) AS nb,
+             SUM(CASE WHEN h = 1 AND base = 0 THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN h = 0 AND base = 1 THEN 1 ELSE 0 END) AS c
+      FROM flags
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST((20000 * nh + n) // (2 * n) AS BIGINT) AS acc_heuristic_bp,
+           CAST((20000 * nb + n) // (2 * n) AS BIGINT) AS acc_baseline_bp,
+           CAST(b AS BIGINT) AS n_only_heuristic,
+           CAST(c AS BIGINT) AS n_only_baseline,
+           CAST((2 * 1000000::HUGEINT * (b - c) * (b - c) + (b + c))
+                // (2 * CAST(b + c AS HUGEINT)) AS BIGINT) AS mcnemar_micro
+    FROM t WHERE b + c > 0
+    """.replace("{LANGID_BODY}", _langid_oracle().strip()),
+    doc="McNemar's test of the stopword language-ID heuristic against the "
+    "always-predict-the-majority-language baseline on the SAME documents: "
+    "the paired-classifier eval that answers 'does the heuristic beat "
+    "the trivial classifier beyond what marginal accuracy can show' — "
+    "only the DISCORDANT pairs carry signal (b = docs only the heuristic "
+    "gets right, c = docs only the baseline gets right; χ² = (b−c)²/"
+    "(b+c), here in half-up MICRO-units, exact — (b−c)² is non-negative "
+    "so no positivity shift, and the 1e6-scaled square runs in wide "
+    "integers). Completes the classifier-eval trio on one surface: "
+    "text_langid_confusion (where errors go), text_langid_kappa "
+    "(chance-corrected agreement with truth), McNemar (paired "
+    "superiority over a baseline). The majority label is a one-row "
+    "aggregate with a deterministic tie-break (count desc, lang asc) "
+    "pulled as a driver literal; everything else is one scan with "
+    "label-bounded aggregates.",
+)
+def text_langid_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", T.tokens(F.lower(F.col("text"))).alias("ltoks")
+    ).select(
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id_from_tokens(F.col("ltoks")).alias("predicted_lang"),
+    )
+    mrow = (
+        pred.groupBy("labeled_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "labeled_lang")
+        .first()
+    )
+    majority = mrow["labeled_lang"] if mrow is not None else ""
+    flags = pred.select(
+        F.when(F.col("predicted_lang") == F.col("labeled_lang"), 1)
+        .otherwise(0)
+        .alias("h"),
+        F.when(F.col("labeled_lang") == F.lit(majority), 1)
+        .otherwise(0)
+        .alias("base"),
+    )
+    t = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").alias("nh"),
+        F.sum("base").alias("nb"),
+        F.sum(
+            F.when((F.col("h") == 1) & (F.col("base") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("h") == 0) & (F.col("base") == 1), 1).otherwise(0)
+        ).alias("c"),
+    )
+    return (
+        t.where(F.col("b") + F.col("c") > 0)
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.expr("(20000 * nh + n) div (2 * n)")
+            .cast("long")
+            .alias("acc_heuristic_bp"),
+            F.expr("(20000 * nb + n) div (2 * n)")
+            .cast("long")
+            .alias("acc_baseline_bp"),
+            F.col("b").cast("long").alias("n_only_heuristic"),
+            F.col("c").cast("long").alias("n_only_baseline"),
+            F.expr(
+                "(2 * CAST(1000000 AS DECIMAL(38,0)) * (b - c) * (b - c)"
+                " + (b + c)) div (2 * CAST(b + c AS DECIMAL(38,0)))"
+            ).cast("long").alias("mcnemar_micro"),
+        )
+    )

@@ -815,3 +815,53 @@ def test_pq_distortion_matches_python_lloyd_reference(spark):
         for r in QUERIES["sim_pq_distortion_eval"].fn(spark, SF).collect()
     ]
     assert got == per_sub
+
+
+def test_langid_mcnemar_matches_python_reference(spark):
+    """McNemar recomputed with the independent langid reimplementation
+    (same as the kappa third impl) and Python bigints."""
+    import re
+
+    from kinesis_stream_consumer_spark.operators.text import LANG_STOPWORDS
+
+    docs = _tbl("documents")
+    rows = []
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = re.split(r"\s+", (text or "").strip().lower())
+        hits = {
+            lg: sum(1 for t in toks if t in set(ws))
+            for lg, ws in LANG_STOPWORDS.items()
+        }
+        best = max(hits.values())
+        pred = "und"
+        for lg in LANG_STOPWORDS:
+            if hits[lg] > 0 and hits[lg] == best:
+                pred = lg
+                break
+        rows.append((lang, pred))
+    counts = Counter(l for l, _ in rows)
+    majority = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    n = len(rows)
+    nh = sum(1 for l, p in rows if p == l)
+    nb = sum(1 for l, _ in rows if l == majority)
+    b = sum(1 for l, p in rows if p == l and l != majority)
+    c = sum(1 for l, p in rows if p != l and l == majority)
+    assert b + c > 0
+    want = (
+        n,
+        (20000 * nh + n) // (2 * n),
+        (20000 * nb + n) // (2 * n),
+        b,
+        c,
+        (2 * 1000000 * (b - c) * (b - c) + (b + c)) // (2 * (b + c)),
+    )
+    row = QUERIES["text_langid_mcnemar"].fn(spark, SF).collect()[0]
+    got = (
+        row["n_docs"],
+        row["acc_heuristic_bp"],
+        row["acc_baseline_bp"],
+        row["n_only_heuristic"],
+        row["n_only_baseline"],
+        row["mcnemar_micro"],
+    )
+    assert got == want
