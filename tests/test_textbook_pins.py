@@ -1,0 +1,244 @@
+"""Textbook ground-truth pins for the shipped statistics' integer
+recurrences (the r12 Kruskal-Wallis lesson, applied retroactively).
+
+The oracle-parity + third-impl discipline proves three implementations
+AGREE — it cannot prove they compute the intended statistic when the
+author mirrors one wrong derivation three times (r12 shipped H with a
+4x-wrong coefficient through exactly that hole; the code review caught
+it against a textbook example). Each test here applies a query's EXACT
+half-up/shift integer recurrence — copied verbatim from the query
+source, cited per test — to literal data with a published or
+hand-derivable answer. A failure means the recurrence computes the
+wrong STATISTIC even though all three engines agree on it.
+
+No Spark, no DuckDB, no parquet: pure arithmetic, runs in milliseconds.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+
+def _half_up(num: int, den: int) -> int:
+    """Half-up of num/den for POSITIVE den and non-negative num — the
+    repo's (2*num + den) div (2*den) idiom."""
+    assert den > 0 and num >= 0
+    return (2 * num + den) // (2 * den)
+
+
+def test_mann_whitney_grid_recurrence_with_ties():
+    """agg_mann_whitney (plans/r11.py): u1_x2 = sum over the value grid
+    of c1*(2*(less1+less2) + (c1+c2+1)) - n1*(n1+1), effect_bp =
+    half-up(10000*U1/(n1*n2)). Hand example WITH TIES: X=[1,2,2],
+    Y=[2,3] -> average ranks 1, 3,3 | 3, 5 -> R1=7, U1 = R1 - n1(n1+1)/2
+    = 1, effect = 1/6."""
+    x, y = [1, 2, 2], [2, 3]
+    grid = sorted(set(x + y))
+    c1 = Counter(x)
+    c2 = Counter(y)
+    less1 = less2 = 0
+    u1_x2 = 0
+    for v in grid:
+        u1_x2 += c1[v] * (2 * (less1 + less2) + (c1[v] + c2[v] + 1))
+        less1 += c1[v]
+        less2 += c2[v]
+    n1, n2 = len(x), len(y)
+    u1_x2 -= n1 * (n1 + 1)
+    assert u1_x2 == 2 * 1  # U1 = 1 exactly
+    effect_bp = (20000 * u1_x2 + 2 * n1 * n2) // (2 * 2 * n1 * n2)
+    assert effect_bp == 1667  # half-up(10000/6)
+
+
+def test_kendall_tau_b_pair_recurrence():
+    """ts_kendall_tau (plans/r11.py): tau_b = (C-D)/sqrt(n0*(n0-T)) with
+    x distinct (days). Hand example y=[1,2,2,3,1] over x=1..5:
+    C=5, D=3, T=2, tau_b = 2/sqrt(80) = 0.2236."""
+    y = [1, 2, 2, 3, 1]
+    c = d = t = n0 = 0
+    for i in range(len(y)):
+        for j in range(i + 1, len(y)):
+            n0 += 1
+            if y[j] > y[i]:
+                c += 1
+            elif y[j] < y[i]:
+                d += 1
+            else:
+                t += 1
+    assert (c, d, t, n0) == (5, 3, 2, 10)
+    assert round((c - d) / math.sqrt(n0 * (n0 - t)), 4) == 0.2236
+
+
+def test_spearman_bp_shift_recurrence():
+    """text_rank_correlation (plans/stable.py): spearman_bp =
+    (2*10000*(n(n^2-1) - 6*sum_d2) + n(n^2-1) + 40000*n(n^2-1))
+    // (2*n(n^2-1)) - 20000. Perfectly reversed ranks (n=3, sum_d2=8)
+    must give exactly -10000 bp (rho = -1)."""
+    n, sum_d2 = 3, 8
+    m = n * (n * n - 1)
+    bp = (2 * 10000 * (m - 6 * sum_d2) + m + 40000 * m) // (2 * m) - 20000
+    assert bp == -10000
+    # and perfectly equal ranks give +10000
+    bp1 = (2 * 10000 * (m - 0) + m + 40000 * m) // (2 * m) - 20000
+    assert bp1 == 10000
+
+
+def test_gini_rank_identity():
+    """agg_gini_concentration (plans/relational.py): G = (2*sum(i*x_i)
+    - (n+1)*sum(x)) / (n*sum(x)) over ascending ranks; gini_bp =
+    FLOOR(10000*G + 0.5). Known: x=[1,3] -> G = 0.25 -> 2500 bp."""
+    xs = sorted([1, 3])
+    n = len(xs)
+    sx = sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    gini_bp = int(math.floor(10000.0 * (2 * six - (n + 1) * sx) / (n * sx) + 0.5))
+    assert gini_bp == 2500
+
+
+def test_runs_expectation_milli():
+    """ts_runs_test (plans/r12.py): e_runs_milli = half-up(1000 *
+    (n + 2*n1*n2) / n). Textbook n1=5, n2=4: E[R] = 1 + 40/9 =
+    5.4444 -> 5444 milli."""
+    n1, n2 = 5, 4
+    n = n1 + n2
+    assert _half_up(1000 * (n + 2 * n1 * n2), n) == 5444
+
+
+def test_turning_points_expectation_and_variance():
+    """ts_turning_points (plans/r12.py): E[T] = 2(n-2)/3,
+    Var[T] = (16n-29)/90. Textbook n=10: E = 5.3333 -> 5333 milli,
+    Var = 131/90 = 1.4556 -> 1456 milli."""
+    n = 10
+    assert (2000 * 2 * (n - 2) + 3) // (2 * 3) == 5333
+    assert (2000 * (16 * n - 29) + 90) // (2 * 90) == 1456
+
+
+def test_ljung_box_recurrence_matches_float_formula():
+    """ts_ljung_box (plans/r12.py): the per-lag half-up micro terms must
+    sum to 1e6 * Q for the textbook formula Q = n(n+2) * sum_k
+    r_k^2/(n-k) within one micro per lag, on literal residuals."""
+    dev = [3, -1, -4, 2, 0, 1, -2, 3, -2, 0]
+    n = len(dev)
+    dd = sum(x * x for x in dev)
+    q_micro = 0
+    q_float = 0.0
+    m = 3
+    for k in range(1, m + 1):
+        num = sum(dev[i] * dev[i + k] for i in range(n - k))
+        den = dd * dd * (n - k)
+        q_micro += (2 * 1000000 * n * (n + 2) * num * num + den) // (2 * den)
+        r = num / dd
+        q_float += n * (n + 2) * r * r / (n - k)
+    assert abs(q_micro - q_float * 1e6) <= m  # half-up per lag: <=0.5 each
+
+
+def test_chi_square_known_2x2():
+    """agg_chi_square_independence (plans/r12.py): per-cell half-up
+    micro terms on the classic 2x2 [[10,20],[30,40]]: chi^2 =
+    0.79365..., Cramer's V = sqrt(chi2/N) = 0.0891."""
+    cells = {("a", 1): 10, ("a", 2): 20, ("b", 1): 30, ("b", 2): 40}
+    n = sum(cells.values())
+    rows: Counter = Counter()
+    cols: Counter = Counter()
+    for (r, c), o in cells.items():
+        rows[r] += o
+        cols[c] += o
+    chi2_micro = 0
+    for (r, c), o in cells.items():
+        num = o * n - rows[r] * cols[c]
+        den = n * rows[r] * cols[c]
+        chi2_micro += (2 * 1000000 * num * num + den) // (2 * den)
+    # chi2 = 50/63 = 0.793650793...
+    assert abs(chi2_micro - 793651) <= 2  # per-cell half-up slack
+    v = round(math.sqrt((chi2_micro / 1e6) / (n * 1)), 6)
+    assert v == 0.089087
+
+
+def test_cohens_kappa_published_example():
+    """text_langid_kappa (plans/r12.py): shifted recurrence on the
+    standard worked example [[20,5],[10,15]]: p_o=0.7, p_e=0.5,
+    kappa = 0.4 -> 400000 micro."""
+    n, diag = 50, 35
+    rows = {"y": 25, "n": 25}
+    cols = {"y": 30, "n": 20}
+    rc = sum(rows[k] * cols[k] for k in rows)
+    den = n * n - rc
+    shift = 2000000
+    kappa_micro = (
+        2 * 1000000 * (n * diag - rc) + den + 2 * den * shift
+    ) // (2 * den) - shift
+    assert kappa_micro == 400000
+
+
+def test_mcnemar_known_discordants():
+    """text_langid_mcnemar (plans/r12.py): b=10, c=5 -> chi^2 = 25/15 =
+    1.666667 -> 1666667 micro (half-up)."""
+    b, c = 10, 5
+    assert _half_up(1000000 * (b - c) * (b - c), b + c) == 1666667
+
+
+def test_simpson_lambda_micro():
+    """text_simpson_diversity (plans/r12.py): counts [2,2]: lambda =
+    (2+2)/(4*3) = 1/3 -> 333333 micro; inverse-Simpson = 3.0."""
+    counts = [2, 2]
+    n = sum(counts)
+    s2 = sum(c * (c - 1) for c in counts)
+    d = n * (n - 1)
+    assert _half_up(1000000 * s2, d) == 333333
+    assert round(d / s2, 4) == 3.0
+
+
+def test_hodges_lehmann_small_sample():
+    """agg_hodges_lehmann (plans/r12.py): sample [1,2,3] -> Walsh sums
+    [2,3,4,4,5,6], lower nearest-rank median (rank (6+1)//2 = 3) = 4,
+    HL = 2.0 (the symmetric case where HL equals the median)."""
+    vals = [1.0, 2.0, 3.0]
+    sums = sorted(
+        vals[i] + vals[j]
+        for i in range(len(vals))
+        for j in range(i, len(vals))
+    )
+    r = (len(sums) + 1) // 2
+    assert round(sums[r - 1] / 2, 4) == 2.0
+
+
+def test_modularity_barbell_communities():
+    """graph_modularity (plans/r12.py): two triangles joined by one edge
+    (m=7), each triangle its own community: contribution = 3/7 -
+    (7/14)^2 = 0.178571 each -> 178571 micro through the shift
+    recurrence; Q = 2 * 0.178571 = 0.357142 (published barbell value)."""
+    m = 7
+    m_c, d_c = 3, 7  # per triangle community: intra edges, degree sum
+    shift = 4_000_000
+    four_m2 = 4 * m * m
+    contribution = (
+        2_000_000 * (4 * m * m_c - d_c * d_c)
+        + four_m2
+        + 2 * four_m2 * shift
+    ) // (2 * four_m2) - shift
+    assert contribution == 178571
+
+
+def test_kruskal_wallis_coefficient_is_twelve():
+    """agg_kruskal_wallis (plans/r12.py): the t_nano term carries /4
+    (2x-rank squares), so the statistic needs the textbook 12, NOT 3 —
+    {1} vs {2,3}: H = 1.5 (the r12 review's example, kept here so the
+    4x bug class cannot silently return)."""
+    groups = {"a": [1.0], "b": [2.0, 3.0]}
+    tot = Counter(v for vs in groups.values() for v in vs)
+    grid = {}
+    cum = 0
+    for v in sorted(tot):
+        grid[v] = 2 * cum + tot[v] + 1
+        cum += tot[v]
+    n = sum(tot.values())
+    t_nano = 0
+    for vs in groups.values():
+        r2 = sum(grid[v] for v in vs)
+        nj = len(vs)
+        t_nano += (2 * 10**9 * r2 * r2 + 4 * nj) // (2 * 4 * nj)
+    tie = sum(t**3 - t for t in tot.values())
+    h = (
+        12.0 * (t_nano / 1e9) / (float(n) * (n + 1)) - 3.0 * (n + 1)
+    ) / (1.0 - tie / (float(n) * n * n - n))
+    assert round(h, 6) == 1.5
