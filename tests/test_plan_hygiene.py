@@ -163,6 +163,14 @@ def test_no_unguarded_broadcast_of_row_scaled_tables():
         # etm/dowm: agg_chi_square_independence marginals — one row per
         #     event type / per ISO weekday (<= 7), never row-scaled
         "etm", "dowm",
+        # cents: the TRAINED model's literal centroid/codebook frame
+        #     (k x dim rows for k-means, m*k*sub_dim for PQ) returned by
+        #     _coarse_model/_pq_model — model-sized by construction (the
+        #     driver-side Lloyd trains on the bounded id-modulus sample
+        #     and ships literals), never row-scaled; used by the
+        #     silhouette/distortion eval rows exactly like the serving
+        #     queries broadcast it inside operators/similarity.py
+        "cents",
     }
     offenders = []
     for path in Path(plans_pkg.__path__[0]).glob("*.py"):
