@@ -156,6 +156,13 @@ def main() -> None:
         "scan_partitioned_prune",
         "text_langid_confusion",
         "agg_pareto_share",
+        # r12 marquees: gap-allowed sequence mining (one per-user window
+        # exchange), the two index-quality evals (model-literal
+        # broadcasts), and the grid-bounded k-group rank test
+        "events_sequence_patterns_gapped",
+        "sim_silhouette_eval",
+        "sim_pq_distortion_eval",
+        "agg_kruskal_wallis",
     ]
     sections = [HEADER]
     for name in names:
