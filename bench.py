@@ -433,6 +433,14 @@ def _engine_paths_changed(base_ref: str) -> list[str]:
     instrument is skipped instead of emitting an unresolved-by-default
     record; when something DID change, it runs with enough passes to
     resolve a ~1.2x effect on this host.
+
+    Diff-gated on the BATCH-PATH modules only (VERDICT r12 #4): the A/B
+    measures process_batch marks, so only files on that path can move
+    them. streaming/stateful.py holds query-surface keepers (the
+    applyInPandasWithState twins) that never run inside process_batch —
+    an additive change there used to trigger a ~2-minute A/B that could
+    only measure host drift (r12 recorded exactly that, honestly
+    unresolved).
     """
     import subprocess
 
@@ -440,7 +448,13 @@ def _engine_paths_changed(base_ref: str) -> list[str]:
         r = subprocess.run(
             [
                 "git", "diff", "--name-only", base_ref, "--",
-                "kinesis_stream_consumer_spark/streaming",
+                "kinesis_stream_consumer_spark/streaming/engine.py",
+                "kinesis_stream_consumer_spark/streaming/state.py",
+                "kinesis_stream_consumer_spark/streaming/dlq.py",
+                "kinesis_stream_consumer_spark/streaming/ingest.py",
+                "kinesis_stream_consumer_spark/streaming/sequencing.py",
+                "kinesis_stream_consumer_spark/streaming/tasks.py",
+                "kinesis_stream_consumer_spark/streaming/__init__.py",
                 "kinesis_stream_consumer_spark/sources",
                 "kinesis_stream_consumer_spark/config.py",
             ],
@@ -507,7 +521,8 @@ def main() -> None:
         if not changed:
             out["engine_ab"] = {
                 "base_ref": ab_base,
-                "skipped": "no engine changes",
+                "skipped": "no batch-path changes (engine.py/state.py/"
+                "dlq.py/ingest.py/sequencing.py/tasks.py/sources/config)",
             }
         else:
             try:

@@ -281,7 +281,11 @@ def _update_seq_bigrams(
         for e, u, t in zip(
             batch["event_id"], batch["us"], batch["event_type"]
         ):
-            cur = None if t is None or (isinstance(t, float)) else str(t)
+            # pd.isna covers None, NaN and pd.NA without assuming the
+            # Arrow-to-pandas null sentinel is a float (ADVICE r12: the
+            # isinstance(t, float) form misclassifies legitimately
+            # float-typed values and misses pd.NA).
+            cur = None if pd.isna(t) else str(t)
             if us is not None and typ is not None and cur is not None:
                 out.append((int(e), f"{typ}>{cur}"))
             elif us is not None and cur is not None:

@@ -53,8 +53,25 @@ def _run_bigram_parity(spark, tmp_path):
         base.where((F.col("us") > cuts.c1) & (F.col("us") <= cuts.c2)),
         base.where(F.col("us") > cuts.c2),
     ]
-    for s in slices:  # sequential writes => increasing mtimes => in-order
-        s.coalesce(1).write.mode("append").json(str(tmp_path / "in"))
+    # Pin micro-batch order EXPLICITLY (ADVICE r12): the file source
+    # orders by mtime with path as the tie-break, and part-file names
+    # carry random UUIDs — on a coarse-mtime filesystem two slices
+    # written in the same tick could be consumed out of order. Write
+    # each slice to its own staging dir, move the part file to a
+    # numbered name, and stamp strictly-increasing mtimes via os.utime
+    # so both the mtime order AND the path tie-break agree.
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    (tmp_path / "in").mkdir()
+    for i, s in enumerate(slices):
+        stage = tmp_path / f"slice{i}"
+        s.coalesce(1).write.mode("overwrite").json(str(stage))
+        part = _glob.glob(str(stage / "part-*.json"))[0]
+        dst = tmp_path / "in" / f"{i:04d}.json"
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     stream = (
         spark.readStream.schema(
             "user_id bigint, event_id bigint, us bigint, event_type string"
