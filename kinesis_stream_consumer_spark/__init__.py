@@ -24,9 +24,13 @@ many inside certified hash-held query bodies, which is why the redirect
 lives here and not at the call sites): those dirs are rerooted under one
 per-process session root that is removed at interpreter exit. A foreign
 library in the same process that happens to use a ``ksc-`` prefix would be
-rerooted too. Planned migration: an explicit internal helper
-(``kinesis_stream_consumer_spark.util.mkdtemp``) adopted call-site-by-
-call-site as each certified block next re-enters the correctness window.
+rerooted too. Migration IN PROGRESS (VERDICT r12 #6): the explicit helper
+``kinesis_stream_consumer_spark.util.mkdtemp`` exists and is the rule for
+NEW code; ``session.py`` migrated r13. Remaining stdlib call sites: 16,
+all inside certified hash-held query blocks (stable.py x4,
+stream_parity.py x5, relational.py x4, engine_queries.py x1, r12.py x1,
+r10.py x1) — each migrates when its block next re-enters the correctness
+window for another reason.
 """
 
 import atexit as _atexit

@@ -56,13 +56,12 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     if key in _SHIPPED:
         return
     import shutil
-    import tempfile
+
+    from kinesis_stream_consumer_spark.util import mkdtemp
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zip_base = os.path.join(
-        tempfile.mkdtemp(prefix="ksc-pyfiles-"), "ksc_spark_pkg"
-    )
+    zip_base = os.path.join(mkdtemp(prefix="ksc-pyfiles-"), "ksc_spark_pkg")
     zip_path = shutil.make_archive(
         zip_base, "zip", root_dir=root, base_dir="kinesis_stream_consumer_spark"
     )

@@ -134,3 +134,16 @@ def test_session_root_removed_at_interpreter_exit():
     assert out.returncode == 0, out.stderr
     root = out.stdout.strip().splitlines()[-1]
     assert root and not os.path.exists(root)
+
+
+def test_util_mkdtemp_explicit_helper():
+    """The explicit helper (VERDICT r12 #6) reroots under the session root
+    without relying on the stdlib monkey-patch's prefix sniffing — and
+    keeps doing so even for a non-ksc prefix (the caller's intent, not the
+    name, decides)."""
+    from kinesis_stream_consumer_spark.util import mkdtemp
+
+    d = mkdtemp(prefix="ksc-util-")
+    assert os.path.dirname(d) == pkg._session_tmp_root()
+    d2 = mkdtemp(prefix="anything-")
+    assert os.path.dirname(d2) == pkg._session_tmp_root()
