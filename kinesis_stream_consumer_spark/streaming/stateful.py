@@ -318,3 +318,86 @@ def streaming_sequence_bigrams(keyed_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_n bigint, n_events bigint, "
+    "start_epoch bigint, duration_s bigint, b bigint"
+)
+_SESSION_STATE_SCHEMA = "sn bigint, start bigint, last bigint, n bigint, b bigint"
+_SESSION_GAP_US = 1_800_000_000  # 30 min, the events_sessionize threshold
+
+
+def _update_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of events_sessionize's gap rule (the r12 verdict's
+    suggested second twin): per user, state is ONE open session —
+    (session_n, start_us, last_us, n_events) — so the sessionizer is
+    bounded-memory forever regardless of history length. Each event
+    either extends the open session (gap <= 30 min) or rolls the
+    counter and opens a new one. Every session TOUCHED by the batch
+    re-emits its current rollup row (update semantics: the LATEST
+    emission per (user, session_n) is that session's final rollup —
+    closed sessions never re-emit, so their last row IS final; the
+    open session's row supersedes batch by batch). Events are ordered
+    (us, event_id) within the batch — matching the batch query's window
+    comparator — and cross-batch order is the source's responsibility
+    (time-sliced micro-batches), the same contract as the CUSUM and
+    bigram keepers above."""
+    if state.exists:
+        sn, start, last, n, b = state.get
+    else:
+        sn, start, last, n, b = 0, None, None, 0, 0
+    b += 1
+    touched: dict = {}
+    # Concatenate BEFORE sorting (the r12 Arrow-chunk lesson): a >1-chunk
+    # group arrives as multiple pdfs in shuffle order; a per-chunk sort
+    # would interleave non-adjacent events and split sessions wrongly.
+    chunks = list(pdfs)
+    batch = pd.concat(chunks) if chunks else None
+    if batch is not None and len(batch):
+        batch = batch.sort_values(["us", "event_id"])
+        for tu in batch["us"]:
+            tu = int(tu)
+            if last is None or tu - last > _SESSION_GAP_US:
+                sn += 1
+                start, n = tu, 1
+            else:
+                n += 1
+            last = tu
+            touched[sn] = (start, last, n)
+    state.update((sn, start, last, n, b))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "session_n": s,
+                "n_events": cnt,
+                # Python // floors for any sign — the pmod discipline the
+                # batch query needs is free here
+                "start_epoch": st // 1_000_000,
+                "duration_s": (en - st) // 1_000_000,
+                "b": b,
+            }
+            for s, (st, en, cnt) in touched.items()
+        ]
+    )
+
+
+def streaming_sessionize(keyed_stream: DataFrame) -> DataFrame:
+    """Live gap-based sessionization: input rows
+    (user_id, event_id, us) in time-sliced micro-batches; output the
+    current per-session rollup row for every session a batch touched.
+    Downstream keeps the latest row per (user_id, session_n) — pinned
+    equal to the batch events_sessionize rollup (including sessions that
+    span micro-batch boundaries) in tests/test_streaming_sequence.py.
+    State per user is one 5-long tuple: a billion-user stream holds
+    state linear in USERS, never in events."""
+    return keyed_stream.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -130,3 +130,135 @@ def _run_bigram_parity(spark, tmp_path):
     # time slices per user this must happen unless every user fits one
     # slice — assert the stream really handed state across batches
     assert max(r.b for r in emitted) >= 2
+
+
+def test_streaming_sessionize_matches_batch_rollup(spark, tmp_path):
+    """The bounded-state sessionize keeper (one open-session tuple per
+    user) must reproduce the batch events_sessionize rollup exactly —
+    session numbering, counts, start epoch, duration — including
+    sessions that SPAN micro-batch boundaries (the state hand-off), when
+    fed the same events as three time-sliced micro-batches."""
+    from kinesis_stream_consumer_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    ).localCheckpoint(eager=True)
+    # Cut the stream INSIDE sessions on purpose: with 30-minute sessions
+    # and percentile cuts, no session happened to straddle a boundary in
+    # the smoke data, leaving the hand-off path unexercised. Midpoints of
+    # within-session consecutive event pairs (gap <= 30 min, strictly
+    # increasing us) guarantee the pair lands in different slices, so at
+    # least one session SPANS each boundary.
+    from pyspark.sql.window import Window as _W
+
+    _w = _W.partitionBy("user_id").orderBy("us", "event_id")
+    mids = [
+        r.mid
+        for r in base.withColumn("prev", F.lag("us").over(_w))
+        .where(
+            F.col("prev").isNotNull()
+            & (F.col("us") > F.col("prev"))
+            & (F.col("us") - F.col("prev") <= 1_800_000_000)
+        )
+        .select(
+            ((F.col("prev") + F.col("us")) / 2).cast("long").alias("mid")
+        )
+        .distinct()
+        .orderBy("mid")
+        .collect()
+    ]
+    assert len(mids) >= 2, "smoke data has too few in-session pairs"
+    c1, c2 = mids[len(mids) // 3], mids[2 * len(mids) // 3]
+    assert c1 < c2
+    slices = [
+        base.where(F.col("us") <= c1),
+        base.where((F.col("us") > c1) & (F.col("us") <= c2)),
+        base.where(F.col("us") > c2),
+    ]
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    (tmp_path / "in").mkdir()
+    for i, s in enumerate(slices):
+        stage = tmp_path / f"slice{i}"
+        s.coalesce(1).write.mode("overwrite").json(str(stage))
+        part = _glob.glob(str(stage / "part-*.json"))[0]
+        dst = tmp_path / "in" / f"{i:04d}.json"
+        _shutil.move(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("user_id bigint, event_id bigint, us bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "in"))
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM sess_stream").collect()
+    latest = {}
+    for r in emitted:  # update semantics: keep the last emission
+        k = (r.user_id, r.session_n)
+        if k not in latest or r.b > latest[k].b:
+            latest[k] = r
+    streamed = {
+        k: (r.n_events, r.start_epoch, r.duration_s)
+        for k, r in latest.items()
+    }
+
+    # batch twin: the certified events_sessionize rollup shape
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    rolled = (
+        base.withColumn(
+            "is_new",
+            F.when(
+                F.lag("us").over(w).isNull() | (gap > 1_800_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_n",
+            F.sum("is_new").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "(min(us) - pmod(min(us), 1000000)) div 1000000"
+            ).alias("start_epoch"),
+            F.expr("(max(us) - min(us)) div 1000000").alias("duration_s"),
+        )
+        .collect()
+    )
+    batch = {
+        (r.user_id, r.session_n): (r.n_events, r.start_epoch, r.duration_s)
+        for r in rolled
+    }
+    assert len(batch) > 0
+    assert streamed == batch
+
+    # the hand-off is actually exercised: at least one session's rollup
+    # was emitted in more than one micro-batch (it spanned a boundary)
+    spans = set()
+    seen_b = {}
+    for r in emitted:
+        k = (r.user_id, r.session_n)
+        seen_b.setdefault(k, set()).add(r.b)
+    spans = [k for k, bs in seen_b.items() if len(bs) >= 2]
+    assert spans, "no session spanned a micro-batch boundary"
