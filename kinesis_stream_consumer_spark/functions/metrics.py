@@ -66,3 +66,54 @@ def shuffle_stats(df: DataFrame) -> dict:
         elif name == "Generate":
             stats["generated_rows"] += m.get("numOutputRows", 0)
     return stats
+
+
+def last_execution_id(spark) -> int:
+    """Most recent SQL execution id in this session (-1 if none) — the
+    'before' cursor for :func:`session_shuffle_records`."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return lst.apply(lst.size() - 1).executionId() if lst.size() else -1
+
+
+def session_shuffle_records(spark, before_execution_id: int) -> int:
+    """Total 'shuffle records written' across ALL SQL executions with id
+    greater than ``before_execution_id``.
+
+    :func:`shuffle_stats` walks ONE DataFrame's executed plan — blind to
+    queries that run extra executions internally (driver-literal scalar
+    pulls, eager localCheckpoints) and then return a literal frame with
+    no exchanges at all. This sweep reads the session status store
+    instead, so a gate can bound EVERYTHING a query put on the wire:
+
+        before = last_execution_id(spark)
+        QUERIES[name].fn(spark, sf).collect()
+        total = session_shuffle_records(spark, before)
+
+    Values come back UI-formatted (thousands separators, sometimes a
+    'total (min, med, max)' suffix) — parse the leading integer. The
+    metric descriptor list repeats a node's accumulators once per AQE
+    re-plan, so dedupe by accumulator id or the sweep overcounts ~6-8x.
+    """
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    total = 0
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() <= before_execution_id:
+            continue
+        mets = e.metrics()
+        vals = store.executionMetrics(e.executionId())
+        it = mets.iterator()
+        seen = set()
+        while it.hasNext():
+            m = it.next()
+            acc = m.accumulatorId()
+            if m.name() == "shuffle records written" and acc not in seen:
+                seen.add(acc)
+                v = vals.get(acc)
+                if not v.isEmpty():
+                    total += int(
+                        str(v.get()).replace(",", "").split(" ")[0]
+                    )
+    return total

@@ -29,7 +29,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from kinesis_stream_consumer_spark.plans.graph_shared import (
+    _COEDGES_SQL,
+    _co_edges,
+)
 # llm_pipeline registers FIRST in plans/queries.py, so a module-level
 # import from it cannot reorder the driver window (the import-order trap
 # only bites when importing from a module that registers LATER).
@@ -267,4 +272,576 @@ def text_langid_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + (b + c)) div (2 * CAST(b + c AS DECIMAL(38,0)))"
             ).cast("long").alias("mcnemar_micro"),
         )
+    )
+
+
+# --- r13: Friedman test — event mix ranked within weekday blocks ---------------
+
+
+@register(
+    "agg_friedman_test",
+    """
+    WITH obs AS (
+      SELECT event_type AS typ, isodow(ts) AS dow, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT typ FROM obs),
+    full_grid AS (
+      SELECT t.typ, d.dow, COALESCE(o.x, 0) AS x
+      FROM types t
+      CROSS JOIN (SELECT UNNEST(range(1, 8)) AS dow) d
+      LEFT JOIN obs o ON o.typ = t.typ AND o.dow = d.dow
+    ),
+    tv AS (SELECT dow, x, COUNT(*) AS tot FROM full_grid GROUP BY 1, 2),
+    grid AS (
+      SELECT dow, x,
+             2 * (SUM(tot) OVER (PARTITION BY dow ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) - tot)
+               + tot + 1 AS d2
+      FROM tv
+    ),
+    ranked AS (
+      SELECT f.typ, f.dow, g.d2
+      FROM full_grid f JOIN grid g ON g.dow = f.dow AND g.x = f.x
+    ),
+    pert AS (SELECT typ, SUM(d2) AS dj FROM ranked GROUP BY 1),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT dow FROM ranked)) AS n,
+             (SELECT COUNT(*) FROM pert) AS k,
+             (SELECT SUM(CAST(dj AS HUGEINT) * dj) FROM pert) AS s2,
+             (SELECT SUM(CAST(d2 AS HUGEINT) * d2) FROM ranked) AS a2
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS k_treatments,
+           CAST((2 * 1000000::HUGEINT * (k - 1)
+                   * (s2 - CAST(n AS HUGEINT) * n * k * (k+1) * (k+1))
+                 + (a2 - CAST(n AS HUGEINT) * k * (k+1) * (k+1)))
+                // (2 * (a2 - CAST(n AS HUGEINT) * k * (k+1) * (k+1)))
+             AS BIGINT) AS t1_micro,
+           CAST((2 * 1000000::HUGEINT
+                   * (s2 - CAST(n AS HUGEINT) * n * k * (k+1) * (k+1))
+                 + CAST(n AS HUGEINT)
+                   * (a2 - CAST(n AS HUGEINT) * k * (k+1) * (k+1)))
+                // (2 * CAST(n AS HUGEINT)
+                      * (a2 - CAST(n AS HUGEINT) * k * (k+1) * (k+1)))
+             AS BIGINT) AS kendall_w_micro
+    FROM tot
+    WHERE k > 1 AND a2 > CAST(n AS HUGEINT) * k * (k+1) * (k+1)
+    """,
+    doc="Friedman test of whether the event-type mix differs across the "
+    "week: blocks = ISO weekdays (n=7), treatments = event types, one "
+    "observation per cell (the corpus count of that type on that "
+    "weekday, missing cells = 0), ranked WITHIN each weekday block with "
+    "average ranks for ties via the 2x-rank grid (the Kruskal-Wallis "
+    "discipline; in doubled ranks the tie-corrected statistic is the "
+    "pure-integer T1 = (k-1)(S'-n^2k(k+1)^2)/(A'-nk(k+1)^2) with "
+    "S'=Sum Dj^2, A'=Sum d_ij^2 — equal to the classic "
+    "12/(nk(k+1))*Sum Rj^2 - 3n(k+1) when ties are absent, verified "
+    "against the perfect-agreement identity Q = n(k-1) in the textbook "
+    "pins). Completes the nonparametric family: Mann-Whitney (2 "
+    "independent), Kruskal-Wallis (k independent), Friedman (k related "
+    "blocks). Kendall's W = T1/(n(k-1)) concordance rides the same "
+    "integers. The numerator is non-negative by Cauchy-Schwarz, so no "
+    "positivity shift; all-tied blocks (A'=nk(k+1)^2) are filtered on "
+    "both sides. Scale shape: ONE map-side-combined (type, dow) "
+    "aggregate touches the corpus; everything after runs on the "
+    "<=7k-cell grid (types x weekdays — fixed enumerations).",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            F.col("event_type").alias("typ"),
+            (F.weekday("ts") + F.lit(1)).alias("dow"),
+        )
+        .groupBy("typ", "dow")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    obs = obs.localCheckpoint(eager=True)  # types x 7 cells, read twice
+    # complete blocks without a cross join: every type carries all 7
+    # weekdays via explode(sequence), missing observations count 0
+    full_grid = (
+        obs.select("typ")
+        .distinct()
+        .select("typ", F.explode(F.expr("sequence(1, 7)")).alias("dow"))
+        .join(obs, ["typ", "dow"], "left")
+        .select("typ", "dow", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    full_grid = full_grid.localCheckpoint(eager=True)  # read twice
+    tv = full_grid.groupBy("dow", "x").agg(F.count(F.lit(1)).alias("tot"))
+    wo = Window.partitionBy("dow").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = tv.select(
+        "dow",
+        "x",
+        (2 * (F.sum("tot").over(wo) - F.col("tot")) + F.col("tot") + 1).alias(
+            "d2"
+        ),
+    )
+    ranked = full_grid.join(grid, ["dow", "x"]).select("typ", "dow", "d2")
+    ranked = ranked.localCheckpoint(eager=True)  # read twice below
+    # both summaries are grid-bounded one-row aggregates: pull them as
+    # driver literals (the kappa / k-means-model pattern) — a keyless
+    # join of two one-row frames would plan as a CartesianProduct
+    prow = (
+        ranked.groupBy("typ")
+        .agg(F.sum("d2").alias("dj"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.expr("CAST(dj AS DECIMAL(38,0)) * dj")).alias("s2"),
+        )
+        .first()
+    )
+    arow = ranked.agg(
+        F.countDistinct("dow").alias("n"),
+        F.sum(F.expr("CAST(d2 AS DECIMAL(38,0)) * d2")).alias("a2"),
+    ).first()
+    k = int(prow["k"] or 0) if prow is not None else 0
+    s2 = int(prow["s2"] or 0) if prow is not None else 0
+    n = int(arow["n"] or 0) if arow is not None else 0
+    a2 = int(arow["a2"] or 0) if arow is not None else 0
+    den = a2 - n * k * (k + 1) * (k + 1)
+    num = s2 - n * n * k * (k + 1) * (k + 1)
+    # d <= 2k so A' <= nk*4k^2 and S' <= k(2nk)^2: 1e6*(k-1)*num stays
+    # under DECIMAL(38,0) for any realistic type count; assert anyway
+    assert 10**6 * max(k, 1) * max(num, 1) < 10**38
+    assert num >= 0, "Cauchy-Schwarz violated: rank arithmetic is wrong"
+    return spark.createDataFrame(
+        [(n, k)], "n_blocks long, k_treatments long"
+    ).select(
+        "n_blocks",
+        "k_treatments",
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * {k - 1} * {num}"
+            f" + {max(den, 1)}) div (2 * {max(den, 1)}) AS BIGINT)"
+        ).alias("t1_micro"),
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * {num}"
+            f" + CAST({n} AS DECIMAL(38,0)) * {max(den, 1)})"
+            f" div (2 * CAST({n if n else 1} AS DECIMAL(38,0))"
+            f" * {max(den, 1)}) AS BIGINT)"
+        ).alias("kendall_w_micro"),
+    ).where(F.lit(k > 1 and den > 0))
+
+
+# --- r13: Jonckheere-Terpstra ordered trend test --------------------------------
+
+
+@register(
+    "agg_jonckheere_trend",
+    """
+    WITH j AS (
+      SELECT CAST(SUBSTR(o.o_orderpriority, 1, 1) AS INTEGER) AS gi,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS v
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (SELECT gi, v, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+    vals AS (SELECT DISTINCT v FROM g),
+    full_grid AS (
+      SELECT i.gi, vals.v, COALESCE(g.cnt, 0) AS cnt
+      FROM vals CROSS JOIN (SELECT UNNEST(range(1, 6)) AS gi) i
+      LEFT JOIN g ON g.gi = i.gi AND g.v = vals.v
+    ),
+    cume AS (
+      SELECT gi, v, cnt,
+             SUM(cnt) OVER (PARTITION BY gi ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) - cnt AS below
+      FROM full_grid
+    ),
+    pref AS (
+      SELECT gi, v, cnt,
+             SUM(2 * below + cnt) OVER (PARTITION BY v ORDER BY gi
+                                        ROWS UNBOUNDED PRECEDING)
+               - (2 * below + cnt) AS wlt
+      FROM cume
+    ),
+    tot AS (
+      SELECT SUM(CAST(cnt AS HUGEINT) * wlt) AS j2,
+             SUM(cnt) AS n
+      FROM pref
+    ),
+    pern AS (SELECT SUM(CAST(cnt AS HUGEINT) * cnt) AS sn2
+             FROM (SELECT gi, SUM(cnt) AS cnt FROM g GROUP BY 1))
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(j2 AS BIGINT) AS j2,
+           -- // not /: HUGEINT / promotes to DOUBLE (precision loss past
+           -- 2^53); N^2 - sum n_g^2 is even and non-negative, so integer
+           -- floor division is exact
+           CAST((CAST(n AS HUGEINT) * n - sn2) // 2 AS BIGINT) AS e2,
+           CAST(j2 - (CAST(n AS HUGEINT) * n - sn2) // 2 AS BIGINT)
+             AS j2_minus_e2
+    FROM tot CROSS JOIN pern
+    """,
+    doc="Jonckheere-Terpstra ordered-alternative trend test: do shipping "
+    "latencies (days from order date to line-item ship date) INCREASE "
+    "as order priority decreases (groups ordered 1-URGENT..5-LOW by "
+    "their digit prefix)? J = Sum over ordered group pairs a<b of the "
+    "Mann-Whitney count #{x_a < y_b} + tied pairs counted half — "
+    "strictly more powerful than Kruskal-Wallis when the alternative "
+    "is MONOTONE, completing the nonparametric family (MW: 2 groups, "
+    "KW: any-difference k groups, Friedman: k related blocks, JT: "
+    "ordered k groups). Doubled units keep ties integer (2J counts 2 "
+    "per strict pair, 1 per tie) and the expectation under H0 is the "
+    "exact integer 2E = (N^2 - Sum n_g^2)/2 (pinned in the textbook "
+    "pins with hand-counted examples). NO pair is ever materialized: "
+    "the (group x latency-day) count grid is bounded (5 x ~hundred "
+    "days), per-group below-v prefixes and per-value group prefixes "
+    "are windows over that grid, and 2J = Sum cnt_b(v) * [2*below + "
+    "eq summed over a<b] — one map-side-combined aggregate touches "
+    "the join, everything after is grid-sized (gate-asserted).",
+)
+def agg_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import _bcast_if_small
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(
+        _bcast_if_small(
+            orders.select(
+                "o_orderkey",
+                F.expr(
+                    "CAST(SUBSTR(o_orderpriority, 1, 1) AS INT)"
+                ).alias("gi"),
+                "o_orderdate",
+            ),
+            sf_dir,
+            "orders",
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("gi", F.datediff("l_shipdate", "o_orderdate").alias("v"))
+    g = j.groupBy("gi", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    g = g.localCheckpoint(eager=True)  # grid-bounded, read twice
+    full_grid = (
+        g.select("v")
+        .distinct()
+        .select("v", F.explode(F.expr("sequence(1, 5)")).alias("gi"))
+        .join(g, ["gi", "v"], "left")
+        .select("gi", "v", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )
+    wv = Window.partitionBy("gi").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cume = full_grid.select(
+        "gi",
+        "v",
+        "cnt",
+        (F.sum("cnt").over(wv) - F.col("cnt")).alias("below"),
+    )
+    wg = Window.partitionBy("v").orderBy("gi").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    term = 2 * F.col("below") + F.col("cnt")
+    pref = cume.select(
+        "gi",
+        "v",
+        "cnt",
+        (F.sum(term).over(wg) - term).alias("wlt"),
+    )
+    trow = pref.agg(
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * wlt")).alias("j2"),
+        F.sum("cnt").alias("n"),
+    ).first()
+    srow = (
+        g.groupBy("gi")
+        .agg(F.sum("cnt").alias("cnt"))
+        .agg(F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).alias("sn2"))
+        .first()
+    )
+    j2 = int(trow["j2"] or 0) if trow is not None else 0
+    n = int(trow["n"] or 0) if trow is not None else 0
+    sn2 = int(srow["sn2"] or 0) if srow is not None else 0
+    e2 = (n * n - sn2) // 2  # exact: N^2 - sum n_g^2 is always even
+    return spark.createDataFrame(
+        [(n, j2, e2, j2 - e2)],
+        "n_total long, j2 long, e2 long, j2_minus_e2 long",
+    )
+
+
+# --- r13: rich-club coefficient curve of the co-purchase graph -----------------
+
+
+@register(
+    "graph_rich_club",
+    f"""
+    WITH {_COEDGES_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1
+    ),
+    emd AS (
+      SELECT LEAST(du.deg, dv.deg) AS md
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    eh AS (SELECT md AS x, COUNT(*) AS e_cnt FROM emd GROUP BY 1),
+    nh AS (SELECT deg AS x, COUNT(*) AS n_cnt FROM deg GROUP BY 1),
+    axis AS (
+      SELECT COALESCE(eh.x, nh.x) AS x,
+             COALESCE(e_cnt, 0) AS e_cnt, COALESCE(n_cnt, 0) AS n_cnt
+      FROM eh FULL JOIN nh ON nh.x = eh.x
+    ),
+    cum AS (
+      SELECT x,
+             SUM(e_cnt) OVER ()
+               - SUM(e_cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+               AS egt,
+             SUM(n_cnt) OVER ()
+               - SUM(n_cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+               AS ngt
+      FROM axis
+    )
+    SELECT CAST(x AS BIGINT) AS k_degree,
+           CAST(ngt AS BIGINT) AS n_nodes,
+           CAST(egt AS BIGINT) AS n_edges,
+           CAST((2 * 2000000::HUGEINT * egt
+                 + CAST(ngt AS HUGEINT) * (ngt - 1))
+                // (2 * CAST(ngt AS HUGEINT) * (ngt - 1)) AS BIGINT)
+             AS phi_micro
+    FROM cum WHERE ngt >= 2 ORDER BY x
+    """,
+    doc="Rich-club coefficient curve of the co-purchase graph (Zhou & "
+    "Mondragon 2004): for every realized degree threshold k, "
+    "phi(k) = 2*E_>k / (N_>k * (N_>k - 1)) — the edge density among "
+    "nodes of degree > k; a rising curve means hubs preferentially "
+    "interconnect (the 'rich club'). Pinned on a hand graph (clique + "
+    "pendant gives phi(1) = 1) in the textbook pins. NO per-threshold "
+    "subgraph is ever built: an edge with endpoint-degree minimum md "
+    "survives exactly the thresholds k < md, so the whole curve falls "
+    "out of ONE pass — degree frame (checkpointed, read 3x: two "
+    "endpoint joins + the node histogram), edge min-degree histogram, "
+    "and suffix sums over the merged degree axis (a window over the "
+    "degree-bounded frame, never over rows). Exchanges carry node- and "
+    "histogram-sized frames only (gate-asserted); phi is exact half-up "
+    "micro-units.",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _co_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # read 3x
+    )
+    emd = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+        .select(F.least("du", "dv").alias("md"))
+    )
+    eh = emd.groupBy(F.col("md").alias("x")).agg(
+        F.count(F.lit(1)).alias("e_cnt")
+    )
+    nh = deg.groupBy(F.col("deg").alias("x")).agg(
+        F.count(F.lit(1)).alias("n_cnt")
+    )
+    axis = (
+        eh.join(nh, "x", "full")
+        .select(
+            "x",
+            F.coalesce(F.col("e_cnt"), F.lit(0)).alias("e_cnt"),
+            F.coalesce(F.col("n_cnt"), F.lit(0)).alias("n_cnt"),
+        )
+    )
+    w_le = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = axis.select(
+        "x",
+        (F.sum("e_cnt").over(w_all) - F.sum("e_cnt").over(w_le)).alias(
+            "egt"
+        ),
+        (F.sum("n_cnt").over(w_all) - F.sum("n_cnt").over(w_le)).alias(
+            "ngt"
+        ),
+    )
+    return (
+        cum.where(F.col("ngt") >= 2)
+        .select(
+            F.col("x").cast("long").alias("k_degree"),
+            F.col("ngt").cast("long").alias("n_nodes"),
+            F.col("egt").cast("long").alias("n_edges"),
+            F.expr(
+                # DECIMAL(38,0), not BIGINT: ngt*(ngt-1) wraps int64 past
+                # ~2e9 nodes (ANSI ARITHMETIC_OVERFLOW); DuckDB side is
+                # already HUGEINT
+                "CAST((2 * CAST(2000000 AS DECIMAL(38,0)) * egt"
+                " + CAST(ngt AS DECIMAL(38,0)) * (ngt - 1))"
+                " div (2 * CAST(ngt AS DECIMAL(38,0)) * (ngt - 1))"
+                " AS BIGINT)"
+            ).alias("phi_micro"),
+        )
+        .orderBy("k_degree")
+    )
+
+
+# --- r13: Kaplan-Meier survival — time to first purchase ------------------------
+
+# packing: el = t*2^48 + n_risk*2^24 + n_deaths — t in the top bits so a
+# plain sort of packed longs is the by-time sort the KM fold needs
+_KM_T, _KM_N = 1 << 48, 1 << 24
+
+
+@register(
+    "events_survival_km",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM u
+    ),
+    hist AS (
+      SELECT t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT t, c_d,
+             CAST(SUM(c_all) OVER ()
+                  - (SUM(c_all) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_t
+      FROM hist
+    ),
+    deaths AS (
+      SELECT t, n_t, c_d,
+             t * {_KM_T} + n_t * {_KM_N} + c_d AS el
+      FROM r WHERE c_d > 0
+    ),
+    arr AS (SELECT list(el ORDER BY el) AS a FROM deaths)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_t AS BIGINT) AS n_risk,
+           CAST(c_d AS BIGINT) AS n_deaths,
+           CAST(list_reduce(
+                  list_prepend(1000000::BIGINT,
+                    list_filter((SELECT a FROM arr), y -> y <= deaths.el)),
+                  (acc, x) ->
+                    (2 * acc * ((x // {_KM_N}) % {_KM_N} - x % {_KM_N})
+                     + (x // {_KM_N}) % {_KM_N})
+                    // (2 * ((x // {_KM_N}) % {_KM_N}))
+                ) AS BIGINT) AS survival_micro
+    FROM deaths ORDER BY t
+    """,
+    doc="Kaplan-Meier curve of time-to-first-purchase: duration = days "
+    "from a user's FIRST event to their FIRST purchase event; users who "
+    "never purchase are right-CENSORED at their last observed day (the "
+    "estimand naive conversion averages get wrong — censored users "
+    "leave the risk set without converting). At each conversion time "
+    "t: S <- S * (n_t - d_t)/n_t with the product kept in half-up "
+    "MICRO-units by the integer recurrence S' = (2*S*(n-d) + n) div "
+    "(2*n) — sequential, so it runs as a FOLD over the day-level death "
+    "list: Spark F.aggregate with an explicit 1e6 seed over a slice of "
+    "the packed array; DuckDB list_reduce with the seed PREPENDED "
+    "(list_reduce has no init parameter — the first element IS the "
+    "accumulator, so a plain-BIGINT seed rides as element zero and the "
+    "step lambda only ever decodes its x argument). Each day's row "
+    "packs (t, n_risk, n_deaths) into one long with t in the top bits "
+    "(sort of packed = sort by time; capacity asserted: users < 2^24, "
+    "span < 2^15 days). Pinned against the hand-derivable product in "
+    "the textbook pins. Scale shape: ONE per-user aggregate touches "
+    "the corpus; the histogram, risk suffix sums, packing and the "
+    "O(D^2) per-row folds all run on the <= span-days frame (D a few "
+    "hundred — bounded by calendar time, not data volume).",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+        )
+        .localCheckpoint(eager=True)  # users-bounded, read twice
+    )
+    row = u.agg(
+        F.max("ld").alias("m"),
+        F.min("fd").alias("lo"),
+        F.count(F.lit(1)).alias("nu"),
+    ).first()
+    m = int(row["m"]) if row is not None and row["m"] is not None else 0
+    lo = int(row["lo"]) if row is not None and row["lo"] is not None else 0
+    nu = int(row["nu"] or 0) if row is not None else 0
+    # packing capacity: risk counts need 24 bits, durations 15 bits
+    assert nu < _KM_N, "KM packing supports < 2^24 users — widen fields"
+    assert 0 <= m - lo < (1 << 15), "corpus span exceeds the t field"
+    hist = (
+        u.select(
+            F.when(
+                F.col("pd").isNull(), F.col("ld") - F.col("fd")
+            ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+            F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum("ev").cast("long").alias("c_d"),
+        )
+    )
+    w_le = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = hist.select(
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_all)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_t"),
+    )
+    deaths = r.where(F.col("c_d") > 0).select(
+        F.expr(f"t * {_KM_T} + n_t * {_KM_N} + c_d").alias("el")
+    )
+    arr = deaths.agg(F.sort_array(F.collect_list("el")).alias("a"))
+    fold = (
+        f"aggregate(slice(a, 1, pos + 1), CAST(1000000 AS BIGINT),"
+        f" (acc, x) ->"
+        f" (2 * acc * ((x div {_KM_N}) % {_KM_N} - x % {_KM_N})"
+        f"  + (x div {_KM_N}) % {_KM_N})"
+        f" div (2 * ((x div {_KM_N}) % {_KM_N})))"
+    )
+    return (
+        arr.select(F.posexplode("a").alias("pos", "el"), "a")
+        .select(
+            F.expr(f"el div {_KM_T}").cast("long").alias("t_days"),
+            F.expr(f"(el div {_KM_N}) % {_KM_N}")
+            .cast("long")
+            .alias("n_risk"),
+            F.expr(f"el % {_KM_N}").cast("long").alias("n_deaths"),
+            F.expr(fold).cast("long").alias("survival_micro"),
+        )
+        .orderBy("t_days")
     )

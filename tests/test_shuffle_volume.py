@@ -2113,3 +2113,102 @@ def test_pq_distortion_shuffles_are_mk_bounded(spark):
     # (no generated_rows floor here: the component rows sit behind a
     # lazy localCheckpoint, so the generate node's metrics live in the
     # checkpoint-materialization subtree, not the final plan)
+
+def test_friedman_shuffles_cell_grid_not_events(spark):
+    """agg_friedman_test: ONE map-side-combined (type, dow) aggregate
+    touches the corpus; every exchange after it carries the <= k*7 cell
+    grid. The result frame is driver-literal, so the gate sweeps ALL the
+    executions the query ran (session_shuffle_records), not just the
+    output plan."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    cells = 7 * n_types
+    n_parts = ev.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["agg_friedman_test"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    bound = n_parts * cells + 12 * cells + 1024
+    assert total <= bound
+    assert bound < n_events  # the gate is meaningful at this sf
+
+
+def test_jonckheere_shuffles_value_grid_not_pairs(spark):
+    """agg_jonckheere_trend: the order side broadcasts (stats-gated), the
+    (group, latency-day) combine bounds the corpus-touching exchange, and
+    all window passes run on the 5 x days grid — NO cross-group pair ever
+    crosses a wire (the brute-force definition is ~0.4*N^2 pairs)."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    n_li = li.count()
+    grid = 5 * (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .selectExpr("datediff(l_shipdate, o_orderdate) AS v")
+        .distinct()
+        .count()
+    )
+    n_parts = li.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["agg_jonckheere_trend"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    # one corpus combine (partials bounded by rows) + a constant number
+    # of joins/windows/distincts over the bounded grid
+    bound = 2 * n_li + 2 * n_parts * grid + 4096
+    assert total <= bound
+    assert bound < (n_li * n_li) // 100  # pairs would blow this by 1000x
+
+
+def test_rich_club_shuffles_edges_and_histograms_only(spark):
+    """graph_rich_club: no per-threshold subgraph ever materializes —
+    with the shared edge checkpoint warm, everything on the wire is the
+    degree build, two endpoint-degree joins, and the histogram/axis
+    frames; never thresholds x edges."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.graph_shared import _co_edges
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    edges = _co_edges(spark, SF_CORRECT)  # warm the shared checkpoint
+    n_edges = edges.count()
+    before = last_execution_id(spark)
+    QUERIES["graph_rich_club"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    bound = 14 * n_edges + 1024
+    assert total <= bound
+
+
+def test_survival_km_shuffles_users_then_days(spark):
+    """events_survival_km: ONE per-user aggregate touches the corpus
+    (map-side combined); the histogram, risk windows, packing and the
+    O(D^2) folds all run on the span-days frame."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    n_parts = ev.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["events_survival_km"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    days = 40  # sf corpus spans ~30 calendar days
+    bound = n_parts * n_users + n_users + 12 * days + 1024
+    assert total <= bound
+    assert bound < 2 * n_events

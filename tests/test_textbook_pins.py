@@ -242,3 +242,99 @@ def test_kruskal_wallis_coefficient_is_twelve():
         12.0 * (t_nano / 1e9) / (float(n) * (n + 1)) - 3.0 * (n + 1)
     ) / (1.0 - tie / (float(n) * n * n - n))
     assert round(h, 6) == 1.5
+
+
+def test_friedman_perfect_agreement_identity():
+    """agg_friedman_test (plans/r13.py): doubled-rank integer form
+    T1 = (k-1)(S' - n^2 k (k+1)^2)/(A' - n k (k+1)^2). Perfect agreement
+    (every block ranks treatments identically, no ties) must give the
+    published maximum Q = n(k-1), and a hand-ranked mixed case must give
+    the classic 12/(nk(k+1)) * Sum Rj^2 - 3n(k+1)."""
+
+    def t1_micro(blocks):  # blocks: list of per-block observation tuples
+        k = len(blocks[0])
+        n = len(blocks)
+        d = []  # doubled average ranks per block
+        for obs in blocks:
+            d.append([
+                2 * sum(1 for o in obs if o < x)
+                + (sum(1 for o in obs if o == x) - 1) + 2
+                for x in obs
+            ])
+        dj = [sum(d[i][j] for i in range(n)) for j in range(k)]
+        s2 = sum(x * x for x in dj)
+        a2 = sum(x * x for row in d for x in row)
+        num = s2 - n * n * k * (k + 1) * (k + 1)
+        den = a2 - n * k * (k + 1) * (k + 1)
+        return (2 * 10**6 * (k - 1) * num + den) // (2 * den)
+
+    # perfect agreement, n=3 blocks, k=3: Q = n(k-1) = 6
+    assert t1_micro([(10, 20, 30), (1, 2, 3), (5, 8, 9)]) == 6_000_000
+    # hand-ranked mixed case: ranks b1=(1,2,3), b2=(2,1,3), b3=(1,3,2)
+    # R = (4, 6, 8): Q = (12/36)(16+36+64) - 36 = 8/3
+    got = t1_micro([(10, 20, 30), (25, 15, 35), (1, 9, 5)])
+    assert got == round(8 / 3 * 10**6) == 2_666_667
+
+
+def test_jonckheere_hand_counted_pairs():
+    """agg_jonckheere_trend (plans/r13.py): 2J counts 2 per strict
+    cross-group ascending pair and 1 per tie; 2E = (N^2 - Sum n_g^2)/2."""
+
+    def j2_of(groups):  # groups: ordered list of value lists
+        j2 = 0
+        for a in range(len(groups)):
+            for b in range(a + 1, len(groups)):
+                for x in groups[a]:
+                    for y in groups[b]:
+                        j2 += 2 if x < y else (1 if x == y else 0)
+        return j2
+
+    assert j2_of([[1, 2], [3, 4]]) == 8  # all 4 pairs ascend
+    assert j2_of([[1, 2], [2, 3]]) == 7  # one tie counts half
+    assert j2_of([[1], [2], [3]]) == 6  # 3 cross pairs, all ascend
+    # expectation identity: N=4, sum n^2 = 8 -> 2E = (16-8)/2 = 4 = 2*n1n2/2
+    n, sn2 = 4, 8
+    assert (n * n - sn2) // 2 == 4
+
+
+def test_rich_club_clique_plus_pendant():
+    """graph_rich_club (plans/r13.py): 4-clique {a,b,c,d} plus pendant
+    e-a. Nodes of degree > 1 are the clique; the 6 edges among them give
+    phi(1) = 2*6/(4*3) = 1.0 exactly (the rich club is fully connected).
+    phi(0) uses all 5 nodes and 7 edges: 2*7/(5*4) = 0.7."""
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("a", "e")]
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+
+    def phi_micro(k):
+        nodes = [x for x, d in deg.items() if d > k]
+        egt = sum(1 for u, v in edges if min(deg[u], deg[v]) > k)
+        ngt = len(nodes)
+        # the query's half-up recurrence: (2*2e6*E + den) div (2*den)
+        return (4 * 10**6 * egt + ngt * (ngt - 1)) // (
+            2 * ngt * (ngt - 1)
+        ) if ngt >= 2 else None
+
+    assert phi_micro(0) == 700_000
+    assert phi_micro(1) == 1_000_000
+    assert phi_micro(3) is None  # N_k < 2: filtered on both engines
+
+
+def test_kaplan_meier_hand_product():
+    """events_survival_km (plans/r13.py): the integer fold
+    S' = (2*S*(n-d) + n) div (2*n) must reproduce the hand-computed KM
+    product with half-up rounding at each step. Classic small example:
+    10 at risk, 2 die at t=2 (S = 0.8); 1 censored before t=4 leaves
+    n=7, 1 dies (S = 0.8 * 6/7 = 0.685714...)."""
+    s = 1_000_000
+    for n, d in [(10, 2), (7, 1)]:
+        s = (2 * s * (n - d) + n) // (2 * n)
+    assert s == 685_714  # 0.8 * 6/7 = 0.6857142... half-up at micro
+    # exactness when nothing is rounded: 4/5 * 1/2 = 0.4
+    s = 1_000_000
+    for n, d in [(5, 1), (2, 1)]:
+        s = (2 * s * (n - d) + n) // (2 * n)
+    assert s == 400_000
