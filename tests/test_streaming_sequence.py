@@ -138,6 +138,22 @@ def test_streaming_sessionize_matches_batch_rollup(spark, tmp_path):
     session numbering, counts, start epoch, duration — including
     sessions that SPAN micro-batch boundaries (the state hand-off), when
     fed the same events as three time-sliced micro-batches."""
+    # Force multi-chunk groups (the bigram test's discipline): tiny Arrow
+    # batches make >3-event users arrive as MULTIPLE pdfs, pinning the
+    # keeper's concat-before-sort path.
+    prev_arrow = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        _run_sessionize_parity(spark, tmp_path)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow
+        )
+
+
+def _run_sessionize_parity(spark, tmp_path):
     from kinesis_stream_consumer_spark.streaming.stateful import (
         streaming_sessionize,
     )

@@ -274,6 +274,11 @@ def test_friedman_perfect_agreement_identity():
     # R = (4, 6, 8): Q = (12/36)(16+36+64) - 36 = 8/3
     got = t1_micro([(10, 20, 30), (25, 15, 35), (1, 9, 5)])
     assert got == round(8 / 3 * 10**6) == 2_666_667
+    # TIED case, hand-derived from the published tie-corrected form
+    # chi2 = (k-1) S / (nk(k^2-1)/12 - Sum(t^3-t)/12): b1 = (5,5,7) ranks
+    # (1.5,1.5,3), b2 = (1,2,3); S = 6.5, tie term 0.5 -> 13/3.5 = 26/7
+    got = t1_micro([(5, 5, 7), (1, 2, 3)])
+    assert got == (2 * 10**6 * 26 + 7) // (2 * 7)  # half-up of 26/7
 
 
 def test_jonckheere_hand_counted_pairs():

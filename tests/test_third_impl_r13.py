@@ -136,10 +136,9 @@ def test_survival_km_matches_python_reference(spark):
     ld: dict = {}
     pd_: dict = {}
     for ts, uid, et in zip(ev["ts"], ev["user_id"], ev["event_type"]):
-        day = ts.toordinal() if hasattr(ts, "toordinal") else None
-        day = (
-            ts.date().toordinal()
-        )  # proleptic ordinal: any day numbering works, deltas only
+        # proleptic ordinal, NOT epoch days: an independently-derived day
+        # numbering — only deltas enter KM, so the two must agree
+        day = ts.date().toordinal()
         fd[uid] = min(fd.get(uid, day), day)
         ld[uid] = max(ld.get(uid, day), day)
         if et == "purchase":
