@@ -2007,24 +2007,38 @@ def test_cohort_ltv_shuffles_are_user_and_cell_bounded(spark):
 
 def test_langid_kappa_shuffles_label_cells_only(spark):
     """text_langid_kappa: after the one scan that tokenizes and predicts,
-    everything that crosses a wire is labels x labels cells."""
+    everything that crosses a wire is labels x labels cells. The result
+    frame is driver-literal (scalar pulls + createDataFrame), so the old
+    shuffle_stats(out) form measured an exchange-free plan and passed
+    vacuously — migrated (r13) to the session sweep, which bounds the
+    checkpoint materialization and every scalar-pull execution too."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
     from kinesis_stream_consumer_spark.plans.queries import QUERIES
 
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
     n_docs = docs.count()
     n_parts = docs.rdd.getNumPartitions()
-    out = QUERIES["text_langid_kappa"].fn(spark, SF_CORRECT)
-    out.collect()
-    s = shuffle_stats(out)
+    before = last_execution_id(spark)
+    QUERIES["text_langid_kappa"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
     cells = 5 * 5  # 4 languages + 'und'
-    bound = cells * max(n_parts, 1) + 8 * cells + 64
-    assert s["shuffle_records"] <= bound
-    assert s["shuffle_records"] < n_docs
+    bound = 4 * cells * max(n_parts, 1) + 16 * cells + 128
+    assert total <= bound
+    assert total < n_docs
 
 
 def test_ljung_box_shuffles_are_days_bounded(spark):
     """ts_ljung_box: one daily combine, then every frame (#residuals,
-    lag fan-out, per-lag terms) is days-bounded."""
+    lag fan-out, per-lag terms) is days-bounded. Migrated (r13) to the
+    session sweep: parts of the query run in scalar-pull/checkpoint
+    executions the output plan alone can't see."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
     from kinesis_stream_consumer_spark.plans.queries import QUERIES
     from kinesis_stream_consumer_spark.plans.r12 import _LB_LAGS
 
@@ -2032,33 +2046,38 @@ def test_ljung_box_shuffles_are_days_bounded(spark):
     n_events = events.count()
     n_days = events.selectExpr("CAST(ts AS DATE) AS d").distinct().count()
     n_parts = events.rdd.getNumPartitions()
-    out = QUERIES["ts_ljung_box"].fn(spark, SF_CORRECT)
-    out.collect()
-    s = shuffle_stats(out)
+    before = last_execution_id(spark)
+    QUERIES["ts_ljung_box"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
     bound = (
-        n_days * max(n_parts, 1)
-        + (_LB_LAGS + 4) * n_days
-        + _LB_LAGS * 4
-        + 64
+        2 * n_days * max(n_parts, 1)
+        + 2 * (_LB_LAGS + 4) * n_days
+        + _LB_LAGS * 8
+        + 128
     )
-    assert s["shuffle_records"] <= bound
-    assert s["shuffle_records"] < n_events
+    assert total <= bound
+    assert total < n_events
 
 
 def test_user_lifespan_shuffles_are_user_bounded(spark):
+    """Migrated (r13) to the session sweep — see the ljung-box note."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
     from kinesis_stream_consumer_spark.plans.queries import QUERIES
 
     events = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
     n_events = events.count()
     n_users = events.select("user_id").distinct().count()
     n_parts = events.rdd.getNumPartitions()
-    out = QUERIES["events_user_lifespan"].fn(spark, SF_CORRECT)
-    out.collect()
-    s = shuffle_stats(out)
+    before = last_execution_id(spark)
+    QUERIES["events_user_lifespan"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
     # user min/max combine + weeks-bucket aggregate + the tiny window
-    bound = n_users * max(n_parts, 1) + 2 * n_users + 256
-    assert s["shuffle_records"] <= bound
-    assert s["shuffle_records"] < n_events
+    bound = 2 * n_users * max(n_parts, 1) + 4 * n_users + 512
+    assert total <= bound
+    assert total < n_events
 
 
 def test_silhouette_shuffles_are_k_bounded(spark):
