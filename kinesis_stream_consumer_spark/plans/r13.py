@@ -845,3 +845,127 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+# --- r13: Nelson-Aalen cumulative hazard (companion to the KM curve) -----------
+
+
+@register(
+    "events_hazard_nelson_aalen",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM u
+    ),
+    hist AS (
+      SELECT t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT t, c_d,
+             CAST(SUM(c_all) OVER ()
+                  - (SUM(c_all) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_t
+      FROM hist
+    ),
+    h AS (
+      SELECT t, n_t, c_d,
+             (2 * 1000000 * c_d + n_t) // (2 * n_t) AS h_micro
+      FROM r WHERE c_d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_t AS BIGINT) AS n_risk,
+           CAST(c_d AS BIGINT) AS n_deaths,
+           CAST(h_micro AS BIGINT) AS hazard_micro,
+           CAST(SUM(h_micro) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum_hazard_micro
+    FROM h ORDER BY t
+    """,
+    doc="Nelson-Aalen cumulative hazard of time-to-first-purchase — the "
+    "SUM-based companion to events_survival_km's product: per conversion "
+    "day the discrete hazard h_t = d_t/n_t (half-up micro-units, exact "
+    "integer), cumulated H(t) = Sum h_i by a plain window cumsum (no "
+    "fold needed — sums commute with rounding applied per STEP, and "
+    "both engines add the identical integers, so parity is exact by "
+    "construction; contrast the KM product, which needs the seeded "
+    "fold). H(t) ~ -ln S(t) is the standard estimator pairing; the pin "
+    "reuses the KM hand example (n=10,d=2 then n=7,d=1 -> 200000 + "
+    "142857). Identical scale shape to the KM row: one per-user "
+    "aggregate touches the corpus, then everything runs on the "
+    "span-days frame.",
+)
+def events_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+        )
+    )
+    hist = (
+        u.select(
+            F.when(
+                F.col("pd").isNull(), F.col("ld") - F.col("fd")
+            ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+            F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum("ev").cast("long").alias("c_d"),
+        )
+    )
+    w_le = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = hist.select(
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_all)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_t"),
+    )
+    h = r.where(F.col("c_d") > 0).select(
+        "t",
+        "n_t",
+        "c_d",
+        F.expr("(2 * 1000000 * c_d + n_t) div (2 * n_t)").alias("h_micro"),
+    )
+    wh = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return h.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_t").cast("long").alias("n_risk"),
+        F.col("c_d").cast("long").alias("n_deaths"),
+        F.col("h_micro").cast("long").alias("hazard_micro"),
+        F.sum("h_micro").over(wh).cast("long").alias("cum_hazard_micro"),
+    ).orderBy("t_days")

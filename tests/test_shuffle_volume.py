@@ -2231,3 +2231,25 @@ def test_survival_km_shuffles_users_then_days(spark):
     bound = n_parts * n_users + n_users + 12 * days + 1024
     assert total <= bound
     assert bound < 2 * n_events
+
+
+def test_nelson_aalen_shuffles_users_then_days(spark):
+    """events_hazard_nelson_aalen: same contract as the KM gate — one
+    per-user combine touches the corpus, then days-bounded frames."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    n_parts = ev.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["events_hazard_nelson_aalen"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    days = 40
+    bound = n_parts * n_users + n_users + 12 * days + 1024
+    assert total <= bound
+    assert bound < 2 * n_events

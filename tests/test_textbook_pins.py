@@ -343,3 +343,14 @@ def test_kaplan_meier_hand_product():
     for n, d in [(5, 1), (2, 1)]:
         s = (2 * s * (n - d) + n) // (2 * n)
     assert s == 400_000
+
+
+def test_nelson_aalen_hand_sums():
+    """events_hazard_nelson_aalen (plans/r13.py): per-step half-up
+    h = (2e6*d + n) div (2n), cumulated exactly. Same hand example as
+    the KM pin: (n=10,d=2) then (n=7,d=1)."""
+    h1 = (2 * 10**6 * 2 + 10) // (2 * 10)
+    h2 = (2 * 10**6 * 1 + 7) // (2 * 7)
+    assert h1 == 200_000
+    assert h2 == 142_857  # 1/7 = 0.142857142... half-up at micro
+    assert h1 + h2 == 342_857

@@ -171,3 +171,46 @@ def test_survival_km_matches_python_reference(spark):
     ]
     assert got == want
     assert len(want) > 0
+
+
+def test_nelson_aalen_matches_python_reference(spark):
+    ev = _tbl("events")
+    fd: dict = {}
+    ld: dict = {}
+    pd_: dict = {}
+    for ts, uid, et in zip(ev["ts"], ev["user_id"], ev["event_type"]):
+        day = ts.date().toordinal()
+        fd[uid] = min(fd.get(uid, day), day)
+        ld[uid] = max(ld.get(uid, day), day)
+        if et == "purchase":
+            pd_[uid] = min(pd_.get(uid, day), day)
+    hist: Counter = Counter()
+    deaths: Counter = Counter()
+    for uid in fd:
+        t = (pd_[uid] - fd[uid]) if uid in pd_ else (ld[uid] - fd[uid])
+        hist[t] += 1
+        deaths[t] += 1 if uid in pd_ else 0
+    at_risk = sum(hist.values())
+    cum = 0
+    want = []
+    for t in sorted(hist):
+        if deaths[t] > 0:
+            h = (2 * 10**6 * deaths[t] + at_risk) // (2 * at_risk)
+            cum += h
+            want.append((t, at_risk, deaths[t], h, cum))
+        at_risk -= hist[t]
+    got = [
+        (
+            r["t_days"],
+            r["n_risk"],
+            r["n_deaths"],
+            r["hazard_micro"],
+            r["cum_hazard_micro"],
+        )
+        for r in QUERIES["events_hazard_nelson_aalen"]
+        .fn(spark, SF)
+        .orderBy("t_days")
+        .collect()
+    ]
+    assert got == want
+    assert len(want) > 0
