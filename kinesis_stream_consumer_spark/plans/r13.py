@@ -969,3 +969,227 @@ def events_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h_micro").cast("long").alias("hazard_micro"),
         F.sum("h_micro").over(wh).cast("long").alias("cum_hazard_micro"),
     ).orderBy("t_days")
+
+
+# --- r13: log-rank test — conversion survival of error-hit vs clean users ------
+
+
+@register(
+    "events_survival_logrank",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd,
+             CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1
+                           ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS g
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev, g
+      FROM u
+    ),
+    hist2 AS (
+      SELECT g, t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1, 2
+    ),
+    full_grid AS (
+      SELECT gg.g, vals.t,
+             COALESCE(h.c_all, 0) AS c_all, COALESCE(h.c_d, 0) AS c_d
+      FROM (SELECT DISTINCT t FROM hist2) vals
+      CROSS JOIN (SELECT UNNEST([0, 1]) AS g) gg
+      LEFT JOIN hist2 h ON h.g = gg.g AND h.t = vals.t
+    ),
+    riskg AS (
+      SELECT g, t, c_d,
+             CAST(SUM(c_all) OVER (PARTITION BY g)
+                  - (SUM(c_all) OVER (PARTITION BY g ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_g
+      FROM full_grid
+    ),
+    steps AS (
+      SELECT t,
+             SUM(n_g) AS n_t, SUM(c_d) AS d_t,
+             SUM(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS n1,
+             SUM(CASE WHEN g = 1 THEN c_d ELSE 0 END) AS d1
+      FROM riskg GROUP BY 1
+    ),
+    sums AS (
+      SELECT SUM(d1) AS o1,
+             SUM((2 * 1000000::HUGEINT * n1 * d_t + n_t)
+                 // (2 * CAST(n_t AS HUGEINT))) AS e1_micro,
+             SUM(CASE WHEN n_t > 1 THEN
+                   (2 * 1000000::HUGEINT * d_t * n1 * (n_t - n1)
+                      * (n_t - d_t)
+                    + CAST(n_t AS HUGEINT) * n_t * (n_t - 1))
+                   // (2 * CAST(n_t AS HUGEINT) * n_t * (n_t - 1))
+                 ELSE 0 END) AS v_micro
+      FROM steps WHERE d_t > 0
+    )
+    SELECT CAST(o1 AS BIGINT) AS o1,
+           CAST(e1_micro AS BIGINT) AS e1_micro,
+           CAST(v_micro AS BIGINT) AS v_micro,
+           CAST((2 * (1000000::HUGEINT * o1 - e1_micro)
+                   * (1000000::HUGEINT * o1 - e1_micro)
+                 + v_micro)
+                // (2 * CAST(v_micro AS HUGEINT)) AS BIGINT)
+             AS chi2_micro
+    FROM sums WHERE v_micro > 0
+    """,
+    doc="Log-rank test: do ERROR-HEAVY users (>= 14 error events — the "
+    "corpus median error load, a fixed calibration literal) convert "
+    "(first purchase) on a DIFFERENT survival curve than low-error "
+    "users? The standard two-sample censored comparison "
+    "(Mantel-Cox): at each conversion day t the group-1 observed deaths "
+    "d1 are compared to the expected e1 = n1*d_t/n_t under the shared-"
+    "hazard null, with hypergeometric variance v_t = d_t*n1*(n_t-n1)*"
+    "(n_t-d_t)/(n_t^2*(n_t-1)); chi2 = (O1-E1)^2/V. Every per-step term "
+    "is an exact half-up MICRO-unit integer (documented per-step "
+    "rounding, so both engines sum IDENTICAL integers — the Nelson-"
+    "Aalen discipline; variance terms need HUGEINT/DECIMAL(38,0): "
+    "1e6*d*n1*(n-n1)*(n-d) ~ 2e6*n^4 < 1e38 under the asserted user "
+    "ceiling), and chi2 derives from the exact integer O-E in micro "
+    "(its square is non-negative — no positivity shift). Completes the "
+    "survival family: KM curve (events_survival_km), Nelson-Aalen "
+    "cumulative hazard, log-rank comparison. Scale shape: ONE per-user "
+    "aggregate touches the corpus; the 2 x days grid, per-group risk "
+    "suffix windows and the step sums are all span-days-bounded.",
+)
+def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
+
+    n_rows = _table_row_count(sf_dir, "events")
+    # variance-term capacity: 2e6 * n^4 must fit DECIMAL(38,0); users <=
+    # event rows, so gate on the footer count (vacuous until ~1.5e8)
+    assert 2 * 10**6 * n_rows**4 < 10**38 or n_rows < 150_000_000, (
+        "log-rank variance arithmetic supports < ~1.5e8 users"
+    )
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+            F.when(
+                F.sum(
+                    F.when(F.col("et") == "error", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    hist2 = (
+        u.select(
+            F.when(
+                F.col("pd").isNull(), F.col("ld") - F.col("fd")
+            ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+            F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+            "g",
+        )
+        .groupBy("g", "t")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum("ev").cast("long").alias("c_d"),
+        )
+        .localCheckpoint(eager=True)  # 2 x days cells, read twice
+    )
+    full_grid = (
+        hist2.select("t")
+        .distinct()
+        .select("t", F.explode(F.expr("array(0, 1)")).alias("g"))
+        .join(hist2, ["g", "t"], "left")
+        .select(
+            "g",
+            "t",
+            F.coalesce(F.col("c_all"), F.lit(0)).alias("c_all"),
+            F.coalesce(F.col("c_d"), F.lit(0)).alias("c_d"),
+        )
+    )
+    w_g = Window.partitionBy("g")
+    w_le = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    riskg = full_grid.select(
+        "g",
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_g)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_g"),
+    )
+    steps = riskg.groupBy("t").agg(
+        F.sum("n_g").alias("n_t"),
+        F.sum("c_d").alias("d_t"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_g")).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("g") == 1, F.col("c_d")).otherwise(0)).alias(
+            "d1"
+        ),
+    )
+    row = (
+        steps.where(F.col("d_t") > 0)
+        .agg(
+            F.sum("d1").alias("o1"),
+            F.sum(
+                F.expr(
+                    "(2 * CAST(1000000 AS DECIMAL(38,0)) * n1 * d_t + n_t)"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)))"
+                )
+            ).alias("e1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_t > 1 THEN"
+                    " (2 * CAST(1000000 AS DECIMAL(38,0)) * d_t * n1"
+                    "    * (n_t - n1) * (n_t - d_t)"
+                    "  + CAST(n_t AS DECIMAL(38,0)) * n_t * (n_t - 1))"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)) * n_t"
+                    "      * (n_t - 1))"
+                    " ELSE CAST(0 AS DECIMAL(38,0)) END"
+                )
+            ).alias("v"),
+        )
+        .first()
+    )
+    o1 = int(row["o1"] or 0) if row is not None else 0
+    e1 = int(row["e1"] or 0) if row is not None else 0
+    v = int(row["v"] or 0) if row is not None else 0
+    delta = 10**6 * o1 - e1  # O-E in exact micro-units (signed)
+    return spark.createDataFrame(
+        [(o1, e1, v)], "o1 long, e1_micro long, v_micro long"
+    ).select(
+        "o1",
+        "e1_micro",
+        "v_micro",
+        F.expr(
+            f"CAST((2 * CAST({delta} AS DECIMAL(38,0)) * {delta}"
+            f" + {max(v, 1)}) div (2 * CAST({max(v, 1)} AS DECIMAL(38,0)))"
+            f" AS BIGINT)"
+        ).alias("chi2_micro"),
+    ).where(F.lit(v > 0))

@@ -2253,3 +2253,25 @@ def test_nelson_aalen_shuffles_users_then_days(spark):
     bound = n_parts * n_users + n_users + 12 * days + 1024
     assert total <= bound
     assert bound < 2 * n_events
+
+
+def test_survival_logrank_shuffles_users_then_days(spark):
+    """events_survival_logrank: the KM/Nelson-Aalen contract with a 2x
+    group factor — one per-user combine, then 2 x span-days frames."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    n_parts = ev.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["events_survival_logrank"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    days = 40
+    bound = n_parts * n_users + n_users + 24 * days + 1024
+    assert total <= bound
+    assert bound < 2 * n_events

@@ -354,3 +354,29 @@ def test_nelson_aalen_hand_sums():
     assert h1 == 200_000
     assert h2 == 142_857  # 1/7 = 0.142857142... half-up at micro
     assert h1 + h2 == 342_857
+
+
+def test_logrank_hand_example():
+    """events_survival_logrank (plans/r13.py): hand-derived two-group
+    example with censoring — group A: death t=3, censored t=5; group B:
+    deaths t=2 and t=4. Step terms: e1 = 1/2 + 2/3 + 1/2, v = 1/4 + 2/9
+    + 1/4, O1 = 1; chi2 = (O1-E1)^2/V = 0.615385 within per-step
+    half-up slack."""
+    # (t, n_t, d_t, n1, d1) per death day, hand-derived
+    steps = [(2, 4, 1, 2, 0), (3, 3, 1, 2, 1), (4, 2, 1, 1, 0)]
+    o1 = sum(d1 for *_, d1 in steps)
+    e1 = sum(
+        (2 * 10**6 * n1 * d + n) // (2 * n) for _, n, d, n1, _ in steps
+    )
+    v = sum(
+        (2 * 10**6 * d * n1 * (n - n1) * (n - d) + n * n * (n - 1))
+        // (2 * n * n * (n - 1))
+        for _, n, d, n1, _ in steps
+    )
+    assert o1 == 1
+    assert e1 == 500_000 + 666_667 + 500_000
+    assert v == 250_000 + 222_222 + 250_000
+    delta = 10**6 * o1 - e1
+    chi2 = (2 * delta * delta + v) // (2 * v)
+    # float reference: (1 - 5/3)^2 / (1/4 + 2/9 + 1/4) = 0.6153846...
+    assert abs(chi2 - round((1 - 5 / 3) ** 2 / (13 / 18) * 10**6)) <= 3

@@ -214,3 +214,46 @@ def test_nelson_aalen_matches_python_reference(spark):
     ]
     assert got == want
     assert len(want) > 0
+
+
+def test_survival_logrank_matches_python_reference(spark):
+    ev = _tbl("events")
+    fd: dict = {}
+    ld: dict = {}
+    pd_: dict = {}
+    ec: Counter = Counter()
+    for ts, uid, et in zip(ev["ts"], ev["user_id"], ev["event_type"]):
+        day = ts.date().toordinal()
+        fd[uid] = min(fd.get(uid, day), day)
+        ld[uid] = max(ld.get(uid, day), day)
+        if et == "purchase":
+            pd_[uid] = min(pd_.get(uid, day), day)
+        if et == "error":
+            ec[uid] += 1
+    rows = []
+    for uid in fd:
+        t = (pd_[uid] - fd[uid]) if uid in pd_ else (ld[uid] - fd[uid])
+        rows.append((t, 1 if uid in pd_ else 0, 1 if ec[uid] >= 14 else 0))
+    times = sorted({t for t, _, _ in rows})
+    o1 = e1 = v = 0
+    for t in times:
+        n = sum(1 for tt, _, _ in rows if tt >= t)
+        d = sum(e for tt, e, _ in rows if tt == t)
+        n1 = sum(1 for tt, _, g in rows if tt >= t and g == 1)
+        d1 = sum(e for tt, e, g in rows if tt == t and g == 1)
+        if d == 0:
+            continue
+        o1 += d1
+        e1 += (2 * 10**6 * n1 * d + n) // (2 * n)
+        if n > 1:
+            v += (
+                2 * 10**6 * d * n1 * (n - n1) * (n - d)
+                + n * n * (n - 1)
+            ) // (2 * n * n * (n - 1))
+    delta = 10**6 * o1 - e1
+    chi2 = (2 * delta * delta + v) // (2 * v)
+    row = QUERIES["events_survival_logrank"].fn(spark, SF).collect()[0]
+    assert row["o1"] == o1
+    assert row["e1_micro"] == e1
+    assert row["v_micro"] == v
+    assert row["chi2_micro"] == chi2
