@@ -1056,9 +1056,9 @@ def events_hazard_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(n_t-d_t)/(n_t^2*(n_t-1)); chi2 = (O1-E1)^2/V. Every per-step term "
     "is an exact half-up MICRO-unit integer (documented per-step "
     "rounding, so both engines sum IDENTICAL integers — the Nelson-"
-    "Aalen discipline; variance terms need HUGEINT/DECIMAL(38,0): "
-    "1e6*d*n1*(n-n1)*(n-d) ~ 2e6*n^4 < 1e38 under the asserted user "
-    "ceiling), and chi2 derives from the exact integer O-E in micro "
+    "Aalen discipline; variance terms need HUGEINT/DECIMAL(38,0): the "
+    "numerator peaks at d=n1=n/2, 2e6*n^4/16 < 1e38 asserted from the "
+    "footer count), and chi2 derives from the exact integer O-E in micro "
     "(its square is non-negative — no positivity shift). Completes the "
     "survival family: KM curve (events_survival_km), Nelson-Aalen "
     "cumulative hazard, log-rank comparison. Scale shape: ONE per-user "
@@ -1069,10 +1069,13 @@ def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_stream_consumer_spark.plans.queries import _table_row_count
 
     n_rows = _table_row_count(sf_dir, "events")
-    # variance-term capacity: 2e6 * n^4 must fit DECIMAL(38,0); users <=
-    # event rows, so gate on the footer count (vacuous until ~1.5e8)
-    assert 2 * 10**6 * n_rows**4 < 10**38 or n_rows < 150_000_000, (
-        "log-rank variance arithmetic supports < ~1.5e8 users"
+    # variance-term capacity, coefficient DERIVED from the real worst
+    # case (the graph_modularity discipline): d*n1*(n-n1)*(n-d) peaks at
+    # d = n1 = n/2 giving n^4/16, so the shifted numerator is at most
+    # 2e6 * n^4/16 = 1.25e5 * n^4 — users <= event rows, gate on the
+    # footer count (supports < ~1.7e8 users)
+    assert 125_000 * n_rows**4 < 10**38, (
+        "log-rank variance arithmetic needs a wider type at this scale"
     )
     ev = _t(spark, sf_dir, "events")
     day = (
