@@ -59,7 +59,8 @@ HEADLINE = [
     "dedup_semantic",
     "curation_contamination",
     # scalar_datetime_json rotated OUT in r12 (see ROTATED_OUT below)
-    "streaming_tumbling_window",
+    # streaming_tumbling_window rotated OUT in r13 (see ROTATED_OUT below;
+    # streaming-window representation stays via streaming_session_window)
     "streaming_session_window",
     # r8 marquee additions: sampling sketch, embedding decontamination,
     # KMV set algebra (new keys — prior-round totals remain comparable by
@@ -89,6 +90,12 @@ HEADLINE = [
     # scan+scalar entry whose representative spread q1/q3 already cover)
     # rotates OUT. Count stays 29.
     "events_sequence_patterns",
+    # r13 ROTATION: the Kaplan-Meier survival curve — the round's marquee
+    # (integer product fold over the packed day frame; Spark F.aggregate /
+    # DuckDB list_reduce) — rotates IN; streaming_tumbling_window (a cheap
+    # certified streaming-window entry whose spread streaming_session_window
+    # already covers) rotates OUT. Count stays 29.
+    "events_survival_km",
 ]
 
 # Rotated-out entries are STILL TIMED (not part of `value`): the frozen
@@ -97,6 +104,7 @@ HEADLINE = [
 # it belongs to — the cross-round chain would read as a fake speedup.
 ROTATED_OUT = [
     "scalar_datetime_json",  # r12: member of R8/R9/R10 sets
+    "streaming_tumbling_window",  # r13: member of R7/R8/R9/R10 sets
 ]
 
 
