@@ -339,3 +339,168 @@ def test_qsketch_bucket_bounds_bracket_every_value():
         q = _qid(v)
         width = _lb(q + 1) - _lb(q)
         assert width <= (1 << ((q - 1) // _QSK_K)) // _QSK_K + 1, (v, width)
+
+
+# --- the SimHash vote recurrence (operators/dedup.py::simhash32_df) ------------
+#
+# Blast radius: simhash dedup + its banded variants. Shipped: h32 = first
+# 8 hex digits of md5 as a 32-bit int; fingerprint bit b reads
+# (h32 >> (28 - 4*(b//4) + b%4)) & 1, votes are (bit*2 - 1) summed, bit
+# set iff sum > 0 (ties -> 0). Semantic claims pinned: (a) the shift map
+# is a PERMUTATION of the 32 hash bits (each used exactly once), (b) the
+# +/-1-sum sign equals the majority-of-bits rule including the tie
+# convention, (c) the full fingerprint matches a recompute that reads
+# bits from the hex DIGITS (string parse, not shift algebra).
+
+
+def _h32(s: str) -> int:
+    return int(_md5_hex(s)[:8], 16)
+
+
+def _simhash_shipped(shingles: list) -> int:
+    sums = [0] * 32
+    for s in shingles:
+        h = _h32(s)
+        for b in range(32):
+            bit = (h >> (28 - 4 * (b // 4) + b % 4)) & 1
+            sums[b] += bit * 2 - 1
+    return sum(1 << b for b in range(32) if sums[b] > 0)
+
+
+def _simhash_digitwise(shingles: list) -> int:
+    # independent route: bit b lives in hex digit b//4, digit-bit b%4
+    ones = [0] * 32
+    for s in shingles:
+        hexd = _md5_hex(s)[:8]
+        for b in range(32):
+            if (int(hexd[b // 4], 16) >> (b % 4)) & 1:
+                ones[b] += 1
+    n = len(shingles)
+    return sum(
+        1 << b for b in range(32) if ones[b] > n - ones[b]
+    )  # majority; tie (ones == n/2) -> 0
+
+
+def test_simhash_shift_map_is_a_bit_permutation():
+    shifts = [28 - 4 * (b // 4) + b % 4 for b in range(32)]
+    assert sorted(shifts) == list(range(32))
+
+
+def test_simhash_vote_sign_equals_majority_with_tie_to_zero():
+    sets = [
+        ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"],
+        ["same same same"] * 5,
+        ["a b c", "d e f"],  # even count: ties possible
+        [f"tok{i} tok{i+1} tok{i+2}" for i in range(20)],
+    ]
+    for shingles in sets:
+        assert _simhash_shipped(shingles) == _simhash_digitwise(shingles)
+    # duplicate sets fingerprint identically (distance 0)
+    assert _simhash_shipped(sets[0]) == _simhash_shipped(list(sets[0]))
+
+
+# --- the winnowing pack + rightmost-min (operators/text.py) --------------------
+#
+# Blast radius: winnowing fingerprint pairs (the MOSS-style shared-
+# substring detector). Shipped: enc = u40(gram)*2^20 + (2^20 - 1 - pos);
+# MIN(enc) over each w-window is the smallest hash with ties to the
+# LARGEST position (the SWA rightmost-min rule). Pinned: (a) pack
+# capacity, (b) min(enc) decodes to the lexicographic (hash, -pos) min,
+# (c) the published guarantee — two documents sharing a substring of
+# length >= k + w - 1 share at least one selected fingerprint — on
+# literal documents with a planted shared substring.
+
+
+def test_winnowing_pack_capacity_and_rightmost_min_decode():
+    assert ((1 << 40) - 1) * (1 << 20) + ((1 << 20) - 1) < 1 << 61
+    cases = [
+        [(100, 1), (100, 3), (200, 2)],  # tie on hash -> largest pos wins
+        [(5, 7)],
+        [(9, 1), (3, 9), (3, 2), (8, 5)],
+    ]
+    for rows in cases:
+        enc = min(h * (1 << 20) + ((1 << 20) - 1 - p) for h, p in rows)
+        got = (enc // (1 << 20), (1 << 20) - 1 - enc % (1 << 20))
+        brute = min(rows, key=lambda r: (r[0], -r[1]))
+        assert got == brute, (rows, got, brute)
+
+
+def _winnow(text: str, k: int = 20, w: int = 4) -> set:
+    grams = [
+        _u40(text[p : p + k]) for p in range(len(text) - k + 1)
+    ]
+    out = set()
+    for j in range(len(grams) - w + 1):
+        win = grams[j : j + w]
+        m = min(win)
+        # rightmost minimal within the window
+        pos = max(i for i, h in enumerate(win) if h == m)
+        out.add(win[pos])
+    return out
+
+
+def _u40(s: str) -> int:
+    d = hashlib.md5(s.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "little") >> 24
+
+
+def test_winnowing_guarantee_on_planted_shared_substring():
+    k, w = 20, 4
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    assert len(shared) >= k + w - 1
+    doc_a = "completely different prefix material here " + shared
+    doc_b = shared + " and now an unrelated suffix follows this text"
+    fa, fb = _winnow(doc_a, k, w), _winnow(doc_b, k, w)
+    assert fa & fb, "SWA guarantee violated: no shared fingerprint"
+    # and two documents with no k-length overlap share nothing
+    fc = _winnow("x" * 10 + "entirely disjoint content with other words", k, w)
+    assert not (fa & fc)
+
+
+# --- the minhash mixing family (operators/dedup.py::MINHASH_PERMS) -------------
+#
+# Blast radius: every minhash/LSH dedup row. Claims pinned: (a) the
+# long-arithmetic capacity claim a_max*(2^56-1) + b_max < 2^63 (why the
+# 56-bit hash exists at all), (b) the 8 (a, b) mixes are pairwise
+# distinct with a != 0 (a degenerate or duplicated permutation silently
+# correlates two signature rows and inflates LSH collision rates), and
+# (c) P = 2^61 - 1 is PRIME (deterministic Miller-Rabin) — the
+# universal-hash family argument needs a prime modulus.
+
+
+def test_minhash_mix_capacity_and_family_sanity():
+    from kinesis_stream_consumer_spark.operators.dedup import (
+        MINHASH_P,
+        MINHASH_PERMS,
+    )
+
+    a_max = max(a for a, _ in MINHASH_PERMS)
+    b_max = max(b for _, b in MINHASH_PERMS)
+    assert a_max * ((1 << 56) - 1) + b_max < 1 << 63
+    assert len(set(MINHASH_PERMS)) == len(MINHASH_PERMS) == 8
+    assert all(0 < a < MINHASH_P for a, _ in MINHASH_PERMS)
+
+    def is_prime(n: int) -> bool:
+        if n < 2:
+            return False
+        d, r = n - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            r += 1
+        # deterministic witness set for n < 3.3e24
+        for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+            if a % n == 0:
+                continue
+            x = pow(a, d, n)
+            if x in (1, n - 1):
+                continue
+            for _ in range(r - 1):
+                x = x * x % n
+                if x == n - 1:
+                    break
+            else:
+                return False
+        return True
+
+    assert MINHASH_P == (1 << 61) - 1
+    assert is_prime(MINHASH_P)
