@@ -1196,3 +1196,198 @@ def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS BIGINT)"
         ).alias("chi2_micro"),
     ).where(F.lit(v > 0))
+
+
+# --- r13: restricted mean survival time + median time-to-conversion ------------
+
+
+@register(
+    "events_survival_rmst",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM u
+    ),
+    hist AS (
+      SELECT t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT t, c_d,
+             CAST(SUM(c_all) OVER ()
+                  - (SUM(c_all) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_t
+      FROM hist
+    ),
+    deaths AS (
+      SELECT t, n_t, c_d,
+             t * {_KM_T} + n_t * {_KM_N} + c_d AS el
+      FROM r WHERE c_d > 0
+    ),
+    arr AS (SELECT list(el ORDER BY el) AS a FROM deaths),
+    curve AS (
+      SELECT t,
+             CAST(list_reduce(
+               list_prepend(1000000::BIGINT,
+                 list_filter((SELECT a FROM arr), y -> y <= deaths.el)),
+               (acc, x) ->
+                 (2 * acc * ((x // {_KM_N}) % {_KM_N} - x % {_KM_N})
+                  + (x // {_KM_N}) % {_KM_N})
+                 // (2 * ((x // {_KM_N}) % {_KM_N}))
+             ) AS BIGINT) AS s
+      FROM deaths
+    ),
+    tau AS (SELECT MAX(t) AS tau FROM hist),
+    seg AS (
+      SELECT t, s,
+             COALESCE(LEAD(t) OVER (ORDER BY t),
+                      (SELECT tau FROM tau)) AS t_next
+      FROM curve
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM d) AS n_users,
+             (SELECT tau FROM tau) AS horizon_days,
+             COALESCE((SELECT MIN(t) FROM curve WHERE s <= 500000), -1)
+               AS median_ttc_days,
+             (SELECT COALESCE(MIN(t), (SELECT tau FROM tau)) FROM curve)
+               * 1000000 AS head_area,
+             COALESCE((SELECT SUM(s * (t_next - t)) FROM seg), 0)
+               AS step_area
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(horizon_days AS BIGINT) AS horizon_days,
+           CAST(median_ttc_days AS BIGINT) AS median_ttc_days,
+           CAST(head_area + step_area AS BIGINT) AS rmst_micro_days
+    FROM agg
+    """,
+    doc="Restricted mean survival time + median time-to-conversion from "
+    "the Kaplan-Meier curve — THE two reporting estimands of survival "
+    "analysis (RMST = area under the KM step function up to the horizon "
+    "tau = the longest observed duration; it stays defined and "
+    "comparable when the median never crosses). Exact integers end to "
+    "end: S is 1e6-scaled from the same seeded fold as "
+    "events_survival_km, the area is 1e6*t_1 (the S=1 head segment) + "
+    "Sum S_i*(t_{{i+1}}-t_i) with LEAD over the bounded death-day frame "
+    "and the last segment closed at tau, in micro-DAYS; the median is "
+    "the first death day with S <= 0.5 (-1 sentinel when the curve "
+    "never crosses — half the users still unconverted at horizon). "
+    "Pinned against the hand-integrated area of the KM pin example. "
+    "Same scale shape as the KM row: one per-user aggregate touches "
+    "the corpus, everything after is span-days-bounded.",
+)
+def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+        )
+        .localCheckpoint(eager=True)  # users-bounded, read twice
+    )
+    row = u.agg(
+        F.max("ld").alias("m"),
+        F.min("fd").alias("lo"),
+        F.count(F.lit(1)).alias("nu"),
+    ).first()
+    m = int(row["m"]) if row is not None and row["m"] is not None else 0
+    lo = int(row["lo"]) if row is not None and row["lo"] is not None else 0
+    nu = int(row["nu"] or 0) if row is not None else 0
+    assert nu < _KM_N, "KM packing supports < 2^24 users — widen fields"
+    assert 0 <= m - lo < (1 << 15), "corpus span exceeds the t field"
+    dur = u.select(
+        F.when(
+            F.col("pd").isNull(), F.col("ld") - F.col("fd")
+        ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+        F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    hist = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("ev").cast("long").alias("c_d"),
+    )
+    hist = hist.localCheckpoint(eager=True)  # days-bounded, read twice
+    trow = hist.agg(
+        F.max("t").alias("tau"), F.sum("c_all").alias("nu2")
+    ).first()
+    tau = int(trow["tau"]) if trow is not None and trow["tau"] is not None else 0
+    n_users = int(trow["nu2"] or 0) if trow is not None else 0
+    w_le = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = hist.select(
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_all)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_t"),
+    )
+    deaths = r.where(F.col("c_d") > 0).select(
+        F.expr(f"t * {_KM_T} + n_t * {_KM_N} + c_d").alias("el")
+    )
+    arr = deaths.agg(F.sort_array(F.collect_list("el")).alias("a"))
+    fold = (
+        f"aggregate(slice(a, 1, pos + 1), CAST(1000000 AS BIGINT),"
+        f" (acc, x) ->"
+        f" (2 * acc * ((x div {_KM_N}) % {_KM_N} - x % {_KM_N})"
+        f"  + (x div {_KM_N}) % {_KM_N})"
+        f" div (2 * ((x div {_KM_N}) % {_KM_N})))"
+    )
+    curve = arr.select(
+        F.posexplode("a").alias("pos", "el"), "a"
+    ).select(
+        F.expr(f"el div {_KM_T}").cast("long").alias("t"),
+        F.expr(fold).cast("long").alias("s"),
+    )
+    wl = Window.orderBy("t")
+    seg = curve.select(
+        "t",
+        "s",
+        F.coalesce(F.lead("t").over(wl), F.lit(tau)).alias("t_next"),
+    )
+    srow = seg.agg(
+        F.coalesce(
+            F.min(F.when(F.col("s") <= 500_000, F.col("t"))), F.lit(-1)
+        ).alias("median"),
+        F.coalesce(F.min("t"), F.lit(tau)).alias("t1"),
+        F.coalesce(
+            F.sum(F.expr("s * (t_next - t)")), F.lit(0)
+        ).alias("step_area"),
+    ).first()
+    median = int(srow["median"]) if srow is not None else -1
+    t1 = int(srow["t1"]) if srow is not None else tau
+    step_area = int(srow["step_area"] or 0) if srow is not None else 0
+    rmst = 10**6 * t1 + step_area
+    return spark.createDataFrame(
+        [(n_users, tau, median, rmst)],
+        "n_users long, horizon_days long, median_ttc_days long,"
+        " rmst_micro_days long",
+    )

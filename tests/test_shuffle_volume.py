@@ -2275,3 +2275,25 @@ def test_survival_logrank_shuffles_users_then_days(spark):
     bound = n_parts * n_users + n_users + 24 * days + 1024
     assert total <= bound
     assert bound < 2 * n_events
+
+
+def test_survival_rmst_shuffles_users_then_days(spark):
+    """events_survival_rmst: the KM contract — one per-user combine, then
+    span-days frames (curve, LEAD segments, scalar pulls)."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    n_parts = ev.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["events_survival_rmst"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    days = 40
+    bound = n_parts * n_users + n_users + 24 * days + 1024
+    assert total <= bound
+    assert bound < 2 * n_events

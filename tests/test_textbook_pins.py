@@ -380,3 +380,24 @@ def test_logrank_hand_example():
     chi2 = (2 * delta * delta + v) // (2 * v)
     # float reference: (1 - 5/3)^2 / (1/4 + 2/9 + 1/4) = 0.6153846...
     assert abs(chi2 - round((1 - 5 / 3) ** 2 / (13 / 18) * 10**6)) <= 3
+
+
+def test_rmst_hand_integration():
+    """events_survival_rmst (plans/r13.py): area under the KM step
+    function. Reusing the KM pin example (S: 0.8 at t=2, 0.685714 at
+    t=4) with horizon tau=6: RMST = 1*2 + 0.8*2 + 0.685714*2 =
+    4.971428 days; median never crosses 0.5 -> -1 sentinel."""
+    curve = [(2, 800_000), (4, 685_714)]
+    tau = 6
+    t1 = curve[0][0]
+    segs = [
+        (s, (curve[i + 1][0] if i + 1 < len(curve) else tau) - t)
+        for i, (t, s) in enumerate(curve)
+    ]
+    rmst = 10**6 * t1 + sum(s * w for s, w in segs)
+    assert rmst == 4_971_428
+    median = min((t for t, s in curve if s <= 500_000), default=-1)
+    assert median == -1
+    # and a crossing curve: S hits 0.4 at t=3 -> median 3
+    curve2 = [(1, 700_000), (3, 400_000)]
+    assert min((t for t, s in curve2 if s <= 500_000), default=-1) == 3

@@ -257,3 +257,41 @@ def test_survival_logrank_matches_python_reference(spark):
     assert row["e1_micro"] == e1
     assert row["v_micro"] == v
     assert row["chi2_micro"] == chi2
+
+
+def test_survival_rmst_matches_python_reference(spark):
+    ev = _tbl("events")
+    fd: dict = {}
+    ld: dict = {}
+    pd_: dict = {}
+    for ts, uid, et in zip(ev["ts"], ev["user_id"], ev["event_type"]):
+        day = ts.date().toordinal()
+        fd[uid] = min(fd.get(uid, day), day)
+        ld[uid] = max(ld.get(uid, day), day)
+        if et == "purchase":
+            pd_[uid] = min(pd_.get(uid, day), day)
+    hist: Counter = Counter()
+    deaths: Counter = Counter()
+    for uid in fd:
+        t = (pd_[uid] - fd[uid]) if uid in pd_ else (ld[uid] - fd[uid])
+        hist[t] += 1
+        deaths[t] += 1 if uid in pd_ else 0
+    tau = max(hist)
+    s = 1_000_000
+    curve = []
+    at_risk = sum(hist.values())
+    for t in sorted(hist):
+        if deaths[t] > 0:
+            s = (2 * s * (at_risk - deaths[t]) + at_risk) // (2 * at_risk)
+            curve.append((t, s))
+        at_risk -= hist[t]
+    rmst = 10**6 * (curve[0][0] if curve else tau)
+    for i, (t, sv) in enumerate(curve):
+        nxt = curve[i + 1][0] if i + 1 < len(curve) else tau
+        rmst += sv * (nxt - t)
+    median = min((t for t, sv in curve if sv <= 500_000), default=-1)
+    row = QUERIES["events_survival_rmst"].fn(spark, SF).collect()[0]
+    assert row["n_users"] == sum(hist.values())
+    assert row["horizon_days"] == tau
+    assert row["median_ttc_days"] == median
+    assert row["rmst_micro_days"] == rmst
