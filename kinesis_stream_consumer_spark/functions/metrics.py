@@ -10,6 +10,7 @@ instead of surfacing as a 100× slowdown at 100 TB.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -113,7 +114,14 @@ def session_shuffle_records(spark, before_execution_id: int) -> int:
                 seen.add(acc)
                 v = vals.get(acc)
                 if not v.isEmpty():
-                    total += int(
-                        str(v.get()).replace(",", "").split(" ")[0]
-                    )
+                    # UI-formatted values are not always a leading plain
+                    # number — timing/size-typed metrics render as
+                    # "total (min, med, max)" with a WORD first. Extract
+                    # the first integer anywhere in the string; treat
+                    # no-match as 0 so a future metric-name collision
+                    # degrades gracefully instead of raising inside a
+                    # gate (ADVICE r13).
+                    mt = re.search(r"\d[\d,]*", str(v.get()))
+                    if mt:
+                        total += int(mt.group(0).replace(",", ""))
     return total

@@ -1,0 +1,944 @@
+"""Round-14 queries: new operators land here so they register inside the
+driver's first-50 CORRECTNESS window (registration order = import order in
+plans/queries.py; this module is imported right after llm_pipeline, in the
+slot plans/r13.py vacated when it parked by import position).
+
+Opens with the five blocks moved in from the (now parked) plans/r13.py
+with their VERDICT/ADVICE-r13 fixes — an edited block must re-enter the
+window:
+
+- text_langid_kappa (ADVICE r13): the fully-literal denominator in the
+  kappa expr could be constant-folded into DIVIDE_BY_ZERO under ANSI
+  before the false `.where` pruned the degenerate n² == rc frame. The
+  expr now divides by max(den, 1) — the Friedman/log-rank discipline —
+  so the degenerate case stays an empty result instead of a crash.
+- agg_friedman_test (ADVICE r13): the DECIMAL(38,0) capacity assert
+  understated the real worst case by ~2x (checked 1e6*k*num while the
+  t1 numerator is 2e6*(k-1)*num + den); tightened to the derived 3e6
+  coefficient.
+- events_survival_km / events_survival_rmst (VERDICT r13 #2): the
+  single-long (t, n_risk, d) packing capped n_risk at 2^24 (16.7M
+  users) — below 100x-scale cardinalities. The Spark fold now runs over
+  an array<struct<t,n,d>> (no packing on the Spark side at all; fold
+  arithmetic fits BIGINT for n < 2^40) and the DuckDB oracle packs into
+  HUGEINT with 40-bit fields. Loud capacity: users < 2^40 (~1.1e12).
+- events_survival_logrank (VERDICT r13 #2): the one-stage variance
+  numerator 2e6*d*n1*(n-n1)*(n-d) peaks at 1.25e5*n^4 and tripped the
+  DECIMAL(38,0) assert at ~530M event rows. The per-step term is now a
+  documented TWO-STAGE half-up recurrence (q1 = round(1e6*n1*(n-n1)/n),
+  then v_t = round(q1*d*(n-d)/(n*(n-1)))) whose worst case is
+  1.25e5*n^3 — the assert clears ~9e10 event rows. Both engines and the
+  pure-Python third impl compute the identical two-stage integers.
+
+Certified blocks migrate out of the window at the NEXT round's fold by
+moving this module's import to the parked-last section (the
+r10/r11/r12/r13 pattern) — never edit a block after its round's
+CORRECTNESS file is recorded without re-entering the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# llm_pipeline registers FIRST in plans/queries.py, so a module-level
+# import from it cannot reorder the driver window (the import-order trap
+# only bites when importing from a module that registers LATER).
+from kinesis_stream_consumer_spark.plans.llm_pipeline import _langid_oracle
+from kinesis_stream_consumer_spark.plans.queries import (
+    _t,
+    register,
+)
+
+# --- r14 re-entry: Cohen's kappa (ADVICE r13: guard the literal division) ------
+
+
+@register(
+    "text_langid_kappa",
+    """
+    WITH pred AS ({LANGID_BODY}),
+    cells AS (
+      SELECT labeled_lang, predicted_lang, COUNT(*) AS o
+      FROM pred GROUP BY 1, 2
+    ),
+    n AS (SELECT SUM(o) AS n FROM cells),
+    diag AS (
+      SELECT COALESCE(SUM(o), 0) AS d FROM cells
+      WHERE labeled_lang = predicted_lang
+    ),
+    rows_ AS (SELECT labeled_lang AS l, SUM(o) AS r FROM cells GROUP BY 1),
+    cols_ AS (SELECT predicted_lang AS l, SUM(o) AS c FROM cells GROUP BY 1),
+    pe AS (
+      SELECT COALESCE(SUM(CAST(rows_.r AS HUGEINT) * cols_.c), 0) AS rc
+      FROM rows_ JOIN cols_ ON cols_.l = rows_.l
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_docs,
+           CAST(diag.d AS BIGINT) AS n_agree,
+           CAST(pe.rc AS BIGINT) AS chance_weight,
+           CAST((2 * 1000000::HUGEINT * (n.n * diag.d - pe.rc)
+                 + (CAST(n.n AS HUGEINT) * n.n - pe.rc)
+                 + 2 * (CAST(n.n AS HUGEINT) * n.n - pe.rc) * 2000000)
+                // (2 * (CAST(n.n AS HUGEINT) * n.n - pe.rc)) - 2000000
+             AS BIGINT) AS kappa_micro
+    FROM n CROSS JOIN diag CROSS JOIN pe
+    WHERE CAST(n.n AS HUGEINT) * n.n > pe.rc
+    """.replace("{LANGID_BODY}", _langid_oracle().strip()),
+    doc="Cohen's kappa of the stopword language-ID heuristic against the "
+    "labeled lang column: chance-corrected agreement "
+    "κ = (p_o − p_e)/(1 − p_e) = (N·diag − Σ r_l·c_l)/(N² − Σ r_l·c_l) "
+    "in half-up MICRO-units — the one-number summary of "
+    "text_langid_confusion's matrix (raw accuracy flatters a skewed "
+    "label mix; kappa subtracts what marginal-matching guessing would "
+    "score). κ is SIGNED (worse-than-chance is negative), so the "
+    "division takes the standard positivity shift (shift 2e6 > |κ|max "
+    "in micro-units) — the graph_modularity discipline — and runs in "
+    "wide integers (DuckDB HUGEINT / Spark DECIMAL(38,0): 1e6·N² "
+    "breaks int64 at ~3e6 docs), int64 only at the output cast. The "
+    "shift regime (κ > −2) is ASSERTED: below it the two engines' "
+    "floor-vs-truncate integer division diverges by one micro-unit. "
+    "The Spark-side division is a pure literal expression, so ANSI "
+    "constant folding would evaluate it BEFORE the false degenerate "
+    "filter prunes the project — the denominator is max(den, 1) "
+    "(ADVICE r13), value-identical whenever the row survives the "
+    "filter. The prediction rides the SAME lang_id_from_tokens "
+    "operator / oracle fragment as the certified langid rows (one "
+    "materialized lowercase-token projection, per-language stopword "
+    "hit counts); everything after it is a labels²-bounded cell "
+    "aggregate.",
+)
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    # tokens inline would re-split per language (CollapseProject trap) —
+    # materialize the token array first
+    pred = docs.select(
+        "lang", T.tokens(F.lower(F.col("text"))).alias("ltoks")
+    ).select(
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id_from_tokens(F.col("ltoks")).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    cells = cells.localCheckpoint(eager=True)  # labels²-bounded, read 4x
+    n = cells.agg(F.sum("o")).first()[0] or 0
+    diag = (
+        cells.where(F.col("labeled_lang") == F.col("predicted_lang"))
+        .agg(F.coalesce(F.sum("o"), F.lit(0)))
+        .first()[0]
+    )
+    rows_ = cells.groupBy(F.col("labeled_lang").alias("l")).agg(
+        F.sum("o").alias("r")
+    )
+    cols_ = cells.groupBy(F.col("predicted_lang").alias("l")).agg(
+        F.sum("o").alias("c")
+    )
+    rc = (
+        rows_.join(cols_, "l")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * c")), F.lit(0)
+            )
+        )
+        .first()[0]
+    )
+    rc = int(rc)
+    # assert the shifted numerator fits DECIMAL(38,0): worst case
+    # 2e6*|N*d - rc| + den + 4e6*den <= (6e6 + 1) * N^2 — coefficient
+    # derived from the actual terms (r12 review: 5e6 understated it,
+    # the same defect class ADVICE r11 found in graph_modularity)
+    assert 7_000_000 * n * n < 10**38, "kappa arithmetic needs wider type"
+    # ADVICE r12: the 2e6 shift keeps the shifted numerator non-negative
+    # only while kappa > -2 (shift > |kappa| in micro-units); below that,
+    # DuckDB's floor (//) and Spark's DECIMAL `div` (truncate) differ by
+    # 1 micro-unit and parity silently breaks. Assert the regime instead
+    # of assuming it — a heuristic that scores kappa <= -2 is a data bug
+    # worth stopping on, not rounding through.
+    if n * n > rc:
+        assert n * diag - rc > -2 * (n * n - rc), (
+            "kappa <= -2: positivity shift too small for this regime"
+        )
+    # ADVICE r13: the division below is a fully-literal expression, so
+    # ANSI constant folding can evaluate it even when the trailing
+    # `.where` is false — divide by max(den, 1) so the degenerate
+    # n² == rc corpus yields the empty frame the oracle's WHERE produces
+    # instead of DIVIDE_BY_ZERO. Value-identical when den > 0.
+    den = max(n * n - rc, 1)
+    return spark.createDataFrame(
+        [(int(n), int(diag), rc)], "n_docs long, n_agree long, cw long"
+    ).select(
+        F.col("n_docs"),
+        F.col("n_agree"),
+        F.col("cw").alias("chance_weight"),
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0))"
+            f" * (CAST({n} AS DECIMAL(38,0)) * {diag} - {rc})"
+            f" + {den}"
+            f" + 2 * CAST({den} AS DECIMAL(38,0)) * 2000000)"
+            f" div (2 * CAST({den} AS DECIMAL(38,0)))"
+            f" - 2000000 AS BIGINT)"
+        ).alias("kappa_micro"),
+    ).where(F.lit(n * n > rc))
+
+
+# --- r14 re-entry: Friedman test (ADVICE r13: derived assert coefficient) ------
+
+
+@register(
+    "agg_friedman_test",
+    """
+    WITH obs AS (
+      SELECT event_type AS typ, isodow(ts) AS dow, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT typ FROM obs),
+    full_grid AS (
+      SELECT t.typ, d.dow, COALESCE(o.x, 0) AS x
+      FROM types t
+      CROSS JOIN (SELECT UNNEST(range(1, 8)) AS dow) d
+      LEFT JOIN obs o ON o.typ = t.typ AND o.dow = d.dow
+    ),
+    tv AS (SELECT dow, x, COUNT(*) AS tot FROM full_grid GROUP BY 1, 2),
+    grid AS (
+      SELECT dow, x,
+             2 * (SUM(tot) OVER (PARTITION BY dow ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) - tot)
+               + tot + 1 AS d2
+      FROM tv
+    ),
+    ranked AS (
+      SELECT f.typ, f.dow, g.d2
+      FROM full_grid f JOIN grid g ON g.dow = f.dow AND g.x = f.x
+    ),
+    pert AS (SELECT typ, SUM(d2) AS dj FROM ranked GROUP BY 1),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT dow FROM ranked)) AS n,
+             (SELECT COUNT(*) FROM pert) AS k,
+             (SELECT SUM(CAST(dj AS HUGEINT) * dj) FROM pert) AS s2,
+             (SELECT SUM(CAST(d2 AS HUGEINT) * d2) FROM ranked) AS a2
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS k_treatments,
+           CAST((2 * 1000000::HUGEINT * (k - 1)
+                   * (s2 - CAST(n AS HUGEINT) * n * k * (k+1) * (k+1))
+                 + (a2 - CAST(n AS HUGEINT) * k * (k+1) * (k+1)))
+                // (2 * (a2 - CAST(n AS HUGEINT) * k * (k+1) * (k+1)))
+             AS BIGINT) AS t1_micro,
+           CAST((2 * 1000000::HUGEINT
+                   * (s2 - CAST(n AS HUGEINT) * n * k * (k+1) * (k+1))
+                 + CAST(n AS HUGEINT)
+                   * (a2 - CAST(n AS HUGEINT) * k * (k+1) * (k+1)))
+                // (2 * CAST(n AS HUGEINT)
+                      * (a2 - CAST(n AS HUGEINT) * k * (k+1) * (k+1)))
+             AS BIGINT) AS kendall_w_micro
+    FROM tot
+    WHERE k > 1 AND a2 > CAST(n AS HUGEINT) * k * (k+1) * (k+1)
+    """,
+    doc="Friedman test of whether the event-type mix differs across the "
+    "week: blocks = ISO weekdays (n=7), treatments = event types, one "
+    "observation per cell (the corpus count of that type on that "
+    "weekday, missing cells = 0), ranked WITHIN each weekday block with "
+    "average ranks for ties via the 2x-rank grid (the Kruskal-Wallis "
+    "discipline; in doubled ranks the tie-corrected statistic is the "
+    "pure-integer T1 = (k-1)(S'-n^2k(k+1)^2)/(A'-nk(k+1)^2) with "
+    "S'=Sum Dj^2, A'=Sum d_ij^2 — equal to the classic "
+    "12/(nk(k+1))*Sum Rj^2 - 3n(k+1) when ties are absent, verified "
+    "against the perfect-agreement identity Q = n(k-1) in the textbook "
+    "pins). Completes the nonparametric family: Mann-Whitney (2 "
+    "independent), Kruskal-Wallis (k independent), Friedman (k related "
+    "blocks). Kendall's W = T1/(n(k-1)) concordance rides the same "
+    "integers. The numerator is non-negative by Cauchy-Schwarz, so no "
+    "positivity shift; all-tied blocks (A'=nk(k+1)^2) are filtered on "
+    "both sides. Scale shape: ONE map-side-combined (type, dow) "
+    "aggregate touches the corpus; everything after runs on the "
+    "<=7k-cell grid (types x weekdays — fixed enumerations).",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            F.col("event_type").alias("typ"),
+            (F.weekday("ts") + F.lit(1)).alias("dow"),
+        )
+        .groupBy("typ", "dow")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    obs = obs.localCheckpoint(eager=True)  # types x 7 cells, read twice
+    # complete blocks without a cross join: every type carries all 7
+    # weekdays via explode(sequence), missing observations count 0
+    full_grid = (
+        obs.select("typ")
+        .distinct()
+        .select("typ", F.explode(F.expr("sequence(1, 7)")).alias("dow"))
+        .join(obs, ["typ", "dow"], "left")
+        .select("typ", "dow", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    full_grid = full_grid.localCheckpoint(eager=True)  # read twice
+    tv = full_grid.groupBy("dow", "x").agg(F.count(F.lit(1)).alias("tot"))
+    wo = Window.partitionBy("dow").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = tv.select(
+        "dow",
+        "x",
+        (2 * (F.sum("tot").over(wo) - F.col("tot")) + F.col("tot") + 1).alias(
+            "d2"
+        ),
+    )
+    ranked = full_grid.join(grid, ["dow", "x"]).select("typ", "dow", "d2")
+    ranked = ranked.localCheckpoint(eager=True)  # read twice below
+    # both summaries are grid-bounded one-row aggregates: pull them as
+    # driver literals (the kappa / k-means-model pattern) — a keyless
+    # join of two one-row frames would plan as a CartesianProduct
+    prow = (
+        ranked.groupBy("typ")
+        .agg(F.sum("d2").alias("dj"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.expr("CAST(dj AS DECIMAL(38,0)) * dj")).alias("s2"),
+        )
+        .first()
+    )
+    arow = ranked.agg(
+        F.countDistinct("dow").alias("n"),
+        F.sum(F.expr("CAST(d2 AS DECIMAL(38,0)) * d2")).alias("a2"),
+    ).first()
+    k = int(prow["k"] or 0) if prow is not None else 0
+    s2 = int(prow["s2"] or 0) if prow is not None else 0
+    n = int(arow["n"] or 0) if arow is not None else 0
+    a2 = int(arow["a2"] or 0) if arow is not None else 0
+    den = a2 - n * k * (k + 1) * (k + 1)
+    num = s2 - n * n * k * (k + 1) * (k + 1)
+    # capacity, coefficient DERIVED from the actual t1 numerator
+    # 2e6*(k-1)*num + den (ADVICE r13: the previous 1e6*k*num check
+    # understated it ~2x): 2e6*(k-1)*num <= 2e6*k*num, and den <= a2 <=
+    # the same n,k envelope as num, so 3e6*k*num dominates the sum.
+    # Unreachable below k ~ 4e7 event types, but keep the discipline.
+    assert 3 * 10**6 * max(k, 1) * max(num, 1) < 10**38
+    assert num >= 0, "Cauchy-Schwarz violated: rank arithmetic is wrong"
+    return spark.createDataFrame(
+        [(n, k)], "n_blocks long, k_treatments long"
+    ).select(
+        "n_blocks",
+        "k_treatments",
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * {k - 1} * {num}"
+            f" + {max(den, 1)}) div (2 * {max(den, 1)}) AS BIGINT)"
+        ).alias("t1_micro"),
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * {num}"
+            f" + CAST({n} AS DECIMAL(38,0)) * {max(den, 1)})"
+            f" div (2 * CAST({n if n else 1} AS DECIMAL(38,0))"
+            f" * {max(den, 1)}) AS BIGINT)"
+        ).alias("kendall_w_micro"),
+    ).where(F.lit(k > 1 and den > 0))
+
+
+# --- r14 re-entry: Kaplan-Meier survival (VERDICT r13 #2: widened capacity) ----
+
+# DuckDB-side packing only: el = t*2^80 + n_risk*2^40 + n_deaths in HUGEINT
+# (126 usable bits) — t in the top bits so list(el ORDER BY el) is the
+# by-time sort the KM fold needs. The Spark side folds over an
+# array<struct<t,n,d>> directly (array_sort orders structs by field
+# position — t first), so no Spark-side packing and no 2^24 user cap:
+# fold arithmetic 2*acc*(n-d) + n stays under int64 while n < 2^40.
+_KM_B = 1 << 40
+_KM_TB = 1 << 80
+
+
+@register(
+    "events_survival_km",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM u
+    ),
+    hist AS (
+      SELECT t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT t, c_d,
+             CAST(SUM(c_all) OVER ()
+                  - (SUM(c_all) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_t
+      FROM hist
+    ),
+    deaths AS (
+      SELECT t, n_t, c_d,
+             CAST(t AS HUGEINT) * {_KM_TB}
+               + CAST(n_t AS HUGEINT) * {_KM_B} + c_d AS el
+      FROM r WHERE c_d > 0
+    ),
+    arr AS (SELECT list(el ORDER BY el) AS a FROM deaths)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_t AS BIGINT) AS n_risk,
+           CAST(c_d AS BIGINT) AS n_deaths,
+           CAST(list_reduce(
+                  list_prepend(1000000::HUGEINT,
+                    list_filter((SELECT a FROM arr), y -> y <= deaths.el)),
+                  (acc, x) ->
+                    (2 * acc * ((x // {_KM_B}) % {_KM_B} - x % {_KM_B})
+                     + (x // {_KM_B}) % {_KM_B})
+                    // (2 * ((x // {_KM_B}) % {_KM_B}))
+                ) AS BIGINT) AS survival_micro
+    FROM deaths ORDER BY t
+    """,
+    doc="Kaplan-Meier curve of time-to-first-purchase: duration = days "
+    "from a user's FIRST event to their FIRST purchase event; users who "
+    "never purchase are right-CENSORED at their last observed day (the "
+    "estimand naive conversion averages get wrong — censored users "
+    "leave the risk set without converting). At each conversion time "
+    "t: S <- S * (n_t - d_t)/n_t with the product kept in half-up "
+    "MICRO-units by the integer recurrence S' = (2*S*(n-d) + n) div "
+    "(2*n) — sequential, so it runs as a FOLD over the day-level death "
+    "list: Spark F.aggregate with an explicit 1e6 seed over a slice of "
+    "an array<struct<t,n,d>> sorted by array_sort (struct order = field "
+    "order, t first — no Spark-side bit packing, so fold arithmetic "
+    "2*acc*(n-d)+n stays in int64 for n < 2^40 users, VERDICT r13 #2's "
+    "widened capacity); DuckDB list_reduce with the seed PREPENDED "
+    "(list_reduce has no init parameter — the first element IS the "
+    "accumulator, so a plain-HUGEINT seed rides as element zero and the "
+    "step lambda only ever decodes its x argument) over HUGEINT-packed "
+    "(t*2^80 + n_risk*2^40 + d) elements. Capacity asserted LOUDLY: "
+    "users < 2^40 (~1.1e12 — comfortably past 100x-scale). Pinned "
+    "against the hand-derivable product in the textbook pins. Scale "
+    "shape: ONE per-user aggregate touches the corpus; the histogram, "
+    "risk suffix sums and the O(D^2) per-row folds all run on the <= "
+    "span-days frame (D a few hundred — bounded by calendar time, not "
+    "data volume).",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+        )
+        .localCheckpoint(eager=True)  # users-bounded, read twice
+    )
+    row = u.agg(
+        F.max("ld").alias("m"),
+        F.min("fd").alias("lo"),
+        F.count(F.lit(1)).alias("nu"),
+    ).first()
+    m = int(row["m"]) if row is not None and row["m"] is not None else 0
+    lo = int(row["lo"]) if row is not None and row["lo"] is not None else 0
+    nu = int(row["nu"] or 0) if row is not None else 0
+    # capacity: int64 fold arithmetic + the oracle's 40-bit HUGEINT
+    # fields need n_risk < 2^40; the t field has 46 spare bits
+    assert nu < _KM_B, "KM fold supports < 2^40 users — widen fields"
+    assert 0 <= m - lo < (1 << 44), "corpus span exceeds the t field"
+    hist = (
+        u.select(
+            F.when(
+                F.col("pd").isNull(), F.col("ld") - F.col("fd")
+            ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+            F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum("ev").cast("long").alias("c_d"),
+        )
+    )
+    w_le = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = hist.select(
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_all)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_t"),
+    )
+    deaths = r.where(F.col("c_d") > 0).select(
+        F.struct(
+            F.col("t").cast("long").alias("t"),
+            F.col("n_t").alias("n"),
+            F.col("c_d").alias("d"),
+        ).alias("el")
+    )
+    arr = deaths.agg(F.array_sort(F.collect_list("el")).alias("a"))
+    fold = (
+        "aggregate(slice(a, 1, pos + 1), CAST(1000000 AS BIGINT),"
+        " (acc, x) -> (2 * acc * (x.n - x.d) + x.n) div (2 * x.n))"
+    )
+    return (
+        arr.select(F.posexplode("a").alias("pos", "el"), "a")
+        .select(
+            F.col("el.t").cast("long").alias("t_days"),
+            F.col("el.n").cast("long").alias("n_risk"),
+            F.col("el.d").cast("long").alias("n_deaths"),
+            F.expr(fold).cast("long").alias("survival_micro"),
+        )
+        .orderBy("t_days")
+    )
+
+
+# --- r14 re-entry: log-rank test (VERDICT r13 #2: two-stage variance) ----------
+
+
+@register(
+    "events_survival_logrank",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd,
+             CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1
+                           ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS g
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev, g
+      FROM u
+    ),
+    hist2 AS (
+      SELECT g, t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1, 2
+    ),
+    full_grid AS (
+      SELECT gg.g, vals.t,
+             COALESCE(h.c_all, 0) AS c_all, COALESCE(h.c_d, 0) AS c_d
+      FROM (SELECT DISTINCT t FROM hist2) vals
+      CROSS JOIN (SELECT UNNEST([0, 1]) AS g) gg
+      LEFT JOIN hist2 h ON h.g = gg.g AND h.t = vals.t
+    ),
+    riskg AS (
+      SELECT g, t, c_d,
+             CAST(SUM(c_all) OVER (PARTITION BY g)
+                  - (SUM(c_all) OVER (PARTITION BY g ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_g
+      FROM full_grid
+    ),
+    steps AS (
+      SELECT t,
+             SUM(n_g) AS n_t, SUM(c_d) AS d_t,
+             SUM(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS n1,
+             SUM(CASE WHEN g = 1 THEN c_d ELSE 0 END) AS d1
+      FROM riskg GROUP BY 1
+    ),
+    sums AS (
+      SELECT SUM(d1) AS o1,
+             SUM((2 * 1000000::HUGEINT * n1 * d_t + n_t)
+                 // (2 * CAST(n_t AS HUGEINT))) AS e1_micro,
+             SUM(CASE WHEN n_t > 1 THEN
+                   (2 * d_t
+                      * ((2 * 1000000::HUGEINT * n1 * (n_t - n1) + n_t)
+                         // (2 * CAST(n_t AS HUGEINT)))
+                      * (n_t - d_t)
+                    + CAST(n_t AS HUGEINT) * (n_t - 1))
+                   // (2 * CAST(n_t AS HUGEINT) * (n_t - 1))
+                 ELSE 0 END) AS v_micro
+      FROM steps WHERE d_t > 0
+    )
+    SELECT CAST(o1 AS BIGINT) AS o1,
+           CAST(e1_micro AS BIGINT) AS e1_micro,
+           CAST(v_micro AS BIGINT) AS v_micro,
+           CAST((2 * (1000000::HUGEINT * o1 - e1_micro)
+                   * (1000000::HUGEINT * o1 - e1_micro)
+                 + v_micro)
+                // (2 * CAST(v_micro AS HUGEINT)) AS BIGINT)
+             AS chi2_micro
+    FROM sums WHERE v_micro > 0
+    """,
+    doc="Log-rank test: do ERROR-HEAVY users (>= 14 error events — the "
+    "corpus median error load, a fixed calibration literal) convert "
+    "(first purchase) on a DIFFERENT survival curve than low-error "
+    "users? The standard two-sample censored comparison "
+    "(Mantel-Cox): at each conversion day t the group-1 observed deaths "
+    "d1 are compared to the expected e1 = n1*d_t/n_t under the shared-"
+    "hazard null, with hypergeometric variance v_t = d_t*n1*(n_t-n1)*"
+    "(n_t-d_t)/(n_t^2*(n_t-1)); chi2 = (O1-E1)^2/V. Every per-step term "
+    "is an exact half-up MICRO-unit integer (documented per-step "
+    "rounding, so both engines sum IDENTICAL integers — the Nelson-"
+    "Aalen discipline). The variance is a documented TWO-STAGE "
+    "recurrence (VERDICT r13 #2): q1 = round(1e6*n1*(n-n1)/n) then "
+    "v_t = round(q1*d*(n-d)/(n*(n-1))) — dividing before the product "
+    "accumulates caps the wide-integer numerator at 2*q1*(n^2/4) = "
+    "1.25e5*n^3 (was 1.25e5*n^4 one-stage), so the DECIMAL(38,0)/"
+    "HUGEINT assert clears ~9e10 event rows instead of ~5.3e8; chi2 "
+    "derives from the exact integer O-E in micro (its square is "
+    "non-negative — no positivity shift). Completes the survival "
+    "family: KM curve (events_survival_km), Nelson-Aalen cumulative "
+    "hazard, log-rank comparison. Scale shape: ONE per-user aggregate "
+    "touches the corpus; the 2 x days grid, per-group risk suffix "
+    "windows and the step sums are all span-days-bounded.",
+)
+def events_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
+
+    n_rows = _table_row_count(sf_dir, "events")
+    # variance-term capacity, coefficient DERIVED from the real worst
+    # case of the TWO-STAGE recurrence (VERDICT r13 #2): stage 1's
+    # q1 = round(1e6*n1*(n-n1)/n) peaks at 1e6*n/4; stage 2's shifted
+    # numerator 2*d*q1*(n-d) + n*(n-1) peaks at 2*(n^2/4)*(1e6*n/4) =
+    # 1.25e5 * n^3 — users <= event rows, gate on the footer count
+    # (supports < ~9.3e10 event rows; the one-stage form capped at
+    # ~5.3e8)
+    assert 125_000 * n_rows**3 < 10**38, (
+        "log-rank variance arithmetic needs a wider type at this scale"
+    )
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+            F.when(
+                F.sum(
+                    F.when(F.col("et") == "error", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    hist2 = (
+        u.select(
+            F.when(
+                F.col("pd").isNull(), F.col("ld") - F.col("fd")
+            ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+            F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+            "g",
+        )
+        .groupBy("g", "t")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum("ev").cast("long").alias("c_d"),
+        )
+        .localCheckpoint(eager=True)  # 2 x days cells, read twice
+    )
+    full_grid = (
+        hist2.select("t")
+        .distinct()
+        .select("t", F.explode(F.expr("array(0, 1)")).alias("g"))
+        .join(hist2, ["g", "t"], "left")
+        .select(
+            "g",
+            "t",
+            F.coalesce(F.col("c_all"), F.lit(0)).alias("c_all"),
+            F.coalesce(F.col("c_d"), F.lit(0)).alias("c_d"),
+        )
+    )
+    w_g = Window.partitionBy("g")
+    w_le = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    riskg = full_grid.select(
+        "g",
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_g)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_g"),
+    )
+    steps = riskg.groupBy("t").agg(
+        F.sum("n_g").alias("n_t"),
+        F.sum("c_d").alias("d_t"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_g")).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("g") == 1, F.col("c_d")).otherwise(0)).alias(
+            "d1"
+        ),
+    )
+    row = (
+        steps.where(F.col("d_t") > 0)
+        .agg(
+            F.sum("d1").alias("o1"),
+            F.sum(
+                F.expr(
+                    "(2 * CAST(1000000 AS DECIMAL(38,0)) * n1 * d_t + n_t)"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)))"
+                )
+            ).alias("e1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_t > 1 THEN"
+                    " (2 * d_t"
+                    "    * ((2 * CAST(1000000 AS DECIMAL(38,0)) * n1"
+                    "          * (n_t - n1) + n_t)"
+                    "       div (2 * CAST(n_t AS DECIMAL(38,0))))"
+                    "    * (n_t - d_t)"
+                    "  + CAST(n_t AS DECIMAL(38,0)) * (n_t - 1))"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)) * (n_t - 1))"
+                    " ELSE CAST(0 AS DECIMAL(38,0)) END"
+                )
+            ).alias("v"),
+        )
+        .first()
+    )
+    o1 = int(row["o1"] or 0) if row is not None else 0
+    e1 = int(row["e1"] or 0) if row is not None else 0
+    v = int(row["v"] or 0) if row is not None else 0
+    delta = 10**6 * o1 - e1  # O-E in exact micro-units (signed)
+    return spark.createDataFrame(
+        [(o1, e1, v)], "o1 long, e1_micro long, v_micro long"
+    ).select(
+        "o1",
+        "e1_micro",
+        "v_micro",
+        F.expr(
+            f"CAST((2 * CAST({delta} AS DECIMAL(38,0)) * {delta}"
+            f" + {max(v, 1)}) div (2 * CAST({max(v, 1)} AS DECIMAL(38,0)))"
+            f" AS BIGINT)"
+        ).alias("chi2_micro"),
+    ).where(F.lit(v > 0))
+
+
+# --- r14 re-entry: RMST + median time-to-conversion (widened KM capacity) ------
+
+
+@register(
+    "events_survival_rmst",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev
+      FROM u
+    ),
+    hist AS (
+      SELECT t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT t, c_d,
+             CAST(SUM(c_all) OVER ()
+                  - (SUM(c_all) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_t
+      FROM hist
+    ),
+    deaths AS (
+      SELECT t, n_t, c_d,
+             CAST(t AS HUGEINT) * {_KM_TB}
+               + CAST(n_t AS HUGEINT) * {_KM_B} + c_d AS el
+      FROM r WHERE c_d > 0
+    ),
+    arr AS (SELECT list(el ORDER BY el) AS a FROM deaths),
+    curve AS (
+      SELECT t,
+             CAST(list_reduce(
+               list_prepend(1000000::HUGEINT,
+                 list_filter((SELECT a FROM arr), y -> y <= deaths.el)),
+               (acc, x) ->
+                 (2 * acc * ((x // {_KM_B}) % {_KM_B} - x % {_KM_B})
+                  + (x // {_KM_B}) % {_KM_B})
+                 // (2 * ((x // {_KM_B}) % {_KM_B}))
+             ) AS BIGINT) AS s
+      FROM deaths
+    ),
+    tau AS (SELECT MAX(t) AS tau FROM hist),
+    seg AS (
+      SELECT t, s,
+             COALESCE(LEAD(t) OVER (ORDER BY t),
+                      (SELECT tau FROM tau)) AS t_next
+      FROM curve
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM d) AS n_users,
+             (SELECT tau FROM tau) AS horizon_days,
+             COALESCE((SELECT MIN(t) FROM curve WHERE s <= 500000), -1)
+               AS median_ttc_days,
+             (SELECT COALESCE(MIN(t), (SELECT tau FROM tau)) FROM curve)
+               * 1000000 AS head_area,
+             COALESCE((SELECT SUM(s * (t_next - t)) FROM seg), 0)
+               AS step_area
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(horizon_days AS BIGINT) AS horizon_days,
+           CAST(median_ttc_days AS BIGINT) AS median_ttc_days,
+           CAST(head_area + step_area AS BIGINT) AS rmst_micro_days
+    FROM agg
+    """,
+    doc="Restricted mean survival time + median time-to-conversion from "
+    "the Kaplan-Meier curve — THE two reporting estimands of survival "
+    "analysis (RMST = area under the KM step function up to the horizon "
+    "tau = the longest observed duration; it stays defined and "
+    "comparable when the median never crosses). Exact integers end to "
+    "end: S is 1e6-scaled from the same seeded fold as "
+    "events_survival_km (Spark: array<struct<t,n,d>> fold, no bit "
+    "packing — users < 2^40, VERDICT r13 #2's widened capacity; DuckDB: "
+    "HUGEINT 40-bit-field packing), the area is 1e6*t_1 (the S=1 head "
+    "segment) + Sum S_i*(t_{{i+1}}-t_i) with LEAD over the bounded "
+    "death-day frame and the last segment closed at tau, in micro-DAYS; "
+    "the median is the first death day with S <= 0.5 (-1 sentinel when "
+    "the curve never crosses — half the users still unconverted at "
+    "horizon). Pinned against the hand-integrated area of the KM pin "
+    "example. Same scale shape as the KM row: one per-user aggregate "
+    "touches the corpus, everything after is span-days-bounded.",
+)
+def events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+        )
+        .localCheckpoint(eager=True)  # users-bounded, read twice
+    )
+    row = u.agg(
+        F.max("ld").alias("m"),
+        F.min("fd").alias("lo"),
+        F.count(F.lit(1)).alias("nu"),
+    ).first()
+    m = int(row["m"]) if row is not None and row["m"] is not None else 0
+    lo = int(row["lo"]) if row is not None and row["lo"] is not None else 0
+    nu = int(row["nu"] or 0) if row is not None else 0
+    assert nu < _KM_B, "KM fold supports < 2^40 users — widen fields"
+    assert 0 <= m - lo < (1 << 44), "corpus span exceeds the t field"
+    dur = u.select(
+        F.when(
+            F.col("pd").isNull(), F.col("ld") - F.col("fd")
+        ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+        F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    hist = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("ev").cast("long").alias("c_d"),
+    )
+    hist = hist.localCheckpoint(eager=True)  # days-bounded, read twice
+    trow = hist.agg(
+        F.max("t").alias("tau"), F.sum("c_all").alias("nu2")
+    ).first()
+    tau = int(trow["tau"]) if trow is not None and trow["tau"] is not None else 0
+    n_users = int(trow["nu2"] or 0) if trow is not None else 0
+    w_le = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = hist.select(
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_all)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_t"),
+    )
+    deaths = r.where(F.col("c_d") > 0).select(
+        F.struct(
+            F.col("t").cast("long").alias("t"),
+            F.col("n_t").alias("n"),
+            F.col("c_d").alias("d"),
+        ).alias("el")
+    )
+    arr = deaths.agg(F.array_sort(F.collect_list("el")).alias("a"))
+    fold = (
+        "aggregate(slice(a, 1, pos + 1), CAST(1000000 AS BIGINT),"
+        " (acc, x) -> (2 * acc * (x.n - x.d) + x.n) div (2 * x.n))"
+    )
+    curve = arr.select(
+        F.posexplode("a").alias("pos", "el"), "a"
+    ).select(
+        F.col("el.t").cast("long").alias("t"),
+        F.expr(fold).cast("long").alias("s"),
+    )
+    wl = Window.orderBy("t")
+    seg = curve.select(
+        "t",
+        "s",
+        F.coalesce(F.lead("t").over(wl), F.lit(tau)).alias("t_next"),
+    )
+    srow = seg.agg(
+        F.coalesce(
+            F.min(F.when(F.col("s") <= 500_000, F.col("t"))), F.lit(-1)
+        ).alias("median"),
+        F.coalesce(F.min("t"), F.lit(tau)).alias("t1"),
+        F.coalesce(
+            F.sum(F.expr("s * (t_next - t)")), F.lit(0)
+        ).alias("step_area"),
+    ).first()
+    median = int(srow["median"]) if srow is not None else -1
+    t1 = int(srow["t1"]) if srow is not None else tau
+    step_area = int(srow["step_area"] or 0) if srow is not None else 0
+    rmst = 10**6 * t1 + step_area
+    return spark.createDataFrame(
+        [(n_users, tau, median, rmst)],
+        "n_users long, horizon_days long, median_ttc_days long,"
+        " rmst_micro_days long",
+    )

@@ -2210,6 +2210,18 @@ def test_rich_club_shuffles_edges_and_histograms_only(spark):
     assert total <= bound
 
 
+def _events_span_days(ev):
+    """Calendar span of the events corpus in days, measured from the data
+    (ADVICE r13: a hard-coded 40 would fail spuriously — or silently
+    loosen — if the test data regenerates with a different span). The
+    survival queries' duration values are day deltas within the span, so
+    distinct death days <= span."""
+    row = ev.selectExpr(
+        "datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) AS s"
+    ).first()
+    return int(row["s"] or 0) + 1
+
+
 def test_survival_km_shuffles_users_then_days(spark):
     """events_survival_km: ONE per-user aggregate touches the corpus
     (map-side combined); the histogram, risk windows, packing and the
@@ -2224,10 +2236,10 @@ def test_survival_km_shuffles_users_then_days(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
     before = last_execution_id(spark)
     QUERIES["events_survival_km"].fn(spark, SF_CORRECT).collect()
     total = session_shuffle_records(spark, before)
-    days = 40  # sf corpus spans ~30 calendar days
     bound = n_parts * n_users + n_users + 12 * days + 1024
     assert total <= bound
     assert bound < 2 * n_events
@@ -2246,10 +2258,10 @@ def test_nelson_aalen_shuffles_users_then_days(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
     before = last_execution_id(spark)
     QUERIES["events_hazard_nelson_aalen"].fn(spark, SF_CORRECT).collect()
     total = session_shuffle_records(spark, before)
-    days = 40
     bound = n_parts * n_users + n_users + 12 * days + 1024
     assert total <= bound
     assert bound < 2 * n_events
@@ -2268,10 +2280,10 @@ def test_survival_logrank_shuffles_users_then_days(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
     before = last_execution_id(spark)
     QUERIES["events_survival_logrank"].fn(spark, SF_CORRECT).collect()
     total = session_shuffle_records(spark, before)
-    days = 40
     bound = n_parts * n_users + n_users + 24 * days + 1024
     assert total <= bound
     assert bound < 2 * n_events
@@ -2290,10 +2302,10 @@ def test_survival_rmst_shuffles_users_then_days(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
     before = last_execution_id(spark)
     QUERIES["events_survival_rmst"].fn(spark, SF_CORRECT).collect()
     total = session_shuffle_records(spark, before)
-    days = 40
     bound = n_parts * n_users + n_users + 24 * days + 1024
     assert total <= bound
     assert bound < 2 * n_events

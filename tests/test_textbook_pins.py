@@ -155,7 +155,7 @@ def test_chi_square_known_2x2():
 
 
 def test_cohens_kappa_published_example():
-    """text_langid_kappa (plans/r12.py): shifted recurrence on the
+    """text_langid_kappa (plans/r14.py): shifted recurrence on the
     standard worked example [[20,5],[10,15]]: p_o=0.7, p_e=0.5,
     kappa = 0.4 -> 400000 micro."""
     n, diag = 50, 35
@@ -171,7 +171,7 @@ def test_cohens_kappa_published_example():
 
 
 def test_mcnemar_known_discordants():
-    """text_langid_mcnemar (plans/r12.py): b=10, c=5 -> chi^2 = 25/15 =
+    """text_langid_mcnemar (plans/r13.py): b=10, c=5 -> chi^2 = 25/15 =
     1.666667 -> 1666667 micro (half-up)."""
     b, c = 10, 5
     assert _half_up(1000000 * (b - c) * (b - c), b + c) == 1666667
@@ -245,7 +245,7 @@ def test_kruskal_wallis_coefficient_is_twelve():
 
 
 def test_friedman_perfect_agreement_identity():
-    """agg_friedman_test (plans/r13.py): doubled-rank integer form
+    """agg_friedman_test (plans/r14.py): doubled-rank integer form
     T1 = (k-1)(S' - n^2 k (k+1)^2)/(A' - n k (k+1)^2). Perfect agreement
     (every block ranks treatments identically, no ties) must give the
     published maximum Q = n(k-1), and a hand-ranked mixed case must give
@@ -329,7 +329,7 @@ def test_rich_club_clique_plus_pendant():
 
 
 def test_kaplan_meier_hand_product():
-    """events_survival_km (plans/r13.py): the integer fold
+    """events_survival_km (plans/r14.py): the integer fold
     S' = (2*S*(n-d) + n) div (2*n) must reproduce the hand-computed KM
     product with half-up rounding at each step. Classic small example:
     10 at risk, 2 die at t=2 (S = 0.8); 1 censored before t=4 leaves
@@ -357,11 +357,14 @@ def test_nelson_aalen_hand_sums():
 
 
 def test_logrank_hand_example():
-    """events_survival_logrank (plans/r13.py): hand-derived two-group
+    """events_survival_logrank (plans/r14.py): hand-derived two-group
     example with censoring — group A: death t=3, censored t=5; group B:
     deaths t=2 and t=4. Step terms: e1 = 1/2 + 2/3 + 1/2, v = 1/4 + 2/9
     + 1/4, O1 = 1; chi2 = (O1-E1)^2/V = 0.615385 within per-step
-    half-up slack."""
+    half-up slack. Variance via the documented TWO-STAGE recurrence
+    (q1 = round(1e6*n1*(n-n1)/n), v_t = round(q1*d*(n-d)/(n*(n-1))) —
+    VERDICT r13 #2): on this example it reproduces the same micro
+    values as the one-stage form."""
     # (t, n_t, d_t, n1, d1) per death day, hand-derived
     steps = [(2, 4, 1, 2, 0), (3, 3, 1, 2, 1), (4, 2, 1, 1, 0)]
     o1 = sum(d1 for *_, d1 in steps)
@@ -369,8 +372,14 @@ def test_logrank_hand_example():
         (2 * 10**6 * n1 * d + n) // (2 * n) for _, n, d, n1, _ in steps
     )
     v = sum(
-        (2 * 10**6 * d * n1 * (n - n1) * (n - d) + n * n * (n - 1))
-        // (2 * n * n * (n - 1))
+        (
+            2
+            * d
+            * ((2 * 10**6 * n1 * (n - n1) + n) // (2 * n))
+            * (n - d)
+            + n * (n - 1)
+        )
+        // (2 * n * (n - 1))
         for _, n, d, n1, _ in steps
     )
     assert o1 == 1
@@ -383,7 +392,7 @@ def test_logrank_hand_example():
 
 
 def test_rmst_hand_integration():
-    """events_survival_rmst (plans/r13.py): area under the KM step
+    """events_survival_rmst (plans/r14.py): area under the KM step
     function. Reusing the KM pin example (S: 0.8 at t=2, 0.685714 at
     t=4) with horizon tau=6: RMST = 1*2 + 0.8*2 + 0.685714*2 =
     4.971428 days; median never crosses 0.5 -> -1 sentinel."""

@@ -246,10 +246,13 @@ def test_survival_logrank_matches_python_reference(spark):
         o1 += d1
         e1 += (2 * 10**6 * n1 * d + n) // (2 * n)
         if n > 1:
-            v += (
-                2 * 10**6 * d * n1 * (n - n1) * (n - d)
-                + n * n * (n - 1)
-            ) // (2 * n * n * (n - 1))
+            # two-stage half-up recurrence (VERDICT r13 #2): divide
+            # before the n^4 product accumulates — must mirror the
+            # documented recurrence in plans/r14.py exactly
+            q1 = (2 * 10**6 * n1 * (n - n1) + n) // (2 * n)
+            v += (2 * d * q1 * (n - d) + n * (n - 1)) // (
+                2 * n * (n - 1)
+            )
     delta = 10**6 * o1 - e1
     chi2 = (2 * delta * delta + v) // (2 * v)
     row = QUERIES["events_survival_logrank"].fn(spark, SF).collect()[0]
