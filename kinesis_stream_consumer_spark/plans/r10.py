@@ -2098,125 +2098,6 @@ def audit_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_poisson_bootstrap_ci",
-    """
-    WITH base AS (
-      SELECT CAST(o_orderkey AS VARCHAR) AS k,
-             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-      FROM orders
-    ),
-    bs AS (SELECT unnest(generate_series(0, 31)) AS b),
-    ex AS (
-      SELECT bs.b, base.cents,
-             CAST((md5_number_upper(base.k || ':' || CAST(bs.b AS VARCHAR))
-                   >> 8) AS BIGINT) % 1000000 AS u6
-      FROM base CROSS JOIN bs
-    ),
-    wts AS (
-      SELECT b, cents,
-             CASE WHEN u6 < 367879 THEN 0
-                  WHEN u6 < 735759 THEN 1
-                  WHEN u6 < 919699 THEN 2
-                  WHEN u6 < 981012 THEN 3
-                  WHEN u6 < 996340 THEN 4
-                  ELSE 5 END AS w
-      FROM ex
-    ),
-    res AS (SELECT b, SUM(w) AS wsum, SUM(w * cents) AS wc
-            FROM wts GROUP BY b),
-    means AS (SELECT b, (2 * wc + wsum) // (2 * wsum) AS m FROM res),
-    rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means),
-    pt AS (SELECT COUNT(*) AS n,
-                  (2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS pm
-           FROM base)
-    SELECT CAST(pt.n AS BIGINT) AS n_orders,
-           CAST(pt.pm AS BIGINT) AS point_mean_cents,
-           CAST(SUM(CASE WHEN rn = 2 THEN m END) AS BIGINT)
-             AS boot_lo_cents,
-           CAST(SUM(CASE WHEN rn = 31 THEN m END) AS BIGINT)
-             AS boot_hi_cents,
-           CAST(500 * SUM(CASE WHEN rn IN (16, 17) THEN m END) AS BIGINT)
-             AS boot_median_milli
-    FROM rk CROSS JOIN pt
-    GROUP BY pt.n, pt.pm
-    """,
-    doc="Poisson-bootstrap confidence interval for mean order value — the "
-    "canonical web-scale resampling method (resample multiplicities are "
-    "independent Poisson(1) draws, so no pass ever needs the sample "
-    "size up front and the whole bootstrap is ONE scan). Deterministic "
-    "by construction: replicate b's weight for an order is the inverse "
-    "Poisson CDF evaluated on the md5 parity hash of (orderkey ':' b) "
-    "mod 1e6 — integer thresholds 367879/735759/919699/981012/996340 "
-    "(CDF of Poisson(1) at k=0..4, capped at 5) — identical on both "
-    "engines via md5_number_upper>>8 ≡ md5_u56_le. Per-replicate means "
-    "are exact half-up integer cents over positive sums; the interval "
-    "is ORDER STATISTICS over the 32 replicate means (2nd/31st ≈ 94% "
-    "coverage, median as the exact 500·(m16+m17) milli-cents). The slim "
-    "(key, cents) projection rebalances across cores once (32 md5s per "
-    "row would otherwise pin to the single-row-group scan task); the "
-    "explode-by-32 itself never reaches a shuffle — per-replicate "
-    "aggregates combine map-side into 32 groups, so only 32 rows per "
-    "partition follow the rebalance over the wire (gate-asserted); the "
-    "point estimate crosses as driver literals (k-means-model pattern — "
-    "a one-row cross join would plan as BNLJ).",
-)
-def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_stream_consumer_spark.operators.dedup import md5_u56_le
-
-    # rebalance: 32 md5 hashes per order fuse onto the scan with NO
-    # exchange before the 32-group combine — the single-row-group local
-    # files would pin all that CPU to one task (the CLAUDE.md criterion)
-    o = _t(spark, sf_dir, "orders", rebalance=True)
-    base = o.select(
-        F.col("o_orderkey").cast("string").alias("k"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
-    )
-    pt = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("(2 * sum(cents) + count(*)) div (2 * count(*))").alias("pm"),
-    ).first()
-    n_orders, point_mean = int(pt["n"]), int(pt["pm"])
-    ex = base.select(
-        "k", "cents", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    )
-    u6 = md5_u56_le(
-        F.concat(F.col("k"), F.lit(":"), F.col("b").cast("string"))
-    ) % F.lit(1000000)
-    w = (
-        F.when(u6 < 367879, 0)
-        .when(u6 < 735759, 1)
-        .when(u6 < 919699, 2)
-        .when(u6 < 981012, 3)
-        .when(u6 < 996340, 4)
-        .otherwise(5)
-    )
-    res = (
-        ex.select("b", "cents", w.alias("w"))
-        .groupBy("b")
-        .agg(F.sum("w").alias("wsum"), F.sum(F.col("w") * F.col("cents")).alias("wc"))
-    )
-    means = res.select(
-        "b", F.expr("(2 * wc + wsum) div (2 * wsum)").alias("m")
-    )
-    rk = means.select(
-        "m", "b", F.row_number().over(Window.orderBy("m", "b")).alias("rn")
-    )
-    return rk.agg(
-        F.lit(n_orders).cast("long").alias("n_orders"),
-        F.lit(point_mean).cast("long").alias("point_mean_cents"),
-        F.sum(F.when(F.col("rn") == 2, F.col("m"))).cast("long").alias("boot_lo_cents"),
-        F.sum(F.when(F.col("rn") == 31, F.col("m")))
-        .cast("long")
-        .alias("boot_hi_cents"),
-        (F.lit(500) * F.sum(F.when(F.col("rn").isin(16, 17), F.col("m"))))
-        .cast("long")
-        .alias("boot_median_milli"),
-    )
-
-
-@register(
     "agg_ks_two_sample",
     """
     WITH j AS (
