@@ -30,6 +30,16 @@ window:
   1.25e5*n^3 — the assert clears ~9e10 event rows. Both engines and the
   pure-Python third impl compute the identical two-stage integers.
 
+Also re-enters agg_poisson_bootstrap_ci (from parked r10.py) with the
+single-corpus-execution fix its migrated session-sweep gate exposed,
+and adds five NEW operators: the survival family's reporting surface
+(events_survival_logrank_stratified, events_hazard_ratio_mh with
+Mantel-Haenszel HR + Peto log-HR) and the ordered/binary
+repeated-measures completions (agg_page_trend, agg_cochran_q,
+agg_goodman_kruskal_gamma) — each with oracle, pure-Python third impl
+(tests/test_third_impl_r14.py), textbook pin, and session-sweep shuffle
+gate in the same commit, per the standing rule.
+
 Certified blocks migrate out of the window at the NEXT round's fold by
 moving this module's import to the parked-last section (the
 r10/r11/r12/r13 pattern) — never edit a block after its round's
@@ -1070,3 +1080,871 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("boot_median_milli"),
     )
+
+
+# --- r14: stratified log-rank — controlling for signup-day-of-week -------------
+
+
+@register(
+    "events_survival_logrank_stratified",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd,
+             CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1
+                           ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS g
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT fd % 7 AS s,
+             CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev, g
+      FROM u
+    ),
+    hist3 AS (
+      SELECT s, g, t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1, 2, 3
+    ),
+    full_grid AS (
+      SELECT vals.s, gg.g, vals.t,
+             COALESCE(h.c_all, 0) AS c_all, COALESCE(h.c_d, 0) AS c_d
+      FROM (SELECT DISTINCT s, t FROM hist3) vals
+      CROSS JOIN (SELECT UNNEST([0, 1]) AS g) gg
+      LEFT JOIN hist3 h ON h.s = vals.s AND h.g = gg.g AND h.t = vals.t
+    ),
+    riskg AS (
+      SELECT s, g, t, c_d,
+             CAST(SUM(c_all) OVER (PARTITION BY s, g)
+                  - (SUM(c_all) OVER (PARTITION BY s, g ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_g
+      FROM full_grid
+    ),
+    steps AS (
+      SELECT s, t,
+             SUM(n_g) AS n_t, SUM(c_d) AS d_t,
+             SUM(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS n1,
+             SUM(CASE WHEN g = 1 THEN c_d ELSE 0 END) AS d1
+      FROM riskg GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT SUM(d1) AS o1,
+             SUM((2 * 1000000::HUGEINT * n1 * d_t + n_t)
+                 // (2 * CAST(n_t AS HUGEINT))) AS e1_micro,
+             SUM(CASE WHEN n_t > 1 THEN
+                   (2 * d_t
+                      * ((2 * 1000000::HUGEINT * n1 * (n_t - n1) + n_t)
+                         // (2 * CAST(n_t AS HUGEINT)))
+                      * (n_t - d_t)
+                    + CAST(n_t AS HUGEINT) * (n_t - 1))
+                   // (2 * CAST(n_t AS HUGEINT) * (n_t - 1))
+                 ELSE 0 END) AS v_micro
+      FROM steps WHERE d_t > 0
+    )
+    SELECT CAST(o1 AS BIGINT) AS o1,
+           CAST(e1_micro AS BIGINT) AS e1_micro,
+           CAST(v_micro AS BIGINT) AS v_micro,
+           CAST((2 * (1000000::HUGEINT * o1 - e1_micro)
+                   * (1000000::HUGEINT * o1 - e1_micro)
+                 + v_micro)
+                // (2 * CAST(v_micro AS HUGEINT)) AS BIGINT)
+             AS chi2_micro
+    FROM sums WHERE v_micro > 0
+    """,
+    doc="STRATIFIED log-rank test — the error-heavy-vs-clean conversion "
+    "comparison of events_survival_logrank, controlling for the user's "
+    "signup cohort (stratum = first-event epoch-day mod 7, a "
+    "day-of-week cohort): risk sets, observed/expected deaths and "
+    "hypergeometric variances are computed WITHIN each stratum and the "
+    "per-step micro-integer terms are summed across strata before the "
+    "single chi2 = (Sum(O1-E1))^2 / Sum(V) — the standard adjustment "
+    "that removes confounding a calendar-correlated covariate would "
+    "inject into the unstratified test. Identical per-step two-stage "
+    "half-up variance recurrence as the unstratified row (q1 = "
+    "round(1e6*n1*(n-n1)/n), v_t = round(q1*d*(n-d)/(n*(n-1))) — both "
+    "engines sum IDENTICAL integers; capacity 1.25e5*n^3 asserted from "
+    "the footer count). Scale shape: ONE per-user aggregate touches "
+    "the corpus; the strata x 2 x days grid, per-(stratum, group) risk "
+    "suffix windows and the step sums are all 7x-days-bounded.",
+)
+def events_survival_logrank_stratified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
+
+    n_rows = _table_row_count(sf_dir, "events")
+    # same derivation as events_survival_logrank: stage-2's shifted
+    # numerator peaks at 2*(n^2/4)*(1e6*n/4) = 1.25e5 * n^3 per stratum
+    # step (a stratum's n is <= the global n)
+    assert 125_000 * n_rows**3 < 10**38, (
+        "stratified log-rank arithmetic needs a wider type at this scale"
+    )
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+            F.when(
+                F.sum(
+                    F.when(F.col("et") == "error", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    hist3 = (
+        u.select(
+            (F.col("fd") % 7).alias("s"),
+            F.when(
+                F.col("pd").isNull(), F.col("ld") - F.col("fd")
+            ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+            F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+            "g",
+        )
+        .groupBy("s", "g", "t")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum("ev").cast("long").alias("c_d"),
+        )
+        .localCheckpoint(eager=True)  # 7 x 2 x days cells, read twice
+    )
+    full_grid = (
+        hist3.select("s", "t")
+        .distinct()
+        .select("s", "t", F.explode(F.expr("array(0, 1)")).alias("g"))
+        .join(hist3, ["s", "g", "t"], "left")
+        .select(
+            "s",
+            "g",
+            "t",
+            F.coalesce(F.col("c_all"), F.lit(0)).alias("c_all"),
+            F.coalesce(F.col("c_d"), F.lit(0)).alias("c_d"),
+        )
+    )
+    w_sg = Window.partitionBy("s", "g")
+    w_le = Window.partitionBy("s", "g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    riskg = full_grid.select(
+        "s",
+        "g",
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_sg)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_g"),
+    )
+    steps = riskg.groupBy("s", "t").agg(
+        F.sum("n_g").alias("n_t"),
+        F.sum("c_d").alias("d_t"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_g")).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("g") == 1, F.col("c_d")).otherwise(0)).alias(
+            "d1"
+        ),
+    )
+    row = (
+        steps.where(F.col("d_t") > 0)
+        .agg(
+            F.sum("d1").alias("o1"),
+            F.sum(
+                F.expr(
+                    "(2 * CAST(1000000 AS DECIMAL(38,0)) * n1 * d_t + n_t)"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)))"
+                )
+            ).alias("e1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_t > 1 THEN"
+                    " (2 * d_t"
+                    "    * ((2 * CAST(1000000 AS DECIMAL(38,0)) * n1"
+                    "          * (n_t - n1) + n_t)"
+                    "       div (2 * CAST(n_t AS DECIMAL(38,0))))"
+                    "    * (n_t - d_t)"
+                    "  + CAST(n_t AS DECIMAL(38,0)) * (n_t - 1))"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)) * (n_t - 1))"
+                    " ELSE CAST(0 AS DECIMAL(38,0)) END"
+                )
+            ).alias("v"),
+        )
+        .first()
+    )
+    o1 = int(row["o1"] or 0) if row is not None else 0
+    e1 = int(row["e1"] or 0) if row is not None else 0
+    v = int(row["v"] or 0) if row is not None else 0
+    delta = 10**6 * o1 - e1  # O-E in exact micro-units (signed)
+    return spark.createDataFrame(
+        [(o1, e1, v)], "o1 long, e1_micro long, v_micro long"
+    ).select(
+        "o1",
+        "e1_micro",
+        "v_micro",
+        F.expr(
+            f"CAST((2 * CAST({delta} AS DECIMAL(38,0)) * {delta}"
+            f" + {max(v, 1)}) div (2 * CAST({max(v, 1)} AS DECIMAL(38,0)))"
+            f" AS BIGINT)"
+        ).alias("chi2_micro"),
+    ).where(F.lit(v > 0))
+
+
+# --- r14: Mantel-Haenszel hazard ratio + Peto log-HR ---------------------------
+
+
+@register(
+    "events_hazard_ratio_mh",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld,
+             MIN(CASE WHEN event_type = 'purchase' THEN
+                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                     + 86400000000) % 86400000000))
+                   // 86400000000 END) AS pd,
+             CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1
+                           ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS g
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
+             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev, g
+      FROM u
+    ),
+    hist2 AS (
+      SELECT g, t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
+      FROM d GROUP BY 1, 2
+    ),
+    full_grid AS (
+      SELECT gg.g, vals.t,
+             COALESCE(h.c_all, 0) AS c_all, COALESCE(h.c_d, 0) AS c_d
+      FROM (SELECT DISTINCT t FROM hist2) vals
+      CROSS JOIN (SELECT UNNEST([0, 1]) AS g) gg
+      LEFT JOIN hist2 h ON h.g = gg.g AND h.t = vals.t
+    ),
+    riskg AS (
+      SELECT g, t, c_d,
+             CAST(SUM(c_all) OVER (PARTITION BY g)
+                  - (SUM(c_all) OVER (PARTITION BY g ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING)
+                     - c_all) AS BIGINT) AS n_g
+      FROM full_grid
+    ),
+    steps AS (
+      SELECT t,
+             SUM(n_g) AS n_t, SUM(c_d) AS d_t,
+             SUM(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS n1,
+             SUM(CASE WHEN g = 1 THEN c_d ELSE 0 END) AS d1
+      FROM riskg GROUP BY 1
+    ),
+    sums AS (
+      SELECT SUM((2 * 1000000::HUGEINT * d1 * (n_t - n1) + n_t)
+                 // (2 * CAST(n_t AS HUGEINT))) AS hr_num,
+             SUM((2 * 1000000::HUGEINT * (d_t - d1) * n1 + n_t)
+                 // (2 * CAST(n_t AS HUGEINT))) AS hr_den,
+             SUM(d1) AS o1,
+             SUM((2 * 1000000::HUGEINT * n1 * d_t + n_t)
+                 // (2 * CAST(n_t AS HUGEINT))) AS e1_micro,
+             SUM(CASE WHEN n_t > 1 THEN
+                   (2 * d_t
+                      * ((2 * 1000000::HUGEINT * n1 * (n_t - n1) + n_t)
+                         // (2 * CAST(n_t AS HUGEINT)))
+                      * (n_t - d_t)
+                    + CAST(n_t AS HUGEINT) * (n_t - 1))
+                   // (2 * CAST(n_t AS HUGEINT) * (n_t - 1))
+                 ELSE 0 END) AS v_micro
+      FROM steps WHERE d_t > 0
+    )
+    SELECT CAST(hr_num AS BIGINT) AS hr_num_micro,
+           CAST(hr_den AS BIGINT) AS hr_den_micro,
+           CAST((2 * 1000000::HUGEINT * hr_num + hr_den)
+                // (2 * CAST(hr_den AS HUGEINT)) AS BIGINT) AS hr_mh_micro,
+           CAST((2 * 1000000::HUGEINT * (1000000 * o1 - e1_micro)
+                 + v_micro
+                 + 2 * CAST(v_micro AS HUGEINT) * 1000000000000)
+                // (2 * CAST(v_micro AS HUGEINT)) - 1000000000000
+             AS BIGINT) AS peto_loghr_micro
+    FROM sums WHERE hr_den > 0 AND v_micro > 0
+    """,
+    doc="Mantel-Haenszel hazard-ratio estimate + Peto one-step log-HR "
+    "for the error-heavy-vs-clean conversion comparison — the REPORTING "
+    "companions to events_survival_logrank's hypothesis test (a "
+    "significant chi2 says the curves differ; the HR says by how much). "
+    "HR_MH = Sum_t[d1*(n_t-n1)/n_t] / Sum_t[d0*n1/n_t] — each per-step "
+    "term an exact half-up MICRO integer (the Nelson-Aalen discipline: "
+    "both engines sum identical integers), the final ratio one more "
+    "half-up division; Peto's one-step estimator ln(HR) ~ (O1-E1)/V "
+    "rides the log-rank machinery's exact integers (same two-stage "
+    "variance recurrence) with the SIGNED division taking a 1e12 "
+    "positivity shift (|ln HR| < 1e6 natural units asserted — the "
+    "kappa discipline: floor-vs-truncate divergence is a regime to "
+    "assert, not assume). This pair completes the survival family's "
+    "reporting surface: effect size (HR_MH, Peto log-HR), test "
+    "(log-rank, stratified log-rank), curves (KM), cumulative hazard "
+    "(Nelson-Aalen), summaries (RMST, median). Scale shape: identical "
+    "to the log-rank row — one per-user aggregate, then "
+    "span-days-bounded grids.",
+)
+def events_hazard_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
+
+    n_rows = _table_row_count(sf_dir, "events")
+    # the Peto variance reuses the two-stage log-rank recurrence
+    # (1.25e5 * n^3 worst case); the HR numerator/denominator terms are
+    # 2e6*d*n + n <= 3e6*n^2 — dominated by the variance bound
+    assert 125_000 * n_rows**3 < 10**38, (
+        "hazard-ratio arithmetic needs a wider type at this scale"
+    )
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select(
+            "user_id",
+            F.expr(day).alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("fd"),
+            F.max("day").alias("ld"),
+            F.min(
+                F.when(F.col("et") == "purchase", F.col("day"))
+            ).alias("pd"),
+            F.when(
+                F.sum(
+                    F.when(F.col("et") == "error", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    hist2 = (
+        u.select(
+            F.when(
+                F.col("pd").isNull(), F.col("ld") - F.col("fd")
+            ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
+            F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
+            "g",
+        )
+        .groupBy("g", "t")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum("ev").cast("long").alias("c_d"),
+        )
+        .localCheckpoint(eager=True)  # 2 x days cells, read twice
+    )
+    full_grid = (
+        hist2.select("t")
+        .distinct()
+        .select("t", F.explode(F.expr("array(0, 1)")).alias("g"))
+        .join(hist2, ["g", "t"], "left")
+        .select(
+            "g",
+            "t",
+            F.coalesce(F.col("c_all"), F.lit(0)).alias("c_all"),
+            F.coalesce(F.col("c_d"), F.lit(0)).alias("c_d"),
+        )
+    )
+    w_g = Window.partitionBy("g")
+    w_le = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    riskg = full_grid.select(
+        "g",
+        "t",
+        "c_d",
+        (
+            F.sum("c_all").over(w_g)
+            - (F.sum("c_all").over(w_le) - F.col("c_all"))
+        ).cast("long").alias("n_g"),
+    )
+    steps = riskg.groupBy("t").agg(
+        F.sum("n_g").alias("n_t"),
+        F.sum("c_d").alias("d_t"),
+        F.sum(F.when(F.col("g") == 1, F.col("n_g")).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("g") == 1, F.col("c_d")).otherwise(0)).alias(
+            "d1"
+        ),
+    )
+    row = (
+        steps.where(F.col("d_t") > 0)
+        .agg(
+            F.sum(
+                F.expr(
+                    "(2 * CAST(1000000 AS DECIMAL(38,0)) * d1"
+                    " * (n_t - n1) + n_t)"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)))"
+                )
+            ).alias("hr_num"),
+            F.sum(
+                F.expr(
+                    "(2 * CAST(1000000 AS DECIMAL(38,0)) * (d_t - d1)"
+                    " * n1 + n_t)"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)))"
+                )
+            ).alias("hr_den"),
+            F.sum("d1").alias("o1"),
+            F.sum(
+                F.expr(
+                    "(2 * CAST(1000000 AS DECIMAL(38,0)) * n1 * d_t + n_t)"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)))"
+                )
+            ).alias("e1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_t > 1 THEN"
+                    " (2 * d_t"
+                    "    * ((2 * CAST(1000000 AS DECIMAL(38,0)) * n1"
+                    "          * (n_t - n1) + n_t)"
+                    "       div (2 * CAST(n_t AS DECIMAL(38,0))))"
+                    "    * (n_t - d_t)"
+                    "  + CAST(n_t AS DECIMAL(38,0)) * (n_t - 1))"
+                    " div (2 * CAST(n_t AS DECIMAL(38,0)) * (n_t - 1))"
+                    " ELSE CAST(0 AS DECIMAL(38,0)) END"
+                )
+            ).alias("v"),
+        )
+        .first()
+    )
+    hr_num = int(row["hr_num"] or 0) if row is not None else 0
+    hr_den = int(row["hr_den"] or 0) if row is not None else 0
+    o1 = int(row["o1"] or 0) if row is not None else 0
+    e1 = int(row["e1"] or 0) if row is not None else 0
+    v = int(row["v"] or 0) if row is not None else 0
+    delta = 10**6 * o1 - e1  # signed micro O-E
+    # Peto shift regime (the kappa discipline): |ln HR| must stay below
+    # the 1e12-micro shift, i.e. |delta/v| < 1e6 natural units — any
+    # real effect is |ln HR| < ~20, so this only trips on data bugs
+    if v > 0:
+        assert abs(delta) < 10**6 * v, (
+            "peto log-HR outside the positivity-shift regime"
+        )
+    return spark.createDataFrame(
+        [(hr_num, hr_den)], "hr_num_micro long, hr_den_micro long"
+    ).select(
+        "hr_num_micro",
+        "hr_den_micro",
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * {hr_num}"
+            f" + {max(hr_den, 1)})"
+            f" div (2 * CAST({max(hr_den, 1)} AS DECIMAL(38,0)))"
+            f" AS BIGINT)"
+        ).alias("hr_mh_micro"),
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * {delta}"
+            f" + {max(v, 1)}"
+            f" + 2 * CAST({max(v, 1)} AS DECIMAL(38,0)) * 1000000000000)"
+            f" div (2 * CAST({max(v, 1)} AS DECIMAL(38,0)))"
+            f" - 1000000000000 AS BIGINT)"
+        ).alias("peto_loghr_micro"),
+    ).where(F.lit(hr_den > 0 and v > 0))
+
+
+# --- r14: Page's trend test — within-type weekday activity trend ---------------
+
+
+@register(
+    "agg_page_trend",
+    """
+    WITH obs AS (
+      SELECT event_type AS typ, isodow(ts) AS dow, COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT typ FROM obs),
+    full_grid AS (
+      SELECT t.typ, d.dow, COALESCE(o.x, 0) AS x
+      FROM types t
+      CROSS JOIN (SELECT UNNEST(range(1, 8)) AS dow) d
+      LEFT JOIN obs o ON o.typ = t.typ AND o.dow = d.dow
+    ),
+    tv AS (SELECT typ, x, COUNT(*) AS tot FROM full_grid GROUP BY 1, 2),
+    grid AS (
+      SELECT typ, x,
+             2 * (SUM(tot) OVER (PARTITION BY typ ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) - tot)
+               + tot + 1 AS d2
+      FROM tv
+    ),
+    ranked AS (
+      SELECT f.typ, f.dow, g.d2
+      FROM full_grid f JOIN grid g ON g.typ = f.typ AND g.x = f.x
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM types) AS n,
+             (SELECT SUM(CAST(dow AS HUGEINT) * d2) FROM ranked) AS l2
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(l2 AS BIGINT) AS l2,
+           CAST(n * 7 * 64 // 2 AS BIGINT) AS e2,
+           CAST(l2 - n * 7 * 64 // 2 AS BIGINT) AS l2_minus_e2
+    FROM tot WHERE n > 0
+    """,
+    doc="Page's trend test for an ORDERED alternative in a randomized "
+    "block design: blocks = event types, treatments = the 7 ISO "
+    "weekdays in calendar order — does activity MONOTONICALLY rise (or "
+    "fall) through the week within each type? L = Sum_j j*R_j over "
+    "within-block ranks of the weekday counts; strictly more powerful "
+    "than Friedman when the alternative is monotone — Page is to "
+    "Friedman exactly what Jonckheere-Terpstra is to Kruskal-Wallis, "
+    "completing the ordered-alternative pair on BOTH designs "
+    "(independent groups: KW/JT; related blocks: Friedman/Page). "
+    "Doubled average ranks keep ties integer (the 2x-rank grid "
+    "discipline shared with the Friedman row — same corpus aggregate, "
+    "ranks transposed: within TYPE across weekdays instead of within "
+    "weekday across types); the expectation under H0 is the exact "
+    "integer 2E[L] = n*k*(k+1)^2/2 (k=7 fixed: 224n, unchanged by ties "
+    "since tied average ranks preserve each block's rank sum), so the "
+    "JT reporting discipline applies: exact integers (L2, E2, L2-E2), "
+    "no float variance. Pinned on the perfect-ordering identity "
+    "L = Sum j^2 in the textbook pins. Scale shape: ONE "
+    "map-side-combined (type, dow) aggregate touches the corpus; "
+    "ranking and the L sum run on the 7k-cell grid.",
+)
+def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            F.col("event_type").alias("typ"),
+            (F.weekday("ts") + F.lit(1)).alias("dow"),
+        )
+        .groupBy("typ", "dow")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    obs = obs.localCheckpoint(eager=True)  # types x 7 cells, read twice
+    full_grid = (
+        obs.select("typ")
+        .distinct()
+        .select("typ", F.explode(F.expr("sequence(1, 7)")).alias("dow"))
+        .join(obs, ["typ", "dow"], "left")
+        .select("typ", "dow", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    full_grid = full_grid.localCheckpoint(eager=True)  # read twice
+    tv = full_grid.groupBy("typ", "x").agg(F.count(F.lit(1)).alias("tot"))
+    wo = Window.partitionBy("typ").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = tv.select(
+        "typ",
+        "x",
+        (2 * (F.sum("tot").over(wo) - F.col("tot")) + F.col("tot") + 1).alias(
+            "d2"
+        ),
+    )
+    ranked = full_grid.join(grid, ["typ", "x"]).select("typ", "dow", "d2")
+    row = ranked.agg(
+        F.countDistinct("typ").alias("n"),
+        F.sum(F.expr("CAST(dow AS DECIMAL(38,0)) * d2")).alias("l2"),
+    ).first()
+    n = int(row["n"] or 0) if row is not None else 0
+    l2 = int(row["l2"] or 0) if row is not None else 0
+    e2 = n * 7 * 64 // 2  # n*k*(k+1)^2/2, k=7 — exact (even product)
+    return spark.createDataFrame(
+        [(n, l2, e2, l2 - e2)],
+        "n_blocks long, l2 long, e2 long, l2_minus_e2 long",
+    ).where(F.lit(n > 0))
+
+
+# --- r14: Cochran's Q — binary day-presence homogeneity across types -----------
+
+
+@register(
+    "agg_cochran_q",
+    """
+    WITH cnts AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS typ, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    k_ AS (SELECT COUNT(DISTINCT typ) AS k FROM cnts),
+    tots AS (SELECT d, SUM(c) AS tot FROM cnts GROUP BY 1),
+    obs AS (
+      SELECT cnts.d, cnts.typ
+      FROM cnts JOIN tots ON tots.d = cnts.d CROSS JOIN k_
+      WHERE k_.k * cnts.c > tots.tot
+    ),
+    n_ AS (SELECT COUNT(*) AS n FROM obs),
+    cj AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS sc2
+           FROM (SELECT typ, COUNT(*) AS c FROM obs GROUP BY 1)),
+    ri AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS sr2
+           FROM (SELECT d, COUNT(*) AS c FROM obs GROUP BY 1))
+    SELECT CAST(k AS BIGINT) AS k_treatments,
+           CAST(n AS BIGINT) AS n_present,
+           CAST((2 * 1000000::HUGEINT * (k - 1)
+                   * (k * sc2 - CAST(n AS HUGEINT) * n)
+                 + (CAST(k AS HUGEINT) * n - sr2))
+                // (2 * (CAST(k AS HUGEINT) * n - sr2)) AS BIGINT)
+             AS q_micro
+    FROM k_ CROSS JOIN n_ CROSS JOIN cj CROSS JOIN ri
+    WHERE CAST(k AS HUGEINT) * n > sr2 AND k > 1
+    """,
+    doc="Cochran's Q test for BINARY repeated measures: blocks = "
+    "calendar days, treatments = event types, x_ij = 1 iff type j "
+    "OVERPERFORMED its equal share of day i's events (k*c_ij > day "
+    "total — an exact-integer, scale-invariant indicator; raw "
+    "at-least-once presence saturates to all-ones on any high-volume "
+    "corpus and a fixed count literal would not survive a scale-factor "
+    "change) — do the types differ in how often they run above their "
+    "equal daily share? The k-treatment generalization of McNemar "
+    "(k=2 reduces to it), completing the repeated-measures family "
+    "alongside Friedman (ordinal) and Page (ordered): "
+    "Q = (k-1)*(k*Sum C_j^2 - N^2) / (k*N - Sum R_i^2) with C_j = "
+    "per-type block counts, R_i = per-day present-type counts, N = "
+    "total presences — PURE integers (numerator non-negative by "
+    "Cauchy-Schwarz since Sum C_j = N over k terms; the denominator is "
+    "Sum R_i*(k - R_i), zero only when no day has a strict "
+    "overperformer — R_i = k is impossible since not all k types can "
+    "exceed the day mean), one half-up micro division at the end. "
+    "Pinned on a hand-computed 4x3 presence matrix in the textbook "
+    "pins. Scale shape: ONE map-side-combined (day, type) aggregate "
+    "touches the corpus; the share filter is a days-partitioned window "
+    "over the grid, and k, N and both square sums are grid aggregates "
+    "pulled as driver literals (the kappa pattern).",
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnts = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"),
+            F.col("event_type").alias("typ"),
+        )
+        .groupBy("d", "typ")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # days x types cells, read 4x
+    )
+    k = int(cnts.agg(F.countDistinct("typ")).first()[0] or 0)
+    w_d = Window.partitionBy("d")
+    obs = (
+        cnts.withColumn("tot", F.sum("c").over(w_d))
+        .where(F.lit(k) * F.col("c") > F.col("tot"))
+        .select("d", "typ")
+        .localCheckpoint(eager=True)  # presence cells, read 3x
+    )
+    n = int(obs.agg(F.count(F.lit(1))).first()[0] or 0)
+    crow = (
+        obs.groupBy("typ")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sc2"))
+        .first()
+    )
+    rrow = (
+        obs.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sr2"))
+        .first()
+    )
+    sc2 = int(crow["sc2"] or 0) if crow is not None else 0
+    sr2 = int(rrow["sr2"] or 0) if rrow is not None else 0
+    num = (k - 1) * (k * sc2 - n * n)
+    den = k * n - sr2
+    assert num >= 0, "Cauchy-Schwarz violated: presence arithmetic wrong"
+    # capacity: sc2 <= N^2 so num <= k^2*N^2; N <= days*types (grid
+    # cells, NOT event rows) — trivially inside DECIMAL(38,0) at any
+    # calendar scale, asserted for the discipline
+    assert 2 * 10**6 * max(num, 1) < 10**38
+    return spark.createDataFrame(
+        [(k, n)], "k_treatments long, n_present long"
+    ).select(
+        "k_treatments",
+        "n_present",
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0)) * {num}"
+            f" + {max(den, 1)}) div (2 * CAST({max(den, 1)}"
+            f" AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("q_micro"),
+    ).where(F.lit(den > 0 and k > 1))
+
+
+# --- r14: Goodman-Kruskal gamma — ordinal association without ties -------------
+
+
+@register(
+    "agg_goodman_kruskal_gamma",
+    """
+    WITH j AS (
+      SELECT CAST(SUBSTR(o.o_orderpriority, 1, 1) AS INTEGER) AS gi,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS v
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (SELECT gi, v, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+    ng AS (SELECT gi, SUM(cnt) AS n_g FROM g GROUP BY 1),
+    vals AS (SELECT DISTINCT v FROM g),
+    full_grid AS (
+      SELECT i.gi, vals.v, COALESCE(g.cnt, 0) AS cnt,
+             COALESCE(ng.n_g, 0) AS n_g
+      FROM vals CROSS JOIN (SELECT UNNEST(range(1, 6)) AS gi) i
+      LEFT JOIN g ON g.gi = i.gi AND g.v = vals.v
+      LEFT JOIN ng ON ng.gi = i.gi
+    ),
+    cume AS (
+      SELECT gi, v, cnt, n_g,
+             SUM(cnt) OVER (PARTITION BY gi ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) - cnt AS below
+      FROM full_grid
+    ),
+    pref AS (
+      SELECT gi, v, cnt,
+             SUM(below) OVER (PARTITION BY v ORDER BY gi
+                              ROWS UNBOUNDED PRECEDING) - below AS wb,
+             SUM(cnt) OVER (PARTITION BY v ORDER BY gi
+                            ROWS UNBOUNDED PRECEDING) - cnt AS wc,
+             SUM(n_g) OVER (PARTITION BY v ORDER BY gi
+                            ROWS UNBOUNDED PRECEDING) - n_g AS wn
+      FROM cume
+    ),
+    tot AS (
+      SELECT SUM(CAST(cnt AS HUGEINT) * wb) AS c_pairs,
+             SUM(CAST(cnt AS HUGEINT) * (wn - wb - wc)) AS d_pairs
+      FROM pref
+    )
+    SELECT CAST(c_pairs AS BIGINT) AS c_pairs,
+           CAST(d_pairs AS BIGINT) AS d_pairs,
+           CAST((2 * 1000000::HUGEINT * (c_pairs - d_pairs)
+                 + (c_pairs + d_pairs)
+                 + 2 * (c_pairs + d_pairs) * 2000000)
+                // (2 * (CAST(c_pairs AS HUGEINT) + d_pairs)) - 2000000
+             AS BIGINT) AS gamma_micro
+    FROM tot WHERE c_pairs + d_pairs > 0
+    """,
+    doc="Goodman-Kruskal gamma between order priority (ordinal 1-URGENT "
+    "..5-LOW) and shipping latency: gamma = (C - D)/(C + D) over "
+    "cross-group pairs, EXCLUDING ties — the ordinal-association "
+    "effect size that complements agg_jonckheere_trend's test on the "
+    "same surface (JT answers 'is there a monotone trend'; gamma "
+    "answers 'how strong', in [-1, 1] regardless of marginals — "
+    "Kendall's tau-b divides by geometric tie terms instead and needs "
+    "sqrt; gamma stays pure-integer). NO pair is materialized: on the "
+    "Jonckheere (group x latency) count grid, a pair with x from group "
+    "a < b and value v_b is concordant iff x < v_b (per-group "
+    "below-prefix) and discordant iff x > v_b (group total minus below "
+    "minus equal) — C = Sum cnt_b*Sum_{a<b} below_a, D = Sum cnt_b*"
+    "Sum_{a<b}(n_a - below_a - cnt_a), both exact wide integers from "
+    "ONE corpus-touching aggregate + grid windows (brute-force "
+    "pair-loop third impl at sf0.001). Gamma is SIGNED, so the micro "
+    "division takes the standard 2e6 positivity shift — always in "
+    "regime since |gamma| <= 1 by construction. Capacity asserted from "
+    "footer counts (C, D <= n^2/2).",
+)
+def agg_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import (
+        _bcast_if_small,
+        _table_row_count,
+    )
+
+    n_li = _table_row_count(sf_dir, "lineitem")
+    # shifted numerator: 2e6*|C-D| + (C+D) + 4e6*(C+D) <= ~7e6 * n^2/2
+    assert 4 * 10**6 * n_li * n_li < 10**38, (
+        "gamma arithmetic needs a wider type at this scale"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(
+        _bcast_if_small(
+            orders.select(
+                "o_orderkey",
+                F.expr(
+                    "CAST(SUBSTR(o_orderpriority, 1, 1) AS INT)"
+                ).alias("gi"),
+                "o_orderdate",
+            ),
+            sf_dir,
+            "orders",
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("gi", F.datediff("l_shipdate", "o_orderdate").alias("v"))
+    g = j.groupBy("gi", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    g = g.localCheckpoint(eager=True)  # grid-bounded, read twice
+    ng = g.groupBy("gi").agg(F.sum("cnt").alias("n_g"))
+    full_grid = (
+        g.select("v")
+        .distinct()
+        .select("v", F.explode(F.expr("sequence(1, 5)")).alias("gi"))
+        .join(g, ["gi", "v"], "left")
+        .join(ng, ["gi"], "left")
+        .select(
+            "gi",
+            "v",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.coalesce(F.col("n_g"), F.lit(0)).alias("n_g"),
+        )
+    )
+    wv = Window.partitionBy("gi").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cume = full_grid.select(
+        "gi",
+        "v",
+        "cnt",
+        "n_g",
+        (F.sum("cnt").over(wv) - F.col("cnt")).alias("below"),
+    )
+    wg = Window.partitionBy("v").orderBy("gi").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pref = cume.select(
+        "gi",
+        "v",
+        "cnt",
+        (F.sum("below").over(wg) - F.col("below")).alias("wb"),
+        (F.sum("cnt").over(wg) - F.col("cnt")).alias("wc"),
+        (F.sum("n_g").over(wg) - F.col("n_g")).alias("wn"),
+    )
+    trow = pref.agg(
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * wb")).alias("c_pairs"),
+        F.sum(
+            F.expr("CAST(cnt AS DECIMAL(38,0)) * (wn - wb - wc)")
+        ).alias("d_pairs"),
+    ).first()
+    c_pairs = int(trow["c_pairs"] or 0) if trow is not None else 0
+    d_pairs = int(trow["d_pairs"] or 0) if trow is not None else 0
+    den = max(c_pairs + d_pairs, 1)
+    return spark.createDataFrame(
+        [(c_pairs, d_pairs)], "c_pairs long, d_pairs long"
+    ).select(
+        "c_pairs",
+        "d_pairs",
+        F.expr(
+            f"CAST((2 * CAST(1000000 AS DECIMAL(38,0))"
+            f" * ({c_pairs} - {d_pairs})"
+            f" + {den}"
+            f" + 2 * CAST({den} AS DECIMAL(38,0)) * 2000000)"
+            f" div (2 * CAST({den} AS DECIMAL(38,0)))"
+            f" - 2000000 AS BIGINT)"
+        ).alias("gamma_micro"),
+    ).where(F.lit(c_pairs + d_pairs > 0))

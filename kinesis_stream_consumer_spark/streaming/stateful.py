@@ -401,3 +401,84 @@ def streaming_sessionize(keyed_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_OUT_SCHEMA = (
+    "event_type string, rank int, event_id bigint, value_milli bigint,"
+    " b bigint"
+)
+_TOPK_STATE_SCHEMA = "vals array<bigint>, ids array<bigint>, b bigint"
+_TOPK_K = 5
+
+
+def _update_topk(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of the batch top-k-per-group window (the r13
+    verdict's suggested third keeper): per event type, state is the
+    current top-k (value_milli, event_id) pairs — TWO k-long arrays, so
+    the keeper is bounded-memory forever regardless of stream length.
+    Each batch merges its rows into the kept set and re-emits the full
+    current ranking (update semantics: the latest emission per
+    (event_type, rank) is current; rank order is value_milli DESC,
+    event_id ASC — the batch window's exact comparator, so ties are
+    deterministic). At-least-once replay safe BY CONSTRUCTION: a
+    re-delivered event either is already in the kept set (skipped by
+    the event_id guard) or sits below the kept minimum and loses the
+    sort again — the merge is idempotent. Unlike the sessionize/CUSUM
+    keepers there is NO cross-batch order contract: top-k is
+    order-insensitive, any arrival order converges to the same set."""
+    if state.exists:
+        vals, ids, b = state.get
+        vals, ids = list(vals), list(ids)
+    else:
+        vals, ids, b = [], [], 0
+    b += 1
+    kept = set(ids)
+    chunks = list(pdfs)
+    if chunks:
+        batch = pd.concat(chunks)
+        for v, e in zip(batch["value_milli"], batch["event_id"]):
+            e = int(e)
+            if e in kept:
+                continue  # at-least-once re-delivery of a kept event
+            kept.add(e)
+            vals.append(int(v))
+            ids.append(e)
+    order = sorted(
+        range(len(vals)), key=lambda i: (-vals[i], ids[i])
+    )[:_TOPK_K]
+    vals = [vals[i] for i in order]
+    ids = [ids[i] for i in order]
+    state.update((vals, ids, b))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "rank": r + 1,
+                "event_id": ids[r],
+                "value_milli": vals[r],
+                "b": b,
+            }
+            for r in range(len(ids))
+        ]
+    )
+
+
+def streaming_topk(keyed_stream: DataFrame) -> DataFrame:
+    """Live top-k leaderboard per event type: input rows
+    (event_type, event_id, value_milli) in micro-batches; output the
+    current top-5 ranking of every type a batch touched. Downstream
+    keeps the latest rows per (event_type, rank) — pinned equal to the
+    batch row_number window over the same comparator in
+    tests/test_streaming_sequence.py, including top-k entries that
+    arrive in DIFFERENT micro-batches (the state hand-off). State per
+    type is two 5-long arrays: a billion-event stream holds state
+    linear in TYPES x k, never in events."""
+    return keyed_stream.groupBy("event_type").applyInPandasWithState(
+        _update_topk,
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

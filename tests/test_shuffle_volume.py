@@ -2340,3 +2340,128 @@ def test_survival_rmst_shuffles_users_then_days(spark):
     bound = n_parts * n_users + n_users + 24 * days + 1024
     assert total <= bound
     assert bound < 2 * n_events
+
+
+def test_stratified_logrank_shuffles_users_then_strata_days(spark):
+    """events_survival_logrank_stratified: the log-rank contract with a
+    7-strata factor — one per-user combine touches the corpus, then
+    7 x 2 x span-days frames and driver-literal scalars (session-sweep
+    gated: the result frame is literal)."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
+    before = last_execution_id(spark)
+    QUERIES["events_survival_logrank_stratified"].fn(
+        spark, SF_CORRECT
+    ).collect()
+    total = session_shuffle_records(spark, before)
+    bound = n_parts * n_users + n_users + 7 * 24 * days + 1024
+    assert total <= bound
+    assert bound < 2 * n_events
+
+
+def test_hazard_ratio_shuffles_users_then_days(spark):
+    """events_hazard_ratio_mh: identical wire contract to the log-rank
+    gate — one per-user combine, then 2 x span-days frames."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
+    before = last_execution_id(spark)
+    QUERIES["events_hazard_ratio_mh"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    bound = n_parts * n_users + n_users + 24 * days + 1024
+    assert total <= bound
+    assert bound < 2 * n_events
+
+
+def test_page_trend_shuffles_cell_grid_not_events(spark):
+    """agg_page_trend: the Friedman wire contract transposed — ONE
+    map-side-combined (type, dow) aggregate touches the corpus; every
+    exchange after carries the <= 7k cell grid (driver-literal result,
+    session-sweep gated)."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    cells = 7 * n_types
+    n_parts = ev.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["agg_page_trend"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    bound = n_parts * cells + 12 * cells + 1024
+    assert total <= bound
+    assert bound < n_events
+
+
+def test_cochran_q_shuffles_day_type_grid_only(spark):
+    """agg_cochran_q: ONE map-side-combined (day, type) count aggregate
+    touches the corpus; the share filter is a window over the grid and
+    the square sums are grid aggregates pulled as driver literals."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    days = _events_span_days(ev)
+    cells = days * n_types
+    n_parts = ev.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["agg_cochran_q"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    bound = n_parts * cells + 16 * cells + 1024
+    assert total <= bound
+    assert bound < n_events
+
+
+def test_gamma_shuffles_value_grid_not_pairs(spark):
+    """agg_goodman_kruskal_gamma: the Jonckheere wire contract — order
+    side broadcasts, the (group, latency-day) combine bounds the
+    corpus-touching exchange, all window passes run on the 5 x days
+    grid; NO cross-group pair ever crosses a wire."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    n_li = li.count()
+    grid = 5 * (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .selectExpr("datediff(l_shipdate, o_orderdate) AS v")
+        .distinct()
+        .count()
+    )
+    n_parts = li.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["agg_goodman_kruskal_gamma"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    bound = 2 * n_li + 3 * n_parts * grid + 4096
+    assert total <= bound
+    assert bound < (n_li * n_li) // 100

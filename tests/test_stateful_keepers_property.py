@@ -172,3 +172,65 @@ def test_bigram_keeper_matches_mirror_under_any_batching(
             want[e] = f"{prev}>{t}"
         prev = t
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),  # value
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=5),  # batch count
+    st.lists(st.integers(1, 3), min_size=1, max_size=3),  # chunk sizes
+    st.randoms(use_true_random=False),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_topk_keeper_matches_sorted_mirror_under_any_batching(
+    values, n_batches, sizes, rnd, data
+):
+    """The top-k keeper's kept set after ANY batching / chunk order /
+    duplicate re-delivery must equal the top-5 of the full stream under
+    the batch comparator (value DESC, event_id ASC) — top-k is
+    order-insensitive, so unlike the sessionize keeper there is no
+    source-order contract to respect and the property quantifies over
+    arbitrary splits AND re-deliveries."""
+    from kinesis_stream_consumer_spark.streaming.stateful import (
+        _TOPK_K,
+        _update_topk,
+    )
+
+    events = [(i + 1, v[0]) for i, v in enumerate(values)]
+    # arbitrary split into batches + re-deliver a random prefix of some
+    # earlier batch (at-least-once)
+    batches = [[] for _ in range(n_batches)]
+    for e in events:
+        batches[data.draw(st.integers(0, n_batches - 1))].append(e)
+    if events and n_batches > 1:
+        src = data.draw(st.integers(0, n_batches - 2))
+        if batches[src]:
+            batches[src + 1] = batches[src][:2] + batches[src + 1]
+    state = FakeState()
+    out = None
+    for batch in batches:
+        pdf = pd.DataFrame(
+            [{"event_id": e, "value_milli": v} for e, v in batch],
+            columns=["event_id", "value_milli"],
+        )
+        out = list(
+            _update_topk(("t",), iter(_chunked(pdf, sizes, rnd)), state)
+        )
+    want = sorted(events, key=lambda ev: (-ev[1], ev[0]))[:_TOPK_K]
+    got_state = list(zip(state.get[1], state.get[0]))  # (id, val)
+    assert got_state == [(e, v) for e, v in want]
+    # and the last emission is the ranked frame of the same set
+    rows = [
+        (int(r.rank), int(r.event_id), int(r.value_milli))
+        for df in out
+        for r in df.itertuples(index=False)
+    ]
+    assert rows == [
+        (i + 1, e, v) for i, (e, v) in enumerate(want)
+    ]

@@ -410,3 +410,99 @@ def test_rmst_hand_integration():
     # and a crossing curve: S hits 0.4 at t=3 -> median 3
     curve2 = [(1, 700_000), (3, 400_000)]
     assert min((t for t, s in curve2 if s <= 500_000), default=-1) == 3
+
+
+def test_stratified_logrank_two_identical_strata():
+    """events_survival_logrank_stratified (plans/r14.py): two identical
+    strata, each the unstratified hand example — the summed integers
+    must double, and chi2 = (2*delta)^2/(2*V) must stay within per-step
+    half-up slack of the float reference 16/13 = 1.230769 (two copies
+    of the same evidence halve the variance share per unit of O-E)."""
+    steps = [(2, 4, 1, 2, 0), (3, 3, 1, 2, 1), (4, 2, 1, 1, 0)]
+    o1 = e1 = v = 0
+    for _ in range(2):  # two strata, identical step sets
+        for _, n, d, n1, d1 in steps:
+            o1 += d1
+            e1 += (2 * 10**6 * n1 * d + n) // (2 * n)
+            q1 = (2 * 10**6 * n1 * (n - n1) + n) // (2 * n)
+            v += (2 * d * q1 * (n - d) + n * (n - 1)) // (
+                2 * n * (n - 1)
+            )
+    assert o1 == 2
+    assert e1 == 2 * (500_000 + 666_667 + 500_000)
+    assert v == 2 * (250_000 + 222_222 + 250_000)
+    delta = 10**6 * o1 - e1
+    chi2 = (2 * delta * delta + v) // (2 * v)
+    assert abs(chi2 - round((16 / 13) * 10**6)) <= 6
+
+
+def test_hazard_ratio_mh_hand_example():
+    """events_hazard_ratio_mh (plans/r14.py): on the log-rank hand
+    example, HR_MH = Sum[d1*n0/n] / Sum[d0*n1/n] = (1/3)/(1/2 + 1/2) =
+    1/3, and Peto ln(HR) ~ (O1-E1)/V = (1 - 5/3)/(13/18) = -0.923077
+    — both reproduced by the integer recurrences within per-step
+    half-up slack."""
+    steps = [(2, 4, 1, 2, 0), (3, 3, 1, 2, 1), (4, 2, 1, 1, 0)]
+    hr_num = hr_den = o1 = e1 = v = 0
+    for _, n, d, n1, d1 in steps:
+        hr_num += (2 * 10**6 * d1 * (n - n1) + n) // (2 * n)
+        hr_den += (2 * 10**6 * (d - d1) * n1 + n) // (2 * n)
+        o1 += d1
+        e1 += (2 * 10**6 * n1 * d + n) // (2 * n)
+        q1 = (2 * 10**6 * n1 * (n - n1) + n) // (2 * n)
+        v += (2 * d * q1 * (n - d) + n * (n - 1)) // (2 * n * (n - 1))
+    assert hr_num == 333_333  # 1/3: only the t=3 death is in group 1
+    assert hr_den == 500_000 + 500_000  # d0*n1/n at t=2 and t=4
+    hr = (2 * 10**6 * hr_num + hr_den) // (2 * hr_den)
+    assert abs(hr - 333_333) <= 1
+    delta = 10**6 * o1 - e1
+    shift = 10**12
+    peto = (2 * 10**6 * delta + v + 2 * v * shift) // (2 * v) - shift
+    assert abs(peto - round(-0.9230769 * 10**6)) <= 3
+
+
+def test_page_trend_perfect_and_flat_orderings():
+    """agg_page_trend (plans/r14.py): a single block with strictly
+    increasing weekday counts gives the perfect-ordering identity
+    L = Sum j^2 = 140 (doubled: 280); an all-tied block gives exactly
+    the null expectation E[2L] = k(k+1)^2/2 = 224."""
+    # strictly increasing: rank of weekday j is j, d2 = 2j
+    l2 = sum(j * 2 * j for j in range(1, 8))
+    assert l2 == 280
+    assert 280 - 224 == 56  # max positive trend excess
+    # all tied: every d2 = 2*(0) + (7-1) + 2 = 8 (avg rank 4 doubled)
+    l2_flat = sum(j * 8 for j in range(1, 8))
+    assert l2_flat == 224  # == e2: zero trend signal
+
+
+def test_cochran_q_hand_matrix():
+    """agg_cochran_q (plans/r14.py): the 4-block 3-treatment presence
+    matrix [[1,1,0],[1,1,0],[1,1,1],[0,1,0]] has C=(3,4,1), R=(2,2,3,1),
+    N=8: Q = (k-1)(k*SumC^2 - N^2)/(kN - SumR^2) = 2*14/6 = 4.666667."""
+    mat = [(1, 1, 0), (1, 1, 0), (1, 1, 1), (0, 1, 0)]
+    k = 3
+    n = sum(sum(r) for r in mat)
+    sc2 = sum(sum(r[j] for r in mat) ** 2 for j in range(k))
+    sr2 = sum(sum(r) ** 2 for r in mat)
+    num = (k - 1) * (k * sc2 - n * n)
+    den = k * n - sr2
+    assert (num, den) == (28, 6)
+    assert (2 * 10**6 * num + den) // (2 * den) == 4_666_667
+
+
+def test_gamma_hand_pairs():
+    """agg_goodman_kruskal_gamma (plans/r14.py): g1=[1,2] vs g2=[2,3]
+    has C=3, D=0, one tie excluded -> gamma = +1; g1=[3] vs g2=[1] has
+    D=1 -> gamma = -1 (exercises the signed positivity shift); g1=[1,3]
+    vs g2=[2] balances C=D=1 -> gamma = 0."""
+    shift = 2_000_000
+
+    def gamma_micro(c, d):
+        den = c + d
+        return (
+            2 * 10**6 * (c - d) + den + 2 * den * shift
+        ) // (2 * den) - shift
+
+    assert gamma_micro(3, 0) == 1_000_000
+    assert gamma_micro(0, 1) == -1_000_000
+    assert gamma_micro(1, 1) == 0
