@@ -50,7 +50,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "text_quality",
+    # text_quality rotated OUT in r14 (see ROTATED_OUT below; text
+    # representation stays via llm_prep_pipeline — which contains the
+    # quality-scoring stage — and text_jsd_source_divergence)
     "llm_prep_pipeline",
     "sim_topk_bruteforce",
     "sim_kmeans_cells",
@@ -96,6 +98,12 @@ HEADLINE = [
     # certified streaming-window entry whose spread streaming_session_window
     # already covers) rotates OUT. Count stays 29.
     "events_survival_km",
+    # r14 ROTATION: the stratified log-rank — the round's marquee (the
+    # full survival machinery per stratum: 7 x 2 x days risk grids,
+    # two-stage integer variance, one corpus-touching per-user combine)
+    # — rotates IN; text_quality rotates OUT per the note above. Count
+    # stays 29.
+    "events_survival_logrank_stratified",
 ]
 
 # Rotated-out entries are STILL TIMED (not part of `value`): the frozen
@@ -105,6 +113,7 @@ HEADLINE = [
 ROTATED_OUT = [
     "scalar_datetime_json",  # r12: member of R8/R9/R10 sets
     "streaming_tumbling_window",  # r13: member of R7/R8/R9/R10 sets
+    "text_quality",  # r14: member of R7/R8/R9/R10 sets
 ]
 
 

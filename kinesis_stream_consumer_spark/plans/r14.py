@@ -1948,3 +1948,250 @@ def agg_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - 2000000 AS BIGINT)"
         ).alias("gamma_micro"),
     ).where(F.lit(c_pairs + d_pairs > 0))
+
+
+# --- r14: Holt linear smoothing — the 2-component sequential fold --------------
+
+# DuckDB-side packing for the (level, trend) accumulator: both signed,
+# offset by 2^61 and packed into one HUGEINT with a 2^62 field — the KM
+# technique extended to TWO state components. Spark needs no packing:
+# F.aggregate's accumulator is a named_struct. Half-up steps on SIGNED
+# numerators use the standard positivity shift (hu(n,d) = (2n + d +
+# 2dS) intdiv (2d) - S with S = 2^50): MEASURED on this box, DuckDB
+# 1.0.0's integer `//` TRUNCATES toward zero exactly like Spark's
+# `div` (SELECT (-115)::HUGEINT // 10 = -11, not -12), so an unshifted
+# signed step would round-toward-zero on BOTH engines — agreeing with
+# each other but computing the wrong statistic (floor(x+1/2) is the
+# documented rounding). The shift makes every numerator positive, where
+# truncate == floor on both engines AND matches the pure-Python floor
+# third impl.
+_HOLT_OFF = 1 << 61
+_HOLT_F = 1 << 62
+_HOLT_S = 1 << 50
+
+
+@register(
+    "ts_holt_linear",
+    f"""
+    WITH series AS (
+      SELECT (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                               + 86400000000) % 86400000000))
+             // 86400000000 AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    days AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM series
+    ),
+    arr AS (SELECT list(y ORDER BY day) AS a FROM days),
+    seed AS (
+      SELECT ((a[1] + {_HOLT_OFF}::HUGEINT) * {_HOLT_F}
+              + (a[2] - a[1] + {_HOLT_OFF})) AS s0
+      FROM arr
+    ),
+    curve AS (
+      SELECT day, y, rn,
+             list_reduce(
+               list_prepend((SELECT s0 FROM seed),
+                            (SELECT a FROM arr)[2:days.rn]),
+               (acc, x) ->
+                 ((2 * (x + 4 * (acc // {_HOLT_F} - {_HOLT_OFF}
+                                 + acc % {_HOLT_F} - {_HOLT_OFF}))
+                   + 5 + {10 * _HOLT_S})
+                  // 10 - {_HOLT_S} + {_HOLT_OFF}::HUGEINT)
+                 * {_HOLT_F}
+                 + ((2 * ((2 * (x + 4 * (acc // {_HOLT_F} - {_HOLT_OFF}
+                                         + acc % {_HOLT_F}
+                                         - {_HOLT_OFF}))
+                           + 5 + {10 * _HOLT_S}) // 10 - {_HOLT_S}
+                          - (acc // {_HOLT_F} - {_HOLT_OFF})
+                          + 9 * (acc % {_HOLT_F} - {_HOLT_OFF}))
+                     + 10 + {20 * _HOLT_S})
+                    // 20 - {_HOLT_S} + {_HOLT_OFF})
+             ) AS st
+      FROM days
+    )
+    SELECT CAST(day AS BIGINT) AS t_day,
+           CAST(y AS BIGINT) AS y_cents,
+           CAST(st // {_HOLT_F} - {_HOLT_OFF} AS BIGINT)
+             AS level_cents,
+           CAST(st % {_HOLT_F} - {_HOLT_OFF} AS BIGINT)
+             AS trend_cents
+    FROM curve
+    WHERE (SELECT COUNT(*) FROM days) >= 2
+    ORDER BY t_day
+    """,
+    doc="Holt's linear (double-exponential) smoothing of the daily "
+    "revenue series with alpha = 1/5, beta = 1/10 — the INFINITE-memory "
+    "trend smoother (window_ewma_smoothing is the truncated-window "
+    "approximation; this is the true recurrence): l_t = "
+    "round((y_t + 4*(l+b))/5), b_t = round((l_t - l + 9*b)/10), seeded "
+    "l_1 = y_1, b_1 = y_2 - y_1, rounding floor(x + 1/2) per step. A "
+    "sequential TWO-component recurrence, run as the KM-style "
+    "cross-engine fold: Spark F.aggregate with a named_struct "
+    "accumulator (no packing; the l' formula is inlined twice in the "
+    "lambda because HOF lambdas have no let-binding); DuckDB "
+    "list_reduce with the accumulator packed into one HUGEINT (2^62 "
+    "field, 2^61 offset — both components SIGNED, the extension past "
+    "KM's positive-only state) and the seed prepended. The state is "
+    "signed, and integer division TRUNCATES toward zero on BOTH "
+    "engines (measured: DuckDB 1.0.0 (-115)::HUGEINT // 10 = -11 — "
+    "its integer `//` is NOT floor), so every half-up step takes the "
+    "standard positivity shift (+2dS before the divide, -S after, "
+    "S = 2^50) — the spearman_bp discipline applied INSIDE a fold "
+    "lambda for the first time. Capacity: |level|, |trend| < 2^50 "
+    "cents asserted via the max |daily total| < 2^40 driver check "
+    "(exponential smoothing of a bounded series is bounded). Pinned "
+    "against the hand recurrence on perfect-trend and falling series "
+    "(where unshifted truncation diverges from the documented floor "
+    "half-up). Scale shape: ONE map-side-combined per-day aggregate "
+    "touches the corpus; the O(D^2) per-day folds run on the "
+    "span-days frame (calendar-bounded — the KM argument).",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    series = (
+        ev.select(
+            F.expr(day).alias("day"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("y"))
+        .localCheckpoint(eager=True)  # span-days-bounded, read twice
+    )
+    row = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("y"))).alias("m"),
+    ).first()
+    n_days = int(row["n"] or 0) if row is not None else 0
+    max_y = int(row["m"] or 0) if row is not None else 0
+    if n_days < 2:
+        return spark.createDataFrame(
+            [],
+            "t_day long, y_cents long, level_cents long, trend_cents long",
+        )
+    # positivity-shift regime: |level|, |trend| stay within a small
+    # multiple of max |y| (exponential smoothing is a stable filter),
+    # so bounding the series bounds the state far below S = 2^50
+    assert max_y < (1 << 40), (
+        "holt arithmetic needs a wider shift at this magnitude"
+    )
+    # l' inlined twice (Spark HOF lambdas have no let-binding); signed
+    # half-up via the positivity shift: (2n + d + 2dS) div (2d) - S
+    lp = (
+        f"((2 * (x.y + 4 * (acc.l + acc.b)) + 5 + {10 * _HOLT_S}L)"
+        f" div 10 - {_HOLT_S}L)"
+    )
+    fold = (
+        f"aggregate("
+        f" slice(s, 2, pos),"
+        f" named_struct('l', s[0].y, 'b', s[1].y - s[0].y),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {lp},"
+        f"   'b', (2 * ({lp} - acc.l + 9 * acc.b) + 10"
+        f"         + {20 * _HOLT_S}L) div 20 - {_HOLT_S}L))"
+    )
+    arr = series.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day").alias("d"), "y"))
+        ).alias("s")
+    )
+    return (
+        arr.select(F.posexplode("s").alias("pos", "el"), "s")
+        .select(
+            F.col("el.d").cast("long").alias("t_day"),
+            F.col("el.y").cast("long").alias("y_cents"),
+            F.expr(fold + ".l").cast("long").alias("level_cents"),
+            F.expr(fold + ".b").cast("long").alias("trend_cents"),
+        )
+        .orderBy("t_day")
+    )
+
+
+# --- r14: mean-excess curve — the EVT tail diagnostic --------------------------
+
+
+@register(
+    "events_mean_excess_curve",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    hist AS (SELECT y AS u, COUNT(*) AS c FROM daily GROUP BY 1),
+    cum AS (
+      SELECT u,
+             SUM(c) OVER ()
+               - SUM(c) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING)
+               AS n_gt,
+             SUM(CAST(u AS HUGEINT) * c) OVER ()
+               - SUM(CAST(u AS HUGEINT) * c)
+                   OVER (ORDER BY u ROWS UNBOUNDED PRECEDING)
+               AS s_gt
+      FROM hist
+    )
+    SELECT CAST(u AS BIGINT) AS threshold_cents,
+           CAST(n_gt AS BIGINT) AS n_exceed,
+           CAST((2 * 1000000::HUGEINT * (s_gt - CAST(u AS HUGEINT) * n_gt)
+                 + n_gt)
+                // (2 * CAST(n_gt AS HUGEINT)) AS BIGINT)
+             AS mean_excess_micro
+    FROM cum WHERE n_gt > 0 ORDER BY threshold_cents
+    """,
+    doc="Mean-excess (mean residual life) curve of daily revenue — the "
+    "standard extreme-value-theory tail diagnostic: e(u) = E[Y - u | "
+    "Y > u] for every realized threshold u; a linear-in-u mean excess "
+    "is the GPD-tail signature (rising slope = heavy tail, flat = "
+    "exponential, falling = short tail), which is how a pipeline "
+    "decides whether peak-load provisioning can extrapolate from "
+    "observed days. NO per-threshold subset is ever built (the "
+    "rich-club technique on a value axis): the daily-total histogram "
+    "gives suffix counts n_>u and suffix sums S_>u by two windows over "
+    "the distinct-value frame, and e(u) = (S_>u - u*n_>u)/n_>u exact "
+    "half-up micro-cents. Scale shape: ONE map-side-combined per-day "
+    "aggregate touches the corpus; the histogram and suffix windows "
+    "run on the distinct-daily-total frame (span-days-bounded).",
+)
+def events_mean_excess_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"),
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("y"))
+    )
+    hist = daily.groupBy(F.col("y").alias("u")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_le = Window.orderBy("u").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    su = F.expr("CAST(u AS DECIMAL(38,0)) * c")
+    cum = hist.select(
+        "u",
+        (F.sum("c").over(w_all) - F.sum("c").over(w_le)).alias("n_gt"),
+        (F.sum(su).over(w_all) - F.sum(su).over(w_le)).alias("s_gt"),
+    )
+    return (
+        cum.where(F.col("n_gt") > 0)
+        .select(
+            F.col("u").cast("long").alias("threshold_cents"),
+            F.col("n_gt").cast("long").alias("n_exceed"),
+            F.expr(
+                "CAST((2 * CAST(1000000 AS DECIMAL(38,0))"
+                " * (s_gt - CAST(u AS DECIMAL(38,0)) * n_gt) + n_gt)"
+                " div (2 * CAST(n_gt AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("mean_excess_micro"),
+        )
+        .orderBy("threshold_cents")
+    )

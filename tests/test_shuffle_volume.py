@@ -2465,3 +2465,44 @@ def test_gamma_shuffles_value_grid_not_pairs(spark):
     bound = 2 * n_li + 3 * n_parts * grid + 4096
     assert total <= bound
     assert bound < (n_li * n_li) // 100
+
+
+def test_holt_linear_shuffles_daily_grain_only(spark):
+    """ts_holt_linear: ONE map-side-combined per-day aggregate touches
+    the corpus; the checkpointed day series, the collect_list fold frame
+    and the posexplode output are all span-days-bounded (session-sweep
+    gated: the series build and count run internal executions)."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
+    before = last_execution_id(spark)
+    QUERIES["ts_holt_linear"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    bound = days * (max(n_parts, 1) + 8) + 256
+    assert total <= bound
+    assert total < n_events / 10
+
+
+def test_mean_excess_shuffles_daily_histogram_only(spark):
+    """events_mean_excess_curve: one per-day combine + the distinct
+    daily-total histogram and its suffix windows — nothing event-scaled
+    crosses a wire after the first exchange."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
+    out = QUERIES["events_mean_excess_curve"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    bound = days * (max(n_parts, 1) + 8) + 256
+    assert s["shuffle_records"] <= bound
+    assert s["shuffle_records"] < n_events / 10

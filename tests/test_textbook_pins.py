@@ -506,3 +506,49 @@ def test_gamma_hand_pairs():
     assert gamma_micro(3, 0) == 1_000_000
     assert gamma_micro(0, 1) == -1_000_000
     assert gamma_micro(1, 1) == 0
+
+
+def test_holt_linear_hand_recurrences():
+    """ts_holt_linear (plans/r14.py): alpha=1/5, beta=1/10 integer
+    recurrences. Perfect-trend series [10,12,14,16] must stay ON trend
+    (level = y, trend = 2 forever — Holt is exact on linear data); a
+    falling series exercises SIGNED floor-half-up, where Spark's
+    truncating div would diverge from DuckDB's floor without the pmod
+    discipline: hu(-7/10) = floor(-0.7 + 0.5) = -1 and hu(-5/10) = 0."""
+
+    def hu(num, den):
+        return (2 * num + den) // (2 * den)
+
+    ys = [10, 12, 14, 16]
+    lvl, tr = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        nl = hu(y + 4 * (lvl + tr), 5)
+        tr = hu(nl - lvl + 9 * tr, 10)
+        lvl = nl
+        assert (lvl, tr) == (y, 2)
+    # signed half-up identities the fold relies on
+    assert hu(-7, 10) == -1  # -0.7 -> -1 (floor(x + 1/2))
+    assert hu(-5, 10) == 0  # -0.5 -> 0
+    assert hu(5, 10) == 1  # +0.5 -> 1
+    # falling series: trend goes negative and stays exact
+    ys2 = [20, 15, 10, 5]
+    lvl, tr = ys2[0], ys2[1] - ys2[0]
+    for y in ys2[1:]:
+        nl = hu(y + 4 * (lvl + tr), 5)
+        tr = hu(nl - lvl + 9 * tr, 10)
+        lvl = nl
+    assert (lvl, tr) == (5, -5)
+
+
+def test_mean_excess_hand_curve():
+    """events_mean_excess_curve (plans/r14.py): values [1,2,3,4] give
+    e(1) = mean(1,2,3) = 2, e(2) = mean(1,2) = 1.5, e(3) = 1; u=4 has
+    no exceedances and is filtered."""
+    ys = [1, 2, 3, 4]
+    out = {}
+    for u in sorted(set(ys)):
+        ex = [y - u for y in ys if y > u]
+        if ex:
+            n = len(ex)
+            out[u] = (2 * 10**6 * sum(ex) + n) // (2 * n)
+    assert out == {1: 2_000_000, 2: 1_500_000, 3: 1_000_000}

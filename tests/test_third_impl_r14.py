@@ -7,6 +7,7 @@ in test_textbook_pins.py (the Kruskal-Wallis lesson)."""
 
 from __future__ import annotations
 
+import math
 from collections import Counter, defaultdict
 
 import pyarrow.parquet as pq
@@ -221,3 +222,61 @@ def test_gamma_matches_python_bruteforce_pairs(spark):
     assert row["c_pairs"] == c
     assert row["d_pairs"] == d
     assert row["gamma_micro"] == gamma
+
+
+def test_holt_linear_matches_python_reference(spark):
+    ev = _tbl("events")
+    daily: Counter = Counter()
+    for ts, v in zip(ev["ts"], ev["value"]):
+        # epoch day, matching the engine-side day numbering (the output
+        # carries t_day, so the numbering must MATCH, not just deltas)
+        day = ts.date().toordinal() - 719163
+        daily[day] += math.floor(v * 100 + 0.5)  # exact FLOOR mirror
+    days = sorted(daily)
+    assert len(days) >= 2
+    ys = [daily[d] for d in days]
+
+    def hu(num, den):  # floor(x + 1/2) for positive den, any-sign num
+        return (2 * num + den) // (2 * den)
+
+    lvl, tr = ys[0], ys[1] - ys[0]
+    want = [(days[0], ys[0], lvl, tr)]
+    for d, y in zip(days[1:], ys[1:]):
+        nl = hu(y + 4 * (lvl + tr), 5)
+        tr = hu(nl - lvl + 9 * tr, 10)
+        lvl = nl
+        want.append((d, y, lvl, tr))
+    got = [
+        (r["t_day"], r["y_cents"], r["level_cents"], r["trend_cents"])
+        for r in QUERIES["ts_holt_linear"]
+        .fn(spark, SF)
+        .orderBy("t_day")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_mean_excess_matches_python_reference(spark):
+    ev = _tbl("events")
+    daily: Counter = Counter()
+    for ts, v in zip(ev["ts"], ev["value"]):
+        daily[ts.date()] += math.floor(v * 100 + 0.5)  # FLOOR mirror
+    ys = sorted(daily.values())
+    want = []
+    for u in sorted(set(ys)):
+        exceed = [y for y in ys if y > u]
+        if not exceed:
+            continue
+        n = len(exceed)
+        s = sum(exceed)
+        me = (2 * 10**6 * (s - u * n) + n) // (2 * n)
+        want.append((u, n, me))
+    got = [
+        (r["threshold_cents"], r["n_exceed"], r["mean_excess_micro"])
+        for r in QUERIES["events_mean_excess_curve"]
+        .fn(spark, SF)
+        .orderBy("threshold_cents")
+        .collect()
+    ]
+    assert got == want
+    assert len(want) > 0
