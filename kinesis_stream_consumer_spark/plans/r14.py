@@ -2195,3 +2195,305 @@ def events_mean_excess_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_cents")
     )
+
+
+# --- r14: mean cumulative function — recurrent-event rate with staggered entry -
+
+
+@register(
+    "events_recurrent_mcf",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS fd,
+             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                                   + 86400000000) % 86400000000))
+                 // 86400000000) AS ld
+      FROM events GROUP BY 1
+    ),
+    deltas AS (
+      SELECT fd AS day, 1 AS delta FROM u
+      UNION ALL
+      SELECT ld + 1, -1 FROM u
+    ),
+    purch AS (
+      SELECT (epoch_us(ts) - ((epoch_us(ts) % 86400000000
+                               + 86400000000) % 86400000000))
+             // 86400000000 AS day,
+             COUNT(*) AS d
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    axis AS (
+      SELECT day, SUM(delta) AS delta, CAST(0 AS BIGINT) AS d FROM deltas
+      GROUP BY 1
+      UNION ALL
+      SELECT day, 0, d FROM purch
+    ),
+    merged AS (
+      SELECT day, SUM(delta) AS delta, SUM(d) AS d
+      FROM axis GROUP BY 1
+    ),
+    risk AS (
+      SELECT day, d,
+             SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS n_risk
+      FROM merged
+    ),
+    steps AS (
+      SELECT day, d, n_risk,
+             (2 * 1000000 * d + n_risk) // (2 * n_risk) AS h_micro
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(day AS BIGINT) AS t_day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(h_micro AS BIGINT) AS rate_micro,
+           CAST(SUM(h_micro) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS mcf_micro
+    FROM steps ORDER BY t_day
+    """,
+    doc="Mean cumulative function (Nelson-Aalen for RECURRENT events) of "
+    "purchases per user-at-risk by calendar day, with STAGGERED "
+    "entry/exit: users enter the risk set at their first observed day "
+    "and leave after their last, so the denominator n(s) is the count "
+    "of users whose observation window covers day s — the estimand "
+    "naive purchases-per-user-per-day gets wrong when the panel is "
+    "unbalanced (late joiners would dilute early rates). MCF(t) = "
+    "Sum_{s<=t} d(s)/n(s) over purchase days, each step an exact "
+    "half-up MICRO integer cumulated by a plain window (the "
+    "Nelson-Aalen discipline — both engines sum identical integers, "
+    "parity exact by construction; all quantities non-negative, no "
+    "shift needed). The risk set is NEVER materialized per day: "
+    "entry/exit become a DIFFERENCE ARRAY (+1 at first day, -1 after "
+    "last) and n(s) is its prefix sum over the merged day axis — the "
+    "classic sweep, new to the suite (KM/log-rank risk sets are "
+    "duration-indexed suffix sums; this one is calendar-indexed with "
+    "both ends staggered). Completes the survival family for repeated "
+    "events: single-event (KM/NA/log-rank/RMST), recurrent (MCF). "
+    "Scale shape: ONE per-user aggregate + ONE filtered per-day "
+    "aggregate touch the corpus; the difference array, merge and "
+    "windows all run on span-days-bounded frames.",
+)
+def events_recurrent_mcf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = (
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+        " div 86400000000"
+    )
+    u = (
+        ev.select("user_id", F.expr(day).alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("fd"), F.max("day").alias("ld"))
+    )
+    deltas = u.select(
+        F.col("fd").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        u.select((F.col("ld") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.expr(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    axis = (
+        deltas.groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+        .select("day", "delta", F.lit(0).cast("long").alias("d"))
+        .unionByName(
+            purch.select(
+                "day", F.lit(0).alias("delta"), F.col("d").cast("long")
+            )
+        )
+    )
+    merged = axis.groupBy("day").agg(
+        F.sum("delta").alias("delta"), F.sum("d").alias("d")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    risk = merged.select(
+        "day", "d", F.sum("delta").over(w).alias("n_risk")
+    )
+    steps = risk.where(F.col("d") > 0).select(
+        "day",
+        "d",
+        "n_risk",
+        F.expr("(2 * 1000000 * d + n_risk) div (2 * n_risk)").alias(
+            "h_micro"
+        ),
+    )
+    wm = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        F.col("day").cast("long").alias("t_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("h_micro").cast("long").alias("rate_micro"),
+        F.sum("h_micro").over(wm).cast("long").alias("mcf_micro"),
+    ).orderBy("t_day")
+
+
+# --- r14: Ansari-Bradley scale test — latency dispersion urgent vs low ---------
+
+
+@register(
+    "agg_ansari_bradley",
+    """
+    WITH j AS (
+      SELECT CAST(SUBSTR(o.o_orderpriority, 1, 1) AS INTEGER) AS gi,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS v
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE SUBSTR(o.o_orderpriority, 1, 1) IN ('1', '5')
+    ),
+    g AS (
+      SELECT v,
+             SUM(CASE WHEN gi = 1 THEN 1 ELSE 0 END) AS c1,
+             COUNT(*) AS c
+      FROM j GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c1) AS na, SUM(c) AS n FROM g),
+    grid AS (
+      SELECT v, c1, c,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+               AS below
+      FROM g
+    ),
+    scores AS (
+      SELECT c1, c,
+             -- S = sum of AB scores min(r, N+1-r) over the tie range
+             -- [below+1, below+c], split at h = (N+1) div 2: ascending
+             -- triangle up to h, descending after — both closed-form
+             -- arithmetic series (products of consecutive ints, /2
+             -- exact)
+             (CASE WHEN LEAST(below + c, (n + 1) // 2) >= below + 1
+                   THEN (below + 1 + LEAST(below + c, (n + 1) // 2))
+                        * (LEAST(below + c, (n + 1) // 2) - below)
+                        // 2
+                   ELSE 0 END
+              + CASE WHEN below + c >= GREATEST(below + 1, (n + 1) // 2 + 1)
+                     THEN ((n + 1 - (below + c))
+                           + (n + 1 - GREATEST(below + 1,
+                                               (n + 1) // 2 + 1)))
+                          * (below + c
+                             - GREATEST(below + 1, (n + 1) // 2 + 1) + 1)
+                          // 2
+                     ELSE 0 END) AS s
+      FROM grid CROSS JOIN tot
+    ),
+    stat AS (
+      SELECT SUM((2 * 1000000::HUGEINT * c1 * s + c)
+                 // (2 * CAST(c AS HUGEINT))) AS ab1
+      FROM scores
+    ),
+    tt AS (
+      SELECT ((n + 1) // 2) * ((n + 1) // 2 + 1) // 2
+             + CASE WHEN n >= (n + 1) // 2 + 1
+                    THEN ((n + 1 - n) + (n + 1 - ((n + 1) // 2 + 1)))
+                         * (n - (n + 1) // 2) // 2
+                    ELSE 0 END AS t
+      FROM tot
+    )
+    SELECT CAST(na AS BIGINT) AS n_group1,
+           CAST(n - na AS BIGINT) AS n_group5,
+           CAST(ab1 AS BIGINT) AS ab1_micro,
+           CAST((2 * 1000000::HUGEINT * na * t + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS e_micro,
+           CAST(ab1 - (2 * 1000000::HUGEINT * na * t + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT)
+             AS ab1_minus_e_micro
+    FROM stat CROSS JOIN tot CROSS JOIN tt
+    WHERE na > 0 AND n > na
+    """,
+    doc="Ansari-Bradley two-sample SCALE test: are 1-URGENT shipping "
+    "latencies more DISPERSED than 5-LOW ones? Pooled ranks score "
+    "a(r) = min(r, N+1-r) — extremes score low, the middle high — so a "
+    "LOW group-1 score sum means group 1 occupies the tails (larger "
+    "spread). Closes the dispersion gap in the nonparametric family "
+    "(Mann-Whitney tests location; AB is its scale companion on the "
+    "same rank machinery). Tied values share the AVERAGE score over "
+    "their rank range, computed in CLOSED FORM from the value grid: "
+    "the range [below+1, below+c] splits at h = (N+1) div 2 into an "
+    "ascending and a descending arithmetic series (consecutive-int "
+    "products, exactly even — no rounding), and each value contributes "
+    "the half-up MICRO of c1*S/c (documented per-value rounding, the "
+    "Nelson-Aalen discipline; all terms non-negative). The null "
+    "expectation E[AB1] = nA*T/N with T = total score, the same closed "
+    "form over [1, N] — JT-style exact-integer reporting (AB1, E, "
+    "AB1-E), no float variance. Capacity: c1*S <= N^3, asserted from "
+    "footer counts. Scale shape: ONE corpus-touching (value) grid "
+    "combine; score arithmetic and the sums run on the "
+    "distinct-latency frame (days-bounded).",
+)
+def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_stream_consumer_spark.plans.queries import (
+        _bcast_if_small,
+        _table_row_count,
+    )
+
+    n_li = _table_row_count(sf_dir, "lineitem")
+    # per-value contribution numerator 2e6*c1*S + c <= ~2e6 * N^3
+    assert 2 * 10**6 * n_li**3 < 10**38, (
+        "ansari-bradley arithmetic needs a wider type at this scale"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(
+        _bcast_if_small(
+            orders.select(
+                "o_orderkey",
+                F.expr(
+                    "CAST(SUBSTR(o_orderpriority, 1, 1) AS INT)"
+                ).alias("gi"),
+                "o_orderdate",
+            ).where(F.expr("SUBSTR(o_orderpriority, 1, 1) IN ('1', '5')")),
+            sf_dir,
+            "orders",
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("gi", F.datediff("l_shipdate", "o_orderdate").alias("v"))
+    g = (
+        j.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("gi") == 1, 1).otherwise(0)).alias("c1"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .localCheckpoint(eager=True)  # distinct-latency grid, read twice
+    )
+    trow = g.agg(F.sum("c1").alias("na"), F.sum("c").alias("n")).first()
+    na = int(trow["na"] or 0) if trow is not None else 0
+    n = int(trow["n"] or 0) if trow is not None else 0
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = g.select(
+        "c1", "c", (F.sum("c").over(w) - F.col("c")).alias("below")
+    )
+    h = (n + 1) // 2
+    s_expr = (
+        f"(CASE WHEN LEAST(below + c, {h}L) >= below + 1"
+        f" THEN (below + 1 + LEAST(below + c, {h}L))"
+        f"      * (LEAST(below + c, {h}L) - below) div 2"
+        f" ELSE 0 END"
+        f" + CASE WHEN below + c >= GREATEST(below + 1, {h + 1}L)"
+        f" THEN (({n + 1}L - (below + c))"
+        f"       + ({n + 1}L - GREATEST(below + 1, {h + 1}L)))"
+        f"      * (below + c - GREATEST(below + 1, {h + 1}L) + 1) div 2"
+        f" ELSE 0 END)"
+    )
+    srow = grid.agg(
+        F.sum(
+            F.expr(
+                f"(2 * CAST(1000000 AS DECIMAL(38,0)) * c1 * {s_expr}"
+                f" + c) div (2 * CAST(c AS DECIMAL(38,0)))"
+            )
+        ).alias("ab1")
+    ).first()
+    ab1 = int(srow["ab1"] or 0) if srow is not None else 0
+    # total score T over [1, N]: ascending to h, descending after
+    t_total = h * (h + 1) // 2
+    if n >= h + 1:
+        t_total += ((n + 1 - n) + (n + 1 - (h + 1))) * (n - h) // 2
+    e_micro = (2 * 10**6 * na * t_total + n) // (2 * n) if n else 0
+    return spark.createDataFrame(
+        [(na, n - na, ab1, e_micro, ab1 - e_micro)],
+        "n_group1 long, n_group5 long, ab1_micro long, e_micro long,"
+        " ab1_minus_e_micro long",
+    ).where(F.lit(na > 0 and n > na))

@@ -2506,3 +2506,51 @@ def test_mean_excess_shuffles_daily_histogram_only(spark):
     bound = days * (max(n_parts, 1) + 8) + 256
     assert s["shuffle_records"] <= bound
     assert s["shuffle_records"] < n_events / 10
+
+
+def test_recurrent_mcf_shuffles_users_and_days_only(spark):
+    """events_recurrent_mcf: one per-user combine + one filtered per-day
+    combine touch the corpus; the difference array, merge and windows
+    are span-days-bounded."""
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    n_parts = ev.rdd.getNumPartitions()
+    days = _events_span_days(ev)
+    out = QUERIES["events_recurrent_mcf"].fn(spark, SF_CORRECT)
+    out.collect()
+    s = shuffle_stats(out)
+    bound = n_parts * n_users + 2 * n_users + 16 * days + 1024
+    assert s["shuffle_records"] <= bound
+    assert bound < 2 * n_events
+
+
+def test_ansari_bradley_shuffles_value_grid_not_ranks(spark):
+    """agg_ansari_bradley: the order side broadcasts (stats-gated), one
+    (value) grid combine bounds the corpus-touching exchange, and the
+    closed-form score arithmetic never materializes a rank row
+    (session-sweep gated: grid scalars are pulled as driver literals)."""
+    from kinesis_stream_consumer_spark.functions.metrics import (
+        last_execution_id,
+        session_shuffle_records,
+    )
+    from kinesis_stream_consumer_spark.plans.queries import QUERIES
+
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    n_li = li.count()
+    grid = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .selectExpr("datediff(l_shipdate, o_orderdate) AS v")
+        .distinct()
+        .count()
+    )
+    n_parts = li.rdd.getNumPartitions()
+    before = last_execution_id(spark)
+    QUERIES["agg_ansari_bradley"].fn(spark, SF_CORRECT).collect()
+    total = session_shuffle_records(spark, before)
+    bound = n_li + 3 * n_parts * grid + 4096
+    assert total <= bound
+    assert bound < (n_li * n_li) // 100

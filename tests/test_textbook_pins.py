@@ -552,3 +552,56 @@ def test_mean_excess_hand_curve():
             n = len(ex)
             out[u] = (2 * 10**6 * sum(ex) + n) // (2 * n)
     assert out == {1: 2_000_000, 2: 1_500_000, 3: 1_000_000}
+
+
+def test_recurrent_mcf_hand_windows():
+    """events_recurrent_mcf (plans/r14.py): two users observed over
+    [0,10] and [5,10]; purchases on day 1 (1 event, n_risk=1) and day 6
+    (2 events, n_risk=2): rates 1/1 and 2/2, MCF = 2.0 exactly —
+    staggered entry changes the denominator day by day."""
+    windows = [(0, 10), (5, 10)]
+    purch = {1: 1, 6: 2}
+    delta: dict = {}
+    for fd, ld in windows:
+        delta[fd] = delta.get(fd, 0) + 1
+        delta[ld + 1] = delta.get(ld + 1, 0) - 1
+    n = cum = 0
+    out = {}
+    for d in sorted(set(delta) | set(purch)):
+        n += delta.get(d, 0)
+        c = purch.get(d, 0)
+        if c:
+            h = (2 * 10**6 * c + n) // (2 * n)
+            cum += h
+            out[d] = (n, h, cum)
+    assert out == {
+        1: (1, 1_000_000, 1_000_000),
+        6: (2, 1_000_000, 2_000_000),
+    }
+
+
+def test_ansari_bradley_hand_examples():
+    """agg_ansari_bradley (plans/r14.py): classic no-ties example A =
+    {1,4}, B = {2,3} — scores (1,2,2,1), AB1 = 2 (A holds the
+    extremes), E = nA*T/N = 3, AB1-E = -1 < 0 flags A as the dispersed
+    group. Tied example A = {1,2}, B = {2,3}: the shared value 2 spans
+    ranks 2-3 with average score 2, AB1 = 3 = E (no scale signal)."""
+
+    def ab(vals_a, vals_b):
+        pooled = sorted(vals_a + vals_b)
+        n = len(pooled)
+        score = [min(r, n + 1 - r) for r in range(1, n + 1)]
+        ab1 = 0
+        for v in sorted(set(pooled)):
+            c = pooled.count(v)
+            c1 = vals_a.count(v)
+            lo = sum(1 for x in pooled if x < v) + 1
+            s = sum(score[r - 1] for r in range(lo, lo + c))
+            ab1 += (2 * 10**6 * c1 * s + c) // (2 * c)
+        e = (2 * 10**6 * len(vals_a) * sum(score) + n) // (2 * n)
+        return ab1, e
+
+    ab1, e = ab([1, 4], [2, 3])
+    assert (ab1, e) == (2_000_000, 3_000_000)
+    ab1, e = ab([1, 2], [2, 3])
+    assert (ab1, e) == (3_000_000, 3_000_000)

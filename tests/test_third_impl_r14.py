@@ -280,3 +280,87 @@ def test_mean_excess_matches_python_reference(spark):
     ]
     assert got == want
     assert len(want) > 0
+
+
+def test_recurrent_mcf_matches_python_reference(spark):
+    ev = _tbl("events")
+    fd: dict = {}
+    ld: dict = {}
+    purch: Counter = Counter()
+    for ts, uid, et in zip(ev["ts"], ev["user_id"], ev["event_type"]):
+        day = ts.date().toordinal() - 719163  # epoch day (output-visible)
+        fd[uid] = min(fd.get(uid, day), day)
+        ld[uid] = max(ld.get(uid, day), day)
+        if et == "purchase":
+            purch[day] += 1
+    # difference-array risk set, evaluated at purchase days
+    delta: Counter = Counter()
+    for uid in fd:
+        delta[fd[uid]] += 1
+        delta[ld[uid] + 1] -= 1
+    days = sorted(set(delta) | set(purch))
+    n = 0
+    cum = 0
+    want = []
+    for d in days:
+        n += delta.get(d, 0)
+        c = purch.get(d, 0)
+        if c > 0:
+            h = (2 * 10**6 * c + n) // (2 * n)
+            cum += h
+            want.append((d, n, c, h, cum))
+    got = [
+        (
+            r["t_day"],
+            r["n_risk"],
+            r["n_events"],
+            r["rate_micro"],
+            r["mcf_micro"],
+        )
+        for r in QUERIES["events_recurrent_mcf"]
+        .fn(spark, SF)
+        .orderBy("t_day")
+        .collect()
+    ]
+    assert got == want
+    assert len(want) > 0
+
+
+def test_ansari_bradley_matches_python_reference(spark):
+    """AB1 recomputed from literally-scored pooled ranks — the per-rank
+    loop the closed-form grid plan never builds."""
+    orders = _tbl("orders")
+    li = _tbl("lineitem")
+    odate = {
+        k: v for k, v in zip(orders["o_orderkey"], orders["o_orderdate"])
+    }
+    gi_of = {
+        k: int(p[0])
+        for k, p in zip(orders["o_orderkey"], orders["o_orderpriority"])
+    }
+    vals = []
+    for ok, sd in zip(li["l_orderkey"], li["l_shipdate"]):
+        gi = gi_of[ok]
+        if gi in (1, 5):
+            vals.append((gi, (sd.date() - odate[ok].date()).days))
+    n = len(vals)
+    na = sum(1 for gi, _ in vals if gi == 1)
+    pooled = sorted(v for _, v in vals)
+    score = [min(r, n + 1 - r) for r in range(1, n + 1)]  # literal scores
+    # per-distinct-value: S over the tie range, then half-up micro of
+    # c1*S/c (the documented per-value rounding)
+    ab1 = 0
+    t_total = sum(score)
+    for v in sorted({vv for _, vv in vals}):
+        c = pooled.count(v)
+        c1 = sum(1 for gi, vv in vals if gi == 1 and vv == v)
+        lo = sum(1 for x in pooled if x < v) + 1
+        s = sum(score[r - 1] for r in range(lo, lo + c))
+        ab1 += (2 * 10**6 * c1 * s + c) // (2 * c)
+    e = (2 * 10**6 * na * t_total + n) // (2 * n)
+    row = QUERIES["agg_ansari_bradley"].fn(spark, SF).collect()[0]
+    assert row["n_group1"] == na
+    assert row["n_group5"] == n - na
+    assert row["ab1_micro"] == ab1
+    assert row["e_micro"] == e
+    assert row["ab1_minus_e_micro"] == ab1 - e
