@@ -114,14 +114,22 @@ def session_shuffle_records(spark, before_execution_id: int) -> int:
                 seen.add(acc)
                 v = vals.get(acc)
                 if not v.isEmpty():
-                    # UI-formatted values are not always a leading plain
-                    # number — timing/size-typed metrics render as
-                    # "total (min, med, max)" with a WORD first. Extract
-                    # the first integer anywhere in the string; treat
-                    # no-match as 0 so a future metric-name collision
-                    # degrades gracefully instead of raising inside a
-                    # gate (ADVICE r13).
-                    mt = re.search(r"\d[\d,]*", str(v.get()))
-                    if mt:
-                        total += int(mt.group(0).replace(",", ""))
+                    # 'shuffle records written' is a sum-typed metric
+                    # rendered as a plain (comma-separated) integer. The
+                    # sweep feeds UPPER-bound gates (assert total <=
+                    # bound), so a lenient parse fails in the PERMISSIVE
+                    # direction: treating an unrecognized format as 0
+                    # (ADVICE r13's suggestion) or truncating "2.0 KiB"
+                    # to 2 would let a real map-side-combine regression
+                    # pass vacuously. Parse strictly and raise loudly on
+                    # anything that is not a leading integer — a format
+                    # change should break the gate, not silence it
+                    # (r14 code review, refining the ADVICE fix).
+                    raw = str(v.get()).strip()
+                    if re.fullmatch(r"\d[\d,]*", raw) is None:
+                        raise ValueError(
+                            "session_shuffle_records: unparseable "
+                            f"metric value {raw!r} — update the parser"
+                        )
+                    total += int(raw.replace(",", ""))
     return total

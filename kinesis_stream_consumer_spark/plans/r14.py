@@ -32,13 +32,16 @@ window:
 
 Also re-enters agg_poisson_bootstrap_ci (from parked r10.py) with the
 single-corpus-execution fix its migrated session-sweep gate exposed,
-and adds five NEW operators: the survival family's reporting surface
+and adds NINE new operators: the survival family's reporting surface
 (events_survival_logrank_stratified, events_hazard_ratio_mh with
-Mantel-Haenszel HR + Peto log-HR) and the ordered/binary
-repeated-measures completions (agg_page_trend, agg_cochran_q,
-agg_goodman_kruskal_gamma) — each with oracle, pure-Python third impl
-(tests/test_third_impl_r14.py), textbook pin, and session-sweep shuffle
-gate in the same commit, per the standing rule.
+Mantel-Haenszel HR + Peto log-HR, events_recurrent_mcf for repeated
+events), the ordered/binary repeated-measures completions
+(agg_page_trend, agg_cochran_q, agg_goodman_kruskal_gamma), the scale
+test (agg_ansari_bradley), the second sequential fold (ts_holt_linear)
+and the EVT tail diagnostic (events_mean_excess_curve) — each with
+oracle, pure-Python third impl (tests/test_third_impl_r14.py),
+textbook/hand pin, and shuffle gate in the same commit, per the
+standing rule.
 
 Certified blocks migrate out of the window at the NEXT round's fold by
 moving this module's import to the parked-last section (the
@@ -2101,13 +2104,19 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct(F.col("day").alias("d"), "y"))
         ).alias("s")
     )
+    # materialize the fold ONCE per row, then read both fields in a
+    # following select — CollapseProject spares multiply-referenced
+    # aliases, so `fold.l` + `fold.b` inline would run the whole O(pos)
+    # fold twice per row (the r14 code review catch; same CLAUDE.md
+    # rule as the shingle/token projections)
     return (
         arr.select(F.posexplode("s").alias("pos", "el"), "s")
+        .select("el", F.expr(fold).alias("st"))
         .select(
             F.col("el.d").cast("long").alias("t_day"),
             F.col("el.y").cast("long").alias("y_cents"),
-            F.expr(fold + ".l").cast("long").alias("level_cents"),
-            F.expr(fold + ".b").cast("long").alias("trend_cents"),
+            F.col("st.l").cast("long").alias("level_cents"),
+            F.col("st.b").cast("long").alias("trend_cents"),
         )
         .orderBy("t_day")
     )
@@ -2360,15 +2369,15 @@ def events_recurrent_mcf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scores AS (
       SELECT c1, c,
-             -- S = sum of AB scores min(r, N+1-r) over the tie range
-             -- [below+1, below+c], split at h = (N+1) div 2: ascending
-             -- triangle up to h, descending after — both closed-form
-             -- arithmetic series (products of consecutive ints, /2
-             -- exact)
+             -- 2S = DOUBLED sum of AB scores min(r, N+1-r) over the tie
+             -- range [below+1, below+c], split at h = (N+1) div 2:
+             -- ascending triangle up to h, descending after — two
+             -- arithmetic series kept UNDIVIDED (the /2 would need the
+             -- consecutive-int-evenness argument per piece; doubled
+             -- units sidestep it, the Mann-Whitney discipline)
              (CASE WHEN LEAST(below + c, (n + 1) // 2) >= below + 1
                    THEN (below + 1 + LEAST(below + c, (n + 1) // 2))
                         * (LEAST(below + c, (n + 1) // 2) - below)
-                        // 2
                    ELSE 0 END
               + CASE WHEN below + c >= GREATEST(below + 1, (n + 1) // 2 + 1)
                      THEN ((n + 1 - (below + c))
@@ -2376,52 +2385,58 @@ def events_recurrent_mcf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                (n + 1) // 2 + 1)))
                           * (below + c
                              - GREATEST(below + 1, (n + 1) // 2 + 1) + 1)
-                          // 2
-                     ELSE 0 END) AS s
+                     ELSE 0 END) AS s2
       FROM grid CROSS JOIN tot
     ),
     stat AS (
-      SELECT SUM((2 * 1000000::HUGEINT * c1 * s + c)
-                 // (2 * CAST(c AS HUGEINT))) AS ab1
-      FROM scores
+      -- per-value half-up micro of the value's contribution to the
+      -- group-1 MEAN score: c1*S/(c*na) with S = s2/2
+      SELECT SUM((1000000::HUGEINT * c1 * s2 + c * na)
+                 // (2 * CAST(c AS HUGEINT) * na)) AS m1
+      FROM scores CROSS JOIN tot
     ),
     tt AS (
-      SELECT ((n + 1) // 2) * ((n + 1) // 2 + 1) // 2
+      SELECT ((n + 1) // 2) * ((n + 1) // 2 + 1)
              + CASE WHEN n >= (n + 1) // 2 + 1
                     THEN ((n + 1 - n) + (n + 1 - ((n + 1) // 2 + 1)))
-                         * (n - (n + 1) // 2) // 2
-                    ELSE 0 END AS t
+                         * (n - (n + 1) // 2)
+                    ELSE 0 END AS t2
       FROM tot
     )
     SELECT CAST(na AS BIGINT) AS n_group1,
            CAST(n - na AS BIGINT) AS n_group5,
-           CAST(ab1 AS BIGINT) AS ab1_micro,
-           CAST((2 * 1000000::HUGEINT * na * t + n)
-                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS e_micro,
-           CAST(ab1 - (2 * 1000000::HUGEINT * na * t + n)
+           CAST(m1 AS BIGINT) AS mean1_micro,
+           CAST((1000000::HUGEINT * t2 + n)
+                // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS emean_micro,
+           CAST(m1 - (1000000::HUGEINT * t2 + n)
                 // (2 * CAST(n AS HUGEINT)) AS BIGINT)
-             AS ab1_minus_e_micro
+             AS mean1_minus_e_micro
     FROM stat CROSS JOIN tot CROSS JOIN tt
     WHERE na > 0 AND n > na
     """,
     doc="Ansari-Bradley two-sample SCALE test: are 1-URGENT shipping "
     "latencies more DISPERSED than 5-LOW ones? Pooled ranks score "
     "a(r) = min(r, N+1-r) — extremes score low, the middle high — so a "
-    "LOW group-1 score sum means group 1 occupies the tails (larger "
-    "spread). Closes the dispersion gap in the nonparametric family "
-    "(Mann-Whitney tests location; AB is its scale companion on the "
-    "same rank machinery). Tied values share the AVERAGE score over "
-    "their rank range, computed in CLOSED FORM from the value grid: "
-    "the range [below+1, below+c] splits at h = (N+1) div 2 into an "
-    "ascending and a descending arithmetic series (consecutive-int "
-    "products, exactly even — no rounding), and each value contributes "
-    "the half-up MICRO of c1*S/c (documented per-value rounding, the "
-    "Nelson-Aalen discipline; all terms non-negative). The null "
-    "expectation E[AB1] = nA*T/N with T = total score, the same closed "
-    "form over [1, N] — JT-style exact-integer reporting (AB1, E, "
-    "AB1-E), no float variance. Capacity: c1*S <= N^3, asserted from "
-    "footer counts. Scale shape: ONE corpus-touching (value) grid "
-    "combine; score arithmetic and the sums run on the "
+    "group-1 MEAN score below the null expectation T/N means group 1 "
+    "occupies the tails (larger spread). Closes the dispersion gap in "
+    "the nonparametric family (Mann-Whitney tests location; AB is its "
+    "scale companion on the same rank machinery). Reported as MEAN "
+    "scores (mean1, E[mean] = T/N, difference), not raw sums: the sum "
+    "statistic grows O(N^2) in micro-units and would overflow the "
+    "BIGINT output column near N ~ 4e6 — the mean stays O(N) and the "
+    "int64 output holds to ~1.8e13 rows (the r14 code review's "
+    "capacity-vs-output-type catch). Tied values share the AVERAGE "
+    "score over their rank range, computed in CLOSED FORM from the "
+    "value grid: the range [below+1, below+c] splits at h = (N+1) div "
+    "2 into two arithmetic series kept in DOUBLED units (2S — no "
+    "intermediate halving), and each value contributes the half-up "
+    "MICRO of c1*S/(c*na) (documented per-value rounding, the "
+    "Nelson-Aalen discipline; all terms non-negative). Spark-side "
+    "series arithmetic runs in DECIMAL(38,0) — the O(N^2) doubled "
+    "series product exceeds int64 past ~3e9 rows while per-value "
+    "quotients stay long-safe. Capacity: 1e6*c1*2S <= 2e6*N^3, "
+    "asserted from footer counts. Scale shape: ONE corpus-touching "
+    "(value) grid combine; score arithmetic and the sums run on the "
     "distinct-latency frame (days-bounded).",
 )
 def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2431,7 +2446,7 @@ def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_li = _table_row_count(sf_dir, "lineitem")
-    # per-value contribution numerator 2e6*c1*S + c <= ~2e6 * N^3
+    # per-value contribution numerator 1e6*c1*2S + c*na <= ~2e6 * N^3
     assert 2 * 10**6 * n_li**3 < 10**38, (
         "ansari-bradley arithmetic needs a wider type at this scale"
     )
@@ -2467,33 +2482,39 @@ def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1", "c", (F.sum("c").over(w) - F.col("c")).alias("below")
     )
     h = (n + 1) // 2
-    s_expr = (
+    # DOUBLED series sum 2S in DECIMAL(38,0): the O(N^2) products
+    # overflow int64 past ~3e9 rows under ANSI (the review catch); no
+    # intermediate halving, so no evenness argument needed
+    s2_expr = (
         f"(CASE WHEN LEAST(below + c, {h}L) >= below + 1"
-        f" THEN (below + 1 + LEAST(below + c, {h}L))"
-        f"      * (LEAST(below + c, {h}L) - below) div 2"
-        f" ELSE 0 END"
+        f" THEN CAST(below + 1 + LEAST(below + c, {h}L)"
+        f"      AS DECIMAL(38,0))"
+        f"      * (LEAST(below + c, {h}L) - below)"
+        f" ELSE CAST(0 AS DECIMAL(38,0)) END"
         f" + CASE WHEN below + c >= GREATEST(below + 1, {h + 1}L)"
-        f" THEN (({n + 1}L - (below + c))"
-        f"       + ({n + 1}L - GREATEST(below + 1, {h + 1}L)))"
-        f"      * (below + c - GREATEST(below + 1, {h + 1}L) + 1) div 2"
-        f" ELSE 0 END)"
+        f" THEN CAST(({n + 1}L - (below + c))"
+        f"       + ({n + 1}L - GREATEST(below + 1, {h + 1}L))"
+        f"      AS DECIMAL(38,0))"
+        f"      * (below + c - GREATEST(below + 1, {h + 1}L) + 1)"
+        f" ELSE CAST(0 AS DECIMAL(38,0)) END)"
     )
     srow = grid.agg(
         F.sum(
             F.expr(
-                f"(2 * CAST(1000000 AS DECIMAL(38,0)) * c1 * {s_expr}"
-                f" + c) div (2 * CAST(c AS DECIMAL(38,0)))"
+                f"(CAST(1000000 AS DECIMAL(38,0)) * c1 * {s2_expr}"
+                f" + c * CAST({max(na, 1)} AS DECIMAL(38,0)))"
+                f" div (2 * CAST(c AS DECIMAL(38,0)) * {max(na, 1)})"
             )
-        ).alias("ab1")
+        ).alias("m1")
     ).first()
-    ab1 = int(srow["ab1"] or 0) if srow is not None else 0
-    # total score T over [1, N]: ascending to h, descending after
-    t_total = h * (h + 1) // 2
+    m1 = int(srow["m1"] or 0) if srow is not None else 0
+    # doubled total score 2T over [1, N]: ascending to h, descending
+    t2 = h * (h + 1)
     if n >= h + 1:
-        t_total += ((n + 1 - n) + (n + 1 - (h + 1))) * (n - h) // 2
-    e_micro = (2 * 10**6 * na * t_total + n) // (2 * n) if n else 0
+        t2 += ((n + 1 - n) + (n + 1 - (h + 1))) * (n - h)
+    emean = (10**6 * t2 + n) // (2 * n) if n else 0
     return spark.createDataFrame(
-        [(na, n - na, ab1, e_micro, ab1 - e_micro)],
-        "n_group1 long, n_group5 long, ab1_micro long, e_micro long,"
-        " ab1_minus_e_micro long",
+        [(na, n - na, m1, emean, m1 - emean)],
+        "n_group1 long, n_group5 long, mean1_micro long, emean_micro"
+        " long, mean1_minus_e_micro long",
     ).where(F.lit(na > 0 and n > na))

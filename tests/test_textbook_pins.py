@@ -582,26 +582,28 @@ def test_recurrent_mcf_hand_windows():
 
 def test_ansari_bradley_hand_examples():
     """agg_ansari_bradley (plans/r14.py): classic no-ties example A =
-    {1,4}, B = {2,3} — scores (1,2,2,1), AB1 = 2 (A holds the
-    extremes), E = nA*T/N = 3, AB1-E = -1 < 0 flags A as the dispersed
-    group. Tied example A = {1,2}, B = {2,3}: the shared value 2 spans
-    ranks 2-3 with average score 2, AB1 = 3 = E (no scale signal)."""
+    {1,4}, B = {2,3} — scores (1,2,2,1), group-A MEAN score = 2/2 = 1
+    (A holds the extremes), E[mean] = T/N = 6/4 = 1.5, mean-E < 0 flags
+    A as the dispersed group. Tied example A = {1,2}, B = {2,3}: the
+    shared value 2 spans ranks 2-3 with average score 2, mean = 3/2 =
+    1.5 = E (no scale signal)."""
 
     def ab(vals_a, vals_b):
         pooled = sorted(vals_a + vals_b)
         n = len(pooled)
+        na = len(vals_a)
         score = [min(r, n + 1 - r) for r in range(1, n + 1)]
-        ab1 = 0
+        m1 = 0
         for v in sorted(set(pooled)):
             c = pooled.count(v)
             c1 = vals_a.count(v)
             lo = sum(1 for x in pooled if x < v) + 1
             s = sum(score[r - 1] for r in range(lo, lo + c))
-            ab1 += (2 * 10**6 * c1 * s + c) // (2 * c)
-        e = (2 * 10**6 * len(vals_a) * sum(score) + n) // (2 * n)
-        return ab1, e
+            m1 += (2 * 10**6 * c1 * s + c * na) // (2 * c * na)
+        e = (2 * 10**6 * sum(score) + n) // (2 * n)
+        return m1, e
 
-    ab1, e = ab([1, 4], [2, 3])
-    assert (ab1, e) == (2_000_000, 3_000_000)
-    ab1, e = ab([1, 2], [2, 3])
-    assert (ab1, e) == (3_000_000, 3_000_000)
+    m1, e = ab([1, 4], [2, 3])
+    assert (m1, e) == (1_000_000, 1_500_000)
+    m1, e = ab([1, 2], [2, 3])
+    assert (m1, e) == (1_500_000, 1_500_000)

@@ -348,19 +348,20 @@ def test_ansari_bradley_matches_python_reference(spark):
     pooled = sorted(v for _, v in vals)
     score = [min(r, n + 1 - r) for r in range(1, n + 1)]  # literal scores
     # per-distinct-value: S over the tie range, then half-up micro of
-    # c1*S/c (the documented per-value rounding)
-    ab1 = 0
+    # the value's contribution to the group-1 MEAN score c1*S/(c*na)
+    # (the documented per-value rounding)
+    m1 = 0
     t_total = sum(score)
     for v in sorted({vv for _, vv in vals}):
         c = pooled.count(v)
         c1 = sum(1 for gi, vv in vals if gi == 1 and vv == v)
         lo = sum(1 for x in pooled if x < v) + 1
         s = sum(score[r - 1] for r in range(lo, lo + c))
-        ab1 += (2 * 10**6 * c1 * s + c) // (2 * c)
-    e = (2 * 10**6 * na * t_total + n) // (2 * n)
+        m1 += (2 * 10**6 * c1 * s + c * na) // (2 * c * na)
+    e = (2 * 10**6 * t_total + n) // (2 * n)
     row = QUERIES["agg_ansari_bradley"].fn(spark, SF).collect()[0]
     assert row["n_group1"] == na
     assert row["n_group5"] == n - na
-    assert row["ab1_micro"] == ab1
-    assert row["e_micro"] == e
-    assert row["ab1_minus_e_micro"] == ab1 - e
+    assert row["mean1_micro"] == m1
+    assert row["emean_micro"] == e
+    assert row["mean1_minus_e_micro"] == m1 - e
