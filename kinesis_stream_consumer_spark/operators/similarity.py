@@ -280,7 +280,16 @@ def _lloyd_train_driver(vids, X, k: int, n_iter: int, sample_mod: int,
         active = cells0[order]  # ascending cell ids
         C = Xs[init_idx[order]]
         for _ in range(n_iter):
-            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # ||x−c||² = ||x||² − 2x·c + ||c||² in int64 — EXACTLY the same
+            # integers as the broadcasted (x−c)² sum (no float step, no
+            # rounding), but peak temporary is the (n, k) cross matrix
+            # instead of the (n, k, dim) difference cube: the cube's tens
+            # of MB of fresh allocations page-faulted ~1-2 s per call at
+            # k=32/n=2000 (r14 measured; cProfile-hot runs were 0.07 s —
+            # the cost was first-touch faults, not arithmetic).
+            x2 = (Xs * Xs).sum(axis=1)
+            c2 = (C * C).sum(axis=1)
+            d = x2[:, None] - 2 * (Xs @ C.T) + c2[None, :]
             assign = active[np.argmin(d, axis=1)]
             new_active, new_C = [], []
             for c in np.unique(assign):  # sorted; empty cells drop out
