@@ -141,9 +141,12 @@ def label_propagation(
     is one vertex-keyed equi-join (neighbour labels), one counting
     aggregate with map-side combine, and one rank-1 filter that plans as
     WindowGroupLimit (top-1 label per vertex — at most one row per
-    vertex per map partition crosses the exchange). Per-round
-    checkpoints keep lineage flat; rounds is a small constant, the
-    standard unrolled-iteration discipline (same as BFS/components).
+    vertex per map partition crosses the exchange). The labels frame is
+    single-reference per round (each round reads only the previous
+    round's output), so the rounds compose into ONE query over the
+    checkpointed edge leaf — per-round checkpoints would each trigger a
+    full AQE execution (jobs + planning) without saving any recompute;
+    rounds is a small constant, so the unrolled plan stays shallow.
     """
     bidir = (
         edges.select(F.col(u_col).alias("s"), F.col(v_col).alias("d"))
@@ -172,7 +175,6 @@ def label_propagation(
             cnt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
         )
     return labels
 
@@ -293,9 +295,11 @@ def personalized_pagerank(
     destination-keyed aggregate (map-side combine), then a full outer
     join against the #seeds-bounded teleport frame. The mass frame is
     bounded by the seed set's i-hop reachable neighbourhood, never the
-    whole graph, and every shuffle carries (node, mass) pairs only;
-    per-round checkpoints keep lineage flat (the BFS/components
-    discipline).
+    whole graph, and every shuffle carries (node, mass) pairs only. The
+    mass frame is single-reference per round, so the rounds compose
+    into ONE query over the checkpointed edge/degree/teleport leaves —
+    per-round checkpoints would each trigger a full AQE execution
+    (jobs + planning) without saving any recompute.
     """
     bidir = (
         edges.select(F.col(u_col).alias("s"), F.col(v_col).alias("d"))
@@ -321,23 +325,21 @@ def personalized_pagerank(
             .groupBy("d")
             .agg(
                 F.expr("cast((17 * sum(pr div dg)) div 20 as bigint)").alias(
-                    "prop"
+                    "pr"
                 )
             )
-            .select(F.col("d").alias("node"), "prop")
+            .select(F.col("d").alias("node"), "pr")
         )
+        # tel + prop combine via union + sum: both frames are unique-keyed
+        # on node, so this equals the full-outer-join-with-coalesce form
+        # row for row — and the union/aggregate shape nests across rounds
+        # without the Catalyst planning blowup measured on nested full
+        # outer joins (cold plan compile 24.5 s vs 8.4 s at 3 rounds).
         pr = (
-            tel.join(prop, "node", "full")
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("tel"), F.lit(0))
-                    + F.coalesce(F.col("prop"), F.lit(0))
-                )
-                .cast("long")
-                .alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+            tel.select("node", F.col("tel").alias("pr"))
+            .unionAll(prop)
+            .groupBy("node")
+            .agg(F.sum("pr").cast("long").alias("pr"))
         )
     return pr
 
