@@ -176,21 +176,25 @@ def ngram_contamination(
         .withColumn("_hb", hash_bucket(F.col("doc")))
         .localCheckpoint(eager=True)
     )
-    informative = (
+    # ONE shingle-keyed aggregate derives both pruning predicates (df and
+    # appears-in-eval) — the former informative-join-back + separate
+    # eval-distinct shape re-ran the shingle join once per branch and
+    # paid a vacuous (doc, shingle) distinct before the final count
+    # (shingle_rows explodes array_distinct shingle sets, so every
+    # (doc, shingle) row is already unique): 3 exchanges removed, same
+    # rows into the per-doc count.
+    eval_informative = (
         rows.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= max_df)
+        .agg(
+            F.count(F.lit(1)).alias("_df"),
+            F.max((F.col("_hb") < eval_bucket_lt).cast("int")).alias("_ev"),
+        )
+        .where((F.col("_df") <= max_df) & (F.col("_ev") == 1))
         .select("shingle")
     )
-    rows = rows.join(informative, "shingle")
-    eval_sh = (
-        rows.where(F.col("_hb") < eval_bucket_lt).select("shingle").distinct()
-    )
-    train_rows = rows.where(F.col("_hb") >= eval_bucket_lt)
     return (
-        train_rows.join(eval_sh, "shingle")
-        .select("doc", "shingle")
-        .distinct()
+        rows.where(F.col("_hb") >= eval_bucket_lt)
+        .join(eval_informative, "shingle")
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
