@@ -66,10 +66,16 @@ def triangle_participation(
     )
     closing = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
+    # Each triangle credits all three corners via ONE explode — the
+    # 3-way unionAll form re-executed the whole wedge+closing join
+    # subtree once per corner (union branches are separate plan
+    # subtrees; only their exchanges get reused).
     per_node = (
-        tri.select(F.col("src").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
@@ -452,15 +458,18 @@ def triangle_edge_counts(
     )
     closing = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
-    pair = lambda a, b: [
+    # One explode credits all three edges of each triangle — the 3-way
+    # unionAll form re-executed the wedge+closing join subtree per edge
+    # (same fix as triangle_participation's corner counts).
+    pair = lambda a, b: F.struct(
         F.least(F.col(a), F.col(b)).alias("u"),
         F.greatest(F.col(a), F.col(b)).alias("v"),
-    ]
-    pairs3 = (
-        tri.select(*pair("src", "v"))
-        .unionAll(tri.select(*pair("src", "w")))
-        .unionAll(tri.select(*pair("v", "w")))
     )
+    pairs3 = tri.select(
+        F.explode(
+            F.array(pair("src", "v"), pair("src", "w"), pair("v", "w"))
+        ).alias("p")
+    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
     return pairs3.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("common")
     )
