@@ -422,9 +422,23 @@ def connected_components(
     fixpoint (min reachable id) is engine-independent — the oracle's
     recursive CTE reaches the identical answer regardless of iteration
     schedule."""
+    # Both edge orientations via ONE explode — the union-of-two-selects
+    # form re-executed the whole candidate-pair subtree (LSH verify join
+    # at the main call site) once per direction before the checkpoint.
     edges = (
-        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("s"), F.col(b_col).alias("d")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("s"), F.col(a_col).alias("d")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.d").alias("d"))
         .distinct()
         .localCheckpoint(eager=True)
     )
