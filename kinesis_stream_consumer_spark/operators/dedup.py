@@ -564,8 +564,9 @@ def prefix_filter_jaccard_pairs(
     Plan shape (scale-critical):
       1. ONE shingle pass, checkpointed — feeds the prefix build AND the
          exact verify (same single-tokenize discipline as the LSH join).
-      2. Global shingle document-frequency — one count aggregate keyed on
-         shingle (partial counts combine map-side).
+      2. Global shingle document-frequency — COUNT() OVER (PARTITION BY
+         shingle): the rows shuffle by shingle exactly once (no separate
+         aggregate + join-back).
       3. Per-doc rarity order: window PARTITIONED BY doc (parallel; no
          global sort anywhere) ranks each doc's shingles by ascending
          (df, shingle). A doc of size s keeps only its first
@@ -588,7 +589,7 @@ def prefix_filter_jaccard_pairs(
          intersection via array_intersect, union by SIZE ALGEBRA
          (s_a + s_b − inter — distinct sets, so no array_union pass).
 
-    At 100 TB: the df aggregate and the prefix join shuffle (doc, shingle,
+    At 100 TB: the df window and the prefix join shuffle (doc, shingle,
     size, rank) rows only — never document text; candidates are bounded
     by rare-prefix collisions rather than n²."""
     from fractions import Fraction
@@ -603,15 +604,23 @@ def prefix_filter_jaccard_pairs(
         F.size("shingles").cast("long").alias("sz"),
         F.explode("shingles").alias("shingle"),
     )
-    dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "shingle")
+    # Document frequency as COUNT OVER (PARTITION BY shingle), not a
+    # groupBy + join-back: the join shape shuffles the full (doc, sz,
+    # shingle) rows by shingle for the SMJ AND the partial counts for the
+    # aggregate; the window shuffles the rows exactly once and sorts them
+    # the same way the SMJ would have (one Exchange removed, strictly
+    # fewer shuffled bytes — guide §2.4 "share one exchange"). Same df
+    # values, so the prefix frame is row-identical (A/B'd r14).
     # Checkpoint the slim prefix rows ONCE: both sides of the self-join
     # read the materialized frame — without it each side re-runs the df
-    # aggregate + rarity window over the full shingle volume (the same
+    # window + rarity window over the full shingle volume (the same
     # reuse discipline as the LSH band table). Rank and df ride along for
     # the positional filter and the df>=2 join pruning.
     prefix = (
-        rows.join(dfreq, "shingle")
+        rows.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .withColumn("pos", F.row_number().over(w))
         .where(
             F.col("pos")
