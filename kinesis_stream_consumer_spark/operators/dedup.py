@@ -249,7 +249,15 @@ def minhash_lsh_candidate_pairs(
     # ONE shingle pass for the whole pipeline: the checkpointed sets feed
     # the signature aggregate AND both sides of the exact-Jaccard verify —
     # tokenization is the dominant map cost and would otherwise run twice.
-    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
+    # LAZY checkpoint (r14, engine pattern): the eager band-table
+    # checkpoint just below is the materializing action — its map stage
+    # computes the tokenize output and persists it as a side effect, so
+    # the tokenize→signature pipeline runs fused in ONE job instead of a
+    # materialize job plus a read-back pass over the serialized sets.
+    # Safe from the engine's concurrent-first-touch trap: everything here
+    # is sequential on the driver thread; the verify join only executes
+    # after the band checkpoint has materialized these sets.
+    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=False)
     # Slim band table: (doc, band, band_key) only — the heavy shingle arrays
     # must NOT ride through the self-join (they'd be shuffled once per band
     # and compared once per duplicate candidate). localCheckpoint
@@ -509,7 +517,9 @@ def minhash_lsh_incremental_pairs(
     the signature store written at ingest (they are recomputed here
     because the driver corpus is synthetic); the verify stage reads only
     the matched pairs' sets — the 'fetch the candidates' lookup."""
-    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
+    # Lazy: the eager band-table checkpoint below materializes the sets
+    # in the same job (see minhash_lsh_candidate_pairs).
+    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=False)
     flags = df.select(
         F.col(id_col).alias("doc"), F.col(new_col).alias("_is_new")
     )
@@ -598,7 +608,9 @@ def prefix_filter_jaccard_pairs(
 
     frac = Fraction(str(threshold))
     tn, td = frac.numerator, frac.denominator
-    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
+    # Lazy: the eager prefix checkpoint below materializes the sets in
+    # the same job (see minhash_lsh_candidate_pairs).
+    shsets = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=False)
     rows = shsets.select(
         "doc",
         F.size("shingles").cast("long").alias("sz"),
