@@ -36,18 +36,30 @@ def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EDGE_CACHE.get(key)
     if hit is None:
-        li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey"
-        ).distinct()
-        a = li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+        # ONE shuffle keyed on orderkey does BOTH the (orderkey, partkey)
+        # dedup (collect_set) and the per-order grouping that the old
+        # distinct + self-join shape paid two full-data exchanges for
+        # (r14: 4 Exchanges -> 2, plans/r14/co_edges_build_*.txt; edge
+        # set verified row-identical at sf0.1 and sf0.01). Pair
+        # generation explodes the per-order part ARRAY — order sizes are
+        # bounded (≤7 lineitems in TPC-H at any SF), so the O(s²) pair
+        # array is tiny and the support count per (u, v) is unchanged:
+        # number of orders containing both parts.
+        orders = (
+            _t(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_orderkey").alias("ok"))
+            .agg(F.collect_set("l_partkey").alias("ps"))
         )
-        b = li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+        pairs = orders.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y > x), y -> struct(x as u, y as v))))"
+                )
+            ).alias("e")
         )
         hit = (
-            a.join(b, "ok")
-            .where(F.col("u") < F.col("v"))
+            pairs.select("e.u", "e.v")
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") >= 2)

@@ -120,3 +120,30 @@ def test_triangle_explode_credit_matches_bruteforce(spark):
         for r in triangle_edge_counts(_edges_df(spark, edges)).collect()
     }
     assert got_edges == per_edge
+
+
+def test_co_edges_collect_set_matches_python_bruteforce(spark):
+    """r14: the shared co-purchase edge build moved from distinct +
+    self-join (two full-data exchanges) to ONE collect_set groupBy with
+    pair generation from the per-order part array. Pin it end-to-end
+    against a pure-Python recount from the raw parquet: support(u, v) =
+    number of orders whose lineitems contain both parts, edge iff >= 2."""
+    import pandas as pd
+
+    from kinesis_stream_consumer_spark.plans.graph_shared import _co_edges
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    per_order: dict[int, set[int]] = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        per_order.setdefault(int(ok), set()).add(int(pk))
+    support: dict[tuple[int, int], int] = {}
+    for parts in per_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            support[(u, v)] = support.get((u, v), 0) + 1
+    want = {e for e, c in support.items() if c >= 2}
+
+    got = {(r["u"], r["v"]) for r in _co_edges(spark, sf_dir).collect()}
+    assert got == want
