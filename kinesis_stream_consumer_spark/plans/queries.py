@@ -189,7 +189,6 @@ def _bcast_if_small(
 # r2 driver evidence and unchanged code.
 from kinesis_stream_consumer_spark.plans import curation  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import llm_pipeline  # noqa: E402,F401
-from kinesis_stream_consumer_spark.plans import r14  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import relational  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import stream_parity  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import streaming_windows  # noqa: E402,F401
@@ -206,4 +205,5 @@ from kinesis_stream_consumer_spark.plans import r10  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import r11  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import r12  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import r13  # noqa: E402,F401
+from kinesis_stream_consumer_spark.plans import r14  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import engine_queries  # noqa: E402,F401
