@@ -189,6 +189,7 @@ def _bcast_if_small(
 # r2 driver evidence and unchanged code.
 from kinesis_stream_consumer_spark.plans import curation  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import llm_pipeline  # noqa: E402,F401
+from kinesis_stream_consumer_spark.plans import r15  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import relational  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import stream_parity  # noqa: E402,F401
 from kinesis_stream_consumer_spark.plans import streaming_windows  # noqa: E402,F401

@@ -1085,236 +1085,8 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r14: stratified log-rank — controlling for signup-day-of-week -------------
-
-
-@register(
-    "events_survival_logrank_stratified",
-    """
-    WITH u AS (
-      SELECT user_id,
-             MIN((epoch_us(ts) - ((epoch_us(ts) % 86400000000
-                                   + 86400000000) % 86400000000))
-                 // 86400000000) AS fd,
-             MAX((epoch_us(ts) - ((epoch_us(ts) % 86400000000
-                                   + 86400000000) % 86400000000))
-                 // 86400000000) AS ld,
-             MIN(CASE WHEN event_type = 'purchase' THEN
-                   (epoch_us(ts) - ((epoch_us(ts) % 86400000000
-                                     + 86400000000) % 86400000000))
-                   // 86400000000 END) AS pd,
-             CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1
-                           ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS g
-      FROM events GROUP BY 1
-    ),
-    d AS (
-      SELECT fd % 7 AS s,
-             CASE WHEN pd IS NULL THEN ld - fd ELSE pd - fd END AS t,
-             CASE WHEN pd IS NULL THEN 0 ELSE 1 END AS ev, g
-      FROM u
-    ),
-    hist3 AS (
-      SELECT s, g, t, COUNT(*) AS c_all, CAST(SUM(ev) AS BIGINT) AS c_d
-      FROM d GROUP BY 1, 2, 3
-    ),
-    full_grid AS (
-      SELECT vals.s, gg.g, vals.t,
-             COALESCE(h.c_all, 0) AS c_all, COALESCE(h.c_d, 0) AS c_d
-      FROM (SELECT DISTINCT s, t FROM hist3) vals
-      CROSS JOIN (SELECT UNNEST([0, 1]) AS g) gg
-      LEFT JOIN hist3 h ON h.s = vals.s AND h.g = gg.g AND h.t = vals.t
-    ),
-    riskg AS (
-      SELECT s, g, t, c_d,
-             CAST(SUM(c_all) OVER (PARTITION BY s, g)
-                  - (SUM(c_all) OVER (PARTITION BY s, g ORDER BY t
-                                      ROWS UNBOUNDED PRECEDING)
-                     - c_all) AS BIGINT) AS n_g
-      FROM full_grid
-    ),
-    steps AS (
-      SELECT s, t,
-             SUM(n_g) AS n_t, SUM(c_d) AS d_t,
-             SUM(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS n1,
-             SUM(CASE WHEN g = 1 THEN c_d ELSE 0 END) AS d1
-      FROM riskg GROUP BY 1, 2
-    ),
-    sums AS (
-      SELECT SUM(d1) AS o1,
-             SUM((2 * 1000000::HUGEINT * n1 * d_t + n_t)
-                 // (2 * CAST(n_t AS HUGEINT))) AS e1_micro,
-             SUM(CASE WHEN n_t > 1 THEN
-                   (2 * d_t
-                      * ((2 * 1000000::HUGEINT * n1 * (n_t - n1) + n_t)
-                         // (2 * CAST(n_t AS HUGEINT)))
-                      * (n_t - d_t)
-                    + CAST(n_t AS HUGEINT) * (n_t - 1))
-                   // (2 * CAST(n_t AS HUGEINT) * (n_t - 1))
-                 ELSE 0 END) AS v_micro
-      FROM steps WHERE d_t > 0
-    )
-    SELECT CAST(o1 AS BIGINT) AS o1,
-           CAST(e1_micro AS BIGINT) AS e1_micro,
-           CAST(v_micro AS BIGINT) AS v_micro,
-           CAST((2 * (1000000::HUGEINT * o1 - e1_micro)
-                   * (1000000::HUGEINT * o1 - e1_micro)
-                 + v_micro)
-                // (2 * CAST(v_micro AS HUGEINT)) AS BIGINT)
-             AS chi2_micro
-    FROM sums WHERE v_micro > 0
-    """,
-    doc="STRATIFIED log-rank test — the error-heavy-vs-clean conversion "
-    "comparison of events_survival_logrank, controlling for the user's "
-    "signup cohort (stratum = first-event epoch-day mod 7, a "
-    "day-of-week cohort): risk sets, observed/expected deaths and "
-    "hypergeometric variances are computed WITHIN each stratum and the "
-    "per-step micro-integer terms are summed across strata before the "
-    "single chi2 = (Sum(O1-E1))^2 / Sum(V) — the standard adjustment "
-    "that removes confounding a calendar-correlated covariate would "
-    "inject into the unstratified test. Identical per-step two-stage "
-    "half-up variance recurrence as the unstratified row (q1 = "
-    "round(1e6*n1*(n-n1)/n), v_t = round(q1*d*(n-d)/(n*(n-1))) — both "
-    "engines sum IDENTICAL integers; capacity 1.25e5*n^3 asserted from "
-    "the footer count). Scale shape: ONE per-user aggregate touches "
-    "the corpus; the strata x 2 x days grid, per-(stratum, group) risk "
-    "suffix windows and the step sums are all 7x-days-bounded.",
-)
-def events_survival_logrank_stratified(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from kinesis_stream_consumer_spark.plans.queries import _table_row_count
-
-    n_rows = _table_row_count(sf_dir, "events")
-    # same derivation as events_survival_logrank: stage-2's shifted
-    # numerator peaks at 2*(n^2/4)*(1e6*n/4) = 1.25e5 * n^3 per stratum
-    # step (a stratum's n is <= the global n)
-    assert 125_000 * n_rows**3 < 10**38, (
-        "stratified log-rank arithmetic needs a wider type at this scale"
-    )
-    ev = _t(spark, sf_dir, "events")
-    day = (
-        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
-        " div 86400000000"
-    )
-    u = (
-        ev.select(
-            "user_id",
-            F.expr(day).alias("day"),
-            F.col("event_type").alias("et"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.min("day").alias("fd"),
-            F.max("day").alias("ld"),
-            F.min(
-                F.when(F.col("et") == "purchase", F.col("day"))
-            ).alias("pd"),
-            F.when(
-                F.sum(
-                    F.when(F.col("et") == "error", 1).otherwise(0)
-                )
-                >= 14,
-                1,
-            )
-            .otherwise(0)
-            .alias("g"),
-        )
-    )
-    hist3 = (
-        u.select(
-            (F.col("fd") % 7).alias("s"),
-            F.when(
-                F.col("pd").isNull(), F.col("ld") - F.col("fd")
-            ).otherwise(F.col("pd") - F.col("fd")).alias("t"),
-            F.when(F.col("pd").isNull(), 0).otherwise(1).alias("ev"),
-            "g",
-        )
-        .groupBy("s", "g", "t")
-        .agg(
-            F.count(F.lit(1)).alias("c_all"),
-            F.sum("ev").cast("long").alias("c_d"),
-        )
-        .localCheckpoint(eager=True)  # 7 x 2 x days cells, read twice
-    )
-    full_grid = (
-        hist3.select("s", "t")
-        .distinct()
-        .select("s", "t", F.explode(F.expr("array(0, 1)")).alias("g"))
-        .join(hist3, ["s", "g", "t"], "left")
-        .select(
-            "s",
-            "g",
-            "t",
-            F.coalesce(F.col("c_all"), F.lit(0)).alias("c_all"),
-            F.coalesce(F.col("c_d"), F.lit(0)).alias("c_d"),
-        )
-    )
-    w_sg = Window.partitionBy("s", "g")
-    w_le = Window.partitionBy("s", "g").orderBy("t").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    riskg = full_grid.select(
-        "s",
-        "g",
-        "t",
-        "c_d",
-        (
-            F.sum("c_all").over(w_sg)
-            - (F.sum("c_all").over(w_le) - F.col("c_all"))
-        ).cast("long").alias("n_g"),
-    )
-    steps = riskg.groupBy("s", "t").agg(
-        F.sum("n_g").alias("n_t"),
-        F.sum("c_d").alias("d_t"),
-        F.sum(F.when(F.col("g") == 1, F.col("n_g")).otherwise(0)).alias(
-            "n1"
-        ),
-        F.sum(F.when(F.col("g") == 1, F.col("c_d")).otherwise(0)).alias(
-            "d1"
-        ),
-    )
-    row = (
-        steps.where(F.col("d_t") > 0)
-        .agg(
-            F.sum("d1").alias("o1"),
-            F.sum(
-                F.expr(
-                    "(2 * CAST(1000000 AS DECIMAL(38,0)) * n1 * d_t + n_t)"
-                    " div (2 * CAST(n_t AS DECIMAL(38,0)))"
-                )
-            ).alias("e1"),
-            F.sum(
-                F.expr(
-                    "CASE WHEN n_t > 1 THEN"
-                    " (2 * d_t"
-                    "    * ((2 * CAST(1000000 AS DECIMAL(38,0)) * n1"
-                    "          * (n_t - n1) + n_t)"
-                    "       div (2 * CAST(n_t AS DECIMAL(38,0))))"
-                    "    * (n_t - d_t)"
-                    "  + CAST(n_t AS DECIMAL(38,0)) * (n_t - 1))"
-                    " div (2 * CAST(n_t AS DECIMAL(38,0)) * (n_t - 1))"
-                    " ELSE CAST(0 AS DECIMAL(38,0)) END"
-                )
-            ).alias("v"),
-        )
-        .first()
-    )
-    o1 = int(row["o1"] or 0) if row is not None else 0
-    e1 = int(row["e1"] or 0) if row is not None else 0
-    v = int(row["v"] or 0) if row is not None else 0
-    delta = 10**6 * o1 - e1  # O-E in exact micro-units (signed)
-    return spark.createDataFrame(
-        [(o1, e1, v)], "o1 long, e1_micro long, v_micro long"
-    ).select(
-        "o1",
-        "e1_micro",
-        "v_micro",
-        F.expr(
-            f"CAST((2 * CAST({delta} AS DECIMAL(38,0)) * {delta}"
-            f" + {max(v, 1)}) div (2 * CAST({max(v, 1)} AS DECIMAL(38,0)))"
-            f" AS BIGINT)"
-        ).alias("chi2_micro"),
-    ).where(F.lit(v > 0))
+# (events_survival_logrank_stratified moved to plans/r15.py for its
+#  r15 optimization re-entry — an edited block must sit inside the window.)
 
 
 # --- r14: Mantel-Haenszel hazard ratio + Peto log-HR ---------------------------
