@@ -618,12 +618,17 @@ def prefix_filter_jaccard_pairs(
     )
     w = Window.partitionBy("doc").orderBy("df", "shingle")
     # Document frequency as COUNT OVER (PARTITION BY shingle), not a
-    # groupBy + join-back: the join shape shuffles the full (doc, sz,
-    # shingle) rows by shingle for the SMJ AND the partial counts for the
-    # aggregate; the window shuffles the rows exactly once and sorts them
-    # the same way the SMJ would have (one Exchange removed, strictly
-    # fewer shuffled bytes — guide §2.4 "share one exchange"). Same df
-    # values, so the prefix frame is row-identical (A/B'd r14).
+    # groupBy + join-back. The measured r14 win (plans/r14 dump) is the
+    # removed second tokenize/Generate pass and the removed join (a
+    # BroadcastHashJoin locally — the count table is small — an SMJ at
+    # scale): 3 Exchanges -> 2, 2 Generates -> 1. Byte accounting is a
+    # trade, not a strict win: the old shape shuffled only PARTIAL
+    # per-shingle counts for its aggregate, while the window shuffles
+    # every exploded (doc, sz, shingle) row by shingle — and a very hot
+    # shingle's rows all buffer in ONE window task (skew bound). If this
+    # path regresses at scale, suspect that hot-shingle window partition
+    # before blaming the join removal (ADVICE r14). Same df values, so
+    # the prefix frame is row-identical (A/B'd r14).
     # Checkpoint the slim prefix rows ONCE: both sides of the self-join
     # read the materialized frame — without it each side re-runs the df
     # window + rarity window over the full shingle volume (the same

@@ -801,15 +801,21 @@ _KCORE_K = 2
 _KCORE_ROUNDS = 4
 
 
+# MATERIALIZED is load-bearing on every CTE of this chain: DuckDB inlines
+# CTE references by default, and each round references its predecessor 3x
+# (twice in the degree union, once in the edge join), so the inlined plan
+# re-evaluates the whole chain ~7^rounds times — measured 150+ s at sf0.01
+# vs 0.15 s materialized, identical rows (r15). The hint changes execution
+# only, never results.
 def _kcore_round_sql(i: int) -> str:
-    prev = f"e{i - 1}" if i > 1 else "edges"
+    prev = f"e{i - 1}" if i > 1 else "e0"
     return f"""
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT node, COUNT(*) AS dg FROM (
         SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
       ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
     ),
-    e{i} AS (
+    e{i} AS MATERIALIZED (
       SELECT p.u, p.v FROM {prev} p
       JOIN d{i} a ON a.node = p.u
       JOIN d{i} b ON b.node = p.v
@@ -820,6 +826,7 @@ def _kcore_round_sql(i: int) -> str:
     "graph_kcore_peel",
     f"""
     WITH {_COEDGES_SQL},
+    e0 AS MATERIALIZED (SELECT u, v FROM edges),
     {",".join(_kcore_round_sql(i).lstrip() for i in range(1, _KCORE_ROUNDS + 1))}
     SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
     FROM (SELECT u AS node FROM e{_KCORE_ROUNDS}
