@@ -13,6 +13,24 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+@pytest.hookimpl(trylast=True)
+def pytest_collection_modifyitems(config, items):
+    """Record which oracle-parity names this run selected so the parity
+    batch runner (tests/test_oracle_parity.py) computes exactly those —
+    the full 309 on a gate run, one on `pytest -k <name>`. trylast: the
+    -k/-m deselection is itself a modifyitems hook (and conftest hooks
+    run first by LIFO registration), so without it this would record the
+    PRE-deselection list and `-k one_query` would compute all 309."""
+    selected = {
+        it.callspec.params["name"]
+        for it in items
+        if getattr(it, "callspec", None) is not None
+        and it.function.__name__ == "test_query_matches_oracle"
+        and "name" in it.callspec.params
+    }
+    config._parity_selected = selected
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")

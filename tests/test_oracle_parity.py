@@ -1,15 +1,32 @@
 """Mirror of the driver's correctness gate: run every registered query on
 Spark at sf0.01 and its oracle on DuckDB over the same parquet, then compare
-row count, column names, and order-insensitive values."""
+row count, column names, and order-insensitive values.
+
+Wall-time shape (r15, VERDICT r14 #1 — the driver's pytest must complete):
+the 309 per-query checks are independent read-only jobs, so their results
+are computed ONCE per session by a small thread pool over the shared
+SparkSession (guide §2.6 "overlap independent jobs" — actions are only
+sequential because the driver calls them sequentially) with one DuckDB
+connection per worker thread. Each parametrized test then asserts from the
+cached result, keeping per-query pass/fail granularity. Under ``-k name``
+only the selected names are computed (the conftest collection hook records
+the selection), so the documented single-query workflow stays cheap.
+"""
 
 from __future__ import annotations
 
 import math
+import os
+import threading
+import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
 from kinesis_stream_consumer_spark.plans import QUERIES
 from tests.conftest import SF_CORRECT
+
+N_THREADS = int(os.environ.get("SPARK_GRAFT_PARITY_THREADS", "4"))
 
 
 def _normalize(rows, cols):
@@ -34,28 +51,101 @@ def _normalize(rows, cols):
 ORACLED = [n for n, s in QUERIES.items() if s.oracle is not None]
 ROWS_ONLY = [n for n, s in QUERIES.items() if s.oracle is None]
 
+_RESULTS: dict[str, dict] = {}
+_RESULTS_LOCK = threading.Lock()
+_DUCK_LOCAL = threading.local()
+
+
+def _duck_con():
+    """One DuckDB connection per worker thread (connections are not
+    thread-safe for concurrent execute; building one is milliseconds)."""
+    con = getattr(_DUCK_LOCAL, "con", None)
+    if con is None:
+        import duckdb
+
+        con = duckdb.connect()
+        for name in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            path = f"{SF_CORRECT}/{name}.parquet"
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+        _DUCK_LOCAL.con = con
+    return con
+
+
+def _compute_one(spark, name: str) -> dict:
+    spec = QUERIES[name]
+    out: dict = {}
+    try:
+        duck = _duck_con()
+        out["desc"] = duck.execute("DESCRIBE " + spec.oracle).fetchall()
+        sdf = spec.fn(spark, SF_CORRECT)
+        out["spark_cols"] = [c.lower() for c in sdf.columns]
+        out["spark_rows"] = [tuple(r) for r in sdf.collect()]
+        res = duck.execute(spec.oracle)
+        out["duck_cols"] = [d[0].lower() for d in res.description]
+        out["duck_rows"] = res.fetchall()
+    except Exception:
+        out["error"] = traceback.format_exc()
+    return out
+
+
+def _ensure_results(spark, request, names: list[str]) -> None:
+    todo = [n for n in names if n not in _RESULTS]
+    if not todo:
+        return
+    # Fill the shared session caches (trained models, co-purchase edges)
+    # serially first: their check-then-set fills are correct but not
+    # guarded against concurrent double-builds, and a double-built model
+    # is wasted minutes. Skipped for small `-k` selections, where the
+    # worst case is one redundant build.
+    if len(todo) > 8:
+        from kinesis_stream_consumer_spark.plans import graph_shared, llm_pipeline
+
+        llm_pipeline._coarse_model(spark, SF_CORRECT)
+        llm_pipeline._coarse_model(spark, SF_CORRECT, k=32, n_iter=2)
+        llm_pipeline._pq_model(spark, SF_CORRECT)
+        graph_shared._co_edges(spark, SF_CORRECT)
+
+    with ThreadPoolExecutor(N_THREADS) as pool:
+        for name, res in zip(todo, pool.map(lambda n: _compute_one(spark, n), todo)):
+            _RESULTS[name] = res
+
+
+@pytest.fixture(scope="session")
+def parity_results(spark, request):
+    selected = sorted(
+        getattr(request.config, "_parity_selected", None) or set(ORACLED)
+    )
+
+    def get(name: str) -> dict:
+        with _RESULTS_LOCK:
+            _ensure_results(spark, request, selected if name in selected else [name])
+        return _RESULTS[name]
+
+    return get
+
 
 @pytest.mark.parametrize("name", ORACLED)
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(parity_results, name):
     spec = QUERIES[name]
+    res = parity_results(name)
+    if "error" in res:
+        raise AssertionError(f"{name}: computation failed\n{res['error']}")
     # Dtype gate: the str()-rendered value compare below is blind to DuckDB
     # result dtypes, but the driver's value-hash is not — a SUM(BIGINT*BIGINT)
     # silently widens to HUGEINT and defeats the hash even when every rendered
     # value matches (r3's sim_kmeans_cells red row). Ban HUGEINT/DECIMAL
     # output columns outright: cast to BIGINT / DOUBLE in the oracle.
-    desc = duck.execute("DESCRIBE " + spec.oracle).fetchall()
-    danger = [(c, t) for c, t, *_ in desc if "HUGEINT" in t or "DECIMAL" in t]
+    danger = [(c, t) for c, t, *_ in res["desc"] if "HUGEINT" in t or "DECIMAL" in t]
     assert not danger, (
         f"{name}: oracle output columns with hash-hostile DuckDB types "
         f"{danger}; CAST them to BIGINT/DOUBLE in the oracle SQL"
     )
-    sdf = spec.fn(spark, SF_CORRECT)
-    spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = [tuple(r) for r in sdf.collect()]
-
-    res = duck.execute(spec.oracle)
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    spark_cols, spark_rows = res["spark_cols"], res["spark_rows"]
+    duck_cols, duck_rows = res["duck_cols"], res["duck_rows"]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
