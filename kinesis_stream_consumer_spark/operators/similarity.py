@@ -11,7 +11,7 @@ array<double> — JVM-side, deterministic left-to-right summation, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -370,7 +370,13 @@ def kmeans_fit_quantized(
     )
     if return_model:
         # (cell, pos, qc) — the trained INTEGER centroids, for callers that
-        # probe with exact quantized distances (IVF-PQ query routing)
+        # probe with exact quantized distances (IVF-PQ query routing).
+        # ``.model_rows`` carries the SAME rows the frame was created from
+        # (driver-originated), so callers that need them driver-side skip
+        # the collect round-trip job — `cents.collect()` would return
+        # identical values (the frame is a local relation built from
+        # these ints).
+        cents.model_rows = [Row(cell=c, pos=p, qc=qc) for (c, p, qc) in rows]
         return fit, cents
     return fit
 
@@ -787,6 +793,10 @@ def pq_fit(vectors: DataFrame, m: int = 8, k: int = 16, n_iter: int = 2,
     cents = spark.createDataFrame(
         rows, schema="sub INT, cell INT, pos INT, qc BIGINT"
     )
+    # same contract as kmeans_fit_quantized: the codebook ORIGINATES
+    # driver-side, so hand the rows back on the frame — a `.collect()`
+    # would return these exact values and cost one job per session.
+    cents.model_rows = [Row(sub=s, cell=c, pos=p, qc=qc) for (s, c, p, qc) in rows]
     q = pq_sub_rows(vectors, m, dim, id_col, vec_col)
     d = (
         q.join(F.broadcast(cents), ["sub", "pos"])

@@ -650,7 +650,12 @@ def _pq_model_rows(spark: SparkSession, sf_dir: str):
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         t0 = _now()
-        hit = _pq_model(spark, sf_dir)[1].collect()
+        cents = _pq_model(spark, sf_dir)[1]
+        # the codebook originated driver-side in pq_fit and rides the
+        # frame as .model_rows — identical to what collect() returns,
+        # minus the round-trip job (r15; collect kept as the fallback
+        # for frames that crossed a boundary that drops the attribute)
+        hit = getattr(cents, "model_rows", None) or cents.collect()
         _mark("pq_rows_collect", t0)
         _MODEL_CACHE[key] = hit
     return hit
@@ -662,7 +667,9 @@ def _coarse_model_rows(spark: SparkSession, sf_dir: str):
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         t0 = _now()
-        hit = _coarse_model(spark, sf_dir)[1].collect()
+        cents = _coarse_model(spark, sf_dir)[1]
+        # same as _pq_model_rows: the rows ride the frame from the fit
+        hit = getattr(cents, "model_rows", None) or cents.collect()
         _mark("kmeans_rows_collect", t0)
         _MODEL_CACHE[key] = hit
     return hit
