@@ -36,6 +36,22 @@ def get_spark(app_name: str = "kinesis-stream-consumer-spark") -> SparkSession:
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Committer cost on the state-store save path (engine t4, guide §6):
+        # v2 moves task output at task commit instead of a second sequential
+        # driver-side rename pass at job commit, and the _SUCCESS marker is
+        # one more create per job nothing here reads. Both are documented
+        # Hadoop settings that cut fixed FS ops per write job at ANY scale
+        # (HDFS included; an S3 deployment replaces the committer wholesale
+        # anyway). The engine's overwrite-under-read contract is unaffected:
+        # dynamic partition overwrite stages under .spark-staging-* and
+        # deletes replaced partitions only at Spark's commitJob in either
+        # algorithm version. Interleaved steady-batch marks (r15):
+        # t4_save_write median 0.708 -> 0.634 s.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
     )
     return builder.getOrCreate()
 
